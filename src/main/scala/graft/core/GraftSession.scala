@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the resource model of the reference warehouse
+  * (`/root/reference/warehouse.yml.example:35-40`: threads + memory limit +
+  * temp spill) re-expressed as Spark conf. Tuned for local[N] testing but the
+  * same conf block is what we'd ship to a 1000-executor cluster: AQE on,
+  * shuffle partitions sized to cores, UTC session time.
+  */
+object GraftSession {
+
+  /** Conf applied to every session (driver-made or our own). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / CLI mains. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      math.max(cores, 4)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY.md §2.3–§2.9) expressed Spark-first.
+  *
+  * Every query here has a DuckDB oracle in [[Relational.oracle]] with
+  * IDENTICAL output column names. Double aggregates are rounded to 4 decimals
+  * on both sides so floating-point summation order (which legitimately differs
+  * between engines and between Spark partitionings) cannot flip the comparison.
+  *
+  * Scale notes (100 TB design intent) are on each query.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A3 + P4: TPC-H Q1 shape. Partial (map-side) aggregation on 2 keys,
+    // filter pushed to parquet scan. Scales: agg output is tiny regardless of
+    // input size; shuffle carries only partial aggregates.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(sum("l_quantity")).as("sum_qty"),
+          r4(sum("l_extendedprice")).as("sum_base_price"),
+          r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          r4(avg("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A1: global multi-measure aggregate incl. exact COUNT(DISTINCT)
+    // (ref: catalog.py:61-68). countDistinct = 2-phase hash agg; at 100 TB
+    // prefer approx_count_distinct — exact kept for oracle parity.
+    "q02_global_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        r4(sum("l_quantity")).as("total_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"))
+    }),
+
+    // A2/O2: groupBy + count + deterministic top-K (secondary sort key breaks
+    // ties). Spark plans TakeOrderedAndProject — no global sort at scale.
+    "q03_topk_brand" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy("p_brand").agg(count(lit(1)).as("part_count"))
+        .orderBy(desc("part_count"), asc("p_brand"))
+        .limit(10)
+    }),
+
+    // J1: large⋈large equi-join (the 30M⋈40M accession-join shape,
+    // stg_sra_experiments.sql:19-24) + aggregation. Sort-merge join after
+    // hash shuffle; AQE handles skew.
+    "q04_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // J2: multi-way denormalizing mart join (mart.sra_metadata shape,
+    // WAREHOUSE_SUMMARY.md:119-122). Small dims explicitly broadcast — at
+    // 100 TB region/nation stay broadcast, customer⋈orders⋈lineitem shuffle
+    // on their keys.
+    "q05_mart_denorm" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+    }),
+
+    // J3: existence-filter as left_semi (join-as-filter,
+    // stg_sra_experiments.sql:21-23) — semi-join ships no payload columns
+    // from the probe side.
+    "q06_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // U2: anti-join / set difference (etl/pubmed.py:48-59 needed-vs-existing).
+    "q07_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // U1: unionByName of two filtered branches
+    // (geo_supplemental_files.sql:8-22).
+    "q08_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("key"), lit("URGENT").as("bucket"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey").as("key"), lit("HIGH").as("bucket"))
+      urgent.unionByName(high)
+    }),
+
+    // U2b: EXCEPT on key sets.
+    "q09_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey").distinct()
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+      c.except(o)
+    }),
+
+    // W1: dedup-latest-per-key via row_number (the `grain accession`
+    // invariant, stg_sra_experiments.sql:9). Single hash-partitioned window;
+    // event_id breaks timestamp ties deterministically.
+    "q10_latest_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    // W2: running aggregate window (rows-frame). Prefix sums are
+    // order-defined so rounding makes them engine-stable.
+    "q11_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          r4(sum("value").over(w)).as("running_value"))
+    }),
+
+    // P4: inclusive date-range predicate — the incremental-window filter
+    // (stg_ncbi_biosample.sql:35-36). Pushed to the parquet scan; at scale
+    // this is the partition-pruning predicate.
+    "q12_filter_between" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("order_date", col("o_orderdate").cast("date"))
+        .filter(col("order_date").between(lit("1996-01-01"), lit("1996-12-31")))
+        .select("o_orderkey", "order_date", "o_totalprice")
+    }),
+
+    // P8/P9: LIKE + CASE quality-flag (WAREHOUSE.md:170-174,
+    // geo_supplemental_files.sql:29).
+    "q13_case_like" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        col("p_type"),
+        when(col("p_type").like("%ECONOMY%"), lit("cheap"))
+          .when(col("p_type").isin("LARGE", "MEDIUM"), lit("mid"))
+          .otherwise(lit("other")).as("price_class"),
+        (!col("p_name").like("%widget%")).as("not_widget"))
+    }),
+
+    // F1/F9/F10: concat / lower / substring / arithmetic
+    // (gpl.sql:20-21 URL building; scimago.py:24-28 cleaning).
+    "q14_scalar_string" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        concat(col("c_mktsegment"), lit("-"), col("c_nationkey").cast("string")).as("seg_key"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        r4(col("c_acctbal") / lit(100.0)).as("bal_pct"))
+    }),
+
+    // F2/F3: regexp_extract (basename pattern, geo_supplemental_files.sql:27)
+    // + regexp_replace (entrez id mapping, geo/extract.py:171-179).
+    "q15_regex" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("cust_num"),
+        regexp_replace(col("c_name"), "^Customer#0*", "C").as("short_id"))
+    }),
+
+    // F8: JSON extraction from a string column
+    // (json_extract_string, DEPLOYMENT.md:467-470).
+    "q16_json" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+
+    // F4 + A3: timestamp→date cast + per-day aggregate
+    // (stg_sra_accessions.sql:16).
+    "q17_daily_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("total"))
+    }),
+
+    // A6/I2: high-watermark scalar aggregate used as a filter
+    // (WAREHOUSE.md:441-449). Implemented as a broadcast join against the
+    // 1-row max — the scale-safe form of a scalar subquery.
+    "q18_high_watermark" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("order_date", col("o_orderdate").cast("date"))
+      val hw = o.agg(max("order_date").as("max_date"))
+      o.join(broadcast(hw), o("order_date") === hw("max_date"))
+        .select("o_orderkey", "o_custkey", "order_date")
+    }),
+
+    // A5: exact distinct projection (gse_gsm.sql:8-11 junction-table dedup).
+    "q19_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+    }),
+
+    // P1/P2/P7: explicit projection + rename + null guard (the raw-view
+    // pattern, src_sra_experiments.sql:8-34; stg_sra_accessions.sql:13-33).
+    "q20_projection" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .filter(col("s_name").isNotNull)
+        .select(
+          col("s_suppkey").as("suppkey"),
+          col("s_name").as("name"),
+          col("s_nationkey").as("nationkey"),
+          r4(col("s_acctbal")).as("acctbal"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),4) AS sum_qty,
+         round(sum(l_extendedprice),4) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_global_agg" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+         round(sum(l_quantity),4) AS total_qty,
+         round(avg(l_extendedprice),4) AS avg_price
+         FROM lineitem""",
+    "q03_topk_brand" ->
+      """SELECT p_brand, count(*) AS part_count FROM part
+         GROUP BY p_brand ORDER BY part_count DESC, p_brand LIMIT 10""",
+    "q04_join_revenue" ->
+      """SELECT o_orderstatus,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
+    "q05_mart_denorm" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q06_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q08_union_all" ->
+      """SELECT o_orderkey AS key, 'URGENT' AS bucket FROM orders
+         WHERE o_orderpriority = '1-URGENT'
+         UNION ALL
+         SELECT o_orderkey AS key, 'HIGH' AS bucket FROM orders
+         WHERE o_orderpriority = '2-HIGH'""",
+    "q09_except" ->
+      """SELECT DISTINCT c_custkey FROM customer
+         EXCEPT
+         SELECT DISTINCT o_custkey AS c_custkey FROM orders""",
+    "q10_latest_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "q11_running_sum" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS running_value
+         FROM events""",
+    "q12_filter_between" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""",
+    "q13_case_like" ->
+      """SELECT p_partkey, p_type,
+         CASE WHEN p_type LIKE '%ECONOMY%' THEN 'cheap'
+              WHEN p_type IN ('LARGE','MEDIUM') THEN 'mid'
+              ELSE 'other' END AS price_class,
+         p_name NOT LIKE '%widget%' AS not_widget
+         FROM part""",
+    "q14_scalar_string" ->
+      """SELECT c_custkey, lower(c_name) AS lname,
+         c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_key,
+         substr(c_name, 1, 8) AS name_prefix,
+         round(c_acctbal / 100.0, 4) AS bal_pct
+         FROM customer""",
+    "q15_regex" ->
+      """SELECT c_custkey,
+         regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num,
+         regexp_replace(c_name, '^Customer#0*', 'C') AS short_id
+         FROM customer""",
+    "q16_json" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events""",
+    "q17_daily_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+         round(sum(value),4) AS total
+         FROM events GROUP BY 1, 2""",
+    "q18_high_watermark" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) =
+               (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)""",
+    "q19_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q20_projection" ->
+      """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
+         round(s_acctbal,4) AS acctbal
+         FROM supplier WHERE s_name IS NOT NULL"""
+  )
+}

@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+
+/** Test-lake table loader (TPC-H-ish star schema + documents/embeddings/events,
+  * see /root/repo/TESTDATA.md). One parquet file per table.
+  *
+  * Maps the reference's raw-view pattern — one view per file glob
+  * (`/root/reference/sqlmesh/models/raw/src_sra_experiments.sql:36`) — onto
+  * `spark.read.parquet`. Schema-drift unioning (`union_by_name=true` in the
+  * reference) is available via [[LakeReader.parquetGlob]].
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+      // reader rejects. Read nanos as long and truncate to micros — the same
+      // truncation DuckDB applies (its timestamps are µs precision).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

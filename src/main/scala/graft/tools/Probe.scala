@@ -1,0 +1,21 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.queries.Relational
+
+/** Ad-hoc perf probe: times one query twice (cold/warm) and prints the plan. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = graft.core.GraftSession.local(8)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      Relational.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[probe] $name cold=${once()}%.2fs warm=${once()}%.2fs warm2=${once()}%.2fs")
+    Relational.queries(name)(spark, dir).explain("formatted")
+    spark.stop()
+  }
+}

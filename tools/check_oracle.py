@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables, compare to the parquet that Verify wrote.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Sort columns by name, stringify values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            # normalize -0.0 and represent at 6 sig decimals
+            if v == 0:
+                v = 0.0
+            return f"{v:.6g}"
+        return repr(v)
+
+    out = [tuple(cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_glob:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            oc = con.execute(sql)
+            ocols = [d[0] for d in oc.description]
+            orows = oc.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        sc = con.execute(
+            f"SELECT * FROM read_parquet({spark_glob!r})")
+        scols = [d[0] for d in sc.description]
+        srows = sc.fetchall()
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        a, b = canon(orows, ocols), canon(srows, scols)
+        if a == b:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            for x, y in diff:
+                print(f"  oracle: {x}\n  spark : {y}")
+            if len(a) != len(b):
+                only_o = set(a) - set(b)
+                only_s = set(b) - set(a)
+                for x in list(only_o)[:3]:
+                    print(f"  only-oracle: {x}")
+                for x in list(only_s)[:3]:
+                    print(f"  only-spark : {x}")
+            n_fail += 1
+    # queries with no oracle → rows-only check
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if os.path.isdir(d) and name not in oracle:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"ROWS {name}: {n}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
