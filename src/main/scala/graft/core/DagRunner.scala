@@ -1,0 +1,156 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import scala.collection.mutable
+
+/** Result of one model run (→ `meta.model_runs`,
+  * `/root/reference/warehouse_cli.py:192-205`). */
+final case class RunResult(
+    model: String,
+    layer: String,
+    status: String, // success | failed | audit_failed | skipped
+    startedAtMs: Long,
+    durationS: Double,
+    rows: Long,
+    error: Option[String])
+
+/** Model catalog + dependency-DAG executor: the reference's warehouse
+  * orchestration engine (`warehouse_cli.py` run/plan commands,
+  * `WAREHOUSE_SUMMARY.md:124-139`) rebuilt on Spark.
+  *
+  * - `plan` topologically sorts the `dependsOn` DAG (cycle detection
+  *   included) and can restrict to a sub-selection plus its upstreams.
+  * - `run` materializes each model: views register temp views (logical,
+  *   inlined by Catalyst), tables land as parquet under the warehouse dir
+  *   and re-register as file-backed views, incremental models delegate to
+  *   [[graft.incremental.IntervalRunner]].
+  * - Audits run post-materialization; a violation fails the model.
+  * - Per-model metrics append to the [[MetaStore]].
+  */
+final class DagRunner(spark: SparkSession, cfg: EngineConfig,
+    models: Seq[Model], meta: Option[MetaStore] = None) {
+
+  private val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
+  require(byName.size == models.size, "duplicate model names")
+
+  /** Topological order via DFS with cycle detection. */
+  def plan(selection: Option[Seq[String]] = None): Seq[Model] = {
+    val wanted: Set[String] = selection match {
+      case None => byName.keySet
+      case Some(sel) =>
+        // include upstream closure of the selection
+        val seen = mutable.Set[String]()
+        def up(n: String): Unit = if (seen.add(n))
+          byName.get(n).foreach(_.dependsOn.foreach(up))
+        sel.foreach(up)
+        seen.toSet
+    }
+    val order = mutable.ListBuffer[Model]()
+    val state = mutable.Map[String, Int]() // 0=unseen 1=visiting 2=done
+    def visit(n: String, path: List[String]): Unit = state.getOrElse(n, 0) match {
+      case 2 => ()
+      case 1 => throw new IllegalStateException(
+        s"dependency cycle: ${(n :: path.takeWhile(_ != n)).reverse.mkString(" -> ")} -> $n")
+      case _ =>
+        state(n) = 1
+        byName.get(n).foreach(_.dependsOn.foreach(d => visit(d, n :: path)))
+        state(n) = 2
+        byName.get(n).filter(m => wanted(m.name)).foreach(order += _)
+    }
+    models.map(_.name).filter(wanted).foreach(visit(_, Nil))
+    order.toSeq
+  }
+
+  /** Run the (selected) DAG; returns per-model results in execution order. */
+  def run(selection: Option[Seq[String]] = None,
+      failFast: Boolean = false): Seq[RunResult] = {
+    val ordered = plan(selection)
+    val results = mutable.ListBuffer[RunResult]()
+    var aborted = false
+    ordered.foreach { m =>
+      if (aborted) {
+        results += RunResult(m.name, m.layer, "skipped",
+          System.currentTimeMillis(), 0.0, 0L, None)
+      } else {
+        val res = runOne(m)
+        results += res
+        if (failFast && res.status != "success") aborted = true
+      }
+    }
+    meta.foreach(_.record(results.toSeq, models))
+    results.toSeq
+  }
+
+  private def tablePath(m: Model) = s"${cfg.warehouseDir}/${m.layer}/${m.name}"
+
+  private def runOne(m: Model): RunResult = {
+    val t0 = System.currentTimeMillis()
+    try {
+      val rows = m.materialization match {
+        case Materialization.View =>
+          val df = m.derive(spark, cfg)
+          df.createOrReplaceTempView(m.name)
+          -1L // views are logical; no rows materialized
+        case Materialization.Table =>
+          val df = m.derive(spark, cfg)
+          df.write.mode("overwrite").parquet(tablePath(m))
+          val out = spark.read.parquet(tablePath(m))
+          out.createOrReplaceTempView(m.name)
+          out.count()
+        case inc: Materialization.IncrementalByTimeRange =>
+          val n = graft.incremental.IntervalRunner
+            .refresh(spark, cfg, m, inc)
+          val out = spark.read.parquet(tablePath(m))
+          out.createOrReplaceTempView(m.name)
+          n
+      }
+      // audits: every audit query must return zero rows
+      m.audits.foreach { a =>
+        val bad = spark.sql(Model.render(a.violationSql, cfg)).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"audit ${a.name} failed: $bad violating rows")
+      }
+      // export if requested
+      m.export.foreach { e =>
+        val src = spark.table(m.name)
+        val w = src.write.mode("overwrite")
+          .option("compression", e.compression)
+          .option("maxRecordsPerFile", e.maxRecordsPerFile)
+        val w2 = if (e.partitionBy.nonEmpty) w.partitionBy(e.partitionBy: _*) else w
+        w2.format(e.format).save(s"${cfg.exportDir}/${e.relPath}")
+      }
+      RunResult(m.name, m.layer, "success", t0,
+        (System.currentTimeMillis() - t0) / 1000.0, rows, None)
+    } catch {
+      case ex: Throwable =>
+        val status =
+          if (ex.getMessage != null && ex.getMessage.startsWith("audit "))
+            "audit_failed"
+          else "failed"
+        RunResult(m.name, m.layer, status, t0,
+          (System.currentTimeMillis() - t0) / 1000.0, 0L,
+          Some(Option(ex.getMessage).getOrElse(ex.getClass.getName)))
+    }
+  }
+}
+
+/** Execution-metadata store: `meta.model_runs` + `meta.model_lineage`
+  * (`WAREHOUSE.md:244-274`) as parquet tables under the warehouse dir. */
+final class MetaStore(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  def record(results: Seq[RunResult], models: Seq[Model]): Unit = {
+    results.toDF().write.mode("append").parquet(s"$dir/meta/model_runs")
+    models.flatMap(m => m.dependsOn.map(d => (m.name, d)))
+      .toDF("model", "depends_on")
+      .write.mode("overwrite").parquet(s"$dir/meta/model_lineage")
+  }
+
+  def runs: DataFrame = spark.read.parquet(s"$dir/meta/model_runs")
+
+  /** Last-N run history (`warehouse_cli.py:192-205` status dashboard). */
+  def history(limit: Int = 15): DataFrame =
+    runs.orderBy(col("startedAtMs").desc).limit(limit)
+}

@@ -1,0 +1,88 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine configuration (≈ the reference's `warehouse.yml` +
+  * `sqlmesh/config.yaml` gateway: data root, warehouse/export dirs, render
+  * variables like the incremental window bounds
+  * (`/root/reference/WAREHOUSE.md:283-292`,
+  * `/root/reference/sqlmesh/config.yaml:40-55`).
+  */
+final case class EngineConfig(
+    dataRoot: String,
+    warehouseDir: String,
+    exportDir: String,
+    vars: Map[String, String] = Map.empty) {
+  def startDs: String = vars.getOrElse("start_ds", "2001-01-01")
+  def endDs: String = vars.getOrElse("end_ds", "9999-12-31")
+}
+
+/** How a model materializes (`EXPORT_DEPLOYMENT.md:210-236`). */
+sealed trait Materialization
+object Materialization {
+  /** Logical only: registered as a temp view, inlined into consumers. */
+  case object View extends Materialization
+  /** Physical parquet table under `warehouseDir`, re-registered as a view. */
+  case object Table extends Materialization
+  /** Physical, partitioned by a date column, refreshed per interval with
+    * dynamic partition overwrite (INCREMENTAL_BY_TIME_RANGE,
+    * `stg_geo_samples.sql:3-10`). */
+  final case class IncrementalByTimeRange(timeColumn: String,
+      start: String = "2001-01-01") extends Materialization
+}
+
+/** Export request attached to a model (`EXPORT_DEPLOYMENT.md:224-236`):
+  * codec + optional hive partitioning + file/row-group sizing. */
+final case class ExportSpec(
+    relPath: String,
+    format: String = "parquet",
+    compression: String = "zstd",
+    partitionBy: Seq[String] = Nil,
+    maxRecordsPerFile: Long = 1000000L)
+
+/** A warehouse model: name + layer + derivation + dependencies + audits
+  * (≈ one sqlmesh model file / one `models/<layer>/<name>.sql` +
+  * `schema.yml` entry, `WAREHOUSE.md:154-206`).
+  *
+  * The derivation is either `sql` (run through `spark.sql` after deps are
+  * registered as temp views — the reference's SQL-first surface) or a
+  * DataFrame `build` function (the typed surface). Exactly one must be set.
+  */
+final case class Model(
+    name: String,
+    layer: String,
+    dependsOn: Seq[String] = Nil,
+    materialization: Materialization = Materialization.View,
+    sql: Option[String] = None,
+    build: Option[(SparkSession, EngineConfig) => DataFrame] = None,
+    export: Option[ExportSpec] = None,
+    audits: Seq[Audit] = Nil,
+    grain: Seq[String] = Nil,
+    description: String = "") {
+  require(sql.isDefined != build.isDefined,
+    s"model $name: exactly one of sql/build must be set")
+  def qualified: String = s"${layer}_$name"
+
+  def derive(spark: SparkSession, cfg: EngineConfig): DataFrame =
+    build.map(_(spark, cfg)).getOrElse {
+      val rendered = Model.render(sql.get, cfg)
+      spark.sql(rendered)
+    }
+}
+
+object Model {
+  /** `@var` macro substitution, the sqlmesh render step
+    * (`src_ebi_biosample.sql:3-6`): `@data_root`, `@start_ds`, `@end_ds`,
+    * plus any user vars. */
+  def render(sql: String, cfg: EngineConfig): String = {
+    val all = Map(
+      "data_root" -> cfg.dataRoot,
+      "start_ds" -> cfg.startDs,
+      "end_ds" -> cfg.endDs) ++ cfg.vars
+    all.foldLeft(sql) { case (s, (k, v)) => s.replace(s"@$k", v) }
+  }
+}
+
+/** Post-materialization invariant: a query over the built model that must
+  * return ZERO rows (`sqlmesh/audits/assert_positive_order_ids.sql:1-8`). */
+final case class Audit(name: String, violationSql: String)

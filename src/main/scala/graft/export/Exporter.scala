@@ -1,0 +1,97 @@
+package graft.export
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.ParquetFooterMeta
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Export + catalog layer (SURVEY.md §2.2 K1/K2/K6 and the deployment
+  * cataloging flow, `/root/reference/omicidx_etl/catalog.py:16-89`,
+  * `DEPLOYMENT.md:15-28`).
+  */
+object Exporter {
+
+  /** K1/K2: parquet export with codec, optional hive partitioning, and
+    * file sizing (`COPY ... (FORMAT PARQUET, COMPRESSION zstd,
+    * ROW_GROUP_SIZE ...)`). */
+  def parquet(df: DataFrame, path: String,
+      compression: String = "zstd",
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** K4: NDJSON.gz export (`sra/extract.py:527-537`). */
+  def ndjsonGz(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** K6: atomic publish — write to `<path>._tmp`, then rename into place,
+    * then drop a `.done` JSON marker (the reference's tmp+rename + semaphore
+    * files, `ebi_biosample/extract.py:232-260`). */
+  def atomically(path: String)(write: String => Unit): Unit = {
+    val tmp = path + "._tmp"
+    deleteRecursively(Paths.get(tmp))
+    write(tmp)
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(Paths.get(path + ".done"),
+      s"""{"path": "$path", "completed_at_ms": ${System.currentTimeMillis()}}""")
+  }
+
+  /** Completion-marker check (I3 idempotency): skip work already published. */
+  def isDone(path: String): Boolean = Files.exists(Paths.get(path + ".done"))
+
+  /** Catalog of an export dir: per-file row/byte stats from parquet footers
+    * + a summary row — `catalog.parquet` + `catalog.json`
+    * (`catalog.py:43-89,109-116`). */
+  def catalog(spark: SparkSession, exportDir: String): DataFrame = {
+    val meta = ParquetFooterMeta(spark, s"$exportDir/*/*.parquet")
+      .filter(!col("file_name").like("%catalog.parquet%"))
+      // group part files under their dataset dir (catalog.py:132 pattern)
+      .withColumn("file_name",
+        when(col("file_name").rlike(".*/part-[^/]+$"),
+          regexp_extract(col("file_name"), ".*/([^/]+)/[^/]+$", 1))
+          .otherwise(regexp_extract(col("file_name"), "([^/]+)$", 1)))
+    meta.groupBy("file_name").agg(
+      sum("num_rows").as("num_rows"),
+      sum("total_compressed_size").as("compressed_bytes"),
+      sum("total_byte_size").as("uncompressed_bytes"),
+      count(lit(1)).as("n_row_groups"))
+  }
+
+  /** catalog.json: version + per-file listing + totals
+    * (`DEPLOYMENT.md:449-470`). */
+  def writeCatalogJson(spark: SparkSession, exportDir: String,
+      version: String): Unit = {
+    val rows = catalog(spark, exportDir).collect()
+    val files = rows.map { r =>
+      s"""{"file_name": "${r.getString(0)}", "num_rows": ${r.getLong(1)},
+         | "compressed_bytes": ${r.getLong(2)},
+         | "uncompressed_bytes": ${r.getLong(3)},
+         | "n_row_groups": ${r.getLong(4)}}""".stripMargin.replace("\n", "")
+    }.mkString("[", ",", "]")
+    val total = rows.map(_.getLong(1)).sum
+    Files.writeString(Paths.get(s"$exportDir/catalog.json"),
+      s"""{"version": "$version", "total_rows": $total, "files": $files}""")
+  }
+
+  /** "Remote views" bootstrap: SQL script re-creating one view per exported
+    * table over the published location (`DEPLOYMENT.md:74-83` — the 1 MB
+    * views-only database). */
+  def remoteViewsSql(tables: Seq[(String, String)]): String =
+    tables.map { case (name, url) =>
+      s"CREATE OR REPLACE TEMP VIEW $name AS SELECT * FROM parquet.`$url`;"
+    }.mkString("\n")
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toList.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+}

@@ -1,0 +1,258 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.sources.LakeReader
+
+/** The reference's warehouse catalog — 11 raw views, 11 bronze incremental
+  * models, 6 geometadb compatibility views, 1 mart — re-expressed for Spark.
+  *
+  * Raw sources are INJECTABLE: production binds them to lake globs
+  * ([[lakeSources]]); fixture tests bind them to in-memory frames (the
+  * reference's YAML-fixture pattern, `/root/reference/sqlmesh/tests/`).
+  * Downstream models are Spark SQL over the registered views, with the
+  * `@start_ds`/`@end_ds` macros rendered by [[graft.core.Model.render]].
+  *
+  * Semantics carried over (cites into /root/reference):
+  *  - bronze models: inclusive BETWEEN on the time column, incremental by
+  *    time range (the sqlmesh bronze model files);
+  *  - SRA staging joins the detail entity to the accession spine and
+  *    filters by Type (`stg_sra_experiments.sql:12-24`) — the large⋈large
+  *    equi-join; at scale both sides shuffle on accession, AQE handles skew;
+  *  - geometadb: 1-based `channels[1]` → `element_at(..., 1)`
+  *    (`gsm.sql:16-31`), junction tables = explode + DISTINCT
+  *    (`gse_gsm.sql:8-11`), supplemental files = two exploded branches
+  *    unioned then filtered (`geo_supplemental_files.sql:8-29`).
+  */
+object OmicidxModels {
+
+  /** SRA entity types staged from the accession spine. */
+  private val sraEntities = Seq(
+    ("experiments", "EXPERIMENT"), ("runs", "RUN"),
+    ("samples", "SAMPLE"), ("studies", "STUDY"))
+
+  /** Production raw-source bindings: parquet/NDJSON globs under dataRoot
+    * (`src_sra_experiments.sql:36`, `src_geo_samples.sql:36`). */
+  def lakeSources: Map[String, (SparkSession, EngineConfig) => DataFrame] = {
+    val parquetOf = (rel: String) =>
+      (s: SparkSession, c: EngineConfig) =>
+        LakeReader.parquetGlob(s, s"${c.dataRoot}/$rel")
+    val jsonOf = (rel: String) =>
+      (s: SparkSession, c: EngineConfig) =>
+        LakeReader.ndjsonGlob(s, s"${c.dataRoot}/$rel")
+    Map(
+      "src_sra_accessions" -> parquetOf("sra/sra_accessions.parquet"),
+      "src_sra_experiments" -> parquetOf("sra/*experiment*.parquet"),
+      "src_sra_runs" -> parquetOf("sra/*run*.parquet"),
+      "src_sra_samples" -> parquetOf("sra/*sample*.parquet"),
+      "src_sra_studies" -> parquetOf("sra/*study*.parquet"),
+      "src_geo_samples" -> jsonOf("geo/gsm*.ndjson.gz"),
+      "src_geo_series" -> jsonOf("geo/gse*.ndjson.gz"),
+      "src_geo_platforms" -> jsonOf("geo/gpl*.ndjson.gz"),
+      "src_ncbi_biosample" -> parquetOf("biosample/biosample*.parquet"),
+      "src_ncbi_bioproject" -> parquetOf("biosample/bioproject*.parquet"),
+      "src_ebi_biosample" -> parquetOf("ebi_biosample/*.parquet"))
+  }
+
+  /** Full catalog, with raw sources bound to the given builders. */
+  def catalog(
+      sources: Map[String, (SparkSession, EngineConfig) => DataFrame])
+      : Seq[Model] = {
+
+    val raw = sources.map { case (name, fn) =>
+      Model(name, layer = "raw", build = Some(fn),
+        description = s"raw view over lake files: $name")
+    }.toSeq
+
+    // ---- bronze: SRA detail ⋈ accession spine, incremental ----
+    val sraStaging = sraEntities.map { case (ent, typ) =>
+      Model(s"stg_sra_$ent", layer = "bronze",
+        dependsOn = Seq(s"src_sra_$ent", "src_sra_accessions"),
+        materialization = Materialization.IncrementalByTimeRange("updated_date"),
+        grain = Seq("accession"),
+        sql = Some(
+          s"""SELECT e.*, CAST(a.Updated AS DATE) AS updated_date,
+              a.Updated AS updated_timestamp, a.Status AS status,
+              a.BioSample AS biosample, a.BioProject AS bioproject
+              FROM src_sra_$ent e
+              INNER JOIN src_sra_accessions a ON e.accession = a.Accession
+              WHERE a.Type = '$typ'
+                AND CAST(a.Updated AS DATE)
+                    BETWEEN DATE '@start_ds' AND DATE '@end_ds'"""))
+    }
+
+    val stgSraAccessions = Model("stg_sra_accessions", layer = "bronze",
+      dependsOn = Seq("src_sra_accessions"),
+      materialization = Materialization.IncrementalByTimeRange("updated_date"),
+      grain = Seq("accession"),
+      sql = Some(
+        """SELECT Accession AS accession, Submission AS submission,
+           Status AS status, CAST(Updated AS DATE) AS updated_date,
+           Updated AS updated_timestamp, Published AS published,
+           Received AS received, Type AS type, Center AS center,
+           Visibility AS visibility, Alias AS alias, Experiment AS experiment,
+           Sample AS sample, Study AS study, Loaded AS loaded, Spots AS spots,
+           Bases AS bases, Md5sum AS md5sum, BioSample AS biosample,
+           BioProject AS bioproject, ReplacedBy AS replaced_by
+           FROM src_sra_accessions
+           WHERE CAST(Updated AS DATE)
+                 BETWEEN DATE '@start_ds' AND DATE '@end_ds'"""))
+
+    val geoStaging = Seq("samples", "series", "platforms").map { ent =>
+      Model(s"stg_geo_$ent", layer = "bronze",
+        dependsOn = Seq(s"src_geo_$ent"),
+        materialization =
+          Materialization.IncrementalByTimeRange("last_update_date"),
+        grain = Seq("accession"),
+        sql = Some(
+          s"""SELECT * FROM src_geo_$ent
+              WHERE last_update_date
+                    BETWEEN DATE '@start_ds' AND DATE '@end_ds'"""))
+    }
+
+    val stgNcbiBiosample = Model("stg_ncbi_biosample", layer = "bronze",
+      dependsOn = Seq("src_ncbi_biosample"),
+      materialization =
+        Materialization.IncrementalByTimeRange("last_update_date"),
+      grain = Seq("accession"),
+      sql = Some(
+        """SELECT is_reference,
+           CAST(submission_date AS TIMESTAMP) AS submission_timestamp,
+           CAST(last_update AS TIMESTAMP) AS last_update_timestamp,
+           CAST(last_update AS DATE) AS last_update_date,
+           CAST(publication_date AS TIMESTAMP) AS publication_timestamp,
+           access, id, accession, id_recs, ids, sra_sample, dbgap, gsm,
+           title, description, taxonomy_name, taxon_id, attribute_recs,
+           attributes, model
+           FROM src_ncbi_biosample
+           WHERE CAST(last_update AS DATE)
+                 BETWEEN DATE '@start_ds' AND DATE '@end_ds'"""))
+
+    val stgNcbiBioproject = Model("stg_ncbi_bioproject", layer = "bronze",
+      dependsOn = Seq("src_ncbi_bioproject"),
+      materialization =
+        Materialization.IncrementalByTimeRange("release_date_only"),
+      grain = Seq("accession"),
+      sql = Some(
+        """SELECT title, description, name, accession, publications,
+           locus_tags, CAST(release_date AS TIMESTAMP) AS release_timestamp,
+           CAST(release_date AS DATE) AS release_date_only, data_types,
+           external_links
+           FROM src_ncbi_bioproject
+           WHERE CAST(release_date AS DATE)
+                 BETWEEN DATE '@start_ds' AND DATE '@end_ds'"""))
+
+    val stgEbiBiosample = Model("stg_ebi_biosample", layer = "bronze",
+      dependsOn = Seq("src_ebi_biosample"),
+      materialization = Materialization.IncrementalByTimeRange("update_date"),
+      grain = Seq("accession"),
+      sql = Some(
+        """SELECT accession, name,
+           CAST(`update` AS TIMESTAMP) AS update_timestamp,
+           CAST(`update` AS DATE) AS update_date,
+           CAST(release AS TIMESTAMP) AS release_timestamp,
+           CAST(`create` AS TIMESTAMP) AS create_timestamp,
+           taxId, characteristics, organization, contact, publications,
+           externalReferences, _links
+           FROM src_ebi_biosample
+           WHERE CAST(`update` AS DATE)
+                 BETWEEN DATE '@start_ds' AND DATE '@end_ds'"""))
+
+    // ---- geometadb compatibility views ----
+    // try_element_at: 1-based like DuckDB's channels[i], and NULL (not an
+    // ANSI error) when the channel is absent
+    def channelField(i: Int, f: String) =
+      s"try_element_at(channels, $i).$f AS ${f}_ch$i"
+    val chFields = Seq("source_name", "organism", "characteristics",
+      "molecule", "label", "treatment_protocol", "extract_protocol",
+      "label_protocol")
+
+    val gsm = Model("gsm", layer = "geometadb",
+      dependsOn = Seq("stg_geo_samples"),
+      sql = Some(
+        s"""SELECT title, accession AS gsm, platform_id AS gpl, status,
+            submission_date, last_update_date, type,
+            ${(1 to 2).flatMap(i => chFields.map(channelField(i, _))).mkString(",\n            ")},
+            channels AS channel_records, hyb_protocol, description,
+            data_processing,
+            contact.name.first || ' ' || contact.name.last AS contact,
+            supplemental_files AS supplementary_file,
+            data_row_count, channel_count
+            FROM stg_geo_samples"""))
+
+    val gse = Model("gse", layer = "geometadb",
+      dependsOn = Seq("stg_geo_series"),
+      sql = Some(
+        """SELECT accession AS gse, title, status, submission_date,
+           last_update_date, summary, pubmed_id, type, contributor,
+           'https://www.ncbi.nlm.nih.gov/geo/query/acc.cgi?acc=' || accession
+             AS web_link,
+           overall_design, contact.country AS contact_country,
+           contact.email AS contact_email,
+           contact.name.first AS contact_first_name,
+           contact.institute AS contact_institute,
+           contact.name.last AS contact_last_name,
+           contact.name.first || ' ' || contact.name.last AS contact,
+           supplemental_files AS supplementary_file, data_processing
+           FROM stg_geo_series"""))
+
+    val gpl = Model("gpl", layer = "geometadb",
+      dependsOn = Seq("stg_geo_platforms"),
+      sql = Some(
+        """SELECT title, accession AS gpl, status, submission_date,
+           last_update_date, technology, distribution, organism,
+           manufacturer, manufacture_protocol, description,
+           'https://www.ncbi.nlm.nih.gov/geo/query/acc.cgi?acc=' || accession
+             AS web_link,
+           contact.name.first || ' ' || contact.name.last AS contact,
+           data_row_count, summary
+           FROM stg_geo_platforms"""))
+
+    val gseGsm = Model("gse_gsm", layer = "geometadb",
+      dependsOn = Seq("stg_geo_series"),
+      sql = Some(
+        """SELECT DISTINCT accession AS gse, explode(sample_id) AS gsm
+           FROM stg_geo_series"""))
+
+    val gseGpl = Model("gse_gpl", layer = "geometadb",
+      dependsOn = Seq("stg_geo_platforms"),
+      sql = Some(
+        """SELECT DISTINCT accession AS gpl, explode(series_id) AS gse
+           FROM stg_geo_platforms"""))
+
+    val suppFiles = Model("geo_supplemental_files", layer = "geometadb",
+      dependsOn = Seq("stg_geo_series", "stg_geo_samples"),
+      sql = Some(
+        """WITH supp_file AS (
+             SELECT accession, 'gse' AS accession_type,
+                    explode(supplemental_files) AS supplemental_file
+             FROM stg_geo_series
+             UNION ALL
+             SELECT accession, 'gsm' AS accession_type,
+                    explode(supplemental_files) AS supplemental_file
+             FROM stg_geo_samples)
+           SELECT accession, accession_type, supplemental_file,
+                  regexp_extract(supplemental_file, '[^/]+$', 0) AS filename
+           FROM supp_file
+           WHERE supplemental_file != 'NONE'"""))
+
+    // ---- mart: denormalized experiment+study metadata (the 49.4M-row
+    // export, EXPORT_DEPLOYMENT.md:244-253; SQL re-derived — the mart model
+    // file is absent from the snapshot, SURVEY.md §0) ----
+    val sraMetadata = Model("sra_metadata", layer = "mart",
+      dependsOn = Seq("stg_sra_experiments", "stg_sra_studies"),
+      materialization = Materialization.Table,
+      export = Some(ExportSpec("marts/sra_metadata.parquet")),
+      audits = Seq(Audit("accession_not_null",
+        "SELECT * FROM sra_metadata WHERE accession IS NULL")),
+      sql = Some(
+        """SELECT e.*, s.title AS study_title, s.study_type,
+           s.abstract AS study_abstract, s.bioproject AS study_bioproject
+           FROM stg_sra_experiments e
+           LEFT JOIN stg_sra_studies s ON e.study_accession = s.accession"""))
+
+    raw ++ sraStaging ++ Seq(stgSraAccessions) ++ geoStaging ++
+      Seq(stgNcbiBiosample, stgNcbiBioproject, stgEbiBiosample,
+        gsm, gse, gpl, gseGsm, gseGpl, suppFiles, sraMetadata)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-local
+  * batches.
+  *
+  * The Spark-side contract (schema, batching, partition sizing) is real and
+  * tested; the codec itself is STUBBED with a deterministic fake — this
+  * container has no image/audio libraries. Swap [[StubCodec]] for a JNI/
+  * library-backed codec in production; nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed media row: opaque payload + metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      payload: Array[Byte],
+      source_uri: String)
+
+  /** Extracted features (decode → resize/frame-sample → embed pipeline
+    * output shape). */
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      feature: Array[Float])
+
+  /** Decoder contract. A real implementation wraps an image/audio library;
+    * batches are partition-local so native handles are reused per batch. */
+  trait Codec extends Serializable {
+    def decode(payloadBatch: Iterator[MediaRecord]): Iterator[MediaFeatures]
+  }
+
+  /** Deterministic fake codec: "decodes" byte lengths and byte statistics
+    * into the metadata/feature shape a real codec would fill. */
+  object StubCodec extends Codec {
+    def decode(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      batch.map { r =>
+        val n = r.payload.length
+        val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+        MediaFeatures(
+          r.media_id, r.media_type, n,
+          width = 1 + (sum % 1024).toInt,
+          height = 1 + ((sum / 7) % 1024).toInt,
+          duration_ms = if (r.media_type == "image") 0L else sum % 60000L,
+          feature = Array.tabulate(8)(i =>
+            ((sum >> i) % 255).toFloat / 255f))
+      }
+  }
+
+  /** The distributed decode: partition-local batches through the codec.
+    * `mapPartitions` is deliberate here (SURVEY.md §7.3 preference (d)) —
+    * codec calls are imperative per-record work no Catalyst expression can
+    * express, and partition-locality is what amortizes native-codec setup.
+    */
+  def extractFeatures(media: Dataset[MediaRecord],
+      codec: Codec = StubCodec): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(codec.decode(_))
+  }
+
+  /** Binary-metadata projection that needs no codec at all — pure columnar. */
+  def byteMetadata(df: DataFrame): DataFrame =
+    df.select(col("media_id"), col("media_type"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"))
+}

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lake-file readers: the engine's S1/S2/S5/S6 scan operators
+  * (SURVEY.md §2.1).
+  *
+  * Semantics carried over from the reference:
+  *  - parquet globs merge drifted schemas by column name
+  *    (`union_by_name=true` → `mergeSchema`),
+  *  - NDJSON(.gz) globs are schema-unioned by the JSON reader natively; an
+  *    explicit schema can be pinned (the reference pins Arrow schemas,
+  *    `omicidx_etl/sra/extract.py:53-229`),
+  *  - CSV with configurable delimiter + inference
+  *    (`omicidx_etl/etl/scimago.py:21`).
+  */
+object LakeReader {
+
+  /** S1: parquet glob scan with by-name schema union. */
+  def parquetGlob(spark: SparkSession, glob: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(glob)
+
+  /** S2: NDJSON(.gz) glob scan; gzip decompressed automatically. Pass a
+    * schema to pin types against drift (all-null columns otherwise infer
+    * as string). */
+  def ndjsonGlob(spark: SparkSession, glob: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(glob)
+  }
+
+  /** S6: delimited text scan with schema inference. */
+  def csv(spark: SparkSession, path: String, delimiter: String = ";",
+      header: Boolean = true): DataFrame =
+    spark.read
+      .option("delimiter", delimiter)
+      .option("header", header.toString)
+      .option("inferSchema", "true")
+      .csv(path)
+}
+
+/** Write-side schema enforcement (SURVEY.md §1.3): the reference's
+  * `normalize_record` guarantees — list fields are never null (always `[]`),
+  * missing scalars/structs stay null, and the frame is cast/reordered to the
+  * declared schema (`omicidx_etl/sra/extract.py:255-302`,
+  * `SCHEMA_IMPROVEMENTS.md:9-22`) — as pure DataFrame transforms.
+  */
+object SchemaEnforcement {
+
+  /** Replace null arrays with empty arrays, recursively over top-level
+    * array columns. */
+  def nullListsToEmpty(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map {
+      case StructField(name, _: ArrayType, _, _) =>
+        coalesce(col(name), array().cast(df.schema(name).dataType)).as(name)
+      case StructField(name, _, _, _) => col(name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Conform a frame to a target schema: add missing columns as typed
+    * nulls, cast present ones, drop extras, order as declared — the
+    * chunked-write invariant (`sra/extract.py:584-591`). */
+  def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val cols: Seq[Column] = schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** conform + null-list normalization in one pass. */
+  def normalize(df: DataFrame, schema: StructType): DataFrame =
+    nullListsToEmpty(conform(df, schema))
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** S3 operator: the reference's `parquet_metadata('<glob>')` — one row per
+  * (file, row group) with size/row statistics (`omicidx_etl/catalog.py:43-58`)
+  * — implemented over parquet-hadoop footers.
+  *
+  * Footer reads are metadata-only (a few KB per file, no data pages). The
+  * file list is enumerated on the driver but footers are read IN PARALLEL on
+  * executors via a parallelized file-name RDD, so cataloging a 100k-file lake
+  * distributes instead of looping on the driver.
+  */
+object ParquetFooterMeta {
+
+  final case class RowGroupMeta(
+      file_name: String,
+      row_group_id: Int,
+      num_rows: Long,
+      total_byte_size: Long,
+      total_compressed_size: Long,
+      num_columns: Int,
+      created_by: String)
+
+  def apply(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(glob)
+    val fs = p.getFileSystem(hconf)
+    // a glob match that is a directory (Spark's dir-as-dataset layout,
+    // e.g. region.parquet/part-*.parquet) expands to its part files
+    val files = fs.globStatus(p) match {
+      case null => Array.empty[String]
+      case st => st.flatMap {
+        case f if f.isFile => Array(f.getPath.toString)
+        case d =>
+          fs.listStatus(d.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString)
+      }
+    }
+    val serializableConfItems =
+      hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toList
+    val n = math.max(1, math.min(files.length, 64))
+    spark.sparkContext
+      .parallelize(files.toSeq, n)
+      .mapPartitions { paths =>
+        val conf = new Configuration(false)
+        serializableConfItems.foreach { case (k, v) => conf.set(k, v) }
+        paths.flatMap { f =>
+          val in = HadoopInputFile.fromPath(new Path(f), conf)
+          val reader = ParquetFileReader.open(in)
+          try {
+            val footer = reader.getFooter
+            val createdBy = footer.getFileMetaData.getCreatedBy
+            footer.getBlocks.asScala.zipWithIndex.map { case (bg, i) =>
+              RowGroupMeta(f, i, bg.getRowCount, bg.getTotalByteSize,
+                bg.getCompressedSize, bg.getColumns.size(), createdBy)
+            }.toList
+          } finally reader.close()
+        }
+      }
+      .toDF()
+  }
+}

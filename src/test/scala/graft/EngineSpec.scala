@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import graft.export.Exporter
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+import graft.sources.Tables
+import graft.functions.TextFunctions
+
+import java.nio.file.Files
+
+/** Export/catalog, streaming façade, multimodal plumbing, text funcs. */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  test("atomic export + done marker + catalog.json") {
+    val dir = Files.createTempDirectory("graft_exp").toString
+    val df = Tables(spark, "/root/testdata/sf0.001", "region")
+    Exporter.atomically(s"$dir/marts") { tmp =>
+      Exporter.parquet(df, s"$tmp/region.parquet")
+    }
+    assert(Exporter.isDone(s"$dir/marts"))
+    assert(spark.read.parquet(s"$dir/marts/region.parquet").count() === 5L)
+    Exporter.writeCatalogJson(spark, dir, "v1")
+    val json = Files.readString(java.nio.file.Paths.get(s"$dir/catalog.json"))
+    assert(json.contains("\"total_rows\": 5"))
+    // remote-views bootstrap
+    val sql = Exporter.remoteViewsSql(Seq("region" -> "https://x/region.parquet"))
+    assert(sql.contains("CREATE OR REPLACE TEMP VIEW region"))
+  }
+
+  test("availableNow file stream: windowed counts, incremental on restart") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ck").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    events.limit(400).write.mode("append").parquet(in)
+    val schema: StructType = events.schema
+    def runOnce(): Long = {
+      val stream = EventStream.fileStream(spark, in, schema)
+      EventStream.runAvailableNow(
+        EventStream.windowedCounts(stream), out, ckpt)
+      spark.read.parquet(out).count()
+    }
+    val n1 = runOnce()
+    assert(n1 > 0)
+    // second batch of files: only the delta is processed (checkpoint = the
+    // reference's semaphore-resume semantics)
+    events.limit(1000).write.mode("append").parquet(in)
+    val n2 = runOnce()
+    assert(n2 >= n1)
+  }
+
+  test("multimodal: stub codec is deterministic, schema is typed") {
+    val media = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+      .selectExpr("doc_id AS media_id", "'image' AS media_type",
+        "CAST(text AS BINARY) AS payload", "source AS source_uri")
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema.fieldNames.toSeq ===
+      Seq("media_id", "media_type", "n_bytes", "width", "height",
+        "duration_ms", "feature"))
+    val twice = Multimodal.extractFeatures(media)
+    val a = feats.orderBy("media_id").collect()
+    val b = twice.orderBy("media_id").collect()
+    assert(a.map(_.n_bytes).toSeq === b.map(_.n_bytes).toSeq)
+    assert(a.forall(_.feature.length === 8))
+    // byte metadata without codec
+    val metaDf = Multimodal.byteMetadata(
+      media.toDF())
+    assert(metaDf.columns.toSeq ===
+      Seq("media_id", "media_type", "n_bytes", "payload_md5"))
+    assert(metaDf.count() === 50L)
+  }
+
+  test("shingles: fewer tokens than k yields empty, exact k yields one") {
+    val df = Seq("a b", "a b c", "a b c d").toDF("text")
+      .select(TextFunctions.shingles(
+        TextFunctions.tokens(org.apache.spark.sql.functions.col("text")), 3)
+        .as("sh"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) === Seq.empty[String])
+    assert(out(1) === Seq("a b c"))
+    assert(out(2) === Seq("a b c", "b c d"))
+  }
+
+  test("all SparkEntry queries run at sf0.001 and entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      withClue(name)(assert(n >= 0))
+    }
+    // every oracle key corresponds to a query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.models.OmicidxModels
+
+object GeoFixtureSpec {
+  // top-level so Spark can derive encoders (inner classes can't)
+  case class Channel(source_name: String, organism: String,
+      characteristics: Seq[String], molecule: String, label: String,
+      treatment_protocol: String, extract_protocol: String,
+      label_protocol: String)
+  case class Name(first: String, middle: String, last: String)
+  case class Contact(name: Name, email: String, institute: String,
+      country: String)
+}
+
+/** geometadb view semantics over nested GEO fixtures — mirrors the
+  * reference's fixture style (FIXTURES.md §9): 1-based channel indexing,
+  * null-safe 2nd channel, junction-table explode+distinct (empty arrays
+  * drop), supplemental-file union + basename extraction. */
+class GeoFixtureSpec extends AnyFunSuite {
+  import GeoFixtureSpec._
+  lazy val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ch(i: Int) = Channel(s"src$i", s"org$i", Seq(s"c$i=1"),
+    "RNA", s"lab$i", "tp", "ep", "lp")
+
+  private val gsmFix = Seq(
+    ("GSM1", "t1", "2005-05-28", Seq(ch(1), ch(2)), Contact(Name("Ada", null, "L"), "a@x", "inst", "US"),
+      Seq("http://x/a/file1.gz", "NONE"), "GPL1", 2L),
+    ("GSM2", "t2", "2005-05-28", Seq(ch(1)), Contact(Name("Bob", null, "M"), "b@x", "inst", "US"),
+      Seq.empty[String], "GPL1", 1L),
+    ("GSM3", "t3", "2005-05-28", Seq.empty[Channel], null,
+      Seq("http://x/b/file2.tar"), "GPL2", 0L))
+    .toDF("accession", "title", "last_update_date", "channels", "contact",
+      "supplemental_files", "platform_id", "channel_count")
+    .selectExpr("accession", "title",
+      "CAST(last_update_date AS DATE) AS last_update_date", "channels",
+      "contact", "supplemental_files", "platform_id", "channel_count",
+      "'Public' AS status", "CAST(NULL AS STRING) AS type",
+      "CAST(NULL AS STRING) AS hyb_protocol",
+      "CAST(NULL AS STRING) AS description",
+      "CAST(NULL AS STRING) AS data_processing",
+      "CAST(NULL AS DATE) AS submission_date",
+      "CAST(NULL AS BIGINT) AS data_row_count")
+
+  private val gseFix = Seq(
+    ("GSE1", "series one", "2005-05-28", Seq("GSM1", "GSM2", "GSM2"),
+      Seq("http://x/gse1/supp.txt"), Contact(Name("Cy", null, "D"), "c@x", "i", "DE")),
+    ("GSE2", "series two", "2005-05-29", Seq.empty[String],
+      Seq.empty[String], Contact(Name("Ev", null, "F"), "e@x", "i", "FR")))
+    .toDF("accession", "title", "last_update_date", "sample_id",
+      "supplemental_files", "contact")
+    .selectExpr("accession", "title",
+      "CAST(last_update_date AS DATE) AS last_update_date", "sample_id",
+      "supplemental_files", "contact", "'Public' AS status",
+      "CAST(NULL AS STRING) AS summary",
+      "CAST(array() AS ARRAY<BIGINT>) AS pubmed_id",
+      "CAST(NULL AS STRING) AS type",
+      "CAST(array() AS ARRAY<STRING>) AS contributor",
+      "CAST(NULL AS STRING) AS overall_design",
+      "CAST(NULL AS STRING) AS data_processing",
+      "CAST(NULL AS DATE) AS submission_date")
+
+  private def run(modelNames: Seq[String]): Unit = {
+    val sources = Map(
+      "src_geo_samples" -> ((_: SparkSession, _: EngineConfig) => gsmFix),
+      "src_geo_series" -> ((_: SparkSession, _: EngineConfig) => gseFix))
+    val wanted = Seq("src_geo_samples", "src_geo_series", "stg_geo_samples",
+      "stg_geo_series") ++ modelNames
+    val models = OmicidxModels.catalog(sources)
+      .filter(m => wanted.contains(m.name))
+      // fixtures are views all the way down — no need for physical tables
+      .map(m => if (m.materialization != Materialization.View)
+        m.copy(materialization = Materialization.View) else m)
+    val cfg = EngineConfig("/none", "/none", "/none",
+      Map("start_ds" -> "2005-05-01", "end_ds" -> "2005-06-01"))
+    val res = new DagRunner(spark, cfg, models).run()
+    assert(res.forall(_.status == "success"), res.mkString("\n"))
+  }
+
+  test("gsm view: 1-based channels, null-safe ch2, contact concat") {
+    run(Seq("gsm"))
+    val out = spark.table("gsm").orderBy("gsm")
+      .select("gsm", "source_name_ch1", "source_name_ch2", "contact")
+      .collect()
+    assert(out(0).getString(1) === "src1") // GSM1 ch1
+    assert(out(0).getString(2) === "src2") // GSM1 ch2
+    assert(out(0).getString(3) === "Ada L")
+    assert(out(1).getString(2) === null) // GSM2 has no 2nd channel
+    assert(out(2).getString(1) === null) // GSM3 empty channels
+    assert(out(2).getString(3) === null) // null contact → null concat
+  }
+
+  test("gse_gsm junction: explode + distinct, empty arrays drop the row") {
+    run(Seq("gse_gsm"))
+    val out = spark.table("gse_gsm").as[(String, String)].collect().sorted
+    assert(out === Array(("GSE1", "GSM1"), ("GSE1", "GSM2"))) // dups collapsed, GSE2 dropped
+  }
+
+  test("supplemental files: union of branches, NONE filtered, basename") {
+    run(Seq("geo_supplemental_files"))
+    val out = spark.table("geo_supplemental_files")
+      .select("accession", "accession_type", "filename")
+      .as[(String, String, String)].collect().sorted
+    assert(out === Array(
+      ("GSE1", "gse", "supp.txt"),
+      ("GSM1", "gsm", "file1.gz"),
+      ("GSM3", "gsm", "file2.tar")))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import graft.sources.{LakeReader, ParquetFooterMeta, SchemaEnforcement, Tables}
+import graft.core.EngineConfig
+import graft.models.OmicidxModels
+
+import java.nio.file.Files
+
+/** Scan operators + write-side schema enforcement + timestamp-cast
+  * semantics (FIXTURES.md §4, §8). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  test("nullListsToEmpty: null arrays become [], scalars stay null") {
+    val df = Seq(
+      (1, Seq("a"), Option("x")),
+      (2, null.asInstanceOf[Seq[String]], None))
+      .toDF("id", "tags", "name")
+    val out = SchemaEnforcement.nullListsToEmpty(df).orderBy("id").collect()
+    assert(out(1).getSeq[String](1) === Seq.empty[String])
+    assert(out(1).isNullAt(2)) // missing scalar stays null
+    assert(out(0).getSeq[String](1) === Seq("a"))
+  }
+
+  test("conform: adds missing typed-null columns, casts, reorders, drops") {
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("score", DoubleType),
+      StructField("tags", ArrayType(StringType))))
+    val df = Seq(("5", 1)).toDF("id", "extra")
+    val out = SchemaEnforcement.conform(df, target)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "score", "tags"))
+    assert(out.schema("id").dataType === LongType)
+    val r = out.head()
+    assert(r.getLong(0) === 5L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("ndjson gz glob scan unions drifted schemas by name") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Seq("""{"a": 1, "b": "x"}""").toDF("value").coalesce(1)
+      .write.option("compression", "gzip").mode("overwrite").text(s"$dir/f1")
+    Seq("""{"a": 2, "c": true}""").toDF("value").coalesce(1)
+      .write.option("compression", "gzip").mode("overwrite").text(s"$dir/f2")
+    // .text writes .txt.gz files; json reader handles the gzip + drift
+    val out = LakeReader.ndjsonGlob(spark, s"$dir/f*/*.gz")
+    assert(out.columns.sorted.toSeq === Seq("a", "b", "c"))
+    assert(out.count() === 2L)
+  }
+
+  test("csv scan with delimiter + inference") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
+      "id;name;rank\n1;alpha;0.5\n2;beta;0.7\n")
+    val out = LakeReader.csv(spark, s"$dir/x.csv")
+    assert(out.schema("id").dataType === IntegerType)
+    assert(out.schema("rank").dataType === DoubleType)
+    assert(out.count() === 2L)
+  }
+
+  test("parquet footer metadata matches actual row counts") {
+    val meta = ParquetFooterMeta(spark, "/root/testdata/sf0.001/*.parquet")
+    val byFile = meta.groupBy("file_name").agg(sum("num_rows").as("n"))
+      .as[(String, Long)].collect().toMap
+    val li = byFile.find(_._1.contains("lineitem")).get._2
+    assert(li === Tables(spark, "/root/testdata/sf0.001", "lineitem").count())
+    assert(byFile.size === 10)
+    assert(meta.columns.contains("total_compressed_size"))
+  }
+
+  test("ISO-8601 Z+millis strings cast to UTC timestamp and date (ebi)") {
+    val fix = Seq(
+      ("SAMEA1", "s1", "2021-01-07T00:22:30.866Z", "2021-01-07T00:22:30.866Z",
+        "2020-12-01T08:00:00.000Z", Some(9606L)),
+      ("SAMEA2", "s2", "2021-01-09T10:00:00.000Z", "2021-01-09T10:00:00.000Z",
+        "2020-12-02T08:00:00.000Z", None))
+      .toDF("accession", "name", "update", "release", "create", "taxId")
+      .selectExpr("accession", "name", "`update`", "release", "`create`",
+        "taxId", "CAST(array() AS ARRAY<STRING>) AS characteristics",
+        "CAST(array() AS ARRAY<STRING>) AS organization",
+        "CAST(array() AS ARRAY<STRING>) AS contact",
+        "CAST(array() AS ARRAY<STRING>) AS publications",
+        "CAST(array() AS ARRAY<STRING>) AS externalReferences",
+        "named_struct('self', named_struct('href', 'http://x')) AS _links")
+    val sources = Map(
+      "src_ebi_biosample" -> ((_: SparkSession, _: EngineConfig) => fix))
+    val models = OmicidxModels.catalog(sources)
+      .filter(m => Seq("src_ebi_biosample", "stg_ebi_biosample").contains(m.name))
+      .map(m => if (m.materialization != graft.core.Materialization.View)
+        m.copy(materialization = graft.core.Materialization.View) else m)
+    val cfg = EngineConfig("/none", "/none", "/none",
+      Map("start_ds" -> "2021-01-07", "end_ds" -> "2021-01-07"))
+    val res = new graft.core.DagRunner(spark, cfg, models).run()
+    assert(res.forall(_.status == "success"), res.mkString("\n"))
+    val out = spark.table("stg_ebi_biosample")
+    // window keeps only the 01-07 row; reserved-word columns round-trip
+    assert(out.count() === 1L)
+    val r = out.select(date_format($"update_timestamp",
+      "yyyy-MM-dd HH:mm:ss.SSS"), $"taxId").head()
+    assert(r.getString(0) === "2021-01-07 00:22:30.866")
+    assert(r.getLong(1) === 9606L)
+  }
+}

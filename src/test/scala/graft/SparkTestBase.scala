@@ -1,0 +1,9 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test JVM (suites reuse it —
+  * session startup is the dominant test cost). */
+object SparkTestBase {
+  lazy val spark: SparkSession = graft.core.GraftSession.local(4)
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.models.OmicidxModels
+
+import java.nio.file.Files
+
+/** DAG runner + incremental semantics over fixture SRA data — the engine-
+  * level behaviors the reference pins in `sqlmesh/tests/` and
+  * `WAREHOUSE.md` (topo order, interval idempotency, audits, metadata). */
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  private def fixtureSources: Map[String, (SparkSession, EngineConfig) => DataFrame] = {
+    val accessions = Seq(
+      // Accession, Submission, Status, Updated, Type, BioSample, BioProject
+      ("SRX001", "SUB1", "live", "2005-05-28 10:00:00", "EXPERIMENT", "SAMN01", "PRJ1"),
+      ("SRX002", "SUB1", "live", "2005-05-29 11:00:00", "EXPERIMENT", "SAMN02", "PRJ1"),
+      ("SRX003", "SUB2", "live", "2005-06-15 09:00:00", "EXPERIMENT", "SAMN03", "PRJ2"),
+      ("SRP001", "SUB1", "live", "2005-05-28 10:00:00", "STUDY", null, "PRJ1"),
+      ("SRR001", "SUB1", "live", "2005-05-28 10:00:00", "RUN", "SAMN01", "PRJ1"))
+      .toDF("Accession", "Submission", "Status", "Updated", "Type",
+        "BioSample", "BioProject")
+      .selectExpr("Accession", "Submission", "Status",
+        "CAST(Updated AS TIMESTAMP) AS Updated", "Type", "BioSample",
+        "BioProject")
+    val experiments = Seq(
+      ("SRX001", "exp one", "SRP001", "ILLUMINA"),
+      ("SRX002", "exp two", "SRP001", "ILLUMINA"),
+      ("SRX003", "exp three", "SRP001", "OXFORD_NANOPORE"),
+      ("SRX999", "orphan (no accession row)", "SRP001", "ILLUMINA"))
+      .toDF("accession", "title", "study_accession", "platform")
+    val studies = Seq(("SRP001", "study one", "WGS", "abs"))
+      .toDF("accession", "title", "study_type", "abstract")
+    Map(
+      "src_sra_accessions" -> ((_: SparkSession, _: EngineConfig) => accessions),
+      "src_sra_experiments" -> ((_: SparkSession, _: EngineConfig) => experiments),
+      "src_sra_studies" -> ((_: SparkSession, _: EngineConfig) => studies))
+  }
+
+  private def mkRunner(cfg: EngineConfig) = {
+    val models = OmicidxModels.catalog(fixtureSources)
+      .filter(m => Seq("src_sra_accessions", "src_sra_experiments",
+        "src_sra_studies", "stg_sra_experiments", "stg_sra_studies",
+        "sra_metadata").contains(m.name))
+    new DagRunner(spark, cfg, models, Some(new MetaStore(spark, cfg.warehouseDir)))
+  }
+
+  test("plan orders dependencies before dependents and detects cycles") {
+    val cfg = EngineConfig("/none", "/none", "/none")
+    val runner = mkRunner(cfg)
+    val order = runner.plan().map(_.name)
+    assert(order.indexOf("src_sra_experiments") < order.indexOf("stg_sra_experiments"))
+    assert(order.indexOf("stg_sra_experiments") < order.indexOf("sra_metadata"))
+
+    val cyclic = Seq(
+      Model("a", "l", dependsOn = Seq("b"), sql = Some("SELECT 1")),
+      Model("b", "l", dependsOn = Seq("a"), sql = Some("SELECT 1")))
+    val ex = intercept[IllegalStateException] {
+      new DagRunner(spark, cfg, cyclic).plan()
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  test("incremental window filters inclusively and join drops orphans") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val cfg = EngineConfig("/none", wh, s"$wh/exports",
+      Map("start_ds" -> "2005-05-28", "end_ds" -> "2005-05-29"))
+    val results = mkRunner(cfg).run()
+    assert(results.forall(_.status == "success"), results.mkString("\n"))
+    val stg = spark.table("stg_sra_experiments")
+    // both boundary dates kept (inclusive), SRX003 outside window, SRX999
+    // has no accession row (inner join drops it)
+    assert(stg.select("accession").as[String].collect().sorted
+      === Array("SRX001", "SRX002"))
+    assert(stg.columns.contains("updated_date") && stg.columns.contains("biosample"))
+  }
+
+  test("re-running the same interval replaces partitions, never duplicates") {
+    val wh = Files.createTempDirectory("graft_wh2").toString
+    val cfg = EngineConfig("/none", wh, s"$wh/exports",
+      Map("start_ds" -> "2005-05-28", "end_ds" -> "2005-06-30"))
+    val runner = mkRunner(cfg)
+    runner.run()
+    val n1 = spark.table("stg_sra_experiments").count()
+    runner.run() // idempotent refresh of the same window
+    val n2 = spark.table("stg_sra_experiments").count()
+    assert(n1 === 3L && n2 === 3L)
+    // narrowed re-run only touches its own partitions; history intact
+    val narrow = new EngineConfig("/none", wh, s"$wh/exports",
+      Map("start_ds" -> "2005-05-28", "end_ds" -> "2005-05-28"))
+    mkRunner(narrow).run(Some(Seq("stg_sra_experiments")))
+    assert(spark.read.parquet(s"$wh/bronze/stg_sra_experiments").count() === 3L)
+  }
+
+  test("mart materializes, exports parquet, passes audits, records metadata") {
+    val wh = Files.createTempDirectory("graft_wh3").toString
+    val cfg = EngineConfig("/none", wh, s"$wh/exports",
+      Map("start_ds" -> "2005-01-01", "end_ds" -> "2005-12-31"))
+    val results = mkRunner(cfg).run()
+    assert(results.forall(_.status == "success"))
+    val mart = spark.read.parquet(s"$wh/exports/marts/sra_metadata.parquet")
+    assert(mart.count() === 3L)
+    assert(mart.columns.contains("study_title"))
+    val meta = new MetaStore(spark, wh)
+    assert(meta.runs.filter($"status" === "success").count() >= 6L)
+    assert(meta.history(3).count() === 3L)
+  }
+
+  test("failing audit fails the model") {
+    val cfg = EngineConfig("/none",
+      Files.createTempDirectory("graft_wh4").toString, "/none")
+    val bad = Model("bad_model", "mart",
+      materialization = Materialization.Table,
+      sql = Some("SELECT -1 AS item_id"),
+      audits = Seq(Audit("positive_ids",
+        "SELECT * FROM bad_model WHERE item_id < 0")))
+    val res = new DagRunner(spark, cfg, Seq(bad)).run()
+    assert(res.head.status === "audit_failed")
+  }
+}
