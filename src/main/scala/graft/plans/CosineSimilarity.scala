@@ -1,0 +1,19 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.CosineSimilarityExpr
+
+/** Public API for the native cosine-similarity Catalyst expression (the
+  * implementation lives in `org.apache.spark.sql.graft` — see
+  * [[org.apache.spark.sql.graft.CosineSimilarityExpr]] for why). */
+object CosineSimilarity {
+  /** `cosineSim($"a", $"b")` — double cosine similarity of two
+    * `array<float>` columns, codegen'd as one fused loop. */
+  def cosineSim(a: Column, b: Column): Column =
+    CosineSimilarityExpr.columnFor(a, b)
+
+  /** The expression itself, for tests / plan assembly. */
+  def expr(a: org.apache.spark.sql.catalyst.expressions.Expression,
+      b: org.apache.spark.sql.catalyst.expressions.Expression) =
+    CosineSimilarityExpr(a, b)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.plans.CosineSimilarity.cosineSim
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
@@ -13,25 +14,15 @@ import graft.sources.Tables
   * collisions, so the join is keyed on the bucket signature instead of an
   * O(n²) cross product.
   *
-  * All arithmetic runs in double via `functions.aggregate`/`zip_with` —
-  * codegen'd, no UDFs.
+  * Pair scoring uses [[graft.plans.CosineSimilarity]] — a native Catalyst
+  * expression with `doGenCode` (one fused zero-allocation loop per pair);
+  * the hyperplane projection uses `zip_with`/`aggregate` higher-order
+  * functions. No UDFs anywhere.
   */
 object SimilarityOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
-
-  /** Double-precision dot product of two float-array columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Vectors with L2 norm precomputed once (never recomputed per pair). */
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
 
   /** Deterministic pseudo-random hyperplane component w(p, j) in [-0.5,
     * 0.5): a splitmix-style integer mix so plane generation needs no RNG
@@ -48,14 +39,13 @@ object SimilarityOps {
     // ranked per query. The probe set is broadcast; candidates stream —
     // at 100 TB this is one pass over the corpus per probe batch.
     "q35_ann_brute" -> ((s, dir) => {
-      val e = withNorm(emb(s, dir))
-      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn")).filter(col("qid") < 10)
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
+      val e = emb(s, dir)
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .filter(col("qid") < 10)
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val sims = c.join(broadcast(q), col("cid") =!= col("qid"))
         .select(col("qid"), col("cid"),
-          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+          cosineSim(col("qe"), col("ce")).as("cos"))
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
       sims.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
@@ -66,14 +56,12 @@ object SimilarityOps {
     // Embedding near-duplicate pairs above a cosine threshold, on a bounded
     // id range (the unbounded scale path is q37's LSH buckets).
     "q36_embed_neardup" -> ((s, dir) => {
-      val e = withNorm(emb(s, dir)).filter(col("vec_id") < 200)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
+      val e = emb(s, dir).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          cosineSim(col("ea"), col("eb")).as("cos"))
         .filter(col("cos") >= 0.3)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
     }),
@@ -83,7 +71,7 @@ object SimilarityOps {
     // pairs. Rows-only check (plane constants are engine-internal).
     "q37_ann_lsh_buckets" -> ((s, dir) => {
       val nPlanes = 12
-      val e = withNorm(emb(s, dir))
+      val e = emb(s, dir)
       val sig = (0 until nPlanes).map { p =>
         val proj = aggregate(
           zip_with(col("embedding"),
@@ -92,16 +80,15 @@ object SimilarityOps {
           lit(0.0), (acc, v) => acc + v)
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val bucketed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      val bucketed = e.select(col("vec_id"), col("embedding"),
         sig.as("bucket"))
       val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
+        col("embedding").as("ea"))
       val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
+        col("embedding").as("eb"))
       a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
         .select(col("bucket"), col("vec_a"), col("vec_b"),
-          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
-            .as("cosine"))
+          round(cosineSim(col("ea"), col("eb")), 4).as("cosine"))
     })
   )
 

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.queries.Relational
 
 /** Ad-hoc perf probe: times one query twice (cold/warm) and prints the plan. */
 object Probe {
@@ -9,13 +8,14 @@ object Probe {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = graft.core.GraftSession.local(8)
+    val q = graft.SparkEntry.queries(name)
     def once(): Double = {
       val t0 = System.nanoTime()
-      Relational.queries(name)(spark, dir).count()
+      q(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
     println(f"[probe] $name cold=${once()}%.2fs warm=${once()}%.2fs warm2=${once()}%.2fs")
-    Relational.queries(name)(spark, dir).explain("formatted")
+    q(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -88,6 +88,30 @@ class EngineSpec extends AnyFunSuite {
     assert(out(2) === Seq("a b c", "b c d"))
   }
 
+  test("CosineSimilarity expression: codegen == interpreted == HOF form") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
+    val pairs = e.select($"vec_id".as("ida"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("idb"), $"embedding".as("b")))
+      .filter($"ida" < $"idb")
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      agg_(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val both = pairs.select($"ida", $"idb",
+      graft.plans.CosineSimilarity.cosineSim($"a", $"b").as("expr_cos"),
+      (hofDot($"a", $"b") / (sqrt(hofDot($"a", $"a")) * sqrt(hofDot($"b", $"b"))))
+        .as("hof_cos"))
+    val mismatch = both
+      .filter(abs($"expr_cos" - $"hof_cos") > 1e-12).count()
+    assert(mismatch === 0L)
+    // interpreted path (eval without codegen) agrees too
+    val lit3 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(1.0f, 2.0f, 3.0f),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val expr = graft.plans.CosineSimilarity.expr(lit3, lit3)
+    assert(math.abs(expr.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
   test("all SparkEntry queries run at sf0.001 and entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
