@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // dozens of whole-stage-codegen classes per session exhaust the default
+  // 240m code cache; once full, HotSpot silently stops JIT-compiling and
+  // late queries run interpreted (10-30x slowdowns)
+  "-XX:ReservedCodeCacheSize=1g",
 )

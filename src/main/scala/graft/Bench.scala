@@ -27,6 +27,10 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // settle the JVM between warm-up and the timed pass so GC debt from
+    // warm-up isn't billed to the first timed queries
+    spark.sparkContext.parallelize(1 to 1).count()
+    System.gc()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()

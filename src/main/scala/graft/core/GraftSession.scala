@@ -20,6 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // 38+ distinct query shapes per session: default 100-entry codegen
+      // cache evicts mid-suite and triggers Janino recompile storms
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
 

@@ -40,10 +40,13 @@ object DedupOps {
 
   private val hashSql = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
 
-  /** (doc_id, shingle) distinct pairs. */
+  /** (doc_id, shingle) distinct pairs. Tokens are materialized into a
+    * column first so the shingle lambda doesn't re-split the text per
+    * element access. */
   private def shingleSet(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-      .distinct()
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
 
   /** doc_id + mh0..mh15 via one grouped aggregation. */
   private def signatures(d: DataFrame): DataFrame = {
@@ -131,21 +134,38 @@ object DedupOps {
 
     // SimHash: 16-bit signed-sum fingerprint over token hashes (with
     // multiplicity). Pure projection + one aggregation.
-    "q34_simhash" -> ((s, dir) => {
-      val h = stableHash(col("tok"))
-      val bitSums = (0 until 16).map { j =>
-        sum(when(shiftright(h, j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
-      }
-      docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 16).map(j =>
-            when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+    "q34_simhash" -> ((s, dir) => simhashDf(docs(s, dir))),
+
+    // SimHash near-dup candidates: pairs within Hamming distance 4,
+    // computed with the built-in bit_count(a XOR b) — no custom expression
+    // needed for Hamming. Bounded id range keeps the pair space fixed per
+    // sf; the unbounded scale path buckets on simhash bytes first.
+    "q38_simhash_pairs" -> ((s, dir) => {
+      val sh = simhashDf(docs(s, dir).filter(col("doc_id") < 300))
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
+        .filter(col("hamming") <= 4)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
     })
   )
+
+  /** (doc_id, simhash) — shared by q34 and q38. */
+  private def simhashDf(d: DataFrame): DataFrame = {
+    val h = stableHash(col("tok"))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(h, j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -192,9 +212,21 @@ object DedupOps {
                       i -> sig_a[i] = sig_b[i])) * 1.0 / $NumHashes, 4)
                   AS est_jaccard
          FROM cand""",
-    "q34_simhash" -> {
-      val tokHash = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
-      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+    "q38_simhash_pairs" -> {
+      s"""WITH sh AS ($simhashSql),
+         a AS (SELECT doc_id AS doc_a, simhash AS sh_a FROM sh WHERE doc_a < 300),
+         b AS (SELECT doc_id AS doc_b, simhash AS sh_b FROM sh WHERE doc_b < 300)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         FROM a JOIN b ON doc_a < doc_b
+         WHERE bit_count(xor(sh_a, sh_b)) <= 4"""
+    },
+    "q34_simhash" -> s"SELECT * FROM ($simhashSql) AS simhash_t"
+  )
+
+  /** Shared DuckDB SQL computing (doc_id, simhash) for all documents. */
+  private lazy val simhashSql: String = {
+    val tokHash = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
                       FROM documents),
          hs AS (SELECT doc_id, $tokHash AS h FROM tk),
          bits AS (SELECT doc_id,
@@ -207,6 +239,5 @@ object DedupOps {
         s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")}
            AS BIGINT) AS simhash
          FROM bits"""
-    }
-  )
+  }
 }

@@ -221,6 +221,40 @@ object Relational {
       t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
     }),
 
+    // Grouping-set aggregation (rollup): per-(region, nation) plus region
+    // subtotals plus grand total in ONE pass — the scale-friendly way to
+    // get a totals dashboard without three scans.
+    "q28_rollup" -> ((s, dir) => {
+      // SQL form: the Dataset rollup API trips Spark's self-join ambiguity
+      // detector when grouping columns flow through joins (analyzer quirk);
+      // the SQL path plans the identical Expand + Aggregate.
+      t(s, dir, "customer").createOrReplaceTempView("v_customer_r")
+      t(s, dir, "nation").createOrReplaceTempView("v_nation_r")
+      t(s, dir, "region").createOrReplaceTempView("v_region_r")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_customers,
+                  round(sum(c_acctbal), 4) AS total_balance
+           FROM v_customer_r
+           JOIN v_nation_r ON c_nationkey = n_nationkey
+           JOIN v_region_r ON n_regionkey = r_regionkey
+           GROUP BY ROLLUP (r_name, n_name)""")
+    }),
+
+    // S4: the SQL-text surface — models are registered as temp views and
+    // queried with spark.sql (the reference's primary query interface).
+    "q29_sql_surface" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql(
+        """WITH cust_orders AS (
+             SELECT c.c_mktsegment, o.o_totalprice
+             FROM v_customer c JOIN v_orders o ON o.o_custkey = c.c_custkey)
+           SELECT c_mktsegment, count(*) AS n_orders,
+                  round(sum(o_totalprice), 4) AS segment_revenue,
+                  round(avg(o_totalprice), 4) AS avg_order
+           FROM cust_orders GROUP BY c_mktsegment""")
+    }),
+
     // P1/P2/P7: explicit projection + rename + null guard (the raw-view
     // pattern, src_sra_experiments.sql:8-34; stg_sra_accessions.sql:13-33).
     "q20_projection" -> ((s, dir) => {
@@ -333,6 +367,21 @@ object Relational {
                (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)""",
     "q19_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q28_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         round(sum(c_acctbal),4) AS total_balance
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "q29_sql_surface" ->
+      """WITH cust_orders AS (
+           SELECT c.c_mktsegment, o.o_totalprice
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+         SELECT c_mktsegment, count(*) AS n_orders,
+                round(sum(o_totalprice), 4) AS segment_revenue,
+                round(avg(o_totalprice), 4) AS avg_order
+         FROM cust_orders GROUP BY c_mktsegment""",
     "q20_projection" ->
       """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
          round(s_acctbal,4) AS acctbal

@@ -47,56 +47,70 @@ object TextOps {
         element_at(tokens(col("text")), -1).as("last_token"))
     }),
 
-    // Token counting: whitespace tokens + a BPE-ish subword proxy (runs of
-    // letters/digits via regex) + char counts.
+    // Token counting: whitespace tokens + distinct-token cardinality.
+    // Tokenize ONCE into a projected column — referencing `split(text)`
+    // inside several expressions would re-split per reference (HOF lambdas
+    // see the inlined expression, not a shared subexpression).
     "q23_token_stats" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      docs(s, dir).select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_calc"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct_tokens"))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_calc"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct_tokens"))
     }),
 
     // Quality scoring: stopword ratio, punctuation ratio, mean token length
     // — the heuristics a pretraining filter applies per document.
     "q24_quality_score" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val stopRatio = markerCount(toks, Seq("the", "a", "of")).cast("double") / nTok
-      val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
-      docs(s, dir).select(
-        col("doc_id"),
-        r4(stopRatio).as("stopword_ratio"),
-        r4(punctRatio(col("text"))).as("punct_ratio"),
-        r4(avgTokLen).as("avg_token_len"),
-        r4(stopRatio * lit(0.5) + (lit(1.0) - punctRatio(col("text"))) * lit(0.5))
-          .as("quality"))
+      val nTok = size(col("toks")).cast("double")
+      val stopRatio =
+        markerCount(col("toks"), Seq("the", "a", "of")).cast("double") / nTok
+      val avgTokLen =
+        length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          r4(stopRatio).as("stopword_ratio"),
+          r4(punctRatio(col("text"))).as("punct_ratio"),
+          r4(avgTokLen).as("avg_token_len"),
+          r4(stopRatio * lit(0.5) + (lit(1.0) - punctRatio(col("text"))) * lit(0.5))
+            .as("quality"))
     }),
 
     // Language ID: marker-word scoring with fixed priority order. At scale:
     // narrow projection, zero shuffles.
     "q25_lang_id" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val scores = langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }
+      val scores = langMarkers.map { case (l, ws) =>
+        l -> markerCount(col("toks"), ws)
+      }
       val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
         case ((bestScore, bestLang), (l, sc)) =>
           (greatest(bestScore, sc),
             when(sc > bestScore, lit(l)).otherwise(bestLang))
       }
-      docs(s, dir).select(
-        col("doc_id"),
-        when(best._1 > 0, best._2).otherwise(lit("und")).as("lang_guess"))
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          when(best._1 > 0, best._2).otherwise(lit("und")).as("lang_guess"))
     }),
 
     // Document fingerprinting: min-md5-shingle (winnowing-style selection of
     // a content-stable representative shingle) + shingle cardinality.
+    // Shingles are deduped per doc BEFORE hashing (array_distinct is
+    // partition-local), so one md5 per distinct shingle and a plain
+    // count(*) instead of a countDistinct Expand.
     "q26_fingerprint" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-      d.groupBy("doc_id").agg(
-        min(md5(col("sh").cast("binary"))).as("fingerprint"),
-        countDistinct(col("sh")).as("n_shingles"))
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+        .groupBy("doc_id").agg(
+          min(md5(col("sh").cast("binary"))).as("fingerprint"),
+          count(lit(1)).as("n_shingles"))
     }),
 
     // Multimodal plumbing: opaque binary column + typed metadata. The
