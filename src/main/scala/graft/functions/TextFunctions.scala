@@ -42,4 +42,16 @@ object TextFunctions {
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
+
+  /** GEO Entrez-id → accession mapping
+    * (`/root/reference/omicidx_etl/geo/extract.py:171-179`): ids beginning
+    * `2`, `1`, `3` (each followed by zero padding) map to GSE/GPL/GSM with
+    * the padding stripped. Pure column expression — no UDF. */
+  def entrezidToGeo(id: Column): Column = {
+    val s = id.cast("string")
+    when(s.rlike("^20*"), concat(lit("GSE"), regexp_replace(s, "^20*", "")))
+      .when(s.rlike("^10*"), concat(lit("GPL"), regexp_replace(s, "^10*", "")))
+      .when(s.rlike("^30*"), concat(lit("GSM"), regexp_replace(s, "^30*", "")))
+      .otherwise(lit(null).cast("string"))
+  }
 }

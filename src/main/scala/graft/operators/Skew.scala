@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for the 100 TB path.
+  *
+  * AQE's skew-join split (enabled in [[graft.core.GraftSession]]) handles
+  * most skew at runtime; explicit salting remains necessary when one build-
+  * side key is so hot that even a split partition overwhelms a task — e.g.
+  * the reference's accession join if one BioProject aggregates millions of
+  * rows (SURVEY.md §7.4 "49M-row denormalized mart ... skew/OOM appears
+  * first").
+  */
+object Skew {
+
+  /** Salted inner equi-join: the skewed (large, hot-keyed) side gets a
+    * random salt in [0, buckets); the small side is replicated `buckets`
+    * times. The join key becomes (key, salt), splitting each hot key across
+    * `buckets` tasks. Output columns = left ++ right (as an unsalted join).
+    *
+    * Replication multiplies the small side by `buckets` — keep it for
+    * dimension-sized right sides.
+    */
+  def saltedJoin(skewed: DataFrame, small: DataFrame,
+      leftKey: String, rightKey: String, buckets: Int = 16): DataFrame = {
+    require(buckets > 0)
+    val salted = skewed.withColumn("_salt",
+      (rand(seed = 42) * buckets).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted
+      .join(replicated,
+        salted(leftKey) === replicated(rightKey) &&
+          salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+
+  /** Top-N hottest keys of a column with their frequencies — the skew
+    * diagnostic you run before deciding on salting/broadcast. */
+  def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc(key)).limit(topN)
+}

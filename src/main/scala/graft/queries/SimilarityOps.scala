@@ -89,6 +89,37 @@ object SimilarityOps {
       a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
         .select(col("bucket"), col("vec_a"), col("vec_b"),
           round(cosineSim(col("ea"), col("eb")), 4).as("cosine"))
+    }),
+
+    // IVF-style ANN (the other scale path): coarse-quantize with MLlib
+    // KMeans (fixed seed), then search only the probe vector's own cell.
+    // At 100 TB the centroid model is tiny driver state, assignment is one
+    // narrow pass, and candidate generation shuffles on cluster id instead
+    // of exploding n². Rows-only check (KMeans init is engine-internal).
+    "q39_ann_ivf" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = emb(s, dir)
+        .withColumn("fv", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e.select("fv"))
+      val assigned = model.transform(e).select(
+        col("vec_id"), col("embedding"), col("cell"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("cell"))
+      val cands = assigned.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("cell"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+      cands.join(broadcast(probes), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          cosineSim(col("qe"), col("ce")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("cid"), round(col("cos"), 4).as("cosine"),
+          col("rnk"))
     })
   )
 

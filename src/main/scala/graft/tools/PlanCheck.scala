@@ -1,0 +1,37 @@
+package graft.tools
+
+/** Plan auditor: prints, per query, the physical-plan signals that matter at
+  * scale — scan schemas + pushed filters, join strategies, exchange count,
+  * and flags obvious smells (cartesian products, unpruned wide scans).
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.core.GraftSession.local(8)
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        val scans = "ReadSchema: struct<([^>]*)>".r
+          .findAllMatchIn(plan).map(_.group(1).split(",").length).toList
+        val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+          .findAllMatchIn(plan).map(_.group(1)).toList
+        val joins = List("BroadcastHashJoin", "SortMergeJoin",
+          "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+          .map(j => j -> j.r.findAllIn(plan).length).filter(_._2 > 0)
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+        val wscg = plan.contains("WholeStageCodegen")
+        println(s"== $name scanCols=${scans.mkString("/")} " +
+          s"shuffles=$exchanges wscg=$wscg " +
+          s"joins=${joins.map { case (k, v) => s"$k:$v" }.mkString(",")}")
+        pushed.filter(_.nonEmpty).foreach(p => println(s"   pushed: $p"))
+        if (plan.contains("CartesianProduct"))
+          println(s"   !! cartesian product in $name")
+      } catch {
+        case e: Throwable => println(s"== $name ERROR ${e.getMessage.take(100)}")
+      }
+    }
+    spark.stop()
+  }
+}

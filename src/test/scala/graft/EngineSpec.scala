@@ -112,6 +112,34 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(expr.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("entrezid_to_geo mapping matches reference semantics") {
+    import org.apache.spark.sql.functions.col
+    val out = Seq("200012345", "100000001", "3000777", "900")
+      .toDF("id")
+      .select(TextFunctions.entrezidToGeo(col("id")).as("acc"))
+      .as[String].collect()
+    assert(out(0) === "GSE12345")
+    assert(out(1) === "GPL1")
+    assert(out(2) === "GSM777")
+    assert(out(3) === null) // reference raises; engine yields null
+  }
+
+  test("salted join equals plain join; histogram finds the hot key") {
+    import org.apache.spark.sql.functions._
+    val skewed = spark.range(0, 2000)
+      .select((when($"id" < 1500, 7L).otherwise($"id" % 25)).as("k"),
+        $"id".as("payload"))
+    val dim = spark.range(0, 25).select($"id".as("k2"), concat(lit("d"), $"id").as("name"))
+    val plain = skewed.join(dim, skewed("k") === dim("k2"))
+      .agg(count(lit(1)), sum("payload")).head()
+    val salted = graft.operators.Skew.saltedJoin(skewed, dim, "k", "k2", 8)
+      .agg(count(lit(1)), sum("payload")).head()
+    assert(plain === salted)
+    val hot = graft.operators.Skew.keyHistogram(skewed, "k", 1).head()
+    // 1500 rows from the hot branch + 20 from id%25==7 in [1500,2000)
+    assert(hot.getLong(0) === 7L && hot.getLong(1) === 1520L)
+  }
+
   test("all SparkEntry queries run at sf0.001 and entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
