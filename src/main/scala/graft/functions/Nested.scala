@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Nested-data reshaping ops (SURVEY.md §2.11): the transforms the
+  * reference applies to deeply nested records.
+  */
+object Nested {
+
+  /** EBI characteristics flattening
+    * (`/root/reference/omicidx_etl/ebi_biosample/extract.py:154-159`): a
+    * map of characteristic-name → list-of-value-structs becomes one flat
+    * array of structs with the name embedded as a field — so downstream SQL
+    * explodes one array instead of juggling a map of lists. Pure
+    * `map_entries` + nested `transform`; no UDF. */
+  def flattenCharacteristics(m: Column): Column =
+    flatten(transform(map_entries(m), e =>
+      transform(e.getField("value"), v =>
+        struct(
+          e.getField("key").as("characteristic"),
+          v.getField("text").as("text"),
+          v.getField("tag").as("tag")))))
+
+  /** F12 lineage columns: load timestamp + source file, the `_loaded_at` /
+    * `_read_from` audit pattern (`WAREHOUSE.md:175`,
+    * `etl/pubmed.py:99-100`). */
+  def withLineage(df: DataFrame): DataFrame =
+    df.withColumn("_loaded_at", current_timestamp())
+      .withColumn("_read_from", input_file_name())
+}

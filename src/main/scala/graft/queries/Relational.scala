@@ -255,6 +255,16 @@ object Relational {
            FROM cust_orders GROUP BY c_mktsegment""")
     }),
 
+    // S3: parquet_metadata() — per-file row counts from footers (the
+    // cataloging operator, catalog.py:43-58). Basename projection keeps the
+    // result location-independent.
+    "q40_parquet_meta" -> ((s, dir) => {
+      graft.sources.ParquetFooterMeta(s, s"$dir/*.parquet")
+        .groupBy(regexp_extract(col("file_name"), "([^/]+)$", 1).as("file"))
+        .agg(sum("num_rows").as("num_rows"),
+          count(lit(1)).as("n_row_groups"))
+    }),
+
     // P1/P2/P7: explicit projection + rename + null guard (the raw-view
     // pattern, src_sra_experiments.sql:8-34; stg_sra_accessions.sql:13-33).
     "q20_projection" -> ((s, dir) => {
@@ -385,6 +395,15 @@ object Relational {
     "q20_projection" ->
       """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
          round(s_acctbal,4) AS acctbal
-         FROM supplier WHERE s_name IS NOT NULL"""
+         FROM supplier WHERE s_name IS NOT NULL""",
+    // path hardcoded to the t2 correctness scale (TESTDATA.md): output is
+    // basename-keyed so it matches wherever the same files live
+    "q40_parquet_meta" ->
+      """SELECT file, sum(row_group_num_rows) AS num_rows,
+                count(*) AS n_row_groups
+         FROM (SELECT DISTINCT regexp_extract(file_name, '([^/]+)$', 1) AS file,
+                      row_group_id, row_group_num_rows
+               FROM parquet_metadata('/root/testdata/sf0.01/*.parquet'))
+         GROUP BY 1"""
   )
 }

@@ -112,6 +112,45 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(expr.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("flattenCharacteristics: map of lists -> flat array with name field") {
+    import org.apache.spark.sql.functions._
+    val df = spark.sql(
+      """SELECT map(
+           'organism', array(named_struct('text', 'human', 'tag', CAST(NULL AS STRING))),
+           'tissue', array(named_struct('text', 'liver', 'tag', 't1'),
+                           named_struct('text', 'lung', 'tag', 't2'))
+         ) AS characteristics""")
+    val out = df.select(explode(
+        graft.functions.Nested.flattenCharacteristics($"characteristics")).as("c"))
+      .select("c.characteristic", "c.text", "c.tag")
+      .as[(String, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      ("organism", "human", null), ("tissue", "liver", "t1"),
+      ("tissue", "lung", "t2")))
+  }
+
+  test("lineage columns: _loaded_at and _read_from populated") {
+    val df = graft.functions.Nested.withLineage(
+      Tables(spark, "/root/testdata/sf0.001", "region"))
+    val r = df.select("_read_from", "_loaded_at").head()
+    assert(r.getString(0).contains("region.parquet"))
+    assert(!r.isNullAt(1))
+  }
+
+  test("partitioned export writes hive-style subdirs") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val df = Tables(spark, "/root/testdata/sf0.001", "orders")
+    graft.export.Exporter.parquet(df, s"$dir/orders",
+      partitionBy = Seq("o_orderstatus"))
+    val parts = new java.io.File(s"$dir/orders").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.forall(_.startsWith("o_orderstatus=")) && parts.length >= 2)
+    // partition-pruned read round-trips
+    val back = spark.read.parquet(s"$dir/orders")
+      .filter($"o_orderstatus" === parts.head.split("=")(1))
+    assert(back.count() > 0)
+  }
+
   test("entrezid_to_geo mapping matches reference semantics") {
     import org.apache.spark.sql.functions.col
     val out = Seq("200012345", "100000001", "3000777", "900")
