@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.StructType
   * the last checkpoint and stops — the same semantics as the reference's
   * semaphore-file resume (I3), with the checkpoint as the semaphore.
   */
+final case class UserEvent(user_id: Long, event_id: Long, ts_ms: Long)
+final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
+    n_events: Long)
+
 object EventStream {
 
   /** File-stream source over a lake directory (schema must be pinned —
@@ -33,6 +38,55 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Stateful sessionization: group events by user, close a session after
+    * `gapMs` of inactivity (event-time gap within a batch; optional
+    * processing-time timeout across batches). The
+    * `flatMapGroupsWithState`-based custom-state operator the engine
+    * exposes for streams the windowed aggregates can't express.
+    *
+    * `withTimeout=false` (default) suits bounded catch-up runs
+    * (`Trigger.AvailableNow`): a processing-time timeout would keep
+    * scheduling empty micro-batches and the query would never terminate.
+    * Long-lived streams pass `withTimeout=true` so idle sessions flush. */
+  def sessionize(events: org.apache.spark.sql.Dataset[UserEvent],
+      gapMs: Long, withTimeout: Boolean = false)
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append,
+        if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          if (sorted.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              UserSession(uid, s.startMs, s.lastMs, s.n)).toIterator
+            state.remove()
+            out
+          } else {
+            var cur = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = e.ts_ms, n = s.n + 1))
+                case Some(s) =>
+                  closed += UserSession(uid, s.startMs, s.lastMs, s.n)
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (withTimeout) state.setTimeoutDuration(gapMs)
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Run a streaming frame to a parquet sink, processing all currently
     * available input, then stop (the batch-like incremental refresh). */

@@ -112,6 +112,58 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(expr.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("ndjson.gz export round-trips") {
+    val dir = Files.createTempDirectory("graft_nd").toString
+    val df = Tables(spark, "/root/testdata/sf0.001", "nation")
+    graft.export.Exporter.ndjsonGz(df, s"$dir/nation")
+    val files = new java.io.File(s"$dir/nation").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty)
+    val back = spark.read.json(s"$dir/nation")
+    assert(back.count() === 25L)
+    assert(back.columns.sorted === df.columns.sorted)
+  }
+
+  test("aboveHighWatermark: full source when no target, delta afterwards") {
+    import graft.incremental.IntervalRunner
+    val dir = Files.createTempDirectory("graft_hw").toString + "/t"
+    val src = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_orderkey", $"o_orderdate")
+    assert(IntervalRunner.aboveHighWatermark(spark, src, dir, "o_orderdate")
+      .count() === src.count())
+    // persist the older half as the target; only newer rows flow
+    val older = src.filter($"o_orderdate" < org.apache.spark.sql.functions
+      .lit("1998-01-01").cast("timestamp"))
+    older.write.mode("overwrite").parquet(dir)
+    val delta = IntervalRunner.aboveHighWatermark(spark, src, dir, "o_orderdate")
+    val hw = older.agg(org.apache.spark.sql.functions.max("o_orderdate"))
+      .head().getAs[java.time.LocalDateTime](0)
+    assert(delta.count() ===
+      src.filter($"o_orderdate" > org.apache.spark.sql.functions.lit(hw)).count())
+  }
+
+  test("sessionize: gap splits sessions, state emits per-user sessions") {
+    import graft.streaming._
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ck").toString
+    Seq(
+      UserEvent(1L, 1L, 1000L), UserEvent(1L, 2L, 2000L), // session A
+      UserEvent(1L, 3L, 100000L), // session B (gap > 10s)
+      UserEvent(2L, 4L, 5000L)) // user 2 session
+      .toDF().write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_ms LONG").parquet(in)
+      .as[UserEvent]
+    EventStream.runAvailableNow(
+      EventStream.sessionize(stream, gapMs = 10000L).toDF(), out, ckpt)
+    // closed sessions emitted so far: user 1's first session (closed by the
+    // gap inside the batch); open sessions stay in state
+    val sessions = spark.read.parquet(out).as[UserSession].collect()
+    assert(sessions.exists(s =>
+      s.user_id == 1L && s.start_ms == 1000L && s.end_ms == 2000L && s.n_events == 2))
+  }
+
   test("flattenCharacteristics: map of lists -> flat array with name field") {
     import org.apache.spark.sql.functions._
     val df = spark.sql(
