@@ -30,6 +30,19 @@ object Exporter {
   def ndjsonGz(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "gzip").json(path)
 
+  /** Bucketed managed table: co-locates join keys at write time so
+    * repeated large⋈large joins on `keys` (the reference's accession joins,
+    * run daily) skip their shuffles entirely — both sides read
+    * pre-partitioned. Requires `saveAsTable` (bucket metadata lives in the
+    * catalog). */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String], sortBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** K6: atomic publish — write to `<path>._tmp`, then rename into place,
     * then drop a `.done` JSON marker (the reference's tmp+rename + semaphore
     * files, `ebi_biosample/extract.py:232-260`). */

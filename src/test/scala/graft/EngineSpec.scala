@@ -112,6 +112,44 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(expr.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    Seq("b_lineitem", "b_orders").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    graft.export.Exporter.bucketedTable(li, "b_lineitem", 8, Seq("l_orderkey"))
+    graft.export.Exporter.bucketedTable(o, "b_orders", 8, Seq("o_orderkey"))
+    // force the sort-merge path (tiny test tables would auto-broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      // both sides pre-bucketed on the key: no Exchange before the join
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(plan.contains("Bucketed: true"))
+      // no shuffle on the JOIN keys (the groupBy key still exchanges)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        "join inputs should be shuffle-free")
+      assert(joined.agg(sum("n")).head().getLong(0) === li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE b_lineitem"); spark.sql("DROP TABLE b_orders")
+    }
+  }
+
   test("ndjson.gz export round-trips") {
     val dir = Files.createTempDirectory("graft_nd").toString
     val df = Tables(spark, "/root/testdata/sf0.001", "nation")
