@@ -255,6 +255,35 @@ object Relational {
            FROM cust_orders GROUP BY c_mktsegment""")
     }),
 
+    // Tumbling-window aggregation in batch — the same window() the
+    // streaming façade uses (EventStream.windowedCounts), oracle'd against
+    // DuckDB time_bucket. Window start/end become plain timestamp columns.
+    "q41_window_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+    }),
+
+    // TPC-H Q3 shape: selective filters on two sides of a join + grouped
+    // revenue + deterministic top-K. The classic "filter early, broadcast
+    // the filtered dim, aggregate before ordering" plan.
+    "q42_ship_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1996-06-30"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
     // S3: parquet_metadata() — per-file row counts from footers (the
     // cataloging operator, catalog.py:43-58). Basename projection keeps the
     // result location-independent.
@@ -396,6 +425,21 @@ object Relational {
       """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
          round(s_acctbal,4) AS acctbal
          FROM supplier WHERE s_name IS NOT NULL""",
+    "q41_window_agg" ->
+      """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+                count(*) AS n, round(sum(value), 4) AS total
+         FROM events GROUP BY 1, 2""",
+    "q42_ship_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+           AND CAST(l_shipdate AS DATE) > DATE '1996-06-30'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     // path hardcoded to the t2 correctness scale (TESTDATA.md): output is
     // basename-keyed so it matches wherever the same files live
     "q40_parquet_meta" ->
