@@ -21,22 +21,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink: materializes EVERY output column (count() would let
+    // Catalyst prune projection expressions and benchmark bare row counts)
+    def exec(name: String): Unit =
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up (untimed): compiles codegen, warms JIT + parquet footers cache
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    // settle the JVM between warm-up and the timed pass so GC debt from
+    names.foreach(exec)
+    // settle the JVM between warm-up and the timed passes so GC debt from
     // warm-up isn't billed to the first timed queries
-    spark.sparkContext.parallelize(1 to 1).count()
     System.gc()
-    val results = names.map { name =>
+    // two timed passes, per-query min: the host shows intermittent
+    // multi-second stalls; min-of-k isolates engine time from host noise
+    def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      exec(name)
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

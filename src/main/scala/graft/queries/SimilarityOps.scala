@@ -24,15 +24,15 @@ object SimilarityOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** Deterministic pseudo-random hyperplane component w(p, j) in [-0.5,
-    * 0.5): a splitmix-style integer mix so plane generation needs no RNG
-    * state and is reproducible on any cluster. */
-  private def planeComponent(p: Int, j: Column): Column = {
-    // constants kept small so p*a + j*b never overflows ANSI long
-    val mixed = pmod(lit((p * 2654435761L) % 1000003L) + j * lit(104729L),
-      lit(1000003L))
-    mixed.cast("double") / lit(1000003.0) - lit(0.5)
-  }
+  /** Deterministic pseudo-random hyperplane weights in [-0.5, 0.5): a
+    * splitmix-style integer mix, computed once on the driver and shipped as
+    * array literals — the per-row work is then one zip_with dot product per
+    * plane instead of per-element modular arithmetic. */
+  private def planeWeights(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      val mixed = (((p * 2654435761L) % 1000003L) + j * 104729L) % 1000003L
+      mixed.toDouble / 1000003.0 - 0.5
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: fixed 10-query probe set × all candidates,
@@ -71,12 +71,12 @@ object SimilarityOps {
     // pairs. Rows-only check (plane constants are engine-internal).
     "q37_ann_lsh_buckets" -> ((s, dir) => {
       val nPlanes = 12
+      val dim = 64 // embedding dimensionality of the corpus
       val e = emb(s, dir)
       val sig = (0 until nPlanes).map { p =>
         val proj = aggregate(
-          zip_with(col("embedding"),
-            sequence(lit(0), size(col("embedding")) - 1),
-            (x, j) => x.cast("double") * planeComponent(p, j)),
+          zip_with(col("embedding"), typedLit(planeWeights(p, dim)),
+            (x, w) => x.cast("double") * w),
           lit(0.0), (acc, v) => acc + v)
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)

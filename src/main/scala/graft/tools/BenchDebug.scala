@@ -1,0 +1,29 @@
+package graft.tools
+
+/** Bisects the late-suite slowdown: times a probe query fresh, after the
+  * full suite has run, and after cache/GC hygiene. */
+object BenchDebug {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val probeQ = args.headOption.getOrElse("q37_ann_lsh_buckets")
+    val spark = graft.core.GraftSession.local(32)
+    def noop(n: String): Unit =
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    def time(label: String): Unit = {
+      val t0 = System.nanoTime()
+      noop(probeQ)
+      println(f"[dbg] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    time("fresh-cold")
+    time("fresh-warm")
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n => if (n != probeQ) noop(n) }
+    time("after-suite")
+    spark.catalog.clearCache()
+    System.gc()
+    time("after-clearcache-gc")
+    time("again")
+    spark.stop()
+  }
+}

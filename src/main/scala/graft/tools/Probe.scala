@@ -11,7 +11,7 @@ object Probe {
     val q = graft.SparkEntry.queries(name)
     def once(): Double = {
       val t0 = System.nanoTime()
-      q(spark, dir).count()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     println(f"[probe] $name cold=${once()}%.2fs warm=${once()}%.2fs warm2=${once()}%.2fs")
