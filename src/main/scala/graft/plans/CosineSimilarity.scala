@@ -16,4 +16,8 @@ object CosineSimilarity {
   def expr(a: org.apache.spark.sql.catalyst.expressions.Expression,
       b: org.apache.spark.sql.catalyst.expressions.Expression) =
     CosineSimilarityExpr(a, b)
+
+  /** Make `cosine_similarity(a, b)` callable from spark.sql text. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    CosineSimilarityExpr.register(spark)
 }

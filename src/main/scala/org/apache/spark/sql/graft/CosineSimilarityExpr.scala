@@ -76,4 +76,30 @@ object CosineSimilarityExpr {
   def columnFor(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarityExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register `cosine_similarity(a, b)` in the session's function registry
+    * so the SQL-text surface (`spark.sql`, temp-view models) can call it. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      { exprs =>
+        require(exprs.length == 2,
+          "cosine_similarity expects exactly 2 arguments")
+        CosineSimilarityExpr(exprs.head, exprs(1))
+      },
+      "built-in")
+}
+
+/** Session-extension hook: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` injects the graft functions at
+  * session build time (the injection point for cluster deployments via
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSimilarityExpr(exprs.head, exprs(1))))
 }

@@ -253,6 +253,17 @@ class EngineSpec extends AnyFunSuite {
     assert(out(3) === null) // reference raises; engine yields null
   }
 
+  test("cosine_similarity callable from SQL after registration") {
+    graft.plans.CosineSimilarity.registerSql(spark)
+    Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
+      .createOrReplaceTempView("v_emb_sql")
+    val r = spark.sql(
+      """SELECT a.vec_id, round(cosine_similarity(a.embedding, b.embedding), 6) AS c
+         FROM v_emb_sql a JOIN v_emb_sql b ON a.vec_id = b.vec_id""")
+      .collect()
+    assert(r.length === 5 && r.forall(x => math.abs(x.getDouble(1) - 1.0) < 1e-6))
+  }
+
   test("salted join equals plain join; histogram finds the hot key") {
     import org.apache.spark.sql.functions._
     val skewed = spark.range(0, 2000)
