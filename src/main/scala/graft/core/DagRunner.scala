@@ -153,4 +153,28 @@ final class MetaStore(spark: SparkSession, dir: String) {
   /** Last-N run history (`warehouse_cli.py:192-205` status dashboard). */
   def history(limit: Int = 15): DataFrame =
     runs.orderBy(col("startedAtMs").desc).limit(limit)
+
+  /** Per-model success rate + duration stats (`status.py:92-141`). */
+  def status: DataFrame = {
+    import org.apache.spark.sql.functions._
+    runs.groupBy("model").agg(
+      count(lit(1)).as("n_runs"),
+      round(avg(when(col("status") === "success", 1.0).otherwise(0.0)) * 100, 1)
+        .as("success_pct"),
+      round(avg("durationS"), 3).as("avg_duration_s"),
+      max("startedAtMs").as("last_run_ms"))
+  }
+}
+
+/** Model-catalog linting (`sqlmesh/config.yaml:61-66`): raw-layer views
+  * must enumerate their columns — `SELECT *` hides schema drift from
+  * downstream models. */
+object Lint {
+  /** Names of raw models whose SQL star-expands. DataFrame-built raw
+    * models are exempt (they carry explicit schemas). */
+  def selectStarViolations(models: Seq[Model]): Seq[String] =
+    models.filter(m => m.layer == "raw" &&
+      m.sql.exists(_.replaceAll("\\s+", " ").toLowerCase
+        .matches(".*select \\*.*")))
+      .map(_.name)
 }

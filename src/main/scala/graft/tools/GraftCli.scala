@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.core._
+import graft.models.OmicidxModels
+
+/** Warehouse CLI — parity with the reference's `oidx warehouse` commands
+  * (`/root/reference/warehouse_cli.py`, WAREHOUSE_SUMMARY.md:77-105):
+  *
+  * {{{
+  * runMain graft.tools.GraftCli list-models
+  * runMain graft.tools.GraftCli plan [model...]
+  * runMain graft.tools.GraftCli run  [model...]   # --fail-fast via env GRAFT_FAIL_FAST
+  * runMain graft.tools.GraftCli describe <model>
+  * runMain graft.tools.GraftCli history [n]
+  * runMain graft.tools.GraftCli status
+  * runMain graft.tools.GraftCli lint
+  * }}}
+  *
+  * Config from env: GRAFT_DATA_ROOT (lake), GRAFT_WAREHOUSE_DIR,
+  * GRAFT_EXPORT_DIR, GRAFT_START_DS / GRAFT_END_DS (incremental window).
+  */
+object GraftCli {
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("list-models")
+    val rest = args.drop(1).toSeq
+    val cfg = EngineConfig(
+      dataRoot = sys.env.getOrElse("GRAFT_DATA_ROOT", "/tmp/graft_lake"),
+      warehouseDir = sys.env.getOrElse("GRAFT_WAREHOUSE_DIR", "/tmp/graft_warehouse"),
+      exportDir = sys.env.getOrElse("GRAFT_EXPORT_DIR", "/tmp/graft_exports"),
+      vars = Seq(
+        sys.env.get("GRAFT_START_DS").map("start_ds" -> _),
+        sys.env.get("GRAFT_END_DS").map("end_ds" -> _)).flatten.toMap)
+    val spark = GraftSession.local()
+    val models = OmicidxModels.catalog(OmicidxModels.lakeSources)
+    val meta = new MetaStore(spark, cfg.warehouseDir)
+    val runner = new DagRunner(spark, cfg, models, Some(meta))
+    val selection = if (rest.isEmpty) None else Some(rest)
+
+    cmd match {
+      case "list-models" =>
+        println(f"${"LAYER"}%-10s ${"MODEL"}%-24s ${"KIND"}%-28s DEPENDS_ON")
+        models.foreach(m => println(
+          f"${m.layer}%-10s ${m.name}%-24s ${m.materialization.toString.take(28)}%-28s ${m.dependsOn.mkString(",")}"))
+      case "plan" =>
+        runner.plan(selection).zipWithIndex.foreach { case (m, i) =>
+          println(f"${i + 1}%3d. ${m.layer}.${m.name}")
+        }
+      case "run" =>
+        val failFast = sys.env.get("GRAFT_FAIL_FAST").contains("1")
+        val results = runner.run(selection, failFast)
+        results.foreach(r => println(
+          f"${r.model}%-24s ${r.status}%-12s rows=${r.rows}%8d ${r.durationS}%7.2fs ${r.error.getOrElse("")}"))
+        val failed = results.count(r => r.status != "success" && r.status != "skipped")
+        if (failed > 0) { println(s"$failed model(s) failed"); sys.exit(1) }
+      case "describe" =>
+        val name = rest.headOption.getOrElse(sys.error("describe <model>"))
+        val m = models.find(_.name == name).getOrElse(sys.error(s"no model $name"))
+        println(s"model: ${m.layer}.${m.name}")
+        println(s"kind: ${m.materialization}")
+        println(s"grain: ${m.grain.mkString(",")}")
+        println(s"depends_on: ${m.dependsOn.mkString(", ")}")
+        println(s"exports: ${m.export.map(_.relPath).getOrElse("-")}")
+        println(s"description: ${m.description}")
+        m.sql.foreach(s => println(s"sql:\n${Model.render(s, cfg)}"))
+      case "history" =>
+        meta.history(rest.headOption.map(_.toInt).getOrElse(15)).show(truncate = false)
+      case "status" =>
+        meta.status.orderBy("model").show(truncate = false)
+      case "lint" =>
+        val bad = Lint.selectStarViolations(models)
+        if (bad.isEmpty) println("lint OK: no raw-layer SELECT *")
+        else { println(s"SELECT * in raw models: ${bad.mkString(", ")}"); sys.exit(1) }
+      case other => sys.error(s"unknown command $other")
+    }
+    spark.stop()
+  }
+}

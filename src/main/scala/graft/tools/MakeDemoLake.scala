@@ -1,0 +1,32 @@
+package graft.tools
+
+/** Writes a miniature SRA lake under the given root so GraftCli `run` can
+  * be driven end-to-end against real files (demo/dev helper). */
+object MakeDemoLake {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft_lake")
+    val spark = graft.core.GraftSession.local(4)
+    import spark.implicits._
+    Seq(
+      ("SRX001", "SUB1", "live", "2005-05-28 10:00:00", "EXPERIMENT", "SAMN01", "PRJ1"),
+      ("SRX002", "SUB1", "live", "2005-05-29 11:00:00", "EXPERIMENT", "SAMN02", "PRJ1"),
+      ("SRP001", "SUB1", "live", "2005-05-28 10:00:00", "STUDY", null, "PRJ1"))
+      .toDF("Accession", "Submission", "Status", "Updated", "Type",
+        "BioSample", "BioProject")
+      .selectExpr("Accession", "Submission", "Status",
+        "CAST(Updated AS TIMESTAMP) AS Updated", "Type", "BioSample",
+        "BioProject")
+      .write.mode("overwrite").parquet(s"$root/sra/sra_accessions.parquet")
+    Seq(
+      ("SRX001", "exp one", "SRP001", "ILLUMINA"),
+      ("SRX002", "exp two", "SRP001", "ILLUMINA"))
+      .toDF("accession", "title", "study_accession", "platform")
+      .write.mode("overwrite")
+      .parquet(s"$root/sra/meta-experiment-0001.parquet")
+    Seq(("SRP001", "study one", "WGS", "abs"))
+      .toDF("accession", "title", "study_type", "abstract")
+      .write.mode("overwrite").parquet(s"$root/sra/meta-study-0001.parquet")
+    println(s"[lake] written to $root")
+    spark.stop()
+  }
+}

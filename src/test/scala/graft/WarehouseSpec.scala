@@ -110,6 +110,15 @@ class WarehouseSpec extends AnyFunSuite {
     assert(meta.history(3).count() === 3L)
   }
 
+  test("lint flags raw-layer SELECT *; production catalog is clean") {
+    val bad = Model("src_bad", "raw", sql = Some("SELECT * FROM x"))
+    val ok = Model("stg_ok", "bronze", sql = Some("SELECT * FROM y")) // bronze passthrough allowed
+    assert(Lint.selectStarViolations(Seq(bad, ok)) === Seq("src_bad"))
+    assert(Lint.selectStarViolations(
+      graft.models.OmicidxModels.catalog(graft.models.OmicidxModels.lakeSources))
+      .isEmpty)
+  }
+
   test("failing audit fails the model") {
     val cfg = EngineConfig("/none",
       Files.createTempDirectory("graft_wh4").toString, "/none")
