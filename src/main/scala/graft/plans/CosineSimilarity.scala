@@ -21,3 +21,11 @@ object CosineSimilarity {
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
     CosineSimilarityExpr.register(spark)
 }
+
+/** Public API for the fused hyperplane-LSH bucket expression. */
+object HyperplaneBucket {
+  /** `bucket($"embedding", planes)` — bit p = sign of v · planes(p); one
+    * codegen'd loop over all planes. */
+  def bucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.HyperplaneBucketExpr.columnFor(v, planes)
+}

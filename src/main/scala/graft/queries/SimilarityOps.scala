@@ -25,10 +25,9 @@ object SimilarityOps {
     Tables(s, dir, "embeddings")
 
   /** Deterministic pseudo-random hyperplane weights in [-0.5, 0.5): a
-    * splitmix-style integer mix, computed once on the driver and shipped as
-    * array literals — the per-row work is then one zip_with dot product per
-    * plane instead of per-element modular arithmetic. */
-  private def planeWeights(p: Int, dim: Int): Seq[Double] =
+    * splitmix-style integer mix, computed once on the driver; consumed by
+    * the fused [[graft.plans.HyperplaneBucket]] codegen expression. */
+  private[graft] def planeWeights(p: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
       val mixed = (((p * 2654435761L) % 1000003L) + j * 104729L) % 1000003L
       mixed.toDouble / 1000003.0 - 0.5
@@ -73,13 +72,8 @@ object SimilarityOps {
       val nPlanes = 12
       val dim = 64 // embedding dimensionality of the corpus
       val e = emb(s, dir)
-      val sig = (0 until nPlanes).map { p =>
-        val proj = aggregate(
-          zip_with(col("embedding"), typedLit(planeWeights(p, dim)),
-            (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      val sig = graft.plans.HyperplaneBucket.bucket(col("embedding"),
+        (0 until nPlanes).map(planeWeights(_, dim)))
       val bucketed = e.select(col("vec_id"), col("embedding"),
         sig.as("bucket"))
       val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
@@ -101,7 +95,10 @@ object SimilarityOps {
       import org.apache.spark.ml.functions.array_to_vector
       val e = emb(s, dir)
         .withColumn("fv", array_to_vector(col("embedding")))
-      val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+      // coarse quantization doesn't need converged centroids: random init
+      // (skips the k-means|| init passes) + 3 Lloyd iterations
+      val model = new KMeans().setK(8).setSeed(42L).setMaxIter(3)
+        .setInitMode("random")
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(e.select("fv"))
       val assigned = model.transform(e).select(

@@ -1,0 +1,81 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, LongType}
+
+/** Native Catalyst expression: random-hyperplane LSH bucket of a float
+  * vector — bit p of the result is the sign of `v · plane_p`.
+  *
+  * Replaces P separate `aggregate(zip_with(...))` higher-order-function
+  * projections (interpreted lambdas, one array allocation per plane per
+  * row) with ONE fused codegen loop over all planes: O(dim × planes)
+  * multiply-adds, zero allocation. The plane matrix rides along as a
+  * compile-time constant in the generated class.
+  */
+case class HyperplaneBucketExpr(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.nonEmpty && planes.size <= 63, "1..63 planes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  private lazy val flat: Array[Double] = planes.flatten.toArray
+  private lazy val dim: Int = planes.head.size
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < planes.size) {
+      var dot = 0.0
+      var j = 0
+      val off = p * dim
+      while (j < n) { dot += v.getFloat(j).toDouble * flat(off + j); j += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // plane matrix as a static field of the generated class
+    val matRef = ctx.addReferenceObj("planeMat", flat, "double[]")
+    val nPlanes = planes.size
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double $dot = 0.0;
+         |  int $off = $p * $dim;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += (double) $a.getFloat($j) * $matRef[$off + $j];
+         |  }
+         |  if ($dot >= 0) $bucket |= (1L << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+object HyperplaneBucketExpr {
+  def columnFor(v: Column, planes: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(
+      HyperplaneBucketExpr(ExpressionUtils.expression(v), planes))
+}

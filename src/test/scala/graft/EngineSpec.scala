@@ -253,6 +253,22 @@ class EngineSpec extends AnyFunSuite {
     assert(out(3) === null) // reference raises; engine yields null
   }
 
+  test("HyperplaneBucketExpr equals the HOF formulation") {
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val planes = (0 until 12).map(p =>
+      graft.queries.SimilarityOps.planeWeights(p, 64))
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val hofSig = planes.zipWithIndex.map { case (w, p) =>
+      val proj = agg_(zip_with($"embedding", typedLit(w),
+        (x, ww) => x.cast("double") * ww), lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = e.select($"vec_id",
+      graft.plans.HyperplaneBucket.bucket($"embedding", planes).as("fused"),
+      hofSig.as("hof"))
+    assert(both.filter($"fused" =!= $"hof").count() === 0L)
+  }
+
   test("cosine_similarity callable from SQL after registration") {
     graft.plans.CosineSimilarity.registerSql(spark)
     Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
