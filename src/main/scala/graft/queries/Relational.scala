@@ -284,6 +284,27 @@ object Relational {
         .limit(10)
     }),
 
+    // Pivot / cross-tab: order counts per (status × priority). Fixed pivot
+    // value list — at scale never let pivot() scan for distinct values.
+    "q43_pivot" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .na.fill(0L, prios)
+    }),
+
+    // Approximate distinct (HLL++): the 100 TB substitute for exact
+    // countDistinct. Rows-only check — sketch implementations differ across
+    // engines, so values are engine-specific by nature.
+    "q44_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    }),
+
     // S3: parquet_metadata() — per-file row counts from footers (the
     // cataloging operator, catalog.py:43-58). Basename projection keeps the
     // result location-independent.
@@ -425,6 +446,9 @@ object Relational {
       """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
          round(s_acctbal,4) AS acctbal
          FROM supplier WHERE s_name IS NOT NULL""",
+    "q43_pivot" ->
+      """PIVOT orders ON o_orderpriority USING count(*)
+         GROUP BY o_orderstatus""",
     "q41_window_agg" ->
       """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
                 count(*) AS n, round(sum(value), 4) AS total
