@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.models.OmicidxModels
+
+/** Remaining bronze fixture tests mirroring the reference's sqlmesh YAMLs
+  * (FIXTURES.md §2, §5, §6): stg_geo_platforms inclusive window edges,
+  * stg_ncbi_biosample triple timestamp casts, stg_ncbi_bioproject
+  * release_date split into timestamp + date. */
+class BronzeFixtureSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  private def run(sources: Map[String, (SparkSession, EngineConfig) => DataFrame],
+      names: Seq[String], startDs: String, endDs: String): Unit = {
+    val models = OmicidxModels.catalog(sources)
+      .filter(m => names.contains(m.name))
+      .map(m => if (m.materialization != Materialization.View)
+        m.copy(materialization = Materialization.View) else m)
+    val cfg = EngineConfig("/none", "/none", "/none",
+      Map("start_ds" -> startDs, "end_ds" -> endDs))
+    val res = new DagRunner(spark, cfg, models).run()
+    assert(res.forall(_.status == "success"), res.mkString("\n"))
+  }
+
+  test("stg_geo_platforms: both window-edge rows survive (inclusive bounds)") {
+    // FIXTURES.md §2: vars span 2005-10-28..2009-06-03, rows AT the edges
+    val fix = Seq(
+      ("GPL100", "2005-10-28"), ("GPL200", "2009-06-03"), ("GPL300", "2010-01-01"))
+      .toDF("accession", "last_update_date")
+      .selectExpr("accession",
+        "CAST(last_update_date AS DATE) AS last_update_date",
+        "'t' AS title", "'Public' AS status",
+        "CAST(NULL AS DATE) AS submission_date", "'org' AS organism",
+        "'array' AS technology", "CAST(NULL AS BIGINT) AS data_row_count")
+    run(Map("src_geo_platforms" ->
+      ((_: SparkSession, _: EngineConfig) => fix)),
+      Seq("src_geo_platforms", "stg_geo_platforms"),
+      "2005-10-28", "2009-06-03")
+    val out = spark.table("stg_geo_platforms").select("accession")
+      .as[String].collect().sorted
+    assert(out === Array("GPL100", "GPL200")) // edges kept, later row dropped
+  }
+
+  test("stg_ncbi_biosample: three parallel timestamp casts + date filter col") {
+    val fix = Seq(
+      ("SAMN01", "2021-03-05T10:20:30.500", "2021-03-01T00:00:00",
+        "2021-03-02T00:00:00", 9606L),
+      ("SAMN02", "2022-01-01T00:00:00.000", "2021-12-30T00:00:00",
+        "2021-12-31T00:00:00", 10090L))
+      .toDF("accession", "last_update", "submission_date", "publication_date",
+        "taxon_id")
+      .selectExpr("accession", "last_update", "submission_date",
+        "publication_date", "taxon_id",
+        "CAST(NULL AS STRING) AS is_reference", "'public' AS access",
+        "'1' AS id", "CAST(NULL AS STRING) AS sra_sample",
+        "CAST(NULL AS STRING) AS dbgap", "CAST(NULL AS STRING) AS gsm",
+        "'t' AS title", "CAST(NULL AS STRING) AS description",
+        "'Homo sapiens' AS taxonomy_name",
+        "CAST(array() AS ARRAY<STRING>) AS id_recs",
+        "CAST(array() AS ARRAY<STRING>) AS ids",
+        "CAST(array() AS ARRAY<STRING>) AS attribute_recs",
+        "CAST(array() AS ARRAY<STRING>) AS attributes",
+        "CAST(NULL AS STRING) AS model")
+    run(Map("src_ncbi_biosample" ->
+      ((_: SparkSession, _: EngineConfig) => fix)),
+      Seq("src_ncbi_biosample", "stg_ncbi_biosample"),
+      "2021-03-01", "2021-03-31")
+    val out = spark.table("stg_ncbi_biosample")
+    assert(out.count() === 1L) // only the March row is in the window
+    val r = out.select(
+      date_format($"last_update_timestamp", "yyyy-MM-dd HH:mm:ss.SSS"),
+      $"last_update_date".cast("string"),
+      date_format($"submission_timestamp", "yyyy-MM-dd"),
+      date_format($"publication_timestamp", "yyyy-MM-dd")).head()
+    assert(r.getString(0) === "2021-03-05 10:20:30.500")
+    assert(r.getString(1) === "2021-03-05")
+    assert(r.getString(2) === "2021-03-01")
+    assert(r.getString(3) === "2021-03-02")
+  }
+
+  test("stg_ncbi_bioproject: release_date -> timestamp + date, inclusive window") {
+    // FIXTURES.md §6: window 2001-01-09..2004-02-03 keeps both boundary rows
+    val fix = Seq(
+      ("PRJNA1", "2001-01-09T08:00:00"), ("PRJNA2", "2004-02-03T23:59:59"),
+      ("PRJNA3", "2004-02-04T00:00:00"))
+      .toDF("accession", "release_date")
+      .selectExpr("accession", "release_date", "'t' AS title",
+        "CAST(NULL AS STRING) AS description", "'n' AS name",
+        "CAST(array() AS ARRAY<STRING>) AS publications",
+        "CAST(array() AS ARRAY<STRING>) AS locus_tags",
+        "CAST(array() AS ARRAY<STRING>) AS data_types",
+        "CAST(array() AS ARRAY<STRING>) AS external_links")
+    run(Map("src_ncbi_bioproject" ->
+      ((_: SparkSession, _: EngineConfig) => fix)),
+      Seq("src_ncbi_bioproject", "stg_ncbi_bioproject"),
+      "2001-01-09", "2004-02-03")
+    val out = spark.table("stg_ncbi_bioproject")
+      .select($"accession", $"release_date_only".cast("string"),
+        date_format($"release_timestamp", "HH:mm:ss"))
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1) === Array("PRJNA1", "PRJNA2"))
+    assert(out(0)._2 === "2001-01-09" && out(0)._3 === "08:00:00")
+    assert(out(1)._3 === "23:59:59")
+  }
+}
