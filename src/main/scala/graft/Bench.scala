@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 
 /** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with per-query wall seconds.
@@ -8,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * One untimed warm-up pass first: JIT + whole-stage-codegen compilation are
   * one-time JVM costs that would otherwise be billed to whichever query runs
   * first — on a long-lived cluster they are amortized to zero.
+  *
+  * Honesty rules: a failing query is NEVER silently timed as ~0 s. Errors
+  * are collected, reported on stderr and in the JSON line, and the process
+  * exits non-zero — a regression can't masquerade as a speedup. When prior
+  * BENCH_r*.json files exist in the repo root, a per-round total trend is
+  * printed to stderr so round-over-round movement is visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,12 +28,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val errors = mutable.LinkedHashMap[String, String]()
+
     // noop sink: materializes EVERY output column (count() would let
     // Catalyst prune projection expressions and benchmark bare row counts)
-    def exec(name: String): Unit =
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    def exec(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          System.err.println(s"[bench] FAIL $name: ${errors(name)}")
+          false
+      }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up (untimed): compiles codegen, warms JIT + parquet footers cache
@@ -47,7 +63,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    }.mkString("{", ",", "}")
+
+    // round-over-round trend (stderr, driver keeps stdout JSON single-line)
+    val prior = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    prior.foreach { f =>
+      val txt = scala.io.Source.fromFile(f).mkString
+      val tot = "\"value\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt).map(_.group(1))
+      System.err.println(s"[bench] trend ${f.getName}: total=${tot.getOrElse("?")} s")
+    }
+    System.err.println(f"[bench] trend this-run: total=$total%.2f s (${names.size} queries, ${errors.size} errors)")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED — failing the bench run")
+      sys.exit(1)
+    }
   }
 }

@@ -29,3 +29,11 @@ object HyperplaneBucket {
   def bucket(v: Column, planes: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.graft.HyperplaneBucketExpr.columnFor(v, planes)
 }
+
+/** Public API for the fused nearest-centroid (IVF assignment) expression. */
+object NearestCentroid {
+  /** `cell($"embedding", centroids)` — index of the squared-L2-nearest
+    * centroid, ties to the lowest index; one codegen'd loop. */
+  def cell(v: Column, cents: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.NearestCentroidExpr.columnFor(v, cents)
+}

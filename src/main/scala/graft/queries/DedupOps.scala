@@ -40,6 +40,19 @@ object DedupOps {
 
   private val hashSql = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
 
+  /** DuckDB CTE: one row per (doc, band) with the band's concatenated
+    * signature key — the SQL mirror of [[bandedSignatures]]. Assumes a
+    * `sig` CTE (from [[sigSql]]) is in scope. */
+  private lazy val bandedCte: String =
+    s"""banded AS (SELECT doc_id,
+       [${(0 until NumHashes).map(i => s"mh$i").mkString(", ")}] AS sig,
+       unnest([${(0 until NumHashes / BandRows).map { b =>
+      val key = (0 until BandRows).map(r => s"CAST(mh${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"{'band': $b, 'key': $key}"
+    }.mkString(", ")}]) AS bk
+       FROM sig)"""
+
   /** (doc_id, shingle) distinct pairs. Tokens are materialized into a
     * column first so the shingle lambda doesn't re-split the text per
     * element access. */
@@ -77,23 +90,37 @@ object DedupOps {
         .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("dup_count"))
     }),
 
-    // Exact n-gram Jaccard similarity via shared-shingle self-join
-    // (restricted to a fixed id range so pair count stays bounded at every
-    // sf; the unbounded scale path is q32's LSH prefilter).
+    // Exact n-gram Jaccard — UNBOUNDED. Candidate pairs come from the
+    // MinHash-LSH band buckets (same generator as q33: shuffle keyed on
+    // (band, key), never an n² self-join); candidates are then EXACTLY
+    // rescored from their full shingle sets via array_intersect. This is
+    // the standard LSH-then-verify dedup pipeline: banding bounds the pair
+    // space, the verify step removes LSH's false positives, so every
+    // emitted jaccard is exact. The oracle computes the identical banding
+    // + rescoring in DuckDB.
     "q31_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingleSet(docs(s, dir).filter(col("doc_id") < 300))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-      val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(cnt.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))), Seq("doc_a"))
-        .join(broadcast(cnt.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))), Seq("doc_b"))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      val d = docs(s, dir)
+      val wb = bandedSignatures(d)
+      val l = wb.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      val r = wb.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+      val cand = l.join(r, Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      // per-doc shingle sets: one row per doc, bounded by doc length
+      val sets = shingleSet(d).groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("shs"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")),
+          Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
         .filter(col("jaccard") >= 0.2)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
     }),
 
     // MinHash signatures (16 permutations over 3-shingles).
@@ -105,17 +132,7 @@ object DedupOps {
     // bucket-join on (band, band key), estimate Jaccard as matching-
     // signature fraction. Only bucket collisions are ever paired.
     "q33_minhash_lsh_pairs" -> ((s, dir) => {
-      val sig = signatures(docs(s, dir)).cache()
-      val sigArr = array((0 until NumHashes).map(i => col(s"mh$i")): _*)
-      val withBands = sig.select(col("doc_id"), sigArr.as("sig"))
-        .select(col("doc_id"), col("sig"),
-          explode(array((0 until NumHashes / BandRows).map { b =>
-            struct(lit(b).as("band"),
-              concat_ws("_", (0 until BandRows).map(r =>
-                element_at(col("sig"), b * BandRows + r + 1)): _*).as("key"))
-          }: _*)).as("bk"))
-        .select(col("doc_id"), col("sig"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
+      val withBands = bandedSignatures(docs(s, dir))
       val l = withBands.select(col("band"), col("key"),
         col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val r = withBands.select(col("band"), col("key"),
@@ -132,37 +149,73 @@ object DedupOps {
           round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
-    // SimHash: 16-bit signed-sum fingerprint over token hashes (with
-    // multiplicity). Pure projection + one aggregation.
+    // SimHash: 60-bit signed-sum fingerprint over token hashes (with
+    // multiplicity). Pure projection + one aggregation. 60 bits (not 64)
+    // because the engine-portable stableHash is a 60-bit positive long.
     "q34_simhash" -> ((s, dir) => simhashDf(docs(s, dir))),
 
-    // SimHash near-dup candidates: pairs within Hamming distance 4,
-    // computed with the built-in bit_count(a XOR b) — no custom expression
-    // needed for Hamming. Bounded id range keeps the pair space fixed per
-    // sf; the unbounded scale path buckets on simhash bytes first.
+    // SimHash near-dup pairs — UNBOUNDED and EXACT. The 60-bit fingerprint
+    // is cut into 5 bands of 12 bits: a pair within Hamming distance ≤ 4
+    // differs in at most 4 bands, so it is GUARANTEED to collide on ≥ 1
+    // band (Manku et al., WWW'07 pigeonhole banding). Candidates come only
+    // from band-bucket collisions — shuffle keyed on (band, key), never an
+    // n² theta-join — and the Hamming filter removes false positives, so
+    // the output is exactly all pairs with Hamming ≤ 4.
     "q38_simhash_pairs" -> ((s, dir) => {
-      val sh = simhashDf(docs(s, dir).filter(col("doc_id") < 300))
-      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val sh = simhashDf(docs(s, dir))
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimhashBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * SimhashBandBits)
+              .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val a = banded.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val b = banded.select(col("band"), col("key"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
         .withColumn("hamming",
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
         .filter(col("hamming") <= 4)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .distinct()
     })
   )
 
-  /** (doc_id, simhash) — shared by q34 and q38. */
+  // ---- simhash banding constants (5 × 12 bits over the 60-bit hash) ----
+  private val SimhashBits = 60
+  private val SimhashBands = 5
+  private val SimhashBandBits = SimhashBits / SimhashBands
+
+  /** doc_id, sig (16-long array), band, key — the MinHash-LSH banding
+    * shared by q33 (estimate from collisions) and q31 (exact rescoring of
+    * collisions). */
+  private def bandedSignatures(d: DataFrame): DataFrame = {
+    val sigArr = array((0 until NumHashes).map(i => col(s"mh$i")): _*)
+    signatures(d).select(col("doc_id"), sigArr.as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until NumHashes / BandRows).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until BandRows).map(r =>
+              element_at(col("sig"), b * BandRows + r + 1)): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** (doc_id, simhash) — 60-bit fingerprint, shared by q34 and q38. */
   private def simhashDf(d: DataFrame): DataFrame = {
     val h = stableHash(col("tok"))
-    val bitSums = (0 until 16).map { j =>
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(h, j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
     }
     d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(j =>
+        (0 until SimhashBits).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
@@ -172,35 +225,34 @@ object DedupOps {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
          count(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
+    // identical LSH banding as q33 generates the candidates; the exact
+    // jaccard is then recomputed from the full shingle sets (sh CTE comes
+    // from sigSql) — mirrors the Spark LSH-then-verify pipeline 1:1
     "q31_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
-                       FROM documents WHERE doc_id < 300),
-         idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
-                 FROM toks WHERE len(t) >= 3),
-         sh AS (SELECT DISTINCT doc_id,
-                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx),
+      s"""$sigSql,
+         $bandedCte,
+         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                  FROM banded l JOIN banded r
+                    ON struct_extract(l.bk, 'band') = struct_extract(r.bk, 'band')
+                   AND struct_extract(l.bk, 'key') = struct_extract(r.bk, 'key')
+                   AND l.doc_id < r.doc_id),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.doc_a
+                   JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
                    GROUP BY 1, 2)
          SELECT doc_a, doc_b,
-                round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
-         FROM pairs
+                round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+         FROM inter
          JOIN cnt ca ON ca.doc_id = doc_a
          JOIN cnt cb ON cb.doc_id = doc_b
-         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.2""",
+         WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2""",
     "q32_minhash_sig" ->
       s"""$sigSql SELECT * FROM sig""",
     "q33_minhash_lsh_pairs" ->
       s"""$sigSql,
-         banded AS (SELECT doc_id,
-           [${(0 until NumHashes).map(i => s"mh$i").mkString(", ")}] AS sig,
-           unnest([${(0 until NumHashes / BandRows).map { b =>
-        val key = (0 until BandRows).map(r => s"CAST(mh${b * BandRows + r} AS VARCHAR)")
-          .mkString(" || '_' || ")
-        s"{'band': $b, 'key': $key}"
-      }.mkString(", ")}]) AS bk
-           FROM sig),
+         $bandedCte,
          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
                          l.sig AS sig_a, r.sig AS sig_b
                   FROM banded l JOIN banded r
@@ -212,31 +264,36 @@ object DedupOps {
                       i -> sig_a[i] = sig_b[i])) * 1.0 / $NumHashes, 4)
                   AS est_jaccard
          FROM cand""",
+    // 5 × 12-bit pigeonhole banding (exact for Hamming ≤ 4), mirrored
     "q38_simhash_pairs" -> {
       s"""WITH sh AS ($simhashSql),
-         a AS (SELECT doc_id AS doc_a, simhash AS sh_a FROM sh WHERE doc_a < 300),
-         b AS (SELECT doc_id AS doc_b, simhash AS sh_b FROM sh WHERE doc_b < 300)
-         SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-         FROM a JOIN b ON doc_a < doc_b
-         WHERE bit_count(xor(sh_a, sh_b)) <= 4"""
+         banded AS (SELECT doc_id, simhash, b AS band,
+                           (simhash >> CAST($SimhashBandBits * b AS INTEGER))
+                             & ${(1L << SimhashBandBits) - 1} AS key
+                    FROM sh, range(0, $SimhashBands) t(b))
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+         FROM banded a JOIN banded c
+           ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.simhash, c.simhash)) <= 4"""
     },
     "q34_simhash" -> s"SELECT * FROM ($simhashSql) AS simhash_t"
   )
 
-  /** Shared DuckDB SQL computing (doc_id, simhash) for all documents. */
+  /** Shared DuckDB SQL computing (doc_id, 60-bit simhash) for all docs. */
   private lazy val simhashSql: String = {
     val tokHash = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
     s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
                       FROM documents),
          hs AS (SELECT doc_id, $tokHash AS h FROM tk),
          bits AS (SELECT doc_id,
-           ${(0 until 16).map(j =>
+           ${(0 until SimhashBits).map(j =>
         s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
         .mkString(", ")}
            FROM hs GROUP BY doc_id)
          SELECT doc_id,
-           CAST(${(0 until 16).map(j =>
-        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")}
+           CAST(${(0 until SimhashBits).map(j =>
+        s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")}
            AS BIGINT) AS simhash
          FROM bits"""
   }

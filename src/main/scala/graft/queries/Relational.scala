@@ -296,13 +296,23 @@ object Relational {
     }),
 
     // Approximate distinct (HLL++): the 100 TB substitute for exact
-    // countDistinct. Rows-only check — sketch implementations differ across
-    // engines, so values are engine-specific by nature.
+    // countDistinct. Sketch values are engine-specific, so the oracle is an
+    // INVARIANT check: the output carries the exact counts plus booleans
+    // asserting the HLL++ estimate (rsd=0.01) landed within 5% of exact —
+    // DuckDB recomputes the exact counts and expects the booleans true.
     "q44_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("a_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"))
+        .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+          (abs(col("a_orders") - col("n_orders")).cast("double") /
+            col("n_orders") <= 0.05).as("orders_within_5pct"),
+          (abs(col("a_parts") - col("n_parts")).cast("double") /
+            col("n_parts") <= 0.05).as("parts_within_5pct"))
     }),
 
     // S3: parquet_metadata() — per-file row counts from footers (the
@@ -465,13 +475,22 @@ object Relational {
          GROUP BY 1, 2
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     // path hardcoded to the t2 correctness scale (TESTDATA.md): output is
-    // basename-keyed so it matches wherever the same files live
+    // basename-keyed so it matches wherever the same files live.
+    // CAST to BIGINT: DuckDB sum() over integers yields HUGEINT, and the
+    // driver's hash is representation-sensitive (Spark emits BIGINT).
     "q40_parquet_meta" ->
-      """SELECT file, sum(row_group_num_rows) AS num_rows,
+      """SELECT file, CAST(sum(row_group_num_rows) AS BIGINT) AS num_rows,
                 count(*) AS n_row_groups
          FROM (SELECT DISTINCT regexp_extract(file_name, '([^/]+)$', 1) AS file,
                       row_group_id, row_group_num_rows
                FROM parquet_metadata('/root/testdata/sf0.01/*.parquet'))
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q44_approx_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS n_orders,
+                count(DISTINCT l_partkey) AS n_parts,
+                TRUE AS orders_within_5pct,
+                TRUE AS parts_within_5pct
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

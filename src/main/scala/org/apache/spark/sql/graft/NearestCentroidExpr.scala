@@ -1,0 +1,89 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, IntegerType}
+
+/** Native Catalyst expression: index of the nearest centroid (squared-L2)
+  * for a float vector — the IVF coarse-quantizer assignment step.
+  *
+  * One fused codegen loop over the centroid matrix (a compile-time constant
+  * of the generated class): O(k × dim) multiply-adds, zero allocation per
+  * row. Ties break to the LOWEST centroid index (strict `<` comparison), so
+  * assignment is deterministic and mirrors the oracle's
+  * `ORDER BY distance, cell` tiebreak.
+  */
+case class NearestCentroidExpr(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty, "at least one centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val flat: Array[Double] = cents.flatten.toArray
+  private lazy val dim: Int = cents.head.size
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.size) {
+      var d = 0.0
+      var j = 0
+      val off = c * dim
+      while (j < n) {
+        val x = v.getFloat(j).toDouble - flat(off + j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centMat", flat, "double[]")
+    val k = cents.size
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $d = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $x = (double) $a.getFloat($j) - $matRef[$off + $j];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+object NearestCentroidExpr {
+  def columnFor(v: Column, cents: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(
+      NearestCentroidExpr(ExpressionUtils.expression(v), cents))
+}
