@@ -136,8 +136,9 @@ final class DagRunner(spark: SparkSession, cfg: EngineConfig,
   }
 }
 
-/** Execution-metadata store: `meta.model_runs` + `meta.model_lineage`
-  * (`WAREHOUSE.md:244-274`) as parquet tables under the warehouse dir. */
+/** Execution-metadata store: `meta.model_runs` + `meta.model_lineage` +
+  * `meta.model_docs` (`WAREHOUSE.md:244-274`) as parquet tables under the
+  * warehouse dir. */
 final class MetaStore(spark: SparkSession, dir: String) {
   import spark.implicits._
 
@@ -146,9 +147,19 @@ final class MetaStore(spark: SparkSession, dir: String) {
     models.flatMap(m => m.dependsOn.map(d => (m.name, d)))
       .toDF("model", "depends_on")
       .write.mode("overwrite").parquet(s"$dir/meta/model_lineage")
+    // model_docs: descriptions + grain + kind alongside runs/lineage
+    // (WAREHOUSE.md:268-274 "descriptions, column documentation, tags")
+    models.map(m => (m.name, m.layer, m.description,
+        m.grain.mkString(","), m.materialization.toString,
+        m.export.map(_.relPath).getOrElse("")))
+      .toDF("model", "layer", "description", "grain", "kind", "export_path")
+      .write.mode("overwrite").parquet(s"$dir/meta/model_docs")
   }
 
   def runs: DataFrame = spark.read.parquet(s"$dir/meta/model_runs")
+
+  /** Model documentation table (`WAREHOUSE.md:266-274`). */
+  def docs: DataFrame = spark.read.parquet(s"$dir/meta/model_docs")
 
   /** Last-N run history (`warehouse_cli.py:192-205` status dashboard). */
   def history(limit: Int = 15): DataFrame =
@@ -166,15 +177,48 @@ final class MetaStore(spark: SparkSession, dir: String) {
   }
 }
 
-/** Model-catalog linting (`sqlmesh/config.yaml:61-66`): raw-layer views
-  * must enumerate their columns — `SELECT *` hides schema drift from
-  * downstream models. */
+/** Model-catalog linting (`sqlmesh/config.yaml:61-66`
+  * `invalidselectstarexpansion`): raw-layer models must pin their columns —
+  * star-expansion hides schema drift from downstream models. */
 object Lint {
-  /** Names of raw models whose SQL star-expands. DataFrame-built raw
-    * models are exempt (they carry explicit schemas). */
+  /** Names of raw models whose SQL star-expands. */
   def selectStarViolations(models: Seq[Model]): Seq[String] =
     models.filter(m => m.layer == "raw" &&
       m.sql.exists(_.replaceAll("\\s+", " ").toLowerCase
         .matches(".*select \\*.*")))
       .map(_.name)
+
+  /** Full lint: SQL raw models are checked textually; `build`-based raw
+    * models have their ANALYZED PLAN inspected — a file-backed scan with no
+    * explicit Project above it ships whatever columns the files happen to
+    * have (the DataFrame spelling of `SELECT *`), so it violates unless the
+    * model pins a schema (e.g. via `SchemaEnforcement.conform`, which plans
+    * a Project). In-memory relations carry their schema by construction.
+    * Returns (model, reason) pairs. */
+  def violations(spark: SparkSession, cfg: EngineConfig,
+      models: Seq[Model]): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Project}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val sqlBad = selectStarViolations(models)
+      .map(_ -> "SELECT * in raw-layer SQL")
+    val dfBad = models
+      .filter(m => m.layer == "raw" && m.build.isDefined)
+      .flatMap { m =>
+        try {
+          val plan = m.derive(spark, cfg).queryExecution.analyzed
+          val hasProject = plan.collectFirst { case p: Project => p }.isDefined
+          val hasFileScan = plan.collectFirst {
+            case r: LogicalRelation => r
+            case l: LeafNode if l.nodeName.contains("DataSourceV2") => l
+          }.isDefined
+          if (hasFileScan && !hasProject)
+            Some(m.name -> "file scan without explicit projection/schema")
+          else None
+        } catch {
+          case e: Throwable =>
+            Some(m.name -> s"underivable (cannot lint): ${e.getMessage}")
+        }
+      }
+    sqlBad ++ dfBad
+  }
 }

@@ -1,0 +1,86 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** `warehouse.yml` config loading with env-var overrides — parity with the
+  * reference CLI's file+env config surface
+  * (`/root/reference/warehouse.yml.example`, `WAREHOUSE.md` "Configuration":
+  * a `warehouse:` section for paths/resources, env vars taking precedence).
+  *
+  * Format (two-level YAML subset — `section:` then indented `key: value`;
+  * `#` comments and blank lines ignored; no external YAML dependency):
+  *
+  * {{{
+  * warehouse:
+  *   data_root: /lake
+  *   warehouse_dir: /warehouse
+  *   export_dir: /exports
+  *   threads: 16
+  * vars:
+  *   start_ds: 2024-01-01
+  *   end_ds: 2024-12-31
+  * }}}
+  *
+  * Precedence: env (`GRAFT_DATA_ROOT`, `GRAFT_WAREHOUSE_DIR`,
+  * `GRAFT_EXPORT_DIR`, `GRAFT_THREADS`, `GRAFT_START_DS`, `GRAFT_END_DS`)
+  * > file > defaults — the same layering as the reference
+  * (`OMICIDX_*` env over `warehouse.yml` over built-ins).
+  */
+object GraftConfig {
+
+  final case class Loaded(cfg: EngineConfig, threads: Option[Int])
+
+  /** Parse the two-level `section.key -> value` map. */
+  private[core] def parseYaml(text: String): Map[String, String] = {
+    var section = ""
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    text.linesIterator.foreach { raw =>
+      val noComment = raw.takeWhile(_ != '#')
+      if (noComment.trim.nonEmpty) {
+        val indented = noComment.startsWith(" ") || noComment.startsWith("\t")
+        noComment.trim.split(":", 2) match {
+          case Array(k, v) if v.trim.isEmpty && !indented =>
+            section = k.trim
+          case Array(k, v) =>
+            val key = if (indented && section.nonEmpty) s"$section.${k.trim}" else k.trim
+            out(key) = v.trim.stripPrefix("\"").stripSuffix("\"")
+          case _ => ()
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Load config: explicit path > `$GRAFT_CONFIG` > `./warehouse.yml` (if
+    * present) > pure env/defaults. */
+  def load(path: Option[String] = None,
+      env: Map[String, String] = sys.env): Loaded = {
+    val file = path.orElse(env.get("GRAFT_CONFIG"))
+      .orElse(Some("warehouse.yml").filter(p => Files.exists(Paths.get(p))))
+    val yml: Map[String, String] = file match {
+      case Some(p) if Files.exists(Paths.get(p)) =>
+        parseYaml(Files.readAllLines(Paths.get(p)).asScala.mkString("\n"))
+      case Some(p) => sys.error(s"config file not found: $p")
+      case None => Map.empty
+    }
+    def pick(envKey: String, ymlKey: String, default: String): String =
+      env.get(envKey).orElse(yml.get(ymlKey)).getOrElse(default)
+
+    val fileVars = yml.collect {
+      case (k, v) if k.startsWith("vars.") => k.stripPrefix("vars.") -> v
+    }
+    val envVars = Seq(
+      env.get("GRAFT_START_DS").map("start_ds" -> _),
+      env.get("GRAFT_END_DS").map("end_ds" -> _)).flatten.toMap
+
+    Loaded(
+      EngineConfig(
+        dataRoot = pick("GRAFT_DATA_ROOT", "warehouse.data_root", "/tmp/graft_lake"),
+        warehouseDir = pick("GRAFT_WAREHOUSE_DIR", "warehouse.warehouse_dir", "/tmp/graft_warehouse"),
+        exportDir = pick("GRAFT_EXPORT_DIR", "warehouse.export_dir", "/tmp/graft_exports"),
+        vars = fileVars ++ envVars),
+      threads = env.get("GRAFT_THREADS").orElse(yml.get("warehouse.threads"))
+        .map(_.toInt))
+  }
+}

@@ -77,11 +77,16 @@ object Exporter {
       count(lit(1)).as("n_row_groups"))
   }
 
-  /** catalog.json: version + per-file listing + totals
-    * (`DEPLOYMENT.md:449-470`). */
+  /** catalog.json + catalog.parquet: version + per-file listing + totals
+    * (`DEPLOYMENT.md:449-470`; the parquet twin is `catalog.py:78-81`'s
+    * `COPY file_catalog TO ... (FORMAT PARQUET, COMPRESSION ZSTD)`). */
   def writeCatalogJson(spark: SparkSession, exportDir: String,
       version: String): Unit = {
-    val rows = catalog(spark, exportDir).collect()
+    val cat = catalog(spark, exportDir)
+    cat.coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(s"$exportDir/catalog.parquet")
+    val rows = cat.collect()
     val files = rows.map { r =>
       s"""{"file_name": "${r.getString(0)}", "num_rows": ${r.getLong(1)},
          | "compressed_bytes": ${r.getLong(2)},

@@ -1,10 +1,12 @@
 package graft.incremental
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.{EngineConfig, Materialization, Model}
 
 import java.time.LocalDate
+import java.time.temporal.ChronoUnit
 
 /** INCREMENTAL_BY_TIME_RANGE execution (SURVEY.md §2.10): each refresh
   * recomputes only the rows whose time column falls in the requested window
@@ -17,43 +19,109 @@ import java.time.LocalDate
   * model's time column), so interval replacement = overwriting `_ds=...`
   * subdirectories and readers prune partitions on date predicates.
   *
-  * Missed-interval backfill (`sqlmesh plan` semantics): [[missingIntervals]]
-  * diffs the wanted date range against `_ds=` partitions already on disk.
+  * Missed-interval backfill (`sqlmesh plan`/`run` semantics,
+  * `sqlmesh/README.md`): [[refresh]] consults [[missingIntervals]] and
+  * recomputes ONLY the uncovered dates of the window — "catch up the last
+  * missed week" reads a week, not 25 years. Covered intervals are recorded
+  * as zero-byte markers under `_intervals/` (the state store sqlmesh keeps
+  * in its db), so a date the source had no rows for is still remembered as
+  * processed. Full restatement of the window is `refresh_mode=full` in cfg
+  * vars. All filesystem access goes through the Hadoop `FileSystem` API —
+  * works identically on file://, hdfs:// and s3a:// warehouse dirs.
   * Partial-day avoidance (I4, `ebi_biosample/extract.py:272-278`) is the
   * caller closing `end` at yesterday.
   */
 object IntervalRunner {
 
-  /** Dates in [start, end] (inclusive) with no `_ds=<date>` partition yet. */
+  /** Enumerating-dates guard: windows longer than this (e.g. the default
+    * open-ended `end_ds=9999-12-31`) skip interval bookkeeping and refresh
+    * as one range — marker-per-day bookkeeping at that width is worse than
+    * the recompute it avoids. */
+  private val MaxTrackedDays = 40000L
+
+  private def intervalsDir(tableDir: String) = s"$tableDir/_intervals"
+
+  /** Dates in [start, end] (inclusive) not yet covered by a recorded
+    * interval marker (fallback: a physical `_ds=<date>` partition, for
+    * tables written before interval tracking existed). Hadoop FS API: the
+    * same listing works on local, HDFS and object-store warehouse dirs. */
   def missingIntervals(spark: SparkSession, tableDir: String,
       start: LocalDate, end: LocalDate): Seq[LocalDate] = {
-    val existing: Set[String] = {
-      val d = new java.io.File(tableDir)
-      if (!d.isDirectory) Set.empty
-      else d.listFiles().filter(_.isDirectory).map(_.getName)
-        .filter(_.startsWith("_ds=")).map(_.stripPrefix("_ds=")).toSet
-    }
+    val covered = coveredDates(spark, tableDir)
     Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end))
-      .filterNot(d => existing(d.toString)).toSeq
+      .filterNot(d => covered(d.toString)).toSeq
   }
 
-  /** Refresh the model's [start_ds, end_ds] window (from cfg vars) into its
-    * partitioned table; returns rows written. Re-running the same window
-    * replaces — never duplicates — those partitions. */
+  private def coveredDates(spark: SparkSession, tableDir: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def names(dir: String, prefix: String): Option[Set[String]] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else Some(fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSet)
+    }
+    names(intervalsDir(tableDir), "_ds=")
+      .orElse(names(tableDir, "_ds="))
+      .getOrElse(Set.empty)
+  }
+
+  /** Record dates as processed (zero-byte markers, overwrite-idempotent). */
+  private def recordIntervals(spark: SparkSession, tableDir: String,
+      dates: Seq[LocalDate]): Unit = {
+    if (dates.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(intervalsDir(tableDir))
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    dates.foreach(d => fs.create(new Path(dir, s"_ds=$d"), true).close())
+  }
+
+  /** Collapse sorted dates into inclusive contiguous [start, end] ranges —
+    * keeps the recompute filter a handful of BETWEENs (prunable at the
+    * scan) instead of a 9000-literal IN list. */
+  private[incremental] def toRanges(dates: Seq[LocalDate]): Seq[(LocalDate, LocalDate)] =
+    dates.sorted(Ordering.fromLessThan[LocalDate](_ isBefore _))
+      .foldLeft(List.empty[(LocalDate, LocalDate)]) {
+        case ((s, e) :: tail, d) if e.plusDays(1) == d => (s, d) :: tail
+        case (acc, d) => (d, d) :: acc
+      }.reverse
+
+  /** Refresh the model's window into its partitioned table; returns rows
+    * written. Default mode recomputes only [[missingIntervals]] of
+    * [start_ds, end_ds] (backfill); `refresh_mode=full` restates the whole
+    * window. Re-running is idempotent: dynamic partition overwrite replaces
+    * — never duplicates — the touched partitions. */
   def refresh(spark: SparkSession, cfg: EngineConfig, m: Model,
       inc: Materialization.IncrementalByTimeRange): Long = {
     val path = s"${cfg.warehouseDir}/${m.layer}/${m.name}"
-    val df = m.derive(spark, cfg)
-    val windowed = df
-      .filter(col(inc.timeColumn).cast("date")
-        .between(lit(cfg.startDs), lit(cfg.endDs)))
-      .withColumn("_ds", col(inc.timeColumn).cast("date").cast("string"))
-    // dynamic mode (set in GraftSession.tune): only touched _ds partitions
-    // are replaced; untouched history is left as-is.
-    windowed.write
-      .mode("overwrite")
-      .partitionBy("_ds")
-      .parquet(path)
+    val start = LocalDate.parse(cfg.startDs)
+    val end = LocalDate.parse(cfg.endDs)
+    val full = cfg.vars.get("refresh_mode").contains("full")
+    val tracked = ChronoUnit.DAYS.between(start, end) < MaxTrackedDays
+
+    val ranges: Seq[(LocalDate, LocalDate)] =
+      if (full || !tracked) Seq((start, end))
+      else toRanges(missingIntervals(spark, path, start, end))
+
+    if (ranges.nonEmpty) {
+      val df = m.derive(spark, cfg)
+      val ds = col(inc.timeColumn).cast("date")
+      val windowed = df
+        .filter(ranges.map { case (s, e) =>
+          ds.between(lit(s.toString), lit(e.toString))
+        }.reduce(_ || _))
+        .withColumn("_ds", ds.cast("string"))
+      // dynamic mode (set in GraftSession.tune): only touched _ds partitions
+      // are replaced; untouched history is left as-is.
+      windowed.write
+        .mode("overwrite")
+        .partitionBy("_ds")
+        .parquet(path)
+      if (tracked) recordIntervals(spark, path, ranges.flatMap { case (s, e) =>
+        Iterator.iterate(s)(_.plusDays(1)).takeWhile(!_.isAfter(e)).toSeq
+      })
+    }
     spark.read.parquet(path)
       .filter(col("_ds").between(lit(cfg.startDs), lit(cfg.endDs)))
       .count()

@@ -1,0 +1,243 @@
+package graft.models
+
+import org.apache.spark.sql.types._
+
+/** Pinned domain schemas for the lake entities (SURVEY.md §1.4).
+  *
+  * The reference hard-codes Arrow schemas per record type
+  * (`/root/reference/omicidx_etl/sra/extract.py:53-229`,
+  * `/root/reference/omicidx_etl/ebi_biosample/extract.py:20-65`) and the
+  * GEO lake tables carry the production schema listed in
+  * `/root/reference/README.md:105-235`. Declaring them here — and passing
+  * them into every NDJSON read / conforming every parquet read
+  * ([[OmicidxModels.lakeSources]]) — closes the schema-drift trap
+  * (SURVEY.md §7.4): an NDJSON batch whose column is all-null for a month
+  * would otherwise silently infer as string and poison downstream casts.
+  *
+  * Conventions: Arrow `string`→StringType, `int32`→IntegerType,
+  * `int64`→LongType, `float64`→DoubleType, `list_(T)`→ArrayType(T); JSON
+  * date strings parse into DateType/TimestampType directly off the pinned
+  * schema. All fields nullable (lake reality).
+  */
+object DomainSchemas {
+
+  private def field(name: String, t: DataType) = StructField(name, t, nullable = true)
+  private def struct(fs: StructField*) = StructType(fs)
+
+  // ---- shared SRA nested types (sra/extract.py:64-131) ----
+  private val identifier = struct(
+    field("namespace", StringType), field("id", StringType),
+    field("uuid", StringType))
+  private val attribute = struct(
+    field("tag", StringType), field("value", StringType))
+  private val xref = struct(field("db", StringType), field("id", StringType))
+  private val fileAlternative = struct(
+    field("url", StringType), field("free_egress", StringType),
+    field("access_type", StringType), field("org", StringType))
+  private val sraFile = struct(
+    field("cluster", StringType), field("filename", StringType),
+    field("url", StringType), field("size", LongType),
+    field("date", StringType), field("md5", StringType),
+    field("sratoolkit", StringType),
+    field("alternatives", ArrayType(fileAlternative)))
+  private val runRead = struct(
+    field("index", LongType), field("count", LongType),
+    field("mean_length", DoubleType), field("sd_length", DoubleType))
+  private val baseCount = struct(
+    field("base", StringType), field("count", LongType))
+  private val quality = struct(
+    field("quality", IntegerType), field("count", LongType))
+  private val taxCountEntry = struct(
+    field("rank", StringType), field("name", StringType),
+    field("parent", IntegerType), field("total_count", LongType),
+    field("self_count", LongType), field("tax_id", IntegerType))
+  private val taxAnalysis = struct(
+    field("nspot_analyze", LongType), field("total_spots", LongType),
+    field("mapped_spots", LongType),
+    field("tax_counts", ArrayType(taxCountEntry)))
+  private val experimentRead = struct(
+    field("base_coord", LongType), field("read_class", StringType),
+    field("read_index", LongType), field("read_type", StringType))
+
+  /** SRA run records (sra/extract.py:139-155). */
+  val sraRun: StructType = struct(
+    field("accession", StringType), field("alias", StringType),
+    field("experiment_accession", StringType), field("title", StringType),
+    field("total_spots", LongType), field("total_bases", LongType),
+    field("size", LongType), field("avg_length", DoubleType),
+    field("identifiers", ArrayType(identifier)),
+    field("attributes", ArrayType(attribute)),
+    field("files", ArrayType(sraFile)),
+    field("reads", ArrayType(runRead)),
+    field("base_counts", ArrayType(baseCount)),
+    field("qualities", ArrayType(quality)),
+    field("tax_analysis", taxAnalysis))
+
+  /** SRA study records (sra/extract.py:158-174). */
+  val sraStudy: StructType = struct(
+    field("accession", StringType), field("study_accession", StringType),
+    field("alias", StringType), field("title", StringType),
+    field("description", StringType), field("abstract", StringType),
+    field("study_type", StringType), field("center_name", StringType),
+    field("broker_name", StringType), field("BioProject", StringType),
+    field("GEO", StringType),
+    field("identifiers", ArrayType(identifier)),
+    field("attributes", ArrayType(attribute)),
+    field("xrefs", ArrayType(xref)),
+    field("pubmed_ids", ArrayType(StringType)))
+
+  /** SRA sample records (sra/extract.py:177-189). */
+  val sraSample: StructType = struct(
+    field("accession", StringType), field("alias", StringType),
+    field("title", StringType), field("organism", StringType),
+    field("description", StringType), field("taxon_id", IntegerType),
+    field("geo", StringType), field("BioSample", StringType),
+    field("identifiers", ArrayType(identifier)),
+    field("attributes", ArrayType(attribute)),
+    field("xrefs", ArrayType(xref)))
+
+  /** SRA experiment records (sra/extract.py:192-219). */
+  val sraExperiment: StructType = struct(
+    field("accession", StringType), field("experiment_accession", StringType),
+    field("alias", StringType), field("title", StringType),
+    field("description", StringType), field("design", StringType),
+    field("center_name", StringType), field("study_accession", StringType),
+    field("sample_accession", StringType), field("platform", StringType),
+    field("instrument_model", StringType), field("library_name", StringType),
+    field("library_construction_protocol", StringType),
+    field("library_layout", StringType),
+    field("library_layout_orientation", StringType),
+    field("library_layout_length", StringType),
+    field("library_layout_sdev", StringType),
+    field("library_strategy", StringType), field("library_source", StringType),
+    field("library_selection", StringType),
+    field("spot_length", LongType), field("nreads", LongType),
+    field("identifiers", ArrayType(identifier)),
+    field("attributes", ArrayType(attribute)),
+    field("xrefs", ArrayType(xref)),
+    field("reads", ArrayType(experimentRead)))
+
+  /** SRA accessions spine — the 20-column TSV-derived parquet
+    * (src_sra_accessions.sql:9-31; Updated/Published/Received are
+    * timestamps, Loaded/Spots/Bases counters). */
+  val sraAccessions: StructType = struct(
+    field("Accession", StringType), field("Submission", StringType),
+    field("Status", StringType), field("Updated", TimestampType),
+    field("Published", TimestampType), field("Received", TimestampType),
+    field("Type", StringType), field("Center", StringType),
+    field("Visibility", StringType), field("Alias", StringType),
+    field("Experiment", StringType), field("Sample", StringType),
+    field("Study", StringType), field("Loaded", LongType),
+    field("Spots", LongType), field("Bases", LongType),
+    field("Md5sum", StringType), field("BioSample", StringType),
+    field("BioProject", StringType), field("ReplacedBy", StringType))
+
+  /** EBI BioSample records (ebi_biosample/extract.py:20-65). */
+  val ebiBiosample: StructType = struct(
+    field("accession", StringType), field("name", StringType),
+    field("update", StringType), field("release", StringType),
+    field("create", StringType), field("taxId", LongType),
+    field("characteristics", ArrayType(struct(
+      field("text", StringType),
+      field("ontologyTerms", ArrayType(StringType)),
+      field("unit", StringType),
+      field("characteristic", StringType)))),
+    field("organization", ArrayType(struct(
+      field("Name", StringType), field("Role", StringType),
+      field("Address", StringType), field("URI", StringType),
+      field("Email", StringType)))),
+    field("contact", ArrayType(struct(
+      field("Name", StringType), field("Role", StringType),
+      field("Email", StringType)))),
+    field("publications", ArrayType(struct(
+      field("pubmed_id", StringType), field("doi", StringType)))),
+    field("externalReferences", ArrayType(struct(
+      field("url", StringType), field("duo", ArrayType(StringType))))),
+    field("_links", struct(
+      field("self", struct(field("href", StringType))),
+      field("curationLinks", struct(field("href", StringType))),
+      field("samples", struct(field("href", StringType))),
+      field("curationLink", struct(field("href", StringType))))))
+
+  // ---- GEO (production lake schema, README.md:105-235) ----
+  private val geoName = struct(
+    field("last", StringType), field("middle", StringType),
+    field("first", StringType))
+  private val geoContact = struct(
+    field("phone", StringType), field("institute", StringType),
+    field("web_link", StringType), field("country", StringType),
+    field("department", StringType), field("state", StringType),
+    field("email", StringType), field("name", geoName),
+    field("address", StringType), field("zip_postal_code", StringType),
+    field("city", StringType))
+
+  /** GEO sample (gsm) records (README.md:143-197). */
+  val geoSample: StructType = struct(
+    field("accession", StringType), field("title", StringType),
+    field("status", StringType), field("submission_date", DateType),
+    field("last_update_date", DateType), field("type", StringType),
+    field("channels", ArrayType(struct(
+      field("characteristics", ArrayType(struct(
+        field("value", StringType), field("tag", StringType)))),
+      field("treatment_protocol", StringType),
+      field("extract_protocol", StringType),
+      field("label_protocol", StringType),
+      field("source_name", StringType), field("organism", StringType),
+      field("molecule", StringType),
+      field("taxid", ArrayType(IntegerType)),
+      field("growth_protocol", StringType), field("label", StringType)))),
+    field("channel_count", IntegerType),
+    field("platform_id", StringType),
+    field("overall_design", StringType),
+    field("library_source", StringType),
+    field("data_row_count", IntegerType),
+    field("data_processing", StringType),
+    field("tag_length", StringType), field("anchor", StringType),
+    field("contributor", ArrayType(StringType)),
+    field("biosample", StringType), field("sra_experiment", StringType),
+    field("description", StringType), field("contact", geoContact),
+    field("supplemental_files", ArrayType(StringType)),
+    field("scan_protocol", StringType), field("tag_count", StringType),
+    field("hyb_protocol", StringType))
+
+  /** GEO series (gse) records (README.md:199-235 + gse.sql consumers). */
+  val geoSeries: StructType = struct(
+    field("accession", StringType), field("title", StringType),
+    field("status", StringType), field("submission_date", DateType),
+    field("last_update_date", DateType), field("summary", StringType),
+    field("pubmed_id", ArrayType(LongType)), field("type", StringType),
+    field("contributor", ArrayType(StringType)),
+    field("sample_id", ArrayType(StringType)),
+    field("supplemental_files", ArrayType(StringType)),
+    field("contact", geoContact),
+    field("overall_design", StringType),
+    field("data_processing", StringType),
+    field("relation", ArrayType(StringType)))
+
+  /** GEO platform (gpl) records (README.md:105-141). */
+  val geoPlatform: StructType = struct(
+    field("accession", StringType), field("title", StringType),
+    field("status", StringType), field("submission_date", DateType),
+    field("last_update_date", DateType), field("technology", StringType),
+    field("distribution", StringType), field("organism", StringType),
+    field("manufacturer", ArrayType(StringType)),
+    field("manufacture_protocol", StringType),
+    field("description", StringType), field("summary", StringType),
+    field("data_row_count", IntegerType),
+    field("series_id", ArrayType(StringType)),
+    field("sample_id", ArrayType(StringType)),
+    field("relation", ArrayType(StringType)),
+    field("contact", geoContact))
+
+  /** Entity-name → pinned schema, keyed by raw-source model name. */
+  val byRawSource: Map[String, StructType] = Map(
+    "src_sra_accessions" -> sraAccessions,
+    "src_sra_experiments" -> sraExperiment,
+    "src_sra_runs" -> sraRun,
+    "src_sra_samples" -> sraSample,
+    "src_sra_studies" -> sraStudy,
+    "src_geo_samples" -> geoSample,
+    "src_geo_series" -> geoSeries,
+    "src_geo_platforms" -> geoPlatform,
+    "src_ebi_biosample" -> ebiBiosample)
+}

@@ -32,26 +32,39 @@ object OmicidxModels {
     ("samples", "SAMPLE"), ("studies", "STUDY"))
 
   /** Production raw-source bindings: parquet/NDJSON globs under dataRoot
-    * (`src_sra_experiments.sql:36`, `src_geo_samples.sql:36`). */
+    * (`src_sra_experiments.sql:36`, `src_geo_samples.sql:36`).
+    *
+    * Every entity with a pinned [[DomainSchemas]] schema is read AGAINST
+    * it: NDJSON reads parse with the declared StructType (an all-null
+    * month can't drift a column to string), parquet reads are conformed
+    * post-scan (missing columns become typed nulls, drifted types cast
+    * back, null lists normalize to []) — the reference's Arrow-schema
+    * guarantee (`sra/extract.py:584-591`). NCBI biosample/bioproject have
+    * no pinned schema in the reference snapshot and keep by-name union. */
   def lakeSources: Map[String, (SparkSession, EngineConfig) => DataFrame] = {
-    val parquetOf = (rel: String) =>
-      (s: SparkSession, c: EngineConfig) =>
-        LakeReader.parquetGlob(s, s"${c.dataRoot}/$rel")
-    val jsonOf = (rel: String) =>
-      (s: SparkSession, c: EngineConfig) =>
-        LakeReader.ndjsonGlob(s, s"${c.dataRoot}/$rel")
+    val parquetOf = (name: String, rel: String) =>
+      name -> ((s: SparkSession, c: EngineConfig) => {
+        val df = LakeReader.parquetGlob(s, s"${c.dataRoot}/$rel")
+        DomainSchemas.byRawSource.get(name)
+          .map(graft.sources.SchemaEnforcement.normalize(df, _))
+          .getOrElse(df)
+      })
+    val jsonOf = (name: String, rel: String) =>
+      name -> ((s: SparkSession, c: EngineConfig) =>
+        LakeReader.ndjsonGlob(s, s"${c.dataRoot}/$rel",
+          DomainSchemas.byRawSource.get(name)))
     Map(
-      "src_sra_accessions" -> parquetOf("sra/sra_accessions.parquet"),
-      "src_sra_experiments" -> parquetOf("sra/*experiment*.parquet"),
-      "src_sra_runs" -> parquetOf("sra/*run*.parquet"),
-      "src_sra_samples" -> parquetOf("sra/*sample*.parquet"),
-      "src_sra_studies" -> parquetOf("sra/*study*.parquet"),
-      "src_geo_samples" -> jsonOf("geo/gsm*.ndjson.gz"),
-      "src_geo_series" -> jsonOf("geo/gse*.ndjson.gz"),
-      "src_geo_platforms" -> jsonOf("geo/gpl*.ndjson.gz"),
-      "src_ncbi_biosample" -> parquetOf("biosample/biosample*.parquet"),
-      "src_ncbi_bioproject" -> parquetOf("biosample/bioproject*.parquet"),
-      "src_ebi_biosample" -> parquetOf("ebi_biosample/*.parquet"))
+      parquetOf("src_sra_accessions", "sra/sra_accessions.parquet"),
+      parquetOf("src_sra_experiments", "sra/*experiment*.parquet"),
+      parquetOf("src_sra_runs", "sra/*run*.parquet"),
+      parquetOf("src_sra_samples", "sra/*sample*.parquet"),
+      parquetOf("src_sra_studies", "sra/*study*.parquet"),
+      jsonOf("src_geo_samples", "geo/gsm*.ndjson.gz"),
+      jsonOf("src_geo_series", "geo/gse*.ndjson.gz"),
+      jsonOf("src_geo_platforms", "geo/gpl*.ndjson.gz"),
+      parquetOf("src_ncbi_biosample", "biosample/biosample*.parquet"),
+      parquetOf("src_ncbi_bioproject", "biosample/bioproject*.parquet"),
+      parquetOf("src_ebi_biosample", "ebi_biosample/*.parquet"))
   }
 
   /** Full catalog, with raw sources bound to the given builders. */

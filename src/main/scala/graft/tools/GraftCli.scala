@@ -14,24 +14,24 @@ import graft.models.OmicidxModels
   * runMain graft.tools.GraftCli describe <model>
   * runMain graft.tools.GraftCli history [n]
   * runMain graft.tools.GraftCli status
+  * runMain graft.tools.GraftCli docs
   * runMain graft.tools.GraftCli lint
   * }}}
   *
-  * Config from env: GRAFT_DATA_ROOT (lake), GRAFT_WAREHOUSE_DIR,
-  * GRAFT_EXPORT_DIR, GRAFT_START_DS / GRAFT_END_DS (incremental window).
+  * Config — the reference's file+env layering (`warehouse_cli` loads
+  * `warehouse.yml`, env overrides): `$GRAFT_CONFIG` or `./warehouse.yml`
+  * via [[graft.core.GraftConfig]], overridden by GRAFT_DATA_ROOT,
+  * GRAFT_WAREHOUSE_DIR, GRAFT_EXPORT_DIR, GRAFT_THREADS,
+  * GRAFT_START_DS / GRAFT_END_DS.
   */
 object GraftCli {
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("list-models")
     val rest = args.drop(1).toSeq
-    val cfg = EngineConfig(
-      dataRoot = sys.env.getOrElse("GRAFT_DATA_ROOT", "/tmp/graft_lake"),
-      warehouseDir = sys.env.getOrElse("GRAFT_WAREHOUSE_DIR", "/tmp/graft_warehouse"),
-      exportDir = sys.env.getOrElse("GRAFT_EXPORT_DIR", "/tmp/graft_exports"),
-      vars = Seq(
-        sys.env.get("GRAFT_START_DS").map("start_ds" -> _),
-        sys.env.get("GRAFT_END_DS").map("end_ds" -> _)).flatten.toMap)
-    val spark = GraftSession.local()
+    val loaded = GraftConfig.load()
+    val cfg = loaded.cfg
+    val spark = loaded.threads
+      .map(GraftSession.local(_)).getOrElse(GraftSession.local())
     val models = OmicidxModels.catalog(OmicidxModels.lakeSources)
     val meta = new MetaStore(spark, cfg.warehouseDir)
     val runner = new DagRunner(spark, cfg, models, Some(meta))
@@ -67,10 +67,15 @@ object GraftCli {
         meta.history(rest.headOption.map(_.toInt).getOrElse(15)).show(truncate = false)
       case "status" =>
         meta.status.orderBy("model").show(truncate = false)
+      case "docs" =>
+        meta.docs.orderBy("layer", "model").show(truncate = false)
       case "lint" =>
-        val bad = Lint.selectStarViolations(models)
-        if (bad.isEmpty) println("lint OK: no raw-layer SELECT *")
-        else { println(s"SELECT * in raw models: ${bad.mkString(", ")}"); sys.exit(1) }
+        val bad = Lint.violations(spark, cfg, models)
+        if (bad.isEmpty) println("lint OK: every raw model pins its columns")
+        else {
+          bad.foreach { case (m, why) => println(s"LINT $m: $why") }
+          sys.exit(1)
+        }
       case other => sys.error(s"unknown command $other")
     }
     spark.stop()

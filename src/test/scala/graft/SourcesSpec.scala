@@ -52,6 +52,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.count() === 2L)
   }
 
+  test("pinned GEO schema defeats NDJSON drift: all-null month keeps types") {
+    val dir = Files.createTempDirectory("graft_drift").toString
+    // month 1: full record; month 2: drifted — channel_count,
+    // last_update_date and supplemental_files entirely absent
+    Seq("""{"accession":"GSM1","title":"t1","last_update_date":"2005-05-28","channel_count":2,"supplemental_files":["http://x/f.gz"],"channels":[{"source_name":"s1","organism":"hs","molecule":"RNA"}],"contact":{"email":"a@x","name":{"first":"Ada","last":"L"}}}""")
+      .toDF("value").coalesce(1)
+      .write.option("compression", "gzip").mode("overwrite").text(s"$dir/m1")
+    Seq("""{"accession":"GSM2","title":"t2"}""").toDF("value").coalesce(1)
+      .write.option("compression", "gzip").mode("overwrite").text(s"$dir/m2")
+
+    // unpinned: the drifted glob infers whatever the surviving values allow
+    // — an all-null column would come back string. Pinned: every column
+    // keeps its declared type and absent ones are typed nulls.
+    val pinned = LakeReader.ndjsonGlob(spark, s"$dir/m*/*.gz",
+      Some(graft.models.DomainSchemas.geoSample))
+    assert(pinned.schema("last_update_date").dataType === DateType)
+    assert(pinned.schema("channel_count").dataType === IntegerType)
+    assert(pinned.schema("supplemental_files").dataType
+      === ArrayType(StringType))
+    assert(pinned.schema("channels").dataType.isInstanceOf[ArrayType])
+    val rows = pinned.orderBy("accession").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[java.sql.Date]("last_update_date").toString
+      === "2005-05-28")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("last_update_date")))
+    // and the gsm view's nested paths still resolve on the pinned frame
+    pinned.createOrReplaceTempView("drift_gsm")
+    val c = spark.sql(
+      """SELECT contact.name.first || ' ' || contact.name.last AS contact,
+                try_element_at(channels, 1).source_name AS src1
+         FROM drift_gsm ORDER BY accession""").collect()
+    assert(c(0).getString(0) === "Ada L" && c(0).getString(1) === "s1")
+    assert(c(1).isNullAt(0) && c(1).isNullAt(1))
+  }
+
   test("csv scan with delimiter + inference") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),

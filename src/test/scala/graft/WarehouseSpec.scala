@@ -96,6 +96,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/bronze/stg_sra_experiments").count() === 3L)
   }
 
+  test("backfill recomputes only the missing _ds partitions") {
+    val wh = Files.createTempDirectory("graft_wh5").toString
+    val cfg = EngineConfig("/none", wh, s"$wh/exports",
+      Map("start_ds" -> "2005-05-28", "end_ds" -> "2005-06-30"))
+    mkRunner(cfg).run(Some(Seq("stg_sra_experiments")))
+    val tableDir = s"$wh/bronze/stg_sra_experiments"
+    val p28 = new java.io.File(s"$tableDir/_ds=2005-05-28")
+    val p29 = new java.io.File(s"$tableDir/_ds=2005-05-29")
+    assert(p28.isDirectory && p29.isDirectory)
+    val rows28 = spark.read.parquet(p28.toString).collect().toSet
+    val before29 = p29.listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    // lose one partition (and its interval marker): the "missed week"
+    p28.listFiles().foreach(_.delete()); assert(p28.delete())
+    assert(new java.io.File(s"$tableDir/_intervals/_ds=2005-05-28").delete())
+    val missing = graft.incremental.IntervalRunner.missingIntervals(
+      spark, tableDir,
+      java.time.LocalDate.parse("2005-05-28"),
+      java.time.LocalDate.parse("2005-06-30"))
+    assert(missing === Seq(java.time.LocalDate.parse("2005-05-28")),
+      "empty source dates stay covered by markers; only the deleted date is missing")
+
+    mkRunner(cfg).run(Some(Seq("stg_sra_experiments")))
+    // the missing partition is rebuilt identically...
+    assert(spark.read.parquet(p28.toString).collect().toSet === rows28)
+    // ...and the untouched partition was NOT rewritten (same files+mtimes)
+    assert(p29.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      === before29)
+  }
+
   test("mart materializes, exports parquet, passes audits, records metadata") {
     val wh = Files.createTempDirectory("graft_wh3").toString
     val cfg = EngineConfig("/none", wh, s"$wh/exports",
