@@ -44,7 +44,10 @@ object Bench {
           false
       }
 
+    // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(f => f.exists(n.startsWith)))
     // warm-up (untimed): compiles codegen, warms JIT + parquet footers cache
     names.foreach(exec)
     // settle the JVM between warm-up and the timed passes so GC debt from
@@ -59,9 +62,14 @@ object Bench {
     }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // failed queries report null and are EXCLUDED from total: a
+    // time-to-throw must never enter the trend line as if it were work done
+    val results = names.filterNot(errors.contains)
+      .map(n => n -> math.min(p1(n), p2(n)))
+    val qs = names.map { n =>
+      "\"" + n + "\":" + (if (errors.contains(n)) "null"
+                          else math.min(p1(n), p2(n)).toString)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -73,7 +81,10 @@ object Bench {
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
     prior.foreach { f =>
       val txt = scala.io.Source.fromFile(f).mkString
-      val tot = "\"value\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt).map(_.group(1))
+      // the driver's BENCH_r*.json may carry our JSON line escaped inside a
+      // "tail" string field — accept both "value": and \"value\":
+      val tot = "\\\\?\"value\\\\?\"\\s*:\\s*([0-9.]+)".r
+        .findFirstMatchIn(txt).map(_.group(1))
       System.err.println(s"[bench] trend ${f.getName}: total=${tot.getOrElse("?")} s")
     }
     System.err.println(f"[bench] trend this-run: total=$total%.2f s (${names.size} queries, ${errors.size} errors)")

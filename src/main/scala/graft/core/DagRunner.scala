@@ -188,12 +188,25 @@ object Lint {
         .matches(".*select \\*.*")))
       .map(_.name)
 
+  /** Rule name shared with the reference's sqlmesh config
+    * (`sqlmesh/config.yaml:61-66`). */
+  val InvalidSelectStarExpansion = "invalidselectstarexpansion"
+
   /** Full lint: SQL raw models are checked textually; `build`-based raw
-    * models have their ANALYZED PLAN inspected — a file-backed scan with no
-    * explicit Project above it ships whatever columns the files happen to
-    * have (the DataFrame spelling of `SELECT *`), so it violates unless the
-    * model pins a schema (e.g. via `SchemaEnforcement.conform`, which plans
-    * a Project). In-memory relations carry their schema by construction.
+    * models must pin their output columns one of two ways:
+    *
+    *  - `Model.pinnedSchema` declared — lint then verifies the DERIVED
+    *    frame's schema equals the pin (names + types, in order), which also
+    *    covers reader-supplied schemas (`LakeReader.ndjsonGlob(schema=...)`
+    *    plans a bare scan with no Project: the scan itself IS the pin);
+    *  - an explicit Project in the analyzed plan (`.select`/conform) over
+    *    any file-backed scan.
+    *
+    * A file scan with neither ships whatever columns the files happen to
+    * have (the DataFrame spelling of `SELECT *`) and violates, unless the
+    * model carries an [[Model.lintWaivers]] entry for
+    * [[InvalidSelectStarExpansion]] (deliberate by-name union sources).
+    * In-memory relations carry their schema by construction.
     * Returns (model, reason) pairs. */
   def violations(spark: SparkSession, cfg: EngineConfig,
       models: Seq[Model]): Seq[(String, String)] = {
@@ -202,18 +215,29 @@ object Lint {
     val sqlBad = selectStarViolations(models)
       .map(_ -> "SELECT * in raw-layer SQL")
     val dfBad = models
-      .filter(m => m.layer == "raw" && m.build.isDefined)
+      .filter(m => m.layer == "raw" && m.build.isDefined &&
+        !m.lintWaivers.contains(InvalidSelectStarExpansion))
       .flatMap { m =>
         try {
           val plan = m.derive(spark, cfg).queryExecution.analyzed
-          val hasProject = plan.collectFirst { case p: Project => p }.isDefined
-          val hasFileScan = plan.collectFirst {
-            case r: LogicalRelation => r
-            case l: LeafNode if l.nodeName.contains("DataSourceV2") => l
-          }.isDefined
-          if (hasFileScan && !hasProject)
-            Some(m.name -> "file scan without explicit projection/schema")
-          else None
+          m.pinnedSchema match {
+            case Some(pin) =>
+              val got = plan.schema.fields.map(f => (f.name, f.dataType)).toSeq
+              val want = pin.fields.map(f => (f.name, f.dataType)).toSeq
+              if (got != want)
+                Some(m.name -> ("derived schema differs from pinnedSchema: " +
+                  s"got ${got.map(_._1).mkString(",")} want ${want.map(_._1).mkString(",")}"))
+              else None
+            case None =>
+              val hasProject = plan.collectFirst { case p: Project => p }.isDefined
+              val hasFileScan = plan.collectFirst {
+                case r: LogicalRelation => r
+                case l: LeafNode if l.nodeName.contains("DataSourceV2") => l
+              }.isDefined
+              if (hasFileScan && !hasProject)
+                Some(m.name -> "file scan without explicit projection/schema")
+              else None
+          }
         } catch {
           case e: Throwable =>
             Some(m.name -> s"underivable (cannot lint): ${e.getMessage}")

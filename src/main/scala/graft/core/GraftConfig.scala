@@ -31,19 +31,26 @@ object GraftConfig {
 
   final case class Loaded(cfg: EngineConfig, threads: Option[Int])
 
-  /** Parse the two-level `section.key -> value` map. */
-  private[core] def parseYaml(text: String): Map[String, String] = {
+  /** Parse the two-level `section.key -> value` map. Deeper nesting is a
+    * hard error (a silently-flattened subtree would misconfigure paths);
+    * `#` starts a comment only at line start or after whitespace, so values
+    * containing `#` (paths, URLs with fragments) survive intact. */
+  private[graft] def parseYaml(text: String): Map[String, String] = {
     var section = ""
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
-    text.linesIterator.foreach { raw =>
-      val noComment = raw.takeWhile(_ != '#')
+    text.linesIterator.zipWithIndex.foreach { case (raw, i) =>
+      val noComment = raw.replaceFirst("(^|\\s)#.*$", "$1")
       if (noComment.trim.nonEmpty) {
-        val indented = noComment.startsWith(" ") || noComment.startsWith("\t")
+        val indent = noComment.takeWhile(c => c == ' ' || c == '\t').length
         noComment.trim.split(":", 2) match {
-          case Array(k, v) if v.trim.isEmpty && !indented =>
+          case Array(k, v) if v.trim.isEmpty && indent == 0 =>
             section = k.trim
+          case Array(k, v) if v.trim.isEmpty =>
+            sys.error(s"warehouse.yml line ${i + 1}: nested section " +
+              s"'${k.trim}' — only two levels (section: then key: value) " +
+              "are supported")
           case Array(k, v) =>
-            val key = if (indented && section.nonEmpty) s"$section.${k.trim}" else k.trim
+            val key = if (indent > 0 && section.nonEmpty) s"$section.${k.trim}" else k.trim
             out(key) = v.trim.stripPrefix("\"").stripSuffix("\"")
           case _ => ()
         }

@@ -58,7 +58,14 @@ final case class Model(
     export: Option[ExportSpec] = None,
     audits: Seq[Audit] = Nil,
     grain: Seq[String] = Nil,
-    description: String = "") {
+    description: String = "",
+    /** Declared output contract: when set, lint verifies the derived frame's
+      * schema EQUALS it (names + types, in order) — the reference's pinned
+      * Arrow schema (`sra/extract.py:53-229`) as a checkable Model field. */
+    pinnedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+    /** Lint rules intentionally ignored for this model, by rule name — the
+      * sqlmesh per-model lint ignore list (`sqlmesh/config.yaml:61-66`). */
+    lintWaivers: Set[String] = Set.empty) {
   require(sql.isDefined != build.isDefined,
     s"model $name: exactly one of sql/build must be set")
   def qualified: String = s"${layer}_$name"

@@ -61,9 +61,14 @@ object IntervalRunner {
       else Some(fs.listStatus(p).map(_.getPath.getName)
         .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSet)
     }
-    names(intervalsDir(tableDir), "_ds=")
-      .orElse(names(tableDir, "_ds="))
-      .getOrElse(Set.empty)
+    // UNION of marker dates and physical `_ds=` partitions — not orElse: a
+    // tracked refresh over a subset window must not erase coverage of older
+    // pre-tracking partitions (they'd be needlessly recomputed on the next
+    // wider-window run). A marker without data still counts as covered (the
+    // date genuinely had no source rows); backfilling a deleted partition
+    // means deleting its marker too.
+    names(intervalsDir(tableDir), "_ds=").getOrElse(Set.empty) ++
+      names(tableDir, "_ds=").getOrElse(Set.empty)
   }
 
   /** Record dates as processed (zero-byte markers, overwrite-idempotent). */

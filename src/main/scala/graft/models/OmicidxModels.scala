@@ -72,9 +72,17 @@ object OmicidxModels {
       sources: Map[String, (SparkSession, EngineConfig) => DataFrame])
       : Seq[Model] = {
 
+    // NCBI biosample/bioproject deliberately keep by-name union (no pinned
+    // schema in the reference snapshot) — waived from the star-expansion
+    // lint instead of silently passing it.
+    val unpinned = Set("src_ncbi_biosample", "src_ncbi_bioproject")
     val raw = sources.map { case (name, fn) =>
       Model(name, layer = "raw", build = Some(fn),
-        description = s"raw view over lake files: $name")
+        description = s"raw view over lake files: $name",
+        pinnedSchema = DomainSchemas.byRawSource.get(name),
+        lintWaivers =
+          if (unpinned(name)) Set(graft.core.Lint.InvalidSelectStarExpansion)
+          else Set.empty)
     }.toSeq
 
     // ---- bronze: SRA detail ⋈ accession spine, incremental ----

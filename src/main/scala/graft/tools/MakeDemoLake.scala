@@ -1,15 +1,30 @@
 package graft.tools
 
-/** Writes a miniature SRA lake under the given root so GraftCli `run` can
-  * be driven end-to-end against real files (demo/dev helper). */
+import org.apache.spark.sql.SparkSession
+
+/** Writes a miniature omicidx lake — every raw source the production
+  * catalog binds ([[graft.models.OmicidxModels.lakeSources]]) — under the
+  * given root, so GraftCli `run`/`lint` can be driven end-to-end against
+  * real files. Also used by the lint spec as the fixture lake. */
 object MakeDemoLake {
-  def main(args: Array[String]): Unit = {
-    val root = args.headOption.getOrElse("/tmp/graft_lake")
-    val spark = graft.core.GraftSession.local(4)
+
+  /** Gzip a handful of JSON lines to a single `.ndjson.gz` file (the lake's
+    * GEO layout: one gz file per monthly batch, `geo/gsm*.ndjson.gz`). */
+  private def gzLines(path: java.nio.file.Path, lines: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def write(spark: SparkSession, root: String): Unit = {
     import spark.implicits._
     Seq(
       ("SRX001", "SUB1", "live", "2005-05-28 10:00:00", "EXPERIMENT", "SAMN01", "PRJ1"),
       ("SRX002", "SUB1", "live", "2005-05-29 11:00:00", "EXPERIMENT", "SAMN02", "PRJ1"),
+      ("SRR001", "SUB1", "live", "2005-05-28 12:00:00", "RUN", "SAMN01", "PRJ1"),
+      ("SRS001", "SUB1", "live", "2005-05-28 13:00:00", "SAMPLE", "SAMN01", "PRJ1"),
       ("SRP001", "SUB1", "live", "2005-05-28 10:00:00", "STUDY", null, "PRJ1"))
       .toDF("Accession", "Submission", "Status", "Updated", "Type",
         "BioSample", "BioProject")
@@ -23,9 +38,42 @@ object MakeDemoLake {
       .toDF("accession", "title", "study_accession", "platform")
       .write.mode("overwrite")
       .parquet(s"$root/sra/meta-experiment-0001.parquet")
+    Seq(("SRR001", "SRX001", 1024L))
+      .toDF("accession", "experiment_accession", "total_bases")
+      .write.mode("overwrite").parquet(s"$root/sra/meta-run-0001.parquet")
+    Seq(("SRS001", "sample one", 9606))
+      .toDF("accession", "title", "taxon_id")
+      .write.mode("overwrite").parquet(s"$root/sra/meta-sample-0001.parquet")
     Seq(("SRP001", "study one", "WGS", "abs"))
       .toDF("accession", "title", "study_type", "abstract")
       .write.mode("overwrite").parquet(s"$root/sra/meta-study-0001.parquet")
+
+    // GEO monthly NDJSON batches — sparse records on purpose: the pinned
+    // DomainSchemas read must type every absent column (the drift trap)
+    val geo = java.nio.file.Paths.get(root, "geo")
+    gzLines(geo.resolve("gsm-0001.ndjson.gz"), Seq(
+      """{"accession":"GSM1","title":"sample 1","channels":[{"source_name":"liver","organism":"Homo sapiens","characteristics":[{"tag":"tissue","value":"liver"}]}]}""",
+      """{"accession":"GSM2","title":"sample 2"}"""))
+    gzLines(geo.resolve("gse-0001.ndjson.gz"), Seq(
+      """{"accession":"GSE1","title":"series 1","sample_id":["GSM1","GSM2"]}"""))
+    gzLines(geo.resolve("gpl-0001.ndjson.gz"), Seq(
+      """{"accession":"GPL1","title":"platform 1","technology":"in situ oligonucleotide"}"""))
+
+    Seq(("SAMN01", "PRJ1", "Homo sapiens"))
+      .toDF("accession", "bioproject", "organism")
+      .write.mode("overwrite").parquet(s"$root/biosample/biosample-0001.parquet")
+    Seq(("PRJ1", "project one"))
+      .toDF("accession", "title")
+      .write.mode("overwrite").parquet(s"$root/biosample/bioproject-0001.parquet")
+    Seq(("SAMEA01", "ebi sample"))
+      .toDF("accession", "name")
+      .write.mode("overwrite").parquet(s"$root/ebi_biosample/samples-0001.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft_lake")
+    val spark = graft.core.GraftSession.local(4)
+    write(spark, root)
     println(s"[lake] written to $root")
     spark.stop()
   }

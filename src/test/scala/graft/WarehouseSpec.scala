@@ -126,6 +126,39 @@ class WarehouseSpec extends AnyFunSuite {
       === before29)
   }
 
+  test("coverage = markers UNION physical partitions (pre-tracking tables)") {
+    val dir = Files.createTempDirectory("graft_cov").toString
+    // pre-tracking physical partitions, no markers yet
+    new java.io.File(s"$dir/_ds=2005-05-28").mkdirs()
+    new java.io.File(s"$dir/_ds=2005-05-29").mkdirs()
+    // a later tracked refresh recorded markers for a DIFFERENT subset window
+    new java.io.File(s"$dir/_intervals").mkdirs()
+    new java.io.File(s"$dir/_intervals/_ds=2005-05-30").createNewFile()
+    val missing = graft.incremental.IntervalRunner.missingIntervals(
+      spark, dir,
+      java.time.LocalDate.parse("2005-05-28"),
+      java.time.LocalDate.parse("2005-05-31"))
+    assert(missing === Seq(java.time.LocalDate.parse("2005-05-31")),
+      "marker subset must not erase coverage of older physical partitions")
+  }
+
+  test("parseYaml: '#' in values survives; nested sections are rejected") {
+    val m = GraftConfig.parseYaml(
+      """warehouse:
+        |  data_root: /lake/frag#2  # trailing comment
+        |  export_dir: "/exports"
+        |# full-line comment
+        |vars:
+        |  start_ds: 2024-01-01
+        |""".stripMargin)
+    assert(m("warehouse.data_root") === "/lake/frag#2")
+    assert(m("warehouse.export_dir") === "/exports")
+    assert(m("vars.start_ds") === "2024-01-01")
+    val e = intercept[RuntimeException](GraftConfig.parseYaml(
+      "warehouse:\n  nested:\n    too_deep: 1\n"))
+    assert(e.getMessage.contains("nested"))
+  }
+
   test("mart materializes, exports parquet, passes audits, records metadata") {
     val wh = Files.createTempDirectory("graft_wh3").toString
     val cfg = EngineConfig("/none", wh, s"$wh/exports",
@@ -147,6 +180,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Lint.selectStarViolations(
       graft.models.OmicidxModels.catalog(graft.models.OmicidxModels.lakeSources))
       .isEmpty)
+  }
+
+  test("Lint.violations is empty for the production catalog on a fixture lake") {
+    val lake = Files.createTempDirectory("graft_lint_lake").toString
+    graft.tools.MakeDemoLake.write(spark, lake)
+    val cfg = EngineConfig(lake,
+      Files.createTempDirectory("graft_lint_wh").toString, "/none")
+    val models = OmicidxModels.catalog(OmicidxModels.lakeSources)
+    val bad = Lint.violations(spark, cfg, models)
+    assert(bad.isEmpty, s"unexpected lint violations: $bad")
+  }
+
+  test("Lint.violations flags unpinned file scans and pinned-schema drift") {
+    val lake = Files.createTempDirectory("graft_lint_lake2").toString
+    Seq(("a", 1)).toDF("k", "v").write.parquet(s"$lake/t.parquet")
+    val cfg = EngineConfig(lake, "/none", "/none")
+    val bare = Model("src_bare", "raw", build = Some(
+      (s: SparkSession, c: EngineConfig) => s.read.parquet(s"${c.dataRoot}/t.parquet")))
+    val waived = bare.copy(name = "src_waived",
+      lintWaivers = Set(Lint.InvalidSelectStarExpansion))
+    val drifted = bare.copy(name = "src_drifted",
+      pinnedSchema = Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("missing",
+          org.apache.spark.sql.types.LongType)))))
+    val out = Lint.violations(spark, cfg, Seq(bare, waived, drifted)).toMap
+    assert(out.contains("src_bare"))
+    assert(!out.contains("src_waived"))
+    assert(out("src_drifted").contains("pinnedSchema"))
   }
 
   test("failing audit fails the model") {
