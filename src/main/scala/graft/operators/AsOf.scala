@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{AsOfJoinPlan, AsOfJoinStrategy, PlanBridge}
+
+/** Public as-of join API (SURVEY.md custom-operator path (c)).
+  *
+  * Two implementations with identical semantics (equivalence-tested):
+  *
+  *  - [[join]]: the custom Catalyst operator
+  *    ([[org.apache.spark.sql.graft.AsOfJoinExec]]) — one shuffle per side
+  *    on the join keys, sorted streaming merge, O(1) state per partition.
+  *  - [[joinViaUnionWindow]]: pure DataFrame composition (union + window
+  *    last-ignore-nulls). Same single-shuffle scale shape — useful where
+  *    custom strategies can't be injected — but materializes a unioned
+  *    intermediate and window state instead of streaming two sorted sides.
+  *
+  * Column-name collisions between the two sides are the caller's job to
+  * pre-rename (as with any self-join).
+  */
+object AsOf {
+
+  /** Idempotently make [[AsOfJoinStrategy]] available on this session (for
+    * sessions not built with `spark.sql.extensions=...GraftExtensions`). */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** As-of join via the custom operator. For each `left` row: the latest
+    * `right` row with `right(rightTime) <= left(leftTime)` and equal keys.
+    * `outer=false` (DuckDB ASOF JOIN default) drops unmatched left rows. */
+  def join(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      outer: Boolean = false): DataFrame = {
+    require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def resolve(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
+        .getOrElse(sys.error(s"as-of join: column $name not found in " +
+          plan.output.map(_.name).mkString(", ")))
+    PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
+      resolve(lp, leftTime), resolve(rp, rightTime), outer))
+  }
+
+  /** Compositional equivalent: tag sides, union, and carry the latest right
+    * payload forward with `last(_, ignoreNulls)` over (keys, time, side).
+    * Right rows sort BEFORE left rows at equal times, so `<=` is inclusive
+    * like [[join]]. One shuffle (the window partitioning) — never a join,
+    * never quadratic. */
+  def joinViaUnionWindow(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      outer: Boolean = false): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val keyed = rightKeys.zip(leftKeys)
+    val rKeyed = right.select(keyed.map { case (rk, lk) =>
+      col(rk).as(s"_k_$lk") }.toSeq ++
+      Seq(col(rightTime).as("_t"), lit(0).as("_side"),
+        struct(rCols.map(col): _*).as("_payload")): _*)
+    val lSide = left.select(leftKeys.map(k => col(k).as(s"_k_$k")).toSeq ++
+      Seq(col(leftTime).as("_t"), lit(1).as("_side"),
+        struct(lCols.map(col): _*).as("_left")): _*)
+    val unioned = lSide
+      .withColumn("_payload", lit(null).cast(rKeyed.schema("_payload").dataType))
+      .unionByName(rKeyed
+        .filter(col("_t").isNotNull) // null right times never match
+        .withColumn("_left", lit(null).cast(lSide.schema("_left").dataType)))
+    val w = Window
+      .partitionBy(leftKeys.map(k => col(s"_k_$k")): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val filtered = if (outer) carried else carried.filter(col("_match").isNotNull)
+    filtered.select(
+      lCols.map(c => col(s"_left.$c").as(c)) ++
+        rCols.map(c => col(s"_match.$c").as(c)): _*)
+  }
+}

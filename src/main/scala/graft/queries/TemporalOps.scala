@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+import graft.sources.Tables
+
+/** Temporal join operators over the `events` table: as-of join (the custom
+  * Catalyst operator, `org.apache.spark.sql.graft.AsOfJoinExec`) and a
+  * binned interval join (the scale-safe spelling of a pure range predicate).
+  *
+  * Reference analog: the warehouse's incremental models repeatedly need
+  * "latest accession state at-or-before a timestamp"
+  * (`/root/reference/sqlmesh/models/bronze/stg_sra_experiments.sql:12-24`
+  * joins detail rows to the accession spine's update timeline); as-of join
+  * is that pattern as one operator instead of a join + window-max + filter.
+  */
+object TemporalOps {
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // AS-OF JOIN (custom LogicalPlan/Strategy/SparkPlan): each click joined
+    // to the same user's LATEST purchase at-or-before the click. Both sides
+    // shuffle once on user_id, sort (user_id, ts), stream-merge — the same
+    // exchange shape as a sort-merge join, zero row blowup. DuckDB runs its
+    // native ASOF JOIN as the oracle.
+    "q45_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          r4(col("value")).as("purchase_value"))
+      AsOf.join(clicks, purchases,
+          leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+          leftTime = "click_ts", rightTime = "purchase_ts")
+        .select("click_id", "user_id", "click_ts",
+          "purchase_id", "purchase_ts", "purchase_value")
+    }),
+
+    // RANGE (interval) JOIN with NO equality key: signups within the 5
+    // minutes before each error. Spark's native plan for a pure range
+    // predicate is BroadcastNestedLoopJoin — O(n·m) predicate evaluations.
+    // Binning restores an equi-join: bucket right rows by
+    // floor(epoch/300s), explode each left row to the (at most 2) buckets
+    // its window [t-300s, t] can touch, hash-join on the bucket, refine
+    // with the exact predicate. Each (a, b) pair meets in exactly one
+    // bucket (b's own), so no dedup is needed. At 100 TB this shuffles on
+    // the bucket key like any equi-join; bucket width tunes the
+    // candidates-per-row vs duplication trade-off.
+    "q46_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val bucket = (t: Column) => floor(unix_timestamp(t) / 300L)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          col("user_id").as("error_user"), col("ts").as("error_ts"))
+        .withColumn("bkt",
+          explode(array(bucket(col("error_ts")) - 1, bucket(col("error_ts")))))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+          col("user_id").as("signup_user"), col("ts").as("signup_ts"))
+        .withColumn("bkt", bucket(col("signup_ts")))
+      errors.join(signups, Seq("bkt"))
+        .filter(col("signup_ts") >= col("error_ts") - expr("INTERVAL 5 MINUTES")
+          && col("signup_ts") <= col("error_ts"))
+        .select("error_id", "error_user", "error_ts",
+          "signup_id", "signup_user", "signup_ts")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q45_asof_join" ->
+      """SELECT a.event_id AS click_id, a.user_id AS user_id,
+                a.ts AS click_ts, b.event_id AS purchase_id,
+                b.ts AS purchase_ts, round(b.value, 4) AS purchase_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') a
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id AND b.ts <= a.ts""",
+    "q46_range_join" ->
+      """SELECT a.event_id AS error_id, a.user_id AS error_user,
+                a.ts AS error_ts, b.event_id AS signup_id,
+                b.user_id AS signup_user, b.ts AS signup_ts
+         FROM (SELECT * FROM events WHERE event_type = 'error') a
+         JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+           ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts"""
+  )
+}

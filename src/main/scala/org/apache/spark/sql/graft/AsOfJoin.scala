@@ -1,0 +1,190 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN as a first-class Catalyst operator (the whole-operator custom
+  * path: LogicalPlan + SparkStrategy + SparkPlan).
+  *
+  * Semantics (DuckDB `ASOF JOIN` / kdb `aj`): for each left row, emit the
+  * single right row with the GREATEST `rightTime <= leftTime` among rows
+  * whose keys equal the left row's keys; inner (drop unmatched left rows)
+  * or left-outer (null-extend). Ties on `rightTime` keep the last row in
+  * sort order. Null times never match.
+  *
+  * Spark has no built-in as-of join: the naive spelling is a range
+  * theta-join (`l.k = r.k AND r.t <= l.t`) + window-max filter, which plans
+  * the equi-part fine but materializes EVERY preceding right row per left
+  * row before discarding all but one — O(matches) blowup on long histories.
+  * This operator is the plan you'd want at 100 TB: both sides hash-shuffle
+  * ONCE on the join keys (exactly a sort-merge join's distribution), sort
+  * (key, time) within partitions, then a single streaming merge pass emits
+  * one row per left row with O(1) state — no per-key buffering, no blowup.
+  *
+  * Public API: [[graft.operators.AsOf]].
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    isOuter: Boolean) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isOuter) right.output.map(_.withNullability(true))
+                    else right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Injected via
+  * [[GraftExtensions]] (`spark.sql.extensions`) or lazily through
+  * `spark.experimental.extraStrategies` by the public API. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+        p.isOuter, planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: requires both children clustered on the join keys
+  * and sorted by (keys..., time) — EnsureRequirements inserts the same
+  * exchanges/sorts it would for a sort-merge join — then streams a
+  * per-partition merge keeping only the latest matching right row. */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    isOuter: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isOuter) right.output.map(_.withNullability(true))
+                    else right.output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val outer = isOuter
+    val keyTypes = lKeys.map(_.dataType)
+    val timeType = lTime.dataType
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // per-partition, driver-free setup: projections are not serializable
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeEval = BindReferences.bindReference(lTime, lOut)
+      val rTimeEval = BindReferences.bindReference(rTime, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      // bind right attrs as NULLABLE when outer — otherwise the projection
+      // reads primitives from the all-null extension row without null checks
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ (if (outer) rOut.map(_.withNullability(true)) else rOut))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _
+        private var rHeadKey: UnsafeRow = _
+        private var lastMatch: InternalRow = _ // latest right row of lastKey seen
+        private var lastKey: UnsafeRow = _
+        private var nextOut: InternalRow = _
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            if (rTimeEval.eval(r) != null) { // null times never match
+              rHead = r
+              rHeadKey = rKeyProj(r)
+            }
+          }
+        }
+
+        private def computeNext(): Unit = {
+          nextOut = null
+          while (nextOut == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            val lt = lTimeEval.eval(l)
+            if (lt == null) {
+              if (outer) nextOut = resultProj(joined(l, nullRight))
+            } else {
+              // pull right rows that are at-or-before (lk, lt); the last
+              // one with an equal key becomes the candidate match
+              var continue = rHead != null
+              while (continue) {
+                val c = keyOrd.compare(rHeadKey, lk)
+                if (c < 0) { advanceRight(); continue = rHead != null }
+                else if (c == 0 &&
+                    timeOrd.lteq(rTimeEval.eval(rHead), lt)) {
+                  lastMatch = rHead.copy()
+                  lastKey = rHeadKey.copy()
+                  advanceRight(); continue = rHead != null
+                } else continue = false
+              }
+              val matched = lastMatch != null && keyOrd.compare(lastKey, lk) == 0
+              if (matched) nextOut = resultProj(joined(l, lastMatch))
+              else if (outer) nextOut = resultProj(joined(l, nullRight))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (nextOut == null) computeNext()
+          nextOut != null
+        }
+        override def next(): InternalRow = {
+          if (nextOut == null) computeNext()
+          val out = nextOut
+          nextOut = null
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** private[sql] bridge: build a DataFrame from a custom LogicalPlan. */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+/** As-of join: custom Catalyst operator vs compositional union-window
+  * variant vs a naive (quadratic but obviously-correct) spelling. */
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // trades (left) as-of quotes (right) — the canonical as-of fixture;
+  // includes: equal timestamps (inclusive match), a key with no quotes,
+  // a quote after every trade, null times on both sides
+  private def trades = Seq(
+    ("AAPL", Some(10L), 1),
+    ("AAPL", Some(20L), 2),
+    ("AAPL", Some(25L), 3),
+    ("MSFT", Some(15L), 4),
+    ("NOQUOTE", Some(50L), 5),
+    ("AAPL", None: Option[Long], 6))
+    .toDF("sym", "t", "trade_id")
+  private def quotes = Seq(
+    ("AAPL", Some(5L), 100.0),
+    ("AAPL", Some(20L), 101.0), // equal-time: must match trade at t=20 (<=)
+    ("AAPL", Some(21L), 102.0),
+    ("AAPL", Some(99L), 103.0), // after every trade
+    ("MSFT", Some(1L), 200.0),
+    ("MSFT", None: Option[Long], 201.0))
+    .toDF("qsym", "qt", "price")
+
+  private def naive(outer: Boolean) = {
+    // correct-by-construction: theta join + keep max qt per trade
+    val j = trades.join(quotes,
+      col("sym") === col("qsym") && col("qt") <= col("t"),
+      if (outer) "left_outer" else "inner")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("trade_id").orderBy(col("qt").desc_nulls_last)
+    j.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("trade_id", "qt", "price").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("custom operator matches naive quadratic spelling (inner + outer)") {
+    for (outer <- Seq(false, true)) {
+      val got = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt",
+        outer = outer)
+      assert(canon(got) === canon(naive(outer)), s"outer=$outer")
+    }
+  }
+
+  test("union-window variant is equivalent on the same fixture") {
+    for (outer <- Seq(false, true)) {
+      val got = AsOf.joinViaUnionWindow(trades, quotes,
+        Seq("sym"), Seq("qsym"), "t", "qt", outer = outer)
+      assert(canon(got) === canon(naive(outer)), s"outer=$outer")
+    }
+  }
+
+  test("expected matches: inclusive <=, latest wins, no-quote key drops") {
+    val got = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt")
+      .select("trade_id", "price").as[(Int, Double)].collect().toMap
+    assert(got === Map(1 -> 100.0, 2 -> 101.0, 3 -> 102.0, 4 -> 200.0))
+  }
+
+  test("physical plan is the custom exec over single key-shuffles per side") {
+    val df = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"want exactly 2 key exchanges, plan:\n$plan")
+  }
+
+  test("operator agrees with union-window on a larger generated fixture") {
+    // deterministic pseudo-random: many keys, long histories, dup-free times
+    // multiplicative scrambles mod a prime: injective for id < 99991, so
+    // right times are tie-free (ties would make the winning rid ambiguous)
+    val l = spark.range(0, 2000).select(
+      (col("id") % 37).as("k"),
+      (col("id") * 13L % 99991L).as("t"),
+      col("id").as("lid"))
+    val r = spark.range(0, 3000).select(
+      (col("id") % 37).as("rk"),
+      (col("id") * 7L % 99991L).as("rt"),
+      col("id").as("rid"))
+    val a = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", outer = true)
+      .select("lid", "rid").collect().map(r0 => (r0.get(0), r0.get(1))).toSet
+    val b = AsOf.joinViaUnionWindow(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        outer = true)
+      .select("lid", "rid").collect().map(r0 => (r0.get(0), r0.get(1))).toSet
+    assert(a === b)
+    assert(a.size === 2000)
+  }
+}
