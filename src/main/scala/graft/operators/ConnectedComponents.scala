@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components via hash-min label propagation — the clustering
+  * step of a dedup pipeline (near-dup PAIRS → duplicate CLUSTERS → one
+  * canonical doc per cluster).
+  *
+  * Algorithm: every vertex starts labeled with its own id; each round every
+  * vertex takes the min of its label and its neighbors' labels; stop when a
+  * round changes nothing. Converges in O(graph diameter) rounds — near-dup
+  * graphs are unions of small dense cliques (diameter ≤ 3-4 in practice),
+  * so this beats the more complex large-star/small-star contraction for
+  * this workload while using only shuffles on the vertex id.
+  *
+  * Scale notes:
+  *  - each round is one join + one aggregation, both keyed on vertex id —
+  *    at 1000 executors both sides hash-shuffle on id, no driver data;
+  *  - `localCheckpoint` truncates the lineage each round (an iterative
+  *    DataFrame loop otherwise re-plans an ever-deeper tree); on a cluster
+  *    prefer `checkpoint` with a durable dir for fault tolerance;
+  *  - the convergence probe is an aggregated `count`, not a collect.
+  */
+object ConnectedComponents {
+
+  /** @param edges    (src, dst) pairs, interpreted as UNDIRECTED
+    * @param vertices single-column vertex ids (covers isolated vertices)
+    * @return (id, component) where component = min vertex id reachable */
+  def hashMin(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .distinct()
+    var labels = vertices.toDF("id")
+      .select(col("id"), col("id").as("component")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("next_component"))
+        .localCheckpoint()
+      converged = next.filter(col("next_component") < col("component"))
+        .isEmpty
+      labels = next.select(col("id"), col("next_component").as("component"))
+      round += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.stableHash
+import graft.operators.ConnectedComponents
+import graft.sources.Tables
+
+/** Training-data curation operators: dedup clustering (pairs → components
+  * → canonical docs), deterministic dataset splits, distribution stats,
+  * stratified sampling. These are the steps BETWEEN near-dup detection
+  * (DedupOps) and a training corpus.
+  */
+object CurationOps {
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Dedup CLUSTERS: near-dup pairs (the q33 MinHash-LSH generator at
+    // est_jaccard >= 0.5) become edges; connected components assign every
+    // document a cluster; the cluster min is the canonical keeper. This is
+    // the step that turns pairwise detection into an actionable "drop
+    // these rows" plan. Hash-min label propagation: O(diameter) rounds of
+    // id-keyed shuffles (see ConnectedComponents). The oracle recomputes
+    // the identical pairs, then transitive closure via RECURSIVE CTE.
+    "q47_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.queries("q33_minhash_lsh_pairs")(s, dir)
+        .filter(col("est_jaccard") >= 0.5)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      ConnectedComponents.hashMin(
+          pairs.select(col("doc_a"), col("doc_b")), docs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+    }),
+
+    // Deterministic train/val/test split (80/10/10): bucket = stable
+    // md5-derived hash of the doc id, mod 100. Hash-based splits are the
+    // only splits that survive recomputation, late-arriving data, and
+    // engine changes — the same doc lands in the same split everywhere, no
+    // stored assignment table, no rand() seed drift across engines.
+    "q48_hash_split" -> ((s, dir) => {
+      val bucket = pmod(stableHash(col("doc_id").cast("string")), lit(100))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+    }),
+
+    // Exact percentiles per group (linear interpolation — matches DuckDB
+    // quantile_cont). At 100 TB swap in approx_percentile: same plan
+    // shape, bounded-memory t-digest-style buffer instead of a full sort.
+    "q49_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+          r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Stratified deterministic 10% sample: per-row hash threshold keeps
+    // every stratum's sample stable under recomputation (unlike rand()).
+    // The aggregate output proves which rows were kept.
+    "q50_stratified_sample" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(pmod(stableHash(col("event_id").cast("string")), lit(10)) === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          min("event_id").as("min_event_id"),
+          r4(sum("value")).as("sum_value"))
+    })
+  )
+
+  private val splitBucketSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+  val oracle: Map[String, String] = Map(
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         pairs AS (SELECT doc_a, doc_b FROM (
+           ${DedupOps.oracle("q33_minhash_lsh_pairs")}
+         ) q33 WHERE est_jaccard >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL
+                   SELECT doc_b, doc_a FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT node AS doc_id, min(lbl) AS cluster_id,
+                (node = min(lbl)) AS is_keeper
+         FROM reach GROUP BY node""",
+    "q48_hash_split" ->
+      s"""SELECT doc_id, $splitBucketSql AS bucket,
+                 CASE WHEN $splitBucketSql < 80 THEN 'train'
+                      WHEN $splitBucketSql < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents""",
+    "q49_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q50_stratified_sample" ->
+      """SELECT event_type, count(*) AS n_sampled,
+                min(event_id) AS min_event_id,
+                round(sum(value), 4) AS sum_value
+         FROM events
+         WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10 = 0
+         GROUP BY event_type"""
+  )
+}

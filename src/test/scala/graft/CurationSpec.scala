@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+/** Connected components (hash-min label propagation) unit behavior — the
+  * oracle query q47 covers the integrated dedup-cluster pipeline; this
+  * covers the graph-shape edge cases directly. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], vertices: Seq[Long]): Map[Long, Long] =
+    ConnectedComponents.hashMin(
+        edges.toDF("src", "dst"), vertices.toDF("id"))
+      .as[(Long, Long)].collect().toMap
+
+  test("ring graph (diameter > 1 hop) collapses to one component") {
+    val n = 10L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+    val got = cc(ring, 0L until n)
+    assert(got === (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("two chains + isolated vertices") {
+    // chain 1-2-3, chain 10-11, isolated 20, 21
+    val got = cc(Seq((2L, 1L), (2L, 3L), (11L, 10L)),
+      Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("no edges: every vertex is its own component") {
+    val got = cc(Nil, Seq(5L, 6L))
+    assert(got === Map(5L -> 5L, 6L -> 6L))
+  }
+}
