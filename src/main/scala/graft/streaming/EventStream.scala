@@ -88,6 +88,18 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
+    * event-time watermark — the streaming face of q30's digest dedup. State
+    * is bounded: a key's entry is evicted once the watermark passes its
+    * event time, so duplicates separated by more than `watermark` are NOT
+    * collapsed (that cross-window dedup is the batch digest groupBy's job —
+    * run both, stream for freshness, batch for completeness). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Run a streaming frame to a parquet sink, processing all currently
     * available input, then stop (the batch-like incremental refresh). */
   def runAvailableNow(df: DataFrame, outDir: String,

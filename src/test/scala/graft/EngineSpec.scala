@@ -54,6 +54,22 @@ class EngineSpec extends AnyFunSuite {
     assert(n2 >= n1)
   }
 
+  test("streaming dedup within watermark drops repeats, keeps state bounded") {
+    val in = Files.createTempDirectory("graft_dedup_in").toString
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events").limit(300)
+    // duplicate every event: the stream must emit each event_id once
+    events.write.mode("append").parquet(in)
+    events.write.mode("append").parquet(in)
+    val stream = EventStream.fileStream(spark, in, events.schema)
+    EventStream.runAvailableNow(
+      EventStream.dedupWithinWatermark(stream, Seq("event_id")), out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() === 300L)
+    assert(got.select("event_id").distinct().count() === 300L)
+  }
+
   test("multimodal: stub codec is deterministic, schema is typed") {
     val media = Tables(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)
