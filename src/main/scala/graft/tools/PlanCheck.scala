@@ -8,6 +8,10 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.core.GraftSession.local(8)
+    // audit STATIC plans: under AQE the unexecuted AdaptiveSparkPlan string
+    // hides WholeStageCodegen wrapping (applied per-stage at runtime), so
+    // every codegen signal would read false
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try {
@@ -21,7 +25,9 @@ object PlanCheck {
           "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
           .map(j => j -> j.r.findAllIn(plan).length).filter(_._2 > 0)
         val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-        val wscg = plan.contains("WholeStageCodegen")
+        // one-line plan strings mark WholeStageCodegen stages as "*(n) "
+        val wscg = plan.contains("WholeStageCodegen") ||
+          "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined
         println(s"== $name scanCols=${scans.mkString("/")} " +
           s"shuffles=$exchanges wscg=$wscg " +
           s"joins=${joins.map { case (k, v) => s"$k:$v" }.mkString(",")}")
