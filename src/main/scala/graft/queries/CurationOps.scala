@@ -70,28 +70,82 @@ object CurationOps {
         .agg(count(lit(1)).as("n_sampled"),
           min("event_id").as("min_event_id"),
           r4(sum("value")).as("sum_value"))
+    }),
+
+    // Quality-ranked canonical selection: within each dup cluster keep the
+    // HIGHEST-quality document (q24's scorer), not the lowest id — what a
+    // curation pipeline actually ships. One window over the cluster id.
+    "q51_keeper_by_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val clusters = queries("q47_dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val quality = TextOps.queries("q24_quality_score")(s, dir)
+        .select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(desc("quality"), asc("doc_id"))
+      clusters.join(quality, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+          col("quality").as("keeper_quality"))
+    }),
+
+    // Leakage-safe split: assign train/val/test by hash of the CLUSTER id,
+    // so near-duplicates never straddle the split boundary (the classic
+    // train/test contamination bug a doc-id hash split cannot prevent).
+    "q52_cluster_safe_split" -> ((s, dir) => {
+      val bucket = pmod(stableHash(col("cluster_id").cast("string")), lit(100))
+      queries("q47_dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
     })
   )
 
   private val splitBucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
 
+  /** Shared DuckDB CTE chain (usable after `WITH RECURSIVE`): near-dup
+    * pairs (q33's banding at est >= 0.5) → transitive closure → `clus`
+    * (doc_id, cluster_id). */
+  private lazy val clustersCte: String =
+    s"""pairs AS (SELECT doc_a, doc_b FROM (
+         ${DedupOps.oracle("q33_minhash_lsh_pairs")}
+       ) q33 WHERE est_jaccard >= 0.5),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+       reach(node, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       clus AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node)"""
+
   val oracle: Map[String, String] = Map(
     "q47_dedup_clusters" ->
-      s"""WITH RECURSIVE
-         pairs AS (SELECT doc_a, doc_b FROM (
-           ${DedupOps.oracle("q33_minhash_lsh_pairs")}
-         ) q33 WHERE est_jaccard >= 0.5),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                   UNION ALL
-                   SELECT doc_b, doc_a FROM pairs),
-         reach(node, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
-         SELECT node AS doc_id, min(lbl) AS cluster_id,
-                (node = min(lbl)) AS is_keeper
-         FROM reach GROUP BY node""",
+      s"""WITH RECURSIVE $clustersCte
+         SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper
+         FROM clus""",
+    "q51_keeper_by_quality" ->
+      s"""WITH RECURSIVE $clustersCte,
+         qual AS (${TextOps.oracle("q24_quality_score")})
+         SELECT cluster_id, doc_id AS keeper_doc_id,
+                quality AS keeper_quality
+         FROM (SELECT c.cluster_id, c.doc_id, q.quality,
+                      row_number() OVER (PARTITION BY c.cluster_id
+                        ORDER BY q.quality DESC, c.doc_id) AS rnk
+               FROM clus c JOIN qual q ON q.doc_id = c.doc_id)
+         WHERE rnk = 1""",
+    "q52_cluster_safe_split" -> {
+      val b = "CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+      s"""WITH RECURSIVE $clustersCte
+         SELECT doc_id, cluster_id, $b AS bucket,
+                CASE WHEN $b < 80 THEN 'train'
+                     WHEN $b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM clus"""
+    },
     "q48_hash_split" ->
       s"""SELECT doc_id, $splitBucketSql AS bucket,
                  CASE WHEN $splitBucketSql < 80 THEN 'train'
