@@ -21,6 +21,12 @@ object TextFunctions {
     * result. Production hot paths can swap in [[fastHash]].
     */
   def stableHash(c: Column): Column =
+    org.apache.spark.sql.graft.Md5Prefix60Expr.columnFor(c.cast("binary"))
+
+  /** The pre-expression composed spelling of [[stableHash]] — kept as the
+    * equivalence-test reference (≡ DuckDB
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). */
+  def stableHashComposed(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Native 64-bit hash (codegen'd, no md5 cost) — for non-oracle paths. */

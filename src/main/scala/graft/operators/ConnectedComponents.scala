@@ -28,29 +28,101 @@ object ConnectedComponents {
     * @param vertices single-column vertex ids (covers isolated vertices)
     * @return (id, component) where component = min vertex id reachable */
   def hashMin(edges: DataFrame, vertices: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    val sym = edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      maxIter: Int = 20, driverMax: Long = DriverMaxEdges): DataFrame = {
+    // LAZY localCheckpoints keep every round at ONE driver action (the
+    // convergence probe materializes the round's frame into cached blocks);
+    // the checkpoint still (a) truncates lineage and (b) guarantees the
+    // upstream pair-generation pipeline never re-executes — symmetrizing
+    // via union would otherwise run it once per union branch, every round.
+    val e0 = edges.toDF("src", "dst").localCheckpoint(eager = false)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    var labels = vertices.toDF("id")
-      .select(col("id"), col("id").as("component")).localCheckpoint()
+      .localCheckpoint(eager = false)
+    // SIZE-GATED driver path (the broadcast-join pattern applied to CC):
+    // when the edge set is small enough to hold on the driver, one
+    // limit-gated collect + union-find beats O(diameter) rounds of tiny
+    // shuffle jobs whose cost is pure scheduling. Near-dup graphs are
+    // sparse, so at 100 TB the EDGE set is still often driver-sized even
+    // when the corpus is not; genuinely huge graphs take the loop below.
+    // The limit doubles as the probe: > driverMax rows ⇒ distributed.
+    val idType = vertices.schema.head.dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integral && driverMax > 0) {
+      val rows = sym
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(driverMax.toInt + 1).collect()
+      if (rows.length <= driverMax) {
+        val comp = unionFind(rows.map(r => (r.getLong(0), r.getLong(1))))
+        val mapping = vertices.sparkSession
+          .createDataFrame(comp.toSeq.map { case (id, c) => (id, c) })
+          .toDF("id", "cc")
+          .select(col("id").cast(idType).as("id"),
+            col("cc").cast(idType).as("cc"))
+        return vertices.toDF("id")
+          .join(broadcast(mapping), Seq("id"), "left")
+          .select(col("id"), coalesce(col("cc"), col("id")).as("component"))
+      }
+    }
+    // distributed path: propagate only over vertices that HAVE edges —
+    // isolated vertices are their own component by construction and join
+    // back in at the end
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(eager = false)
+    // labels only ever decrease, so the label sum is strictly monotone:
+    // equal sum ⟺ fixpoint (one scalar agg per round, no per-row diff join)
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum("component"), lit(0L)), count(lit(1))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var (lastSum, n) = probe(labels)
     var round = 0
-    var converged = false
+    var converged = n == 0L // no edges: nothing to propagate
     while (!converged && round < maxIter) {
-      val nbrMin = sym
+      // one round = messages ∪ self, min per vertex: 2 shuffles (the
+      // join-then-join-back formulation costs 3)
+      val msgs = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min("component").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("component"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("next_component"))
-        .localCheckpoint()
-      converged = next.filter(col("next_component") < col("component"))
-        .isEmpty
-      labels = next.select(col("id"), col("next_component").as("component"))
+        .select(col("dst").as("id"), col("component"))
+      labels = msgs.union(labels)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(eager = false)
+      val s = probe(labels)._1
+      converged = s == lastSum
+      lastSum = s
       round += 1
     }
-    labels
+    vertices.toDF("id")
+      .join(labels.withColumnRenamed("component", "cc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cc"), col("id")).as("component"))
+  }
+
+  /** Edge-count threshold for the driver union-find fast path (2M edge
+    * rows ≈ tens of MB of driver state). */
+  private val DriverMaxEdges = 2000000L
+
+  /** Min-root union-find with path compression; returns id → min reachable
+    * id for every id that appears in an edge. */
+  private[operators] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+      else { parent.putIfAbsent(a, ra); parent.putIfAbsent(b, rb) }
+    }
+    val ids = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    ids.iterator.map(id => id -> find(id)).toMap
   }
 }

@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+object CCProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(32)
+    val dir = "/root/testdata/sf0.1"
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[cc] $name ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    }
+    // warm-up the IO + codegen
+    t("warm pairs")(graft.queries.DedupOps.queries("q33_minhash_lsh_pairs")(spark, dir).filter(col("est_jaccard") >= 0.5).count())
+    val pairs = graft.queries.DedupOps.queries("q33_minhash_lsh_pairs")(spark, dir).filter(col("est_jaccard") >= 0.5)
+    t("pairs count")(println("n=" + pairs.count()))
+    val edges = t("edges ckpt")(pairs.select(col("doc_a"), col("doc_b")).localCheckpoint())
+    val docs = graft.sources.Tables(spark, dir, "documents").select(col("doc_id"))
+    val cc = t("hashMin")(graft.operators.ConnectedComponents.hashMin(edges, docs))
+    t("materialize")(cc.write.format("noop").mode("overwrite").save())
+    t("full q47")(graft.SparkEntry.queries("q47_dedup_clusters")(spark, dir).write.format("noop").mode("overwrite").save())
+    t("full q47 again")(graft.SparkEntry.queries("q47_dedup_clusters")(spark, dir).write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

@@ -1,0 +1,69 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType}
+
+/** 60-bit MD5-prefix hash as ONE codegen'd long expression.
+  *
+  * Semantically identical to the engine-portable composed form
+  * `conv(substring(md5(c), 1, 15), 16, 10) CAST AS LONG` (= DuckDB
+  * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`): the first 15 hex
+  * digits of the MD5 are the first 7.5 bytes big-endian, i.e.
+  * `(first 8 digest bytes as unsigned BE long) >>> 4`.
+  *
+  * Why an expression: the composed form allocates a 32-char hex string,
+  * substrings it, then string-parses base-16 PER ROW — and the dedup suite
+  * evaluates it once per (doc, shingle/token). This version digests the
+  * input bytes and assembles the long directly; the only remaining cost is
+  * MD5 itself (kept for cross-engine oracle parity — non-oracle paths use
+  * xxhash64). The MessageDigest instance is per-partition mutable state,
+  * not per-row.
+  */
+case class Md5Prefix60Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix60Expr.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "md5digest",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e); }""".stripMargin)
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val d = ctx.freshName("digest")
+      s"""
+         |$md.reset();
+         |byte[] $d = $md.digest($bytes);
+         |${ev.value} =
+         |  (((long)($d[0] & 0xff) << 56) | ((long)($d[1] & 0xff) << 48) |
+         |   ((long)($d[2] & 0xff) << 40) | ((long)($d[3] & 0xff) << 32) |
+         |   ((long)($d[4] & 0xff) << 24) | ((long)($d[5] & 0xff) << 16) |
+         |   ((long)($d[6] & 0xff) << 8)  | ((long)($d[7] & 0xff))) >>> 4;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60Expr =
+    copy(child = newChild)
+}
+
+object Md5Prefix60Expr {
+  def hash(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  def columnFor(c: Column): Column =
+    ExpressionUtils.column(Md5Prefix60Expr(ExpressionUtils.expression(c)))
+}

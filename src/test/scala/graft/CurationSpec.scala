@@ -11,28 +11,40 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)], vertices: Seq[Long]): Map[Long, Long] =
+  private def cc(edges: Seq[(Long, Long)], vertices: Seq[Long],
+      driverMax: Long): Map[Long, Long] =
     ConnectedComponents.hashMin(
-        edges.toDF("src", "dst"), vertices.toDF("id"))
+        edges.toDF("src", "dst"), vertices.toDF("id"), driverMax = driverMax)
       .as[(Long, Long)].collect().toMap
 
-  test("ring graph (diameter > 1 hop) collapses to one component") {
-    val n = 10L
-    val ring = (0L until n).map(i => (i, (i + 1) % n))
-    val got = cc(ring, 0L until n)
-    assert(got === (0L until n).map(_ -> 0L).toMap)
+  // driverMax=0 forces the distributed label-propagation loop; the default
+  // takes the driver union-find fast path — both must agree everywhere
+  for ((mode, dmax) <- Seq("driver" -> 2000000L, "distributed" -> 0L)) {
+    test(s"[$mode] ring graph (diameter > 1 hop) collapses to one component") {
+      val n = 10L
+      val ring = (0L until n).map(i => (i, (i + 1) % n))
+      val got = cc(ring, 0L until n, dmax)
+      assert(got === (0L until n).map(_ -> 0L).toMap)
+    }
+
+    test(s"[$mode] two chains + isolated vertices") {
+      // chain 1-2-3, chain 10-11, isolated 20, 21
+      val got = cc(Seq((2L, 1L), (2L, 3L), (11L, 10L)),
+        Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L), dmax)
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+    }
+
+    test(s"[$mode] no edges: every vertex is its own component") {
+      val got = cc(Nil, Seq(5L, 6L), dmax)
+      assert(got === Map(5L -> 5L, 6L -> 6L))
+    }
   }
 
-  test("two chains + isolated vertices") {
-    // chain 1-2-3, chain 10-11, isolated 20, 21
-    val got = cc(Seq((2L, 1L), (2L, 3L), (11L, 10L)),
-      Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L))
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
-  }
-
-  test("no edges: every vertex is its own component") {
-    val got = cc(Nil, Seq(5L, 6L))
-    assert(got === Map(5L -> 5L, 6L -> 6L))
+  test("driver and distributed paths agree on a random sparse graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+    val verts = (0L until 220L).toSeq
+    assert(cc(edges, verts, 2000000L) === cc(edges, verts, 0L))
   }
 }

@@ -285,6 +285,22 @@ class EngineSpec extends AnyFunSuite {
     assert(both.filter($"fused" =!= $"hof").count() === 0L)
   }
 
+  test("Md5Prefix60Expr equals the composed conv(substring(md5)) spelling") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+      .union(Seq("", "a", "é中文 unicode").toDF("tok"))
+    val both = docs.select(
+      TextFunctions.stableHash($"tok").as("fused"),
+      TextFunctions.stableHashComposed($"tok").as("composed"))
+    assert(both.filter($"fused" =!= $"composed").count() === 0L)
+    assert(both.filter($"fused" < 0).count() === 0L) // 60-bit positive
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("tok")
+      .select(TextFunctions.stableHash($"tok")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("cosine_similarity callable from SQL after registration") {
     graft.plans.CosineSimilarity.registerSql(spark)
     Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
