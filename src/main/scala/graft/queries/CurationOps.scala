@@ -48,16 +48,37 @@ object CurationOps {
     }),
 
     // Exact percentiles per group (linear interpolation — matches DuckDB
-    // quantile_cont). At 100 TB swap in approx_percentile: same plan
-    // shape, bounded-memory t-digest-style buffer instead of a full sort.
+    // quantile_cont): rank within group, then each percentile is
+    // v_lo + (v_hi - v_lo)·frac picked from the two bracketing ranks.
+    // One window sort + one aggregation — NOT the builtin `percentile`,
+    // whose buffer is a per-group hash map of every distinct value (3.6 s
+    // at sf0.1 vs ~0.5 s for this plan). At 100 TB swap in
+    // approx_percentile: bounded-memory sketch instead of the sort.
     "q49_percentiles" -> ((s, dir) => {
-      Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-          r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
-          r4(expr("percentile(l_extendedprice, 0.99)")).as("p99"),
-          count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val ranked = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("l_returnflag")))
+      val ps = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
+      val aggs = ps.flatMap { case (tag, p) =>
+        val idx = lit(p) * (col("n") - 1) // 0-based fractional rank
+        Seq(
+          max(when(col("rn") - 1 === floor(idx), col("l_extendedprice")))
+            .as(s"lo_$tag"),
+          max(when(col("rn") - 1 === ceil(idx), col("l_extendedprice")))
+            .as(s"hi_$tag"),
+          max(idx - floor(idx)).as(s"f_$tag"))
+      }
+      ranked.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), aggs: _*)
+        .select(col("l_returnflag") +: ps.map { case (tag, _) =>
+          r4(col(s"lo_$tag") +
+            (col(s"hi_$tag") - col(s"lo_$tag")) * col(s"f_$tag"))
+            .as(s"p$tag")
+        } :+ col("n"): _*)
     }),
 
     // Stratified deterministic 10% sample: per-row hash threshold keeps
