@@ -88,6 +88,25 @@ object EventStream {
       }
   }
 
+  /** Stream-stream temporal join (the streaming analog of the batch
+    * interval join q46): each left event joins right events of the same
+    * user within the `maxGap` preceding its event time. The watermarks +
+    * the time-range predicate are what let Spark BOUND both join-state
+    * buffers — without them stream-stream state grows forever. */
+  def streamTemporalJoin(left: DataFrame, right: DataFrame,
+      maxGap: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("right_id"),
+        col("ts").as("right_ts"))
+    l.join(r, expr(
+      s"""user_id = r_user AND
+          right_ts BETWEEN left_ts - INTERVAL $maxGap AND left_ts"""))
+      .select("user_id", "left_id", "left_ts", "right_id", "right_ts")
+  }
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
     * event-time watermark — the streaming face of q30's digest dedup. State
     * is bounded: a key's entry is evicted once the watermark passes its

@@ -70,6 +70,28 @@ class EngineSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() === 300L)
   }
 
+  test("stream-stream temporal join equals the batch interval join") {
+    val base = Tables(spark, "/root/testdata/sf0.001", "events")
+    val inC = Files.createTempDirectory("graft_ssj_c").toString
+    val inP = Files.createTempDirectory("graft_ssj_p").toString
+    val out = Files.createTempDirectory("graft_ssj_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ck").toString
+    base.filter($"event_type" === "click").write.mode("append").parquet(inC)
+    base.filter($"event_type" === "purchase").write.mode("append").parquet(inP)
+    val joined = EventStream.streamTemporalJoin(
+      EventStream.fileStream(spark, inC, base.schema),
+      EventStream.fileStream(spark, inP, base.schema))
+    EventStream.runAvailableNow(joined, out, ckpt)
+    val got = spark.read.parquet(out).count()
+    val want = base.filter($"event_type" === "click").alias("c")
+      .join(base.filter($"event_type" === "purchase").alias("p"),
+        $"c.user_id" === $"p.user_id" &&
+          $"p.ts" >= $"c.ts" - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") &&
+          $"p.ts" <= $"c.ts")
+      .count()
+    assert(got === want && got > 0)
+  }
+
   test("multimodal: stub codec is deterministic, schema is typed") {
     val media = Tables(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)

@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle suite on an sf dir — the same-engine-same-data
+comparison the round judge makes against BENCH_r*.json.
+
+Usage: python3 tools/duck_bench.py [sfDir] [verifyOutDir-with-oracle_sql.json]
+
+Prints per-query seconds (descending) and the total. q40 is skipped (its
+oracle hardcodes the sf0.01 path — it's a catalog operator, not a bench
+query).
+"""
+import duckdb, json, sys, time
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+sql = json.load(open(f"{out}/oracle_sql.json"))
+con = duckdb.connect()
+con.execute("SET threads=32")
+for t in ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+times = {}
+for name, q in sorted(sql.items()):
+    if name == "q40_parquet_meta":
+        continue
+    t0 = time.time()
+    try:
+        con.execute(q).fetchall()
+        times[name] = time.time() - t0
+    except Exception as e:
+        print(f"{name:28s}ERR {str(e)[:90]}")
+for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+    print(f"{k:28s}{v:.3f}")
+print(f"TOTAL {sum(times.values()):.2f}s over {len(times)} queries")
