@@ -85,8 +85,9 @@ object IntervalRunner {
   /** Collapse sorted dates into inclusive contiguous [start, end] ranges —
     * keeps the recompute filter a handful of BETWEENs (prunable at the
     * scan) instead of a 9000-literal IN list. */
-  private[incremental] def toRanges(dates: Seq[LocalDate]): Seq[(LocalDate, LocalDate)] =
-    dates.sorted(Ordering.fromLessThan[LocalDate](_ isBefore _))
+  private[graft] def toRanges(dates: Seq[LocalDate]): Seq[(LocalDate, LocalDate)] =
+    dates.distinct // duplicates would open an overlapping second range
+      .sorted(Ordering.fromLessThan[LocalDate](_ isBefore _))
       .foldLeft(List.empty[(LocalDate, LocalDate)]) {
         case ((s, e) :: tail, d) if e.plusDays(1) == d => (s, d) :: tail
         case (acc, d) => (d, d) :: acc

@@ -23,11 +23,14 @@ import org.apache.spark.sql.graft.{AsOfJoinPlan, AsOfJoinStrategy, PlanBridge}
 object AsOf {
 
   /** Idempotently make [[AsOfJoinStrategy]] available on this session (for
-    * sessions not built with `spark.sql.extensions=...GraftExtensions`). */
-  def ensureStrategy(spark: SparkSession): Unit =
+    * sessions not built with `spark.sql.extensions=...GraftExtensions`).
+    * Synchronized: queries may be built from concurrent threads (parallel
+    * Verify) and extraStrategies is a read-modify-write. */
+  def ensureStrategy(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
 
   /** As-of join via the custom operator. For each `left` row: the latest
     * `right` row with `right(rightTime) <= left(leftTime)` and equal keys.

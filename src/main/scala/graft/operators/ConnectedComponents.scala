@@ -105,7 +105,7 @@ object ConnectedComponents {
 
   /** Min-root union-find with path compression; returns id → min reachable
     * id for every id that appears in an edge. */
-  private[operators] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+  private[graft] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import java.time.LocalDate
+
+/** Property-based checks (raw ScalaCheck — the scalatestplus bridge isn't
+  * in the offline cache) for the engine's pure helper functions. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("toRanges: collapsed ranges cover exactly the input dates, disjoint, sorted") {
+    val dateGen = Gen.listOf(
+      Gen.choose(0L, 2000L).map(LocalDate.parse("2020-01-01").plusDays(_)))
+    check(Prop.forAll(dateGen) { dates =>
+      val ranges = graft.incremental.IntervalRunner.toRanges(dates)
+      val covered = ranges.flatMap { case (s, e) =>
+        Iterator.iterate(s)(_.plusDays(1)).takeWhile(!_.isAfter(e)).toSeq
+      }
+      val exact = covered.toSet == dates.toSet &&
+        covered.size == dates.distinct.size // disjoint
+      val collapsed = ranges.sliding(2).forall {
+        case Seq((_, e1), (s2, _)) => e1.plusDays(1).isBefore(s2)
+        case _ => true
+      }
+      exact && collapsed
+    })
+  }
+
+  test("unionFind: component labels are the min reachable id (vs BFS closure)") {
+    val edgeGen = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 60L)))
+    check(Prop.forAll(edgeGen) { edges0 =>
+      val edges = edges0.toArray
+      val got = graft.operators.ConnectedComponents.unionFind(edges)
+      val adj = edges.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def reach(x: Long): Set[Long] = {
+        var seen = Set(x); var frontier = Set(x)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) -- seen
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      val allIds = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      got.keySet == allIds &&
+        got.forall { case (id, comp) => comp == reach(id).min }
+    })
+  }
+
+  test("parseYaml: simple section/key/value documents round-trip") {
+    val kvGen = Gen.mapOf(Gen.zip(
+      Gen.identifier.map(_.take(10)).suchThat(_.nonEmpty),
+      Gen.alphaNumStr.map(_.take(12)).suchThat(_.nonEmpty))).map(_.take(6))
+    check(Prop.forAll(kvGen) { kv =>
+      val text = "sec:\n" + kv.map { case (k, v) => s"  $k: $v" }.mkString("\n")
+      val parsed = graft.core.GraftConfig.parseYaml(text)
+      kv.forall { case (k, v) => parsed.get(s"sec.$k").contains(v) }
+    })
+  }
+
+  test("Md5Prefix60.hash is non-negative, 60-bit, deterministic") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val h = org.apache.spark.sql.graft.Md5Prefix60Expr.hash(s.getBytes("UTF-8"))
+      h >= 0L && h < (1L << 60) &&
+        h == org.apache.spark.sql.graft.Md5Prefix60Expr.hash(s.getBytes("UTF-8"))
+    })
+  }
+}
