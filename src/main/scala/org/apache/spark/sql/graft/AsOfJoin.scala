@@ -80,6 +80,16 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // one output row per (matched) left row, produced in place: the left
+  // child's partitioning survives, so a downstream groupBy/join on the same
+  // keys does NOT reshuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
@@ -98,6 +108,7 @@ case class AsOfJoinExec(
     val keyTypes = lKeys.map(_.dataType)
     val timeType = lTime.dataType
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-partition, driver-free setup: projections are not serializable
@@ -170,6 +181,7 @@ case class AsOfJoinExec(
           if (nextOut == null) computeNext()
           val out = nextOut
           nextOut = null
+          numOutputRows += 1
           out
         }
       }

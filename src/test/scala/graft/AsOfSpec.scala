@@ -75,6 +75,15 @@ class AsOfSpec extends AnyFunSuite {
     assert(shuffles == 2, s"want exactly 2 key exchanges, plan:\n$plan")
   }
 
+  test("as-of output preserves key partitioning: downstream agg adds no exchange") {
+    val agg = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt")
+      .groupBy("sym").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, // the two join inputs only — the agg reuses them
+      s"groupBy on the join key must not reshuffle, plan:\n$plan")
+  }
+
   test("operator agrees with union-window on a larger generated fixture") {
     // deterministic pseudo-random: many keys, long histories, dup-free times
     // multiplicative scrambles mod a prime: injective for id < 99991, so
