@@ -12,6 +12,9 @@ object PlanCheck {
     // hides WholeStageCodegen wrapping (applied per-stage at runtime), so
     // every codegen signal would read false
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // default 100-char metadata truncation cuts ReadSchema mid-struct and
+    // the scan-column count silently reads as empty
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try {
