@@ -49,17 +49,24 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(f => f.exists(n.startsWith)))
     // warm-up (untimed): compiles codegen, warms JIT + parquet footers cache
+    graft.queries.CurationOps.clearCache()
     names.foreach(exec)
     // settle the JVM between warm-up and the timed passes so GC debt from
     // warm-up isn't billed to the first timed queries
     System.gc()
     // two timed passes, per-query min: the host shows intermittent
     // multi-second stalls; min-of-k isolates engine time from host noise
-    def timedPass(): Map[String, Double] = names.map { name =>
-      val t0 = System.nanoTime()
-      exec(name)
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // each pass drops the shared-cluster cache: q47 pays the full pipeline
+    // every pass (honest min-of-2), while q51/q52 time their incremental
+    // work over the pass's materialized clusters — the real pipeline shape
+    def timedPass(): Map[String, Double] = {
+      graft.queries.CurationOps.clearCache()
+      names.map { name =>
+        val t0 = System.nanoTime()
+        exec(name)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
     val p1 = timedPass()
     val p2 = timedPass()
     // failed queries report null and are EXCLUDED from total: a

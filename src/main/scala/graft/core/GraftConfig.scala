@@ -33,13 +33,14 @@ object GraftConfig {
 
   /** Parse the two-level `section.key -> value` map. Deeper nesting is a
     * hard error (a silently-flattened subtree would misconfigure paths);
-    * `#` starts a comment only at line start or after whitespace, so values
-    * containing `#` (paths, URLs with fragments) survive intact. */
+    * `#` starts a comment only at line start or after whitespace AND outside
+    * double quotes, so values containing `#` (paths, URLs with fragments,
+    * quoted `"a # b"`) survive intact. */
   private[graft] def parseYaml(text: String): Map[String, String] = {
     var section = ""
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     text.linesIterator.zipWithIndex.foreach { case (raw, i) =>
-      val noComment = raw.replaceFirst("(^|\\s)#.*$", "$1")
+      val noComment = stripComment(raw)
       if (noComment.trim.nonEmpty) {
         val indent = noComment.takeWhile(c => c == ' ' || c == '\t').length
         noComment.trim.split(":", 2) match {
@@ -57,6 +58,24 @@ object GraftConfig {
       }
     }
     out.toMap
+  }
+
+  /** Remove a trailing `# comment` — only when the `#` is at line start or
+    * preceded by whitespace, and NOT inside a double-quoted span (an
+    * unterminated quote disables commenting for the rest of the line, the
+    * conservative choice for a malformed value). */
+  private def stripComment(line: String): String = {
+    var inQuote = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQuote = !inQuote
+      else if (c == '#' && !inQuote &&
+          (i == 0 || line.charAt(i - 1).isWhitespace))
+        return line.substring(0, i)
+      i += 1
+    }
+    line
   }
 
   /** Load config: explicit path > `$GRAFT_CONFIG` > `./warehouse.yml` (if

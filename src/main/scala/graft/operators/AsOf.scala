@@ -66,10 +66,15 @@ object AsOf {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     val keyed = rightKeys.zip(leftKeys)
-    val rKeyed = right.select(keyed.map { case (rk, lk) =>
-      col(rk).as(s"_k_$lk") }.toSeq ++
-      Seq(col(rightTime).as("_t"), lit(0).as("_side"),
-        struct(rCols.map(col): _*).as("_payload")): _*)
+    val rKeyed = right
+      // null keys never match (SQL equi-join semantics): drop null-keyed
+      // right rows so the window's null partition can't pair them with
+      // null-keyed left rows (which correctly fall through as no-match)
+      .filter(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyed.map { case (rk, lk) =>
+        col(rk).as(s"_k_$lk") }.toSeq ++
+        Seq(col(rightTime).as("_t"), lit(0).as("_side"),
+          struct(rCols.map(col): _*).as("_payload")): _*)
     val lSide = left.select(leftKeys.map(k => col(k).as(s"_k_$k")).toSeq ++
       Seq(col(leftTime).as("_t"), lit(1).as("_side"),
         struct(lCols.map(col): _*).as("_left")): _*)

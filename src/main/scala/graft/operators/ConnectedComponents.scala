@@ -72,10 +72,17 @@ object ConnectedComponents {
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(eager = false)
     // labels only ever decrease, so the label sum is strictly monotone:
-    // equal sum ⟺ fixpoint (one scalar agg per round, no per-row diff join)
-    def probe(df: DataFrame): (Long, Long) = {
-      val r = df.agg(coalesce(sum("component"), lit(0L)), count(lit(1))).head
-      (r.getLong(0), r.getLong(1))
+    // equal sum ⟺ fixpoint (one scalar agg per round, no per-row diff join).
+    // Summed as DECIMAL(38,0): a Long sum overflows with 60-bit hash ids ×
+    // millions of vertices — throwing under ANSI, or wrapping where a
+    // collision could falsely signal convergence.
+    def probe(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(
+        sum(col("component").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))),
+        count(lit(1))).head
+      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO),
+        r.getLong(1))
     }
     var (lastSum, n) = probe(labels)
     var round = 0
@@ -90,7 +97,7 @@ object ConnectedComponents {
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(eager = false)
       val s = probe(labels)._1
-      converged = s == lastSum
+      converged = s.compareTo(lastSum) == 0 // not equals: scale-insensitive
       lastSum = s
       round += 1
     }

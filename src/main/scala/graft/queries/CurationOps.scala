@@ -15,6 +15,31 @@ object CurationOps {
 
   private def r4(c: Column): Column = round(c, 4)
 
+  /** Cluster assignment is the shared upstream of q47/q51/q52 — and the
+    * most expensive pipeline in the suite (MinHash-LSH pair generation +
+    * the connected-components loop). Computed ONCE per (session, dir) and
+    * lazily localCheckpoint'ed: the first action materializes the clusters
+    * into cached blocks, every later consumer reads blocks instead of
+    * re-running the pipeline (3× before). `computeIfAbsent` is safe under
+    * the parallel Verify pool. [[clearCache]] drops entries so the bench
+    * can keep per-pass timings honest. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clearCache(): Unit = clusterCache.clear()
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      val pairs = DedupOps.queries("q33_minhash_lsh_pairs")(sess, d)
+        .filter(col("est_jaccard") >= 0.5)
+      val docs = Tables(sess, d, "documents").select(col("doc_id"))
+      ConnectedComponents.hashMin(
+          pairs.select(col("doc_a"), col("doc_b")), docs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+        .localCheckpoint(eager = false)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Dedup CLUSTERS: near-dup pairs (the q33 MinHash-LSH generator at
@@ -24,15 +49,7 @@ object CurationOps {
     // these rows" plan. Hash-min label propagation: O(diameter) rounds of
     // id-keyed shuffles (see ConnectedComponents). The oracle recomputes
     // the identical pairs, then transitive closure via RECURSIVE CTE.
-    "q47_dedup_clusters" -> ((s, dir) => {
-      val pairs = DedupOps.queries("q33_minhash_lsh_pairs")(s, dir)
-        .filter(col("est_jaccard") >= 0.5)
-      val docs = Tables(s, dir, "documents").select(col("doc_id"))
-      ConnectedComponents.hashMin(
-          pairs.select(col("doc_a"), col("doc_b")), docs)
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-          (col("id") === col("component")).as("is_keeper"))
-    }),
+    "q47_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
     // Deterministic train/val/test split (80/10/10): bucket = stable
     // md5-derived hash of the doc id, mod 100. Hash-based splits are the
@@ -98,7 +115,7 @@ object CurationOps {
     // curation pipeline actually ships. One window over the cluster id.
     "q51_keeper_by_quality" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val clusters = queries("q47_dedup_clusters")(s, dir)
+      val clusters = dedupClusters(s, dir)
         .select(col("doc_id"), col("cluster_id"))
       val quality = TextOps.queries("q24_quality_score")(s, dir)
         .select(col("doc_id"), col("quality"))
@@ -116,7 +133,7 @@ object CurationOps {
     // train/test contamination bug a doc-id hash split cannot prevent).
     "q52_cluster_safe_split" -> ((s, dir) => {
       val bucket = pmod(stableHash(col("cluster_id").cast("string")), lit(100))
-      queries("q47_dedup_clusters")(s, dir)
+      dedupClusters(s, dir)
         .select(col("doc_id"), col("cluster_id"), bucket.as("bucket"),
           when(bucket < 80, "train").when(bucket < 90, "val")
             .otherwise("test").as("split"))

@@ -17,7 +17,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * single right row with the GREATEST `rightTime <= leftTime` among rows
   * whose keys equal the left row's keys; inner (drop unmatched left rows)
   * or left-outer (null-extend). Ties on `rightTime` keep the last row in
-  * sort order. Null times never match.
+  * sort order. Null times never match; null keys never match (SQL equi-join
+  * semantics — a null-keyed left row is dropped, or null-extended if outer).
   *
   * Spark has no built-in as-of join: the naive spelling is a range
   * theta-join (`l.k = r.k AND r.t <= l.t`) + window-max filter, which plans
@@ -138,8 +139,11 @@ case class AsOfJoinExec(
           while (rHead == null && rIter.hasNext) {
             val r = rIter.next()
             if (rTimeEval.eval(r) != null) { // null times never match
-              rHead = r
-              rHeadKey = rKeyProj(r)
+              val k = rKeyProj(r)
+              if (!k.anyNull) { // null keys never match (SQL equi-join)
+                rHead = r
+                rHeadKey = k
+              }
             }
           }
         }
@@ -150,7 +154,7 @@ case class AsOfJoinExec(
             val l = lIter.next()
             val lk = lKeyProj(l)
             val lt = lTimeEval.eval(l)
-            if (lt == null) {
+            if (lt == null || lk.anyNull) { // null time or key: no match
               if (outer) nextOut = resultProj(joined(l, nullRight))
             } else {
               // pull right rows that are at-or-before (lk, lt); the last

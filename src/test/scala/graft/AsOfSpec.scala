@@ -12,14 +12,16 @@ class AsOfSpec extends AnyFunSuite {
 
   // trades (left) as-of quotes (right) — the canonical as-of fixture;
   // includes: equal timestamps (inclusive match), a key with no quotes,
-  // a quote after every trade, null times on both sides
+  // a quote after every trade, null times AND null keys on both sides
+  // (null keys must never match each other — SQL equi-join semantics)
   private def trades = Seq(
     ("AAPL", Some(10L), 1),
     ("AAPL", Some(20L), 2),
     ("AAPL", Some(25L), 3),
     ("MSFT", Some(15L), 4),
     ("NOQUOTE", Some(50L), 5),
-    ("AAPL", None: Option[Long], 6))
+    ("AAPL", None: Option[Long], 6),
+    (null.asInstanceOf[String], Some(30L), 7))
     .toDF("sym", "t", "trade_id")
   private def quotes = Seq(
     ("AAPL", Some(5L), 100.0),
@@ -27,7 +29,8 @@ class AsOfSpec extends AnyFunSuite {
     ("AAPL", Some(21L), 102.0),
     ("AAPL", Some(99L), 103.0), // after every trade
     ("MSFT", Some(1L), 200.0),
-    ("MSFT", None: Option[Long], 201.0))
+    ("MSFT", None: Option[Long], 201.0),
+    (null.asInstanceOf[String], Some(10L), 300.0)) // must match NO trade
     .toDF("qsym", "qt", "price")
 
   private def naive(outer: Boolean) = {

@@ -41,6 +41,16 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("[distributed] 60-bit hash ids: convergence probe must not overflow") {
+    // labels summed as Long would exceed Long.MaxValue with a handful of
+    // near-2^63 ids — ANSI mode throws; the decimal(38,0) probe must not
+    val big = Long.MaxValue - 4
+    val verts = (0L until 5L).map(big + _)
+    val got = cc(Seq((big, big + 1), (big + 2, big + 3)), verts, 0L)
+    assert(got === Map(big -> big, (big + 1) -> big,
+      (big + 2) -> (big + 2), (big + 3) -> (big + 2), (big + 4) -> (big + 4)))
+  }
+
   test("driver and distributed paths agree on a random sparse graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))

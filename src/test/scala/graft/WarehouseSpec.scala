@@ -154,6 +154,12 @@ class WarehouseSpec extends AnyFunSuite {
     assert(m("warehouse.data_root") === "/lake/frag#2")
     assert(m("warehouse.export_dir") === "/exports")
     assert(m("vars.start_ds") === "2024-01-01")
+    // ' #' INSIDE a quoted value is data, not a comment
+    val q = GraftConfig.parseYaml(
+      """warehouse:
+        |  data_root: "/lake/a # b"  # real comment
+        |""".stripMargin)
+    assert(q("warehouse.data_root") === "/lake/a # b")
     val e = intercept[RuntimeException](GraftConfig.parseYaml(
       "warehouse:\n  nested:\n    too_deep: 1\n"))
     assert(e.getMessage.contains("nested"))
