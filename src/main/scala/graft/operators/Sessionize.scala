@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch (non-streaming) sessionization: assign a per-user session sequence
+  * number from inactivity gaps — the backfill/reprocessing twin of the
+  * streaming `EventStream.sessionize` (state-machine over
+  * flatMapGroupsWithState). Historical reprocessing at 100 TB runs THIS
+  * form: one hash-shuffle on the user key + one in-partition sort, then two
+  * narrow window passes (lag, running sum) over the same partitioning — no
+  * state store, no per-row driver work.
+  */
+object Sessionize {
+
+  /** Appends `session_seq` (1-based, per `userCol`): a new session starts
+    * when the gap from the previous event exceeds `gapSeconds`.
+    *
+    * @param tieCol deterministic order tiebreaker for equal timestamps
+    *               (sessionization over a non-total order is ambiguous) */
+  def batch(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val newSession =
+      when(lag(us, 1).over(order).isNull
+          || us - lag(us, 1).over(order) > gapSeconds * 1000000L, 1L)
+        .otherwise(0L)
+    events.withColumn("session_seq",
+      sum(newSession).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

@@ -55,8 +55,8 @@ object DedupOps {
 
   /** (doc_id, shingle) distinct pairs. Tokens are materialized into a
     * column first so the shingle lambda doesn't re-split the text per
-    * element access. */
-  private def shingleSet(d: DataFrame): DataFrame =
+    * element access. Shared with ScaleOps' contamination check. */
+  private[queries] def shingleSet(d: DataFrame): DataFrame =
     d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
@@ -70,12 +70,17 @@ object DedupOps {
         (1 until NumHashes).map(i => min(perm(h, i)).as(s"mh$i")): _*)
   }
 
-  private val sigSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+  /** DuckDB CTEs producing `sh(doc_id, sh)` — the distinct 3-shingle set,
+    * the SQL mirror of [[shingleSet]] (shared with ScaleOps). */
+  private[queries] val shingleCteSql =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
        idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
                FROM toks WHERE len(t) >= 3),
        sh AS (SELECT DISTINCT doc_id,
-                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx),
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx)"""
+
+  private val sigSql =
+    s"""WITH $shingleCteSql,
        hs AS (SELECT doc_id, $hashSql AS h FROM sh),
        sig AS (SELECT doc_id,
          ${(0 until NumHashes).map(i => s"min(${permSql("h", i)}) AS mh$i").mkString(", ")}

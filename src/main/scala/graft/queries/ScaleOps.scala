@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.stableHash
+import graft.operators.{Layout, RuntimeFilter, Sessionize, Skew}
+import graft.sources.Tables
+
+/** Scale-pattern operators, each the explicit form of a technique a 100 TB
+  * deployment leans on: batch sessionization (one shuffle + windows),
+  * int8 embedding quantization (4× storage/bandwidth for ANN), Z-order
+  * layout keys (multi-dimension file pruning), bloom-filter join pruning
+  * (pre-shuffle fact filtering), salted joins (hot-key splitting), and
+  * train/test contamination detection (shingle-overlap leakage audit).
+  * Every query is DuckDB-oracle-verified.
+  */
+object ScaleOps {
+
+  /** Shingles occurring in more than this many docs are dropped from the
+    * contamination join: non-discriminative n-grams (boilerplate) are what
+    * make shingle joins explode — the df cap bounds per-shingle fanout at
+    * maxDf² pairs. Mirrored literally in the oracle SQL. */
+  private val ContaminationMaxDf = 20
+  private val ContaminationMinOverlap = 3
+
+  private val splitBucket = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Batch sessionization: per-user inactivity-gap (30 min) sessions.
+    // ONE hash shuffle on user_id; the lag + running-sum windows and the
+    // final per-session aggregation all reuse that partitioning. The
+    // streaming twin (EventStream.sessionize) handles the live path; this
+    // is the backfill/reprocessing form.
+    "q53_batch_sessionize" -> ((s, dir) => {
+      Sessionize.batch(Tables(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("started_us"),
+          unix_micros(max(col("ts"))).as("ended_us"),
+          round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // Symmetric int8 quantization of embeddings: scale = max|x|/127 per
+    // vector, q_i = clamp(round(x_i/scale)). A narrow projection (HOFs over
+    // the array column, no shuffle at all) that cuts ANN storage and
+    // shuffle bandwidth 4×; mean_abs_err reports the reconstruction cost.
+    // All arithmetic in double so both engines evaluate identical IEEE ops.
+    "q54_embed_quantize" -> ((s, dir) => {
+      val q = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("xs"))
+        .withColumn("scale",
+          greatest(array_max(transform(col("xs"), x => abs(x))) / lit(127.0),
+            lit(1e-12)))
+        .withColumn("qv", transform(col("xs"), x =>
+          least(greatest(round(x / col("scale")), lit(-127.0)), lit(127.0))
+            .cast("long")))
+      q.select(col("vec_id"),
+        size(col("xs")).cast("long").as("n_dims"),
+        round(col("scale"), 6).as("scale_r"),
+        aggregate(col("qv"), lit(0L), (a, v) => a + v).as("q_sum"),
+        round(
+          aggregate(zip_with(col("xs"), col("qv"),
+              (x, v) => abs(x - v.cast("double") * col("scale"))),
+            lit(0.0), (a, v) => a + v) / size(col("xs")), 6)
+          .as("mean_abs_err"))
+    }),
+
+    // Z-order layout keys: 32-bit Morton interleave of two bucketed
+    // dimensions. `repartitionByRange(zkey)` + sorted write clusters files
+    // so range predicates on EITHER dimension prune; file_bucket (top bits)
+    // is the file assignment. Pure codegen'd bit arithmetic.
+    "q55_zorder_layout" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("px"),
+          (col("l_suppkey") % 1024).as("sy"))
+        .distinct()
+        .select(col("px"), col("sy"),
+          Layout.zorder2(col("px"), col("sy")).as("zkey"))
+        .withColumn("file_bucket", shiftright(col("zkey"), 16))
+    }),
+
+    // Bloom-prefiltered semi join: the dim keys become an ~4 KB sketch
+    // evaluated INSIDE the fact scan — at 100 TB only bloom-positive rows
+    // reach the semi-join shuffle. Oracle = the plain semi join (the bloom
+    // is transparent: false positives are removed by the exact join).
+    "q56_bloom_prefilter" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      RuntimeFilter.bloomSemiJoin(Tables(s, dir, "orders"), cust,
+          "o_custkey", "c_custkey", expectedItems = 4096L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("sum_price"))
+    }),
+
+    // Salted fact⋈dim join: the fact side gets a random salt, the dim side
+    // is replicated per salt, so one hot customer key spreads over 16
+    // tasks. Result is identical to the unsalted join (oracle = plain
+    // join), which is the point: salting changes the plan, never the
+    // answer.
+    "q57_salted_join" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(Tables(s, dir, "orders"), cust,
+          "o_custkey", "c_custkey", buckets = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("sum_price"))
+    }),
+
+    // Train/test contamination audit: test-split docs sharing >= 3 RARE
+    // 3-shingles with a train-split doc (the q48 hash split). Joining on
+    // the shingle is scale-sane only with the document-frequency cap —
+    // boilerplate shingles are dropped, bounding fanout; at larger overlap
+    // thresholds swap the exact join for the MinHash-LSH candidate
+    // pipeline (q33) over cross-split pairs.
+    "q58_contamination" -> ((s, dir) => {
+      val sh = DedupOps.shingleSet(Tables(s, dir, "documents"))
+      val rare = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= ContaminationMaxDf)
+        .withColumn("bucket",
+          pmod(stableHash(col("doc_id").cast("string")), lit(100)))
+      val train = rare.filter(col("bucket") < 80)
+        .select(col("sh"), col("doc_id").as("train_doc_id"))
+      val test = rare.filter(col("bucket") >= 90)
+        .select(col("sh"), col("doc_id").as("test_doc_id"))
+      test.join(train, Seq("sh"))
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= ContaminationMinOverlap)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q53_batch_sessionize" ->
+      """WITH ord AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  CAST(sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_seq
+           FROM ord)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                epoch_us(min(ts)) AS started_us,
+                epoch_us(max(ts)) AS ended_us,
+                round(sum(value), 4) AS sum_value
+         FROM sess GROUP BY user_id, session_seq""",
+    "q54_embed_quantize" ->
+      """WITH sc AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,
+                  greatest(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+           FROM embeddings),
+         qq AS (
+           SELECT vec_id, xs, scale,
+                  list_transform(xs, x -> CAST(least(greatest(
+                    round(x / scale), -127.0), 127.0) AS BIGINT)) AS qv
+           FROM sc)
+         SELECT vec_id, len(xs) AS n_dims, round(scale, 6) AS scale_r,
+                CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                round(list_sum(list_transform(range(1, len(xs) + 1),
+                    i -> abs(xs[i] - qv[i] * scale))) / len(xs), 6)
+                  AS mean_abs_err
+         FROM qq""",
+    "q55_zorder_layout" -> {
+      val z = Layout.zorder2Sql("px", "sy")
+      s"""WITH d AS (SELECT DISTINCT l_partkey % 1024 AS px,
+                            l_suppkey % 1024 AS sy FROM lineitem),
+         z AS (SELECT px, sy, $z AS zkey FROM d)
+         SELECT px, sy, zkey, zkey >> 16 AS file_bucket FROM z"""
+    },
+    "q56_bloom_prefilter" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                round(sum(o_totalprice), 4) AS sum_price
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         GROUP BY o_orderpriority""",
+    "q57_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                round(sum(o_totalprice), 4) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q58_contamination" ->
+      s"""WITH ${DedupOps.shingleCteSql},
+         df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         rare AS (SELECT s.doc_id, s.sh,
+                         $splitBucket AS bucket
+                  FROM sh s JOIN df USING (sh)
+                  WHERE df.df <= $ContaminationMaxDf),
+         tr AS (SELECT sh, doc_id AS train_doc_id FROM rare
+                WHERE bucket < 80),
+         te AS (SELECT sh, doc_id AS test_doc_id FROM rare
+                WHERE bucket >= 90)
+         SELECT test_doc_id, train_doc_id, count(*) AS overlap
+         FROM te JOIN tr USING (sh)
+         GROUP BY test_doc_id, train_doc_id
+         HAVING count(*) >= $ContaminationMinOverlap"""
+  )
+}

@@ -1,0 +1,38 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column wrappers over Spark's internal bloom-filter expressions — the
+  * exact machinery `InjectRuntimeFilter` uses for runtime join pruning
+  * (`spark.sql.optimizer.runtime.bloomFilter.*`), exposed so a pipeline can
+  * apply the same prefilter EXPLICITLY where the optimizer's heuristics
+  * won't (cross-query reuse, pre-shuffle pruning of a known-selective dim).
+  *
+  * Both are codegen'd native expressions — no UDF, no driver round-trip per
+  * row. Lives in `org.apache.spark.sql.graft` because the expression
+  * constructors and `ExpressionUtils` are `private[sql]`.
+  *
+  * Public API: [[graft.operators.RuntimeFilter]].
+  */
+object BloomOps {
+
+  /** Aggregate: build a bloom filter over `hashed` (must be a LongType
+    * hash, e.g. `xxhash64(key)` — the same hash family the runtime-filter
+    * rule feeds it). Result is the serialized sketch (binary). */
+  def bloomAgg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new BloomFilterAggregate(ExpressionUtils.expression(hashed),
+        Literal(expectedItems), Literal(numBits), 0, 0)
+        .toAggregateExpression())
+
+  /** Predicate: `might_contain(serializedBloom, xxhash64(key))`. The bloom
+    * side must be FOLDABLE (a binary literal or scalar subquery) — the
+    * analyzer rejects a per-row bloom column, matching Spark's own
+    * runtime-filter contract. */
+  def mightContain(bloom: Column, hashed: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(hashed)))
+}

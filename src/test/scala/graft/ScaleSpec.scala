@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, RuntimeFilter, Sessionize, Skew}
+
+/** Scale-pattern operators: Z-order keys, bloom-prefiltered semi join,
+  * batch sessionization. The integrated queries (q53–q58) are oracle-
+  * verified; this covers operator semantics and plan shape directly. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("zorder2 magic-number spread equals bit-at-a-time reference") {
+    val cases = Seq((0, 0), (1, 0), (0, 1), (3, 1), (1023, 511),
+      (65535, 65535), (0xABCD, 0x1234), (42, 31337))
+    val df = cases.toDF("a", "b")
+      .select(Layout.zorder2(col("a"), col("b")).as("z"))
+    val got = df.as[Long].collect().toSeq
+    val want = cases.map { case (a, b) => Layout.zorder2Ref(a, b) }
+    assert(got === want)
+    // interleave identity: z-order of (x, 0) spreads x onto even bits
+    assert(Layout.zorder2Ref(0xFFFF, 0) === 0x55555555L)
+    assert(Layout.zorder2Ref(0, 0xFFFF) === 0xAAAAAAAAL)
+  }
+
+  test("zorder2 preserves per-dimension range locality (file pruning)") {
+    // all points in a 2^k-aligned tile share the zkey prefix: the layout
+    // property that makes either-dimension range predicates prune files
+    val tile = for (a <- 64 until 128; b <- 192 until 256) yield (a, b)
+    val keys = tile.map { case (a, b) => Layout.zorder2Ref(a, b) }
+    assert(keys.map(_ >> 12).distinct.size === 1,
+      "a 64x64 aligned tile must map to one zkey >> 12 prefix")
+  }
+
+  test("bloomSemiJoin equals exact semi join, bloom filter is pre-join") {
+    val big = spark.range(0, 10000).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+    val small = spark.range(0, 10000).filter(col("id") % 100 === 3)
+      .select(col("id").as("sk"))
+    val got = RuntimeFilter.bloomSemiJoin(big, small, "k", "sk",
+      expectedItems = 128)
+    val want = big.join(small, col("k") === col("sk"), "left_semi")
+    assert(got.collect().map(_.getLong(0)).sorted
+      === want.collect().map(_.getLong(0)).sorted)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("bloomSemiJoin with empty small side returns no rows") {
+    val big = spark.range(0, 100).select(col("id").as("k"))
+    val small = spark.range(0, 100).filter(col("id") < 0)
+      .select(col("id").as("sk"))
+    assert(RuntimeFilter.bloomSemiJoin(big, small, "k", "sk",
+      expectedItems = 16).count() === 0L)
+  }
+
+  test("batch sessionization: gap splits, ties break on tiebreaker") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000)
+    val events = Seq(
+      (1L, at(0), 10L), (1L, at(60), 11L), // session 1
+      (1L, at(60 + 1801), 12L),            // > 30 min gap: session 2
+      (1L, at(60 + 1801 + 1800), 13L),     // exactly 30 min: SAME session
+      (2L, at(0), 20L)                     // other user: own session 1
+    ).toDF("user_id", "ts", "event_id")
+    val got = Sessionize.batch(events, "user_id", "ts", "event_id", 1800L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 2L, 20L -> 1L))
+  }
+
+  test("salted join equals plain join (salting never changes the answer)") {
+    val fact = spark.range(0, 5000)
+      .select((col("id") % 5).as("k"), col("id").as("x"))
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("dk", "name")
+    val got = Skew.saltedJoin(fact, dim, "k", "dk", buckets = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val want = fact.join(dim, col("k") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    assert(got.collect().map(_.toSeq).toSet === want.collect().map(_.toSeq).toSet)
+  }
+}
