@@ -113,6 +113,25 @@ object TextOps {
           count(lit(1)).as("n_shingles"))
     }),
 
+    // BPE-ish token counting: GPT-2-style pre-tokenizer split (runs of
+    // letters / digits / other, each with an optional leading space) via
+    // one regexp_extract_all, then a subword estimate of ceil(len/4) per
+    // pre-token — the standard chars/4 heuristic applied piecewise, so
+    // punctuation-heavy text estimates higher than plain prose. Narrow
+    // projection, zero shuffles; the regex is RE2-safe (no lookahead) so
+    // DuckDB extracts the identical pre-tokens.
+    "q59_bpe_tokens" -> ((s, dir) => {
+      val pre = regexp_extract_all(col("text"),
+        lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0))
+      docs(s, dir)
+        .select(col("doc_id"), pre.as("pre"))
+        .select(col("doc_id"),
+          size(col("pre")).cast("long").as("n_pretokens"),
+          aggregate(col("pre"), lit(0L), (a, t) =>
+            a + floor((length(ltrim(t)) + lit(3)) / lit(4.0)).cast("long"))
+            .as("est_bpe_tokens"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode/feature-extract step for real image/audio payloads lives in
     // graft.multimodal (stubbed deterministic transform); here: the
@@ -184,6 +203,17 @@ object TextOps {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
                 md5(text) AS content_md5,
                 substr(text, 1, 4) AS magic
-         FROM documents"""
+         FROM documents""",
+    "q59_bpe_tokens" ->
+      """WITH pre AS (
+           SELECT doc_id,
+                  regexp_extract_all(text,
+                    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS p
+           FROM documents)
+         SELECT doc_id, len(p) AS n_pretokens,
+                coalesce(CAST(list_sum(list_transform(p, t ->
+                  CAST(floor((length(ltrim(t)) + 3) / 4.0) AS BIGINT)))
+                  AS BIGINT), 0) AS est_bpe_tokens
+         FROM pre"""
   )
 }

@@ -69,6 +69,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(got === Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 2L, 20L -> 1L))
   }
 
+  test("batch sessionization equals the streaming state machine") {
+    import graft.streaming.{EventStream, UserEvent}
+    // deterministic pseudo-random gaps: multiplicative scramble mod a prime
+    val evs = (0L until 400L).map { i =>
+      UserEvent(user_id = i % 23, event_id = i,
+        ts_ms = (i * 7919L) % 99991L * 500L)
+    }
+    // streaming operator run in batch mode (flatMapGroupsWithState over a
+    // bounded Dataset): emits CLOSED sessions + keeps the last one in state,
+    // so append the still-open session per user from the batch view
+    val gapMs = 3000000L // ~median inter-event gap: a real open/close mix
+    val streamed = EventStream.sessionize(evs.toDS(), gapMs).collect()
+      .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+    val batch = Sessionize.batch(
+        evs.toDF().select(col("user_id"), col("event_id"),
+          timestamp_millis(col("ts_ms")).as("ts")),
+        "user_id", "ts", "event_id", gapSeconds = gapMs / 1000)
+      .groupBy("user_id", "session_seq")
+      .agg(unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n"))
+    val batchAll = batch.select("user_id", "start_ms", "end_ms", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the streaming run emits only closed sessions; every one must appear
+    // identically in the batch result, and the batch extras must be exactly
+    // one trailing (still-open) session per user
+    assert(streamed.subsetOf(batchAll),
+      s"closed streaming sessions missing from batch: ${streamed -- batchAll}")
+    val open = batchAll -- streamed
+    assert(open.size === evs.map(_.user_id).distinct.size,
+      s"expected one open session per user, got: $open")
+    assert(open.forall { case (u, _, end, _) =>
+      end === batchAll.filter(_._1 == u).map(_._3).max },
+      s"open sessions must be each user's trailing one: $open")
+  }
+
   test("salted join equals plain join (salting never changes the answer)") {
     val fact = spark.range(0, 5000)
       .select((col("id") % 5).as("k"), col("id").as("x"))
