@@ -1,0 +1,105 @@
+package graft.models
+
+import org.apache.spark.sql.functions._
+import graft.core.{Audit, ExportSpec, Materialization, Model}
+
+/** The training-data curation pipeline as a warehouse model DAG — the same
+  * orchestration surface the omicidx catalog uses (topo-ordered models,
+  * audits, exports, meta tracking), applied to the LLM-data operators:
+  *
+  * {{{
+  * raw.documents_raw          (view over the documents lake)
+  *   ├─ staging.doc_quality   (q24 quality scorer)
+  *   └─ staging.dedup_clusters(MinHash-LSH pairs → connected components)
+  *        ├─ mart.corpus_keepers (highest-quality doc per cluster)   [export]
+  *        └─ mart.corpus_splits  (cluster-hash train/val/test split) [export]
+  * }}}
+  *
+  * Audits encode the invariants a curation pipeline must hold: exactly one
+  * keeper per cluster, every document in exactly one split, and NO cluster
+  * straddling a split boundary (the train/test-leakage guarantee that
+  * doc-level splits cannot give). A violated audit fails the model run —
+  * the same contract as the reference's sqlmesh audits.
+  *
+  * Derivations reuse the oracle-verified query builders (q24/q47), reading
+  * the documents lake at `cfg.dataRoot`.
+  */
+object CurationModels {
+
+  def catalog: Seq[Model] = Seq(
+    Model("documents_raw", "raw",
+      build = Some((s, cfg) =>
+        graft.sources.Tables(s, cfg.dataRoot, "documents")),
+      description = "Documents lake (doc_id, text, lang, source, n_chars)",
+      grain = Seq("doc_id")),
+
+    Model("doc_quality", "staging",
+      dependsOn = Seq("documents_raw"),
+      build = Some((s, cfg) =>
+        graft.queries.TextOps.queries("q24_quality_score")(s, cfg.dataRoot)),
+      description = "Per-document quality heuristics (stopword/punct/length)",
+      grain = Seq("doc_id")),
+
+    Model("dedup_clusters", "staging",
+      dependsOn = Seq("documents_raw"),
+      build = Some((s, cfg) =>
+        graft.queries.CurationOps.queries("q47_dedup_clusters")(s, cfg.dataRoot)),
+      description = "Near-dup cluster per doc (MinHash-LSH + hash-min CC)",
+      grain = Seq("doc_id"),
+      audits = Seq(
+        Audit("every_doc_clustered",
+          "SELECT d.doc_id FROM documents_raw d " +
+            "LEFT ANTI JOIN dedup_clusters c ON d.doc_id = c.doc_id"))),
+
+    Model("corpus_keepers", "mart",
+      dependsOn = Seq("dedup_clusters", "doc_quality"),
+      materialization = Materialization.Table,
+      build = Some((s, _) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(desc("quality"), asc("doc_id"))
+        s.table("dedup_clusters").select("doc_id", "cluster_id")
+          .join(s.table("doc_quality").select("doc_id", "quality"), Seq("doc_id"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+            col("quality").as("keeper_quality"))
+      }),
+      export = Some(ExportSpec("marts/corpus_keepers.parquet")),
+      description = "Canonical keeper per dup cluster (highest quality)",
+      grain = Seq("cluster_id"),
+      audits = Seq(
+        Audit("one_keeper_per_cluster",
+          "SELECT cluster_id FROM corpus_keepers " +
+            "GROUP BY cluster_id HAVING count(*) > 1"),
+        Audit("keeper_covers_every_cluster",
+          "SELECT cluster_id FROM dedup_clusters " +
+            "EXCEPT SELECT cluster_id FROM corpus_keepers"))),
+
+    Model("corpus_splits", "mart",
+      dependsOn = Seq("dedup_clusters"),
+      materialization = Materialization.Table,
+      build = Some((s, _) => {
+        val bucket = pmod(graft.functions.TextFunctions
+          .stableHash(col("cluster_id").cast("string")), lit(100))
+        s.table("dedup_clusters")
+          .select(col("doc_id"), col("cluster_id"), bucket.as("bucket"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+      }),
+      export = Some(ExportSpec("marts/corpus_splits.parquet",
+        partitionBy = Seq("split"))),
+      description = "Cluster-hash train/val/test split (leakage-safe)",
+      grain = Seq("doc_id"),
+      audits = Seq(
+        Audit("every_doc_split_once",
+          "SELECT doc_id FROM corpus_splits GROUP BY doc_id " +
+            "HAVING count(*) > 1"),
+        Audit("every_doc_present",
+          "SELECT doc_id FROM documents_raw " +
+            "EXCEPT SELECT doc_id FROM corpus_splits"),
+        Audit("no_cluster_straddles_splits",
+          "SELECT cluster_id FROM corpus_splits " +
+            "GROUP BY cluster_id HAVING count(DISTINCT split) > 1")))
+  )
+}
