@@ -33,6 +33,35 @@ class ScaleSpec extends AnyFunSuite {
       "a 64x64 aligned tile must map to one zkey >> 12 prefix")
   }
 
+  test("zorder-ranged write clusters BOTH dimensions; single-dim sort does not") {
+    // the layout claim made measurable: range-partition by zkey + sorted
+    // write → every file covers a tight (px, sy) tile, so min/max file
+    // stats prune on EITHER dimension; a px-sorted layout prunes only px
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val src = SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select((col("l_partkey") % 1024).as("px"), (col("l_orderkey") % 1024).as("sy"))
+      .select(col("px"), col("sy"), Layout.zorder2(col("px"), col("sy")).as("zkey"))
+    src.repartitionByRange(64, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(s"$dir/zordered")
+    src.repartitionByRange(64, col("px")).sortWithinPartitions("px")
+      .write.mode("overwrite").parquet(s"$dir/pxsorted")
+    def avgSpans(path: String): (Double, Double) = {
+      val r = SparkTestBase.spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("px") - min("px")).as("pxs"), (max("sy") - min("sy")).as("sys"))
+        .agg(avg("pxs"), avg("sys")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (zpx, zsy) = avgSpans(s"$dir/zordered")
+    val (ppx, psy) = avgSpans(s"$dir/pxsorted")
+    assert(zpx < 320 && zsy < 320,
+      s"zorder files must cover tight tiles in BOTH dims: px=$zpx sy=$zsy")
+    assert(ppx < 64, s"px-sorted layout prunes px: $ppx")
+    assert(psy > 900, s"px-sorted layout cannot prune sy: $psy")
+    assert(zsy < psy / 2, "zorder at least halves the off-dimension span")
+  }
+
   test("bloomSemiJoin equals exact semi join, bloom filter is pre-join") {
     val big = spark.range(0, 10000).select(col("id").as("k"),
       (col("id") % 7).as("v"))
