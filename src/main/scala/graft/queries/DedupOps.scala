@@ -154,6 +154,35 @@ object DedupOps {
           round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
+    // Containment (asymmetric Jaccard): |A∩B| / min(|A|,|B|) — catches a
+    // short doc EMBEDDED in a long one (quotes, boilerplate wrappers,
+    // subset pages), which symmetric Jaccard dilutes below any threshold.
+    // Same LSH-then-verify shape as q31: candidates from the band buckets,
+    // exact rescoring from the full shingle sets.
+    "q60_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val wb = bandedSignatures(d)
+      val l = wb.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      val r = wb.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+      val cand = l.join(r, Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sets = shingleSet(d).groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("shs"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")),
+          Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .withColumn("containment", col("inter").cast("double") /
+          least(size(col("shs_a")), size(col("shs_b"))))
+        .filter(col("containment") >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 4).as("containment"))
+    }),
+
     // SimHash: 60-bit signed-sum fingerprint over token hashes (with
     // multiplicity). Pure projection + one aggregation. 60 bits (not 64)
     // because the engine-portable stableHash is a 60-bit positive long.
@@ -282,7 +311,28 @@ object DedupOps {
            ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
          WHERE bit_count(xor(a.simhash, c.simhash)) <= 4"""
     },
-    "q34_simhash" -> s"SELECT * FROM ($simhashSql) AS simhash_t"
+    "q34_simhash" -> s"SELECT * FROM ($simhashSql) AS simhash_t",
+    // q31's CTE chain with the asymmetric denominator
+    "q60_containment" ->
+      s"""$sigSql,
+         $bandedCte,
+         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                  FROM banded l JOIN banded r
+                    ON struct_extract(l.bk, 'band') = struct_extract(r.bk, 'band')
+                   AND struct_extract(l.bk, 'key') = struct_extract(r.bk, 'key')
+                   AND l.doc_id < r.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.doc_a
+                   JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(i * 1.0 / least(ca.n, cb.n), 4) AS containment
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = doc_a
+         JOIN cnt cb ON cb.doc_id = doc_b
+         WHERE i * 1.0 / least(ca.n, cb.n) >= 0.5"""
   )
 
   /** Shared DuckDB SQL computing (doc_id, 60-bit simhash) for all docs. */

@@ -143,6 +143,28 @@ object TextOps {
         length(bin).as("n_bytes"),
         md5(bin).as("content_md5"),
         substring(col("text"), 1, 4).as("magic"))
+    }),
+
+    // Multimodal frame sampling: the video/audio pattern (decode → sample
+    // every k-th frame → per-frame features) with the byte-level part made
+    // real and engine-checkable: 32-byte frames at stride 64 from the
+    // payload, one row per (doc, frame) with its digest. The codec for real
+    // media swaps in at the frame expression (graft.multimodal.Multimodal
+    // stub); the explode/row-shape/digest plumbing is exactly what a real
+    // extractor runs. Frames are sliced on the string (the fixture is
+    // ASCII, so char offsets == byte offsets; DuckDB's md5/slicing is
+    // VARCHAR-only) and hashed as bytes. Narrow (explode is
+    // partition-local), no shuffle.
+    "q61_frame_sample" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(length(col("text")) >= 32)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            floor((length(col("text")) - lit(32)) / lit(64.0)).cast("long")))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(expr("substring(text, cast(frame_idx * 64 + 1 as int), 32)")
+            .cast("binary")).as("frame_md5"))
     })
   )
 
@@ -204,6 +226,17 @@ object TextOps {
                 md5(text) AS content_md5,
                 substr(text, 1, 4) AS magic
          FROM documents""",
+    "q61_frame_sample" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+                    WHERE length(text) >= 32),
+         idx AS (SELECT doc_id, text,
+                        unnest(range(0, (length(text) - 32) // 64 + 1))
+                          AS frame_idx
+                 FROM b)
+         SELECT doc_id, frame_idx,
+                md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32))
+                  AS frame_md5
+         FROM idx""",
     "q59_bpe_tokens" ->
       """WITH pre AS (
            SELECT doc_id,
