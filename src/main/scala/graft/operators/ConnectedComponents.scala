@@ -106,6 +106,32 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("cc"), col("id")).as("component"))
   }
 
+  /** Incremental connected components: fold a NEW batch's near-dup pairs
+    * into an EXISTING cluster assignment without re-clustering the old
+    * corpus. The prior assignment collapses each old cluster to a star
+    * (id → component edge), so old clusters contribute diameter ≤ 2
+    * regardless of their original shape; only the new pairs add structure.
+    * At 100 TB this is the difference between re-running dedup over the
+    * whole corpus per ingest batch and a job proportional to
+    * |old assignment| + |new batch's pairs|.
+    *
+    * Equivalent to full recomputation (proved in CurationSpec) because
+    * star edges preserve exactly the old connectivity.
+    *
+    * @param oldAssign (id, component) — prior [[hashMin]] output
+    * @param newPairs  near-dup pairs involving at least one new doc (e.g.
+    *                  banding only the new docs against the full signature
+    *                  store)
+    * @param vertices  ALL ids (old + new) */
+  def incremental(oldAssign: DataFrame, newPairs: DataFrame,
+      vertices: DataFrame, maxIter: Int = 20,
+      driverMax: Long = DriverMaxEdges): DataFrame = {
+    val starEdges = oldAssign.toDF("src", "dst")
+      .filter(col("src") =!= col("dst")) // self-labels carry no connectivity
+    hashMin(starEdges.union(newPairs.toDF("src", "dst")), vertices,
+      maxIter, driverMax)
+  }
+
   /** Edge-count threshold for the driver union-find fast path (2M edge
     * rows ≈ tens of MB of driver state). */
   private val DriverMaxEdges = 2000000L

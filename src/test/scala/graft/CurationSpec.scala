@@ -51,6 +51,27 @@ class CurationSpec extends AnyFunSuite {
       (big + 2) -> (big + 2), (big + 3) -> (big + 2), (big + 4) -> (big + 4)))
   }
 
+  for ((mode, dmax) <- Seq("driver" -> 2000000L, "distributed" -> 0L)) {
+    test(s"[$mode] incremental CC equals full recomputation") {
+      // corpus grows from 140 old to 200 total vertices; the old corpus is
+      // never re-clustered — its assignment enters as star edges only
+      val rnd = new scala.util.Random(11)
+      val all = Seq.fill(260)(
+        (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      val oldVerts = (0L until 140L)
+      val oldEdges = all.filter(e => e._1 < 140 && e._2 < 140)
+      val newPairs = all.filterNot(e => e._1 < 140 && e._2 < 140)
+      val oldAssign = ConnectedComponents.hashMin(
+        oldEdges.toDF("src", "dst"), oldVerts.toDF("id"), driverMax = dmax)
+      val inc = ConnectedComponents.incremental(
+          oldAssign, newPairs.toDF("src", "dst"),
+          (0L until 200L).toDF("id"), driverMax = dmax)
+        .as[(Long, Long)].collect().toMap
+      val full = cc(all, 0L until 200L, dmax)
+      assert(inc === full)
+    }
+  }
+
   test("driver and distributed paths agree on a random sparse graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
