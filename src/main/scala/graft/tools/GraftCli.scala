@@ -23,6 +23,9 @@ import graft.models.OmicidxModels
   * via [[graft.core.GraftConfig]], overridden by GRAFT_DATA_ROOT,
   * GRAFT_WAREHOUSE_DIR, GRAFT_EXPORT_DIR, GRAFT_THREADS,
   * GRAFT_START_DS / GRAFT_END_DS.
+  *
+  * Catalog selection: `GRAFT_CATALOG=omicidx` (default) or `curation`
+  * (the training-data pipeline DAG, [[graft.models.CurationModels]]).
   */
 object GraftCli {
   def main(args: Array[String]): Unit = {
@@ -32,7 +35,12 @@ object GraftCli {
     val cfg = loaded.cfg
     val spark = loaded.threads
       .map(GraftSession.local(_)).getOrElse(GraftSession.local())
-    val models = OmicidxModels.catalog(OmicidxModels.lakeSources)
+    val models = sys.env.getOrElse("GRAFT_CATALOG", "omicidx") match {
+      case "omicidx" => OmicidxModels.catalog(OmicidxModels.lakeSources)
+      case "curation" => graft.models.CurationModels.catalog
+      case other => sys.error(s"unknown GRAFT_CATALOG '$other' " +
+        "(expected omicidx | curation)")
+    }
     val meta = new MetaStore(spark, cfg.warehouseDir)
     val runner = new DagRunner(spark, cfg, models, Some(meta))
     val selection = if (rest.isEmpty) None else Some(rest)
