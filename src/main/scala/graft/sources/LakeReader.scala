@@ -31,6 +31,24 @@ object LakeReader {
     schema.fold(r)(r.schema).json(glob)
   }
 
+  /** NDJSON scan with corrupt-record QUARANTINE: rows that fail to parse
+    * against the pinned schema surface as a `_corrupt` column carrying the
+    * raw line instead of silently nulling out (a real 100 TB lake always
+    * contains torn writes / truncated lines / schema strays).
+    *
+    * One frame, not two: Spark refuses to filter on the corrupt column
+    * straight off the JSON relation (it would need a second parse), so the
+    * scale-correct pattern is to land this frame once — e.g. partitioned
+    * by `_corrupt IS NOT NULL` — and split AFTER materialization; an audit
+    * on the quarantine partition gates the model (see SourcesSpec). */
+  def ndjsonWithQuarantine(spark: SparkSession, glob: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(glob)
+
   /** S6: delimited text scan with schema inference. */
   def csv(spark: SparkSession, path: String, delimiter: String = ";",
       header: Boolean = true): DataFrame =

@@ -119,6 +119,35 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream → warehouse: land micro-batches as day-partitioned parquet
+    * with DYNAMIC partition overwrite, the same layout and replay
+    * semantics as the batch `IntervalRunner` (`_ds=` partitions,
+    * idempotent re-runs). foreachBatch is the bridge: inside it the batch
+    * is a plain DataFrame, so the exact batch write path — partitioning,
+    * overwrite mode, compression — is reused, and a replayed batch
+    * overwrites the same partitions instead of duplicating them.
+    *
+    * Contract (same as IntervalRunner's I4): micro-batches must be
+    * day-aligned — with `Trigger.AvailableNow` and no file-rate cap a run
+    * is one batch, so any complete day it touches is rewritten whole. */
+  def sinkToWarehouse(df: DataFrame, outDir: String, checkpointDir: String,
+      tsCol: String = "ts"): StreamingQuery = {
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("_ds", date_format(col(tsCol), "yyyy-MM-dd"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_ds")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run a streaming frame to a parquet sink, processing all currently
     * available input, then stop (the batch-like incremental refresh). */
   def runAvailableNow(df: DataFrame, outDir: String,

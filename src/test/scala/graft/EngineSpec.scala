@@ -240,6 +240,32 @@ class EngineSpec extends AnyFunSuite {
       s.user_id == 1L && s.start_ms == 1000L && s.end_ms == 2000L && s.n_events == 2))
   }
 
+  test("sinkToWarehouse: stream lands day partitions, replay is idempotent") {
+    import graft.streaming.EventStream
+    val in = Files.createTempDirectory("graft_sink_in").toString
+    val out = Files.createTempDirectory("graft_sink_out").toString
+    def events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    events.write.mode("overwrite").parquet(in)
+    def stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .parquet(in)
+    EventStream.sinkToWarehouse(stream, out,
+      Files.createTempDirectory("graft_sink_ck1").toString)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === events.count())
+    // hive day-partitioned layout, value-complete
+    assert(landed.select("_ds").distinct().count() ===
+      events.select(org.apache.spark.sql.functions
+        .to_date($"ts").as("d")).distinct().count())
+    // replay the whole input with a FRESH checkpoint: dynamic partition
+    // overwrite rewrites the same _ds partitions — no duplication
+    EventStream.sinkToWarehouse(stream, out,
+      Files.createTempDirectory("graft_sink_ck2").toString)
+    assert(spark.read.parquet(out).count() === events.count(),
+      "replay must overwrite day partitions, not append duplicates")
+  }
+
   test("flattenCharacteristics: map of lists -> flat array with name field") {
     import org.apache.spark.sql.functions._
     val df = spark.sql(

@@ -87,6 +87,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(c(1).isNullAt(0) && c(1).isNullAt(1))
   }
 
+  test("ndjson quarantine: torn lines surface in _corrupt, good rows parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.ndjson"),
+      Seq(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": 2, "name": "also ok"}""",
+        """{"id": 3, "name": "torn""", // truncated mid-record
+        """not json at all""").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, name STRING")
+    val landed = s"$dir/landed"
+    // the documented pattern: land once partitioned by corruption, then
+    // split — filtering _corrupt straight off the JSON relation is
+    // disallowed by Spark (it would re-parse)
+    graft.sources.LakeReader.ndjsonWithQuarantine(spark, s"$dir/*.ndjson", schema)
+      .withColumn("_quarantined", col("_corrupt").isNotNull)
+      .write.partitionBy("_quarantined").mode("overwrite").parquet(landed)
+    val back = spark.read.parquet(landed)
+    // hive partition values round-trip as strings
+    val good = back.filter(col("_quarantined") === "false")
+    val bad = back.filter(col("_quarantined") === "true")
+    assert(good.select("id", "name").as[(Long, String)].collect().toSet
+      === Set((1L, "ok"), (2L, "also ok")))
+    assert(bad.count() === 2L)
+    // the raw line is preserved verbatim for replay/debugging
+    assert(bad.select("_corrupt").as[String].collect().toSet
+      === Set("""{"id": 3, "name": "torn""", "not json at all"))
+  }
+
   test("csv scan with delimiter + inference") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
