@@ -18,9 +18,31 @@ import org.apache.spark.sql.types._
   */
 object LakeReader {
 
-  /** S1: parquet glob scan with by-name schema union. */
+  /** S1: parquet glob scan with by-name schema union. The path may carry
+    * any Hadoop filesystem scheme (`file://`, `hdfs://`, `s3a://`, …) —
+    * every reader here resolves through the Hadoop FileSystem API, so
+    * remote lakes need only the scheme's connector jar + [[remoteFs]]
+    * configs, not engine changes. */
   def parquetGlob(spark: SparkSession, glob: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(glob)
+
+  /** S5: configure an S3-compatible object store (AWS S3, Cloudflare R2,
+    * MinIO) for `s3a://` reads — the engine-side surface of the
+    * reference's remote https/r2 scans. Standard public `hadoop-aws`
+    * (S3AFileSystem) settings; the connector jar ships with the deployment
+    * (it is not bundled here). R2/MinIO: pass the account endpoint and
+    * `pathStyle=true`. Credentials come from the default provider chain
+    * (env/instance profile) unless given explicitly. */
+  def remoteFs(spark: SparkSession, endpoint: Option[String] = None,
+      accessKey: Option[String] = None, secretKey: Option[String] = None,
+      pathStyle: Boolean = false): Unit = {
+    val h = spark.sparkContext.hadoopConfiguration
+    h.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    endpoint.foreach(h.set("fs.s3a.endpoint", _))
+    accessKey.foreach(h.set("fs.s3a.access.key", _))
+    secretKey.foreach(h.set("fs.s3a.secret.key", _))
+    if (pathStyle) h.set("fs.s3a.path.style.access", "true")
+  }
 
   /** S2: NDJSON(.gz) glob scan; gzip decompressed automatically. Pass a
     * schema to pin types against drift (all-null columns otherwise infer

@@ -117,6 +117,18 @@ class SourcesSpec extends AnyFunSuite {
       === Set("""{"id": 3, "name": "torn""", "not json at all"))
   }
 
+  test("scheme-qualified URIs flow through every reader (file://)") {
+    // the remote-lake path: same readers, scheme resolved by Hadoop FS.
+    // s3a:// needs only the connector jar + LakeReader.remoteFs configs
+    val uri = "file:///root/testdata/sf0.001/region.parquet"
+    assert(graft.sources.LakeReader.parquetGlob(spark, uri).count() === 5L)
+    graft.sources.LakeReader.remoteFs(spark,
+      endpoint = Some("https://example.invalid"), pathStyle = true)
+    val h = spark.sparkContext.hadoopConfiguration
+    assert(h.get("fs.s3a.endpoint") === "https://example.invalid")
+    assert(h.get("fs.s3a.path.style.access") === "true")
+  }
+
   test("csv scan with delimiter + inference") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
