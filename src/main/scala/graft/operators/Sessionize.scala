@@ -17,6 +17,10 @@ object Sessionize {
   /** Appends `session_seq` (1-based, per `userCol`): a new session starts
     * when the gap from the previous event exceeds `gapSeconds`.
     *
+    * Null timestamps: Spark windows sort nulls FIRST (ANSI engines often
+    * last) — filter null-`tsCol` rows upstream if the input can contain
+    * them, or cross-engine comparisons will disagree on session numbering.
+    *
     * @param tieCol deterministic order tiebreaker for equal timestamps
     *               (sessionization over a non-total order is ambiguous) */
   def batch(events: DataFrame, userCol: String, tsCol: String,
