@@ -47,6 +47,21 @@ object Layout {
   def zorder2Sql(a: String, b: String): String =
     s"(${spread16Sql(a)} | (${spread16Sql(b)} << 1))"
 
+  /** Inverse of [[zorder2]]: compact the even bits back to `a` and the odd
+    * bits to `b` (the reverse magic-number squeeze) — for turning a file's
+    * zkey min/max back into per-dimension ranges when planning scans. */
+  // (shift, mask) squeeze steps — the inverse walk of Spread
+  private val Compact: Seq[(Int, Long)] = Seq(
+    1 -> 0x33333333L, 2 -> 0x0F0F0F0FL, 4 -> 0x00FF00FFL, 8 -> 0x0000FFFFL)
+
+  def unzorder2(z: Column): Column = {
+    def compact(c: Column): Column =
+      Compact.foldLeft(c.bitwiseAND(lit(0x55555555L))) {
+        case (x, (s, m)) => x.bitwiseOR(shiftright(x, s)).bitwiseAND(lit(m))
+      }
+    struct(compact(z).as("a"), compact(shiftright(z, 1)).as("b"))
+  }
+
   /** Reference bit-at-a-time interleave (tests only — the property the
     * magic-number version must equal). */
   private[graft] def zorder2Ref(a: Int, b: Int): Long =

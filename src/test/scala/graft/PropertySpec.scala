@@ -65,6 +65,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("zorder2Ref deinterleaves back to its inputs (scalar model)") {
+    val dim = Gen.choose(0, 0xFFFF)
+    check(Prop.forAll(dim, dim) { (a, b) =>
+      val z = graft.operators.Layout.zorder2Ref(a, b)
+      // scalar mirror of Layout.unzorder2's squeeze
+      def compact(x0: Long): Int = {
+        var x = x0 & 0x55555555L
+        x = (x | (x >> 1)) & 0x33333333L
+        x = (x | (x >> 2)) & 0x0F0F0F0FL
+        x = (x | (x >> 4)) & 0x00FF00FFL
+        x = (x | (x >> 8)) & 0x0000FFFFL
+        x.toInt
+      }
+      compact(z) == a && compact(z >> 1) == b
+    })
+  }
+
+  test("stripComment via parseYaml: quoted '#' survives, trailing comment dropped") {
+    val word = Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12))
+    check(Prop.forAll(word, word) { (v1, v2) =>
+      val m = graft.core.GraftConfig.parseYaml(
+        s"""sec:
+           |  k1: "$v1 # $v2"  # comment
+           |  k2: $v1 # comment
+           |""".stripMargin)
+      m("sec.k1") == s"$v1 # $v2" && m("sec.k2") == v1
+    })
+  }
+
   test("Md5Prefix60.hash is non-negative, 60-bit, deterministic") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val h = org.apache.spark.sql.graft.Md5Prefix60Expr.hash(s.getBytes("UTF-8"))

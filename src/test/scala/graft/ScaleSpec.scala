@@ -24,6 +24,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(Layout.zorder2Ref(0, 0xFFFF) === 0xAAAAAAAAL)
   }
 
+  test("unzorder2 is the Column-level inverse of zorder2") {
+    val dims = Seq((0, 0), (1, 2), (1023, 511), (65535, 1), (0x1234, 0xABCD))
+    val got = dims.toDF("a", "b")
+      .select(Layout.unzorder2(Layout.zorder2(col("a"), col("b"))).as("ab"))
+      .select(col("ab.a").cast("int"), col("ab.b").cast("int"))
+      .as[(Int, Int)].collect().toSeq
+    assert(got === dims)
+  }
+
   test("zorder2 preserves per-dimension range locality (file pruning)") {
     // all points in a 2^k-aligned tile share the zkey prefix: the layout
     // property that makes either-dimension range predicates prune files
