@@ -21,6 +21,12 @@ object Relational {
 
   private def r4(c: Column): Column = round(c, 4)
 
+  /** Stable identifier-safe suffix of a data dir, for dir-scoped temp-view
+    * names (concurrent query builders over different dirs must not clobber
+    * each other's views). */
+  private def dirSuffix(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3 + P4: TPC-H Q1 shape. Partial (map-side) aggregation on 2 keys,
     // filter pushed to parquet scan. Scales: agg output is tiny regardless of
@@ -227,28 +233,33 @@ object Relational {
     "q28_rollup" -> ((s, dir) => {
       // SQL form: the Dataset rollup API trips Spark's self-join ambiguity
       // detector when grouping columns flow through joins (analyzer quirk);
-      // the SQL path plans the identical Expand + Aggregate.
-      t(s, dir, "customer").createOrReplaceTempView("v_customer_r")
-      t(s, dir, "nation").createOrReplaceTempView("v_nation_r")
-      t(s, dir, "region").createOrReplaceTempView("v_region_r")
+      // the SQL path plans the identical Expand + Aggregate. View names are
+      // dir-scoped: concurrent builders (parallel Verify) over DIFFERENT
+      // dirs never clobber each other; same-dir re-registration is benign.
+      val sfx = dirSuffix(dir)
+      t(s, dir, "customer").createOrReplaceTempView(s"v_customer_r_$sfx")
+      t(s, dir, "nation").createOrReplaceTempView(s"v_nation_r_$sfx")
+      t(s, dir, "region").createOrReplaceTempView(s"v_region_r_$sfx")
       s.sql(
-        """SELECT r_name, n_name, count(*) AS n_customers,
+        s"""SELECT r_name, n_name, count(*) AS n_customers,
                   round(sum(c_acctbal), 4) AS total_balance
-           FROM v_customer_r
-           JOIN v_nation_r ON c_nationkey = n_nationkey
-           JOIN v_region_r ON n_regionkey = r_regionkey
+           FROM v_customer_r_$sfx
+           JOIN v_nation_r_$sfx ON c_nationkey = n_nationkey
+           JOIN v_region_r_$sfx ON n_regionkey = r_regionkey
            GROUP BY ROLLUP (r_name, n_name)""")
     }),
 
     // S4: the SQL-text surface — models are registered as temp views and
     // queried with spark.sql (the reference's primary query interface).
     "q29_sql_surface" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("v_orders")
-      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      val sfx = dirSuffix(dir)
+      t(s, dir, "orders").createOrReplaceTempView(s"v_orders_$sfx")
+      t(s, dir, "customer").createOrReplaceTempView(s"v_customer_$sfx")
       s.sql(
-        """WITH cust_orders AS (
+        s"""WITH cust_orders AS (
              SELECT c.c_mktsegment, o.o_totalprice
-             FROM v_customer c JOIN v_orders o ON o.o_custkey = c.c_custkey)
+             FROM v_customer_$sfx c
+             JOIN v_orders_$sfx o ON o.o_custkey = c.c_custkey)
            SELECT c_mktsegment, count(*) AS n_orders,
                   round(sum(o_totalprice), 4) AS segment_revenue,
                   round(avg(o_totalprice), 4) AS avg_order
