@@ -21,6 +21,9 @@ object Tables {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
       // reader rejects. Read nanos as long and truncate to micros — the same
       // truncation DuckDB applies (its timestamps are µs precision).
+      // The conf set is idempotent (always the same constant), so concurrent
+      // builders racing here are benign; it can't be a read option because
+      // nanosAsLong is only honored session-wide (legacy conf).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
