@@ -80,7 +80,7 @@ object ConnectedComponents {
       val r = df.agg(
         sum(col("component").cast(
           org.apache.spark.sql.types.DecimalType(38, 0))),
-        count(lit(1))).head
+        count(lit(1))).head()
       (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO),
         r.getLong(1))
     }

@@ -43,7 +43,7 @@ object RuntimeFilter {
         (math.log(2) * math.log(2))).toLong)
     val sketch = small
       .agg(BloomOps.bloomAgg(xxhash64(col(smallKey)), expectedItems, numBits))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val dim = small.select(col(smallKey).as("__rf_key")).distinct()
     // empty small side: the agg yields a null sketch and the semi join is
     // empty regardless — skip the (binary-typed) bloom filter entirely

@@ -64,7 +64,7 @@ object EventStream {
           val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id))
           if (sorted.isEmpty && state.hasTimedOut) {
             val out = state.getOption.map(s =>
-              UserSession(uid, s.startMs, s.lastMs, s.n)).toIterator
+              UserSession(uid, s.startMs, s.lastMs, s.n)).iterator
             state.remove()
             out
           } else {
