@@ -41,6 +41,32 @@ class CurationModelsSpec extends AnyFunSuite {
     assert(straddle === 0L, "no cluster straddles a split boundary")
   }
 
+  test("incremental ingest: folding a new doc batch reproduces full clusters") {
+    // the 100 TB ingest path on REAL near-dup pairs: docs < 300 are the old
+    // corpus with a finished cluster assignment; the rest arrive as a new
+    // batch. Only pairs touching a new doc are generated (band the new docs
+    // against the full signature store) and folded in — the old corpus is
+    // never re-clustered.
+    val dir = "/root/testdata/sf0.001"
+    val allPairs = graft.queries.DedupOps
+      .queries("q33_minhash_lsh_pairs")(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val docs = graft.sources.Tables(spark, dir, "documents").select("doc_id")
+    val oldDocs = docs.filter(col("doc_id") < 300)
+    val oldAssign = graft.operators.ConnectedComponents.hashMin(
+      allPairs.filter(col("doc_a") < 300 && col("doc_b") < 300), oldDocs)
+    val newPairs = allPairs.filter(col("doc_a") >= 300 || col("doc_b") >= 300)
+    val inc = graft.operators.ConnectedComponents
+      .incremental(oldAssign, newPairs, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.queries.CurationOps
+      .queries("q47_dedup_clusters")(spark, dir)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+  }
+
   test("a broken invariant fails the model run (audit gate)") {
     val wh = Files.createTempDirectory("graft_curation_bad").toString
     val cfg = EngineConfig("/root/testdata/sf0.001", wh, s"$wh/exports")
