@@ -45,8 +45,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // @SF_DIR@ lets an oracle reference the data directory itself (q40's
+    // parquet_metadata scan) and stay verifiable at EVERY scale factor —
+    // substituted here because only Verify knows which sf dir this run is
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("@SF_DIR@", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

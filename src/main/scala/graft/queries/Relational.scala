@@ -515,7 +515,7 @@ object Relational {
                 count(*) AS n_row_groups
          FROM (SELECT DISTINCT regexp_extract(file_name, '([^/]+)$', 1) AS file,
                       row_group_id, row_group_num_rows
-               FROM parquet_metadata('/root/testdata/sf0.01/*.parquet'))
+               FROM parquet_metadata('@SF_DIR@/*.parquet'))
          GROUP BY 1""",
     "q44_approx_distinct" ->
       """SELECT l_returnflag,
