@@ -59,6 +59,36 @@ object Exporter {
   /** Completion-marker check (I3 idempotency): skip work already published. */
   def isDone(path: String): Boolean = Files.exists(Paths.get(path + ".done"))
 
+  /** Compaction: rewrite a parquet directory into ~`targetBytes` files when
+    * it has degraded into small files — the lake disease every incremental
+    * writer develops (each `_ds` refresh and micro-batch lands its own
+    * files; a year of daily appends is 10k tiny footers and a scan
+    * bottlenecked on open()s, not bytes).
+    *
+    * Decision comes from footer metadata only (no data read); the rewrite
+    * is one narrow `coalesce` (no shuffle — compaction repacks, it does
+    * not re-cluster; pair with `Layout.zorder2` + repartitionByRange when
+    * re-clustering is wanted) published via the atomic tmp+rename path.
+    *
+    * @return number of files after compaction, or -1 if skipped (already
+    *         compact) */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFilesToBother: Int = 4): Long = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.length()).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (files.length < minFilesToBother || files.length <= targetFiles) return -1L
+    val df = spark.read.parquet(dir)
+    atomically(dir) { tmp =>
+      df.coalesce(targetFiles).write
+        .mode("overwrite").option("compression", "zstd").parquet(tmp)
+    }
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+  }
+
   /** Catalog of an export dir: per-file row/byte stats from parquet footers
     * + a summary row — `catalog.parquet` + `catalog.json`
     * (`catalog.py:43-89,109-116`). */

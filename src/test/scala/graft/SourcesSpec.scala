@@ -129,6 +129,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(h.get("fs.s3a.path.style.access") === "true")
   }
 
+  test("compact: small-file dir repacks atomically, already-compact skips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    val src = graft.sources.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    src.repartition(20).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 20)
+    val rows = src.count()
+    val after = graft.export.Exporter.compact(spark, dir,
+      targetBytes = 64L * 1024 * 1024)
+    assert(after >= 1 && after < before, s"want fewer files, got $after")
+    assert(spark.read.parquet(dir).count() === rows, "no rows lost")
+    assert(graft.export.Exporter.isDone(dir), "atomic publish marker")
+    assert(graft.export.Exporter.compact(spark, dir) === -1L,
+      "second compact must skip an already-compact dir")
+  }
+
   test("csv scan with delimiter + inference") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
