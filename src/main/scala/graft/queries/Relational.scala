@@ -295,6 +295,24 @@ object Relational {
         .limit(10)
     }),
 
+    // RANGE-frame window: per event, the rolling 6-hour sum/count of the
+    // same user's activity — a VALUE-based frame (all rows within the time
+    // interval), not a row-count frame, so ties and gaps are handled by
+    // time, not position. Ordered on epoch micros in BOTH engines so the
+    // frame bounds are integer-identical. One shuffle (user key); the
+    // in-partition frame scan is streaming (bounded by the interval).
+    "q62_rolling_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-21600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("rolling_n", count(lit(1)).over(w))
+        .withColumn("rolling_value", r4(sum("value").over(w)))
+        .select("event_id", "user_id", "rolling_n", "rolling_value")
+    }),
+
     // Pivot / cross-tab: order counts per (status × priority). Fixed pivot
     // value list — at scale never let pivot() scan for distinct values.
     "q43_pivot" -> ((s, dir) => {
@@ -491,6 +509,13 @@ object Relational {
     "q43_pivot" ->
       """PIVOT orders ON o_orderpriority USING count(*)
          GROUP BY o_orderstatus""",
+    "q62_rolling_range" ->
+      """SELECT event_id, user_id,
+                count(*) OVER w AS rolling_n,
+                round(sum(value) OVER w, 4) AS rolling_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""",
     "q41_window_agg" ->
       """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
                 count(*) AS n, round(sum(value), 4) AS total
