@@ -69,15 +69,23 @@ object Exporter {
     * is one narrow `coalesce` (no shuffle — compaction repacks, it does
     * not re-cluster; pair with `Layout.zorder2` + repartitionByRange when
     * re-clustering is wanted) published via the atomic tmp+rename path.
+    * The swap relies on rename atomicity (local/HDFS); on object stores
+    * publish to a new prefix and flip the catalog pointer instead.
     *
     * @return number of files after compaction, or -1 if skipped (already
     *         compact) */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
       minFilesToBother: Int = 4): Long = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val totalBytes = files.map(_.length()).sum
+    // Hadoop FileSystem, not java.io.File: a warehouse dir is s3a://
+    // or hdfs:// exactly where compaction matters most
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() =
+      (if (fs.exists(p)) fs.listStatus(p) else Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val files = parquetFiles()
+    val totalBytes = files.map(_.getLen).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (files.length < minFilesToBother || files.length <= targetFiles) return -1L
     val df = spark.read.parquet(dir)
@@ -85,8 +93,7 @@ object Exporter {
       df.coalesce(targetFiles).write
         .mode("overwrite").option("compression", "zstd").parquet(tmp)
     }
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array())
-      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+    parquetFiles().length.toLong
   }
 
   /** Catalog of an export dir: per-file row/byte stats from parquet footers
