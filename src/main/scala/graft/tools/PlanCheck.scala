@@ -1,45 +1,100 @@
 package graft.tools
 
-/** Plan auditor: prints, per query, the physical-plan signals that matter at
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: per query, the physical-plan signals that matter at
   * scale — scan schemas + pushed filters, join strategies, exchange count,
-  * and flags obvious smells (cartesian products, unpruned wide scans).
+  * and obvious smells (cartesian products, unpruned wide scans).
+  *
+  * Two consumers: the `main` prints a human audit; `PlanBaselineSpec`
+  * asserts every query's [[PlanSig]] against the committed
+  * `src/test/resources/plan-baseline.tsv`, so a change that adds a shuffle
+  * or drops whole-stage codegen FAILS THE BUILD instead of shipping a
+  * 100 TB regression. Regenerate the baseline after an intentional plan
+  * change with:
+  * {{{ sbt "runMain graft.tools.PlanCheck --write-baseline" }}}
   */
 object PlanCheck {
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = graft.core.GraftSession.local(8)
-    // audit STATIC plans: under AQE the unexecuted AdaptiveSparkPlan string
-    // hides WholeStageCodegen wrapping (applied per-stage at runtime), so
-    // every codegen signal would read false
+
+  /** The plan properties we pin per query. `joins` is a stable rendering
+    * like `BroadcastHashJoin:2`. */
+  final case class PlanSig(shuffles: Int, wscg: Boolean, joins: String,
+      cartesian: Boolean) {
+    def tsv: String = s"$shuffles\t$wscg\t${if (joins.isEmpty) "-" else joins}\t$cartesian"
+  }
+
+  object PlanSig {
+    def fromTsv(fields: Seq[String]): PlanSig = PlanSig(
+      fields(0).toInt, fields(1).toBoolean,
+      if (fields(2) == "-") "" else fields(2), fields(3).toBoolean)
+  }
+
+  /** Run `body` with static (non-adaptive) planning and untruncated plan
+    * metadata, restoring the previous conf values after. Static plans are
+    * the auditable ones: an unexecuted AdaptiveSparkPlan hides codegen
+    * wrapping, and truncated metadata cuts ReadSchema mid-struct. */
+  def withStaticPlans[A](spark: SparkSession)(body: => A): A = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevMeta = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // default 100-char metadata truncation cuts ReadSchema mid-struct and
-    // the scan-column count silently reads as empty
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try body
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.maxMetadataStringLength", prevMeta)
+    }
+  }
+
+  /** Physical-plan signature of one query (call inside [[withStaticPlans]]). */
+  def signature(spark: SparkSession, dir: String, name: String): PlanSig = {
+    val plan = graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+    val joins = List("BroadcastHashJoin", "SortMergeJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(j => j -> j.r.findAllIn(plan).length).filter(_._2 > 0)
+      .map { case (k, v) => s"$k:$v" }.mkString(",")
+    PlanSig(
+      shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length,
+      wscg = plan.contains("WholeStageCodegen") ||
+        "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      joins = joins,
+      cartesian = plan.contains("CartesianProduct"))
+  }
+
+  val BaselinePath = "src/test/resources/plan-baseline.tsv"
+
+  def main(args: Array[String]): Unit = {
+    val writeBaseline = args.contains("--write-baseline")
+    val dir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.01")
+    val spark = graft.core.GraftSession.local(8)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name =>
-      try {
-        val df = graft.SparkEntry.queries(name)(spark, dir)
-        val plan = df.queryExecution.executedPlan.toString
-        val scans = "ReadSchema: struct<([^>]*)>".r
-          .findAllMatchIn(plan).map(_.group(1).split(",").length).toList
-        val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
-          .findAllMatchIn(plan).map(_.group(1)).toList
-        val joins = List("BroadcastHashJoin", "SortMergeJoin",
-          "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
-          .map(j => j -> j.r.findAllIn(plan).length).filter(_._2 > 0)
-        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-        // one-line plan strings mark WholeStageCodegen stages as "*(n) "
-        val wscg = plan.contains("WholeStageCodegen") ||
-          "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined
-        println(s"== $name scanCols=${scans.mkString("/")} " +
-          s"shuffles=$exchanges wscg=$wscg " +
-          s"joins=${joins.map { case (k, v) => s"$k:$v" }.mkString(",")}")
-        pushed.filter(_.nonEmpty).foreach(p => println(s"   pushed: $p"))
-        if (plan.contains("CartesianProduct"))
-          println(s"   !! cartesian product in $name")
-      } catch {
-        case e: Throwable => println(s"== $name ERROR ${e.getMessage.take(100)}")
+    val out = new StringBuilder
+    graft.queries.CurationOps.clearCache() // signatures assume a cold cache
+    withStaticPlans(spark) {
+      names.foreach { name =>
+        try {
+          val df = graft.SparkEntry.queries(name)(spark, dir)
+          val plan = df.queryExecution.executedPlan.toString
+          val sig = signature(spark, dir, name)
+          val scans = "ReadSchema: struct<([^>]*)>".r
+            .findAllMatchIn(plan).map(_.group(1).split(",").length).toList
+          val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+            .findAllMatchIn(plan).map(_.group(1)).toList
+          println(s"== $name scanCols=${scans.mkString("/")} " +
+            s"shuffles=${sig.shuffles} wscg=${sig.wscg} joins=${sig.joins}")
+          pushed.filter(_.nonEmpty).foreach(p => println(s"   pushed: $p"))
+          if (sig.cartesian) println(s"   !! cartesian product in $name")
+          out ++= s"$name\t${sig.tsv}\n"
+        } catch {
+          case e: Throwable => println(s"== $name ERROR ${e.getMessage.take(100)}")
+        }
       }
+    }
+    if (writeBaseline) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(BaselinePath), out.toString)
+      println(s"[plancheck] baseline written to $BaselinePath")
     }
     spark.stop()
   }

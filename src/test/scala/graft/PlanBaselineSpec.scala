@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.PlanCheck
+
+/** Physical-plan regression gate: every query's plan signature (shuffle
+  * count, whole-stage codegen, join strategies, cartesian flag) must match
+  * the committed baseline. A diff here means a 100 TB property changed —
+  * deliberate changes regenerate with:
+  * `sbt "runMain graft.tools.PlanCheck --write-baseline"`. */
+class PlanBaselineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val baseline: Map[String, PlanCheck.PlanSig] =
+    scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/plan-baseline.tsv"), "UTF-8")
+      .getLines().filter(_.nonEmpty).map { line =>
+        val f = line.split("\t").toSeq
+        f.head -> PlanCheck.PlanSig.fromTsv(f.tail)
+      }.toMap
+
+  test("every query has a baseline entry and vice versa") {
+    assert(SparkEntry.queries.keySet === baseline.keySet,
+      "regenerate: sbt \"runMain graft.tools.PlanCheck --write-baseline\"")
+  }
+
+  test("plan signatures match the committed baseline (no shuffle/codegen regressions)") {
+    // q47's plan differs when the shared-cluster cache is warm (it becomes
+    // a checkpoint scan) — signatures are defined over a cold cache
+    graft.queries.CurationOps.clearCache()
+    val diffs = PlanCheck.withStaticPlans(spark) {
+      baseline.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+        val got = PlanCheck.signature(spark, dir, name)
+        if (got != want) Some(s"$name: want $want, got $got") else None
+      }
+    }
+    assert(diffs.isEmpty,
+      diffs.mkString("plan regressions (regenerate baseline if intended):\n  ",
+        "\n  ", ""))
+  }
+}
