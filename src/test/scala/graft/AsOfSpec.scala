@@ -87,6 +87,32 @@ class AsOfSpec extends AnyFunSuite {
       s"groupBy on the join key must not reshuffle, plan:\n$plan")
   }
 
+  test("multi-key as-of with null keys/times agrees with union-window") {
+    // two join keys, nulls sprinkled into keys AND times on both sides
+    def nully(c: org.apache.spark.sql.Column, m: Int) =
+      when(c % m === 0, lit(null)).otherwise(c)
+    val l = spark.range(0, 1500).select(
+      nully(col("id") % 11, 7).as("k1"),
+      (col("id") % 5).as("k2"),
+      nully((col("id") * 13L % 9973L), 5).as("t"),
+      col("id").as("lid"))
+    val r = spark.range(0, 2500).select(
+      nully(col("id") % 11, 9).as("rk1"),
+      (col("id") % 5).as("rk2"),
+      nully((col("id") * 7L % 9973L), 4).as("rt"),
+      col("id").as("rid"))
+    for (outer <- Seq(false, true)) {
+      val a = AsOf.join(l, r, Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
+          outer = outer)
+        .select("lid", "rid").collect().map(x => (x.get(0), x.get(1))).toSet
+      val b = AsOf.joinViaUnionWindow(l, r, Seq("k1", "k2"), Seq("rk1", "rk2"),
+          "t", "rt", outer = outer)
+        .select("lid", "rid").collect().map(x => (x.get(0), x.get(1))).toSet
+      assert(a === b, s"outer=$outer")
+      if (outer) assert(a.size === 1500)
+    }
+  }
+
   test("operator agrees with union-window on a larger generated fixture") {
     // deterministic pseudo-random: many keys, long histories, dup-free times
     // multiplicative scrambles mod a prime: injective for id < 99991, so
