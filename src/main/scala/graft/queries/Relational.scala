@@ -313,6 +313,21 @@ object Relational {
         .select("event_id", "user_id", "rolling_n", "rolling_value")
     }),
 
+    // Per-key top-K via the custom TypedImperativeAggregate
+    // (org.apache.spark.sql.graft.TopKByScore): a k-bounded heap updated
+    // MAP-SIDE, so the shuffle carries ≤ k entries per key — the window
+    // row_number spelling (the oracle) sorts every row of every key first.
+    // Ties break toward the lower order key in both engines.
+    "q63_topk_per_key" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderstatus"), posexplode(col("top")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.payload").as("o_orderkey"), r4(col("col.score")).as("price"))
+    }),
+
     // Pivot / cross-tab: order counts per (status × priority). Fixed pivot
     // value list — at scale never let pivot() scan for distinct values.
     "q43_pivot" -> ((s, dir) => {
@@ -509,6 +524,14 @@ object Relational {
     "q43_pivot" ->
       """PIVOT orders ON o_orderpriority USING count(*)
          GROUP BY o_orderstatus""",
+    "q63_topk_per_key" ->
+      """SELECT o_orderstatus, rnk, o_orderkey,
+                round(o_totalprice, 4) AS price
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+         WHERE rnk <= 3""",
     "q62_rolling_range" ->
       """SELECT event_id, user_id,
                 count(*) OVER w AS rolling_n,

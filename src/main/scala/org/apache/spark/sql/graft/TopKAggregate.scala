@@ -1,0 +1,129 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Per-key top-K as a custom imperative aggregate — the third extension
+  * category this engine uses (codegen'd scalar expressions, a whole-operator
+  * LogicalPlan/Strategy/Exec pair, and now a `TypedImperativeAggregate`).
+  *
+  * The composed spelling — `row_number() OVER (PARTITION BY key ORDER BY
+  * score DESC)` then `rank <= k` — SORTS EVERY ROW of every key before
+  * discarding all but k: O(n log n) per key and a full-width shuffle of the
+  * input. This aggregate keeps a k-bounded heap per key, updated map-side
+  * (O(n log k), constant memory) and merged like any partial aggregate, so
+  * the shuffle carries at most k entries per key — at 100 TB with millions
+  * of keys this is the difference between a sort of everything and a
+  * pass over everything.
+  *
+  * Ordering: higher score wins; equal scores break toward the LOWER payload
+  * id (mirror `ORDER BY score DESC, payload ASC` in oracle SQL). Types are
+  * fixed (score double, payload long) — the common "top docs by score"
+  * shape; widen by hashing/packing into the payload.
+  *
+  * Result: `array<struct<score double, payload bigint>>`, sorted best-first.
+  */
+case class TopKByScore(
+    scoreExpr: Expression,
+    payloadExpr: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+
+  require(k > 0, "k must be positive")
+
+  // weakest entry first: ascending score, then DESCENDING payload (a larger
+  // payload id loses the tie, so it sits earlier — i.e. is evicted first)
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, p) => (s, -p) }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+    new java.util.TreeSet[(Double, Long)](ord)
+
+  override def update(buf: java.util.TreeSet[(Double, Long)],
+      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    val s = scoreExpr.eval(input)
+    val p = payloadExpr.eval(input)
+    if (s != null && p != null) {
+      add(buf, (s.asInstanceOf[Double], p.asInstanceOf[Long]))
+    }
+    buf
+  }
+
+  private def add(buf: java.util.TreeSet[(Double, Long)],
+      e: (Double, Long)): Unit = {
+    if (buf.size < k) buf.add(e)
+    else if (ord.compare(e, buf.first()) > 0) { buf.pollFirst(); buf.add(e) }
+  }
+
+  override def merge(a: java.util.TreeSet[(Double, Long)],
+      b: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+    b.forEach(e => add(a, e))
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+    // best-first: descending iterator of the (asc-ordered) tree
+    val it = buf.descendingIterator()
+    val rows = Array.newBuilder[InternalRow]
+    while (it.hasNext) {
+      val (s, p) = it.next()
+      rows += InternalRow(s, p)
+    }
+    new GenericArrayData(rows.result().asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.forEach { case (s, p) => bb.putDouble(s); bb.putLong(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add((bb.getDouble, bb.getLong)))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("payload", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(scoreExpr, payloadExpr)
+  override def prettyName: String = "topk_by_score"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && payloadExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_by_score expects (double, bigint), got " +
+        s"(${scoreExpr.dataType.simpleString}, ${payloadExpr.dataType.simpleString})")
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByScore =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(scoreExpr = newChildren(0), payloadExpr = newChildren(1))
+}
+
+object TopKByScore {
+  /** `topk_by_score(score, payload, k)` as a Column aggregate. */
+  def columnFor(score: Column, payload: Column, k: Int): Column =
+    ExpressionUtils.column(TopKByScore(
+      ExpressionUtils.expression(score),
+      ExpressionUtils.expression(payload), k).toAggregateExpression())
+}

@@ -143,6 +143,33 @@ class ScaleSpec extends AnyFunSuite {
       s"open sessions must be each user's trailing one: $open")
   }
 
+  test("TopKByScore: map-side heap equals window ranking incl. score ties") {
+    import org.apache.spark.sql.graft.TopKByScore
+    // many groups, duplicate scores (id % 50 / 10.0) force tie-breaking
+    val df = spark.range(0, 20000).select(
+      (col("id") % 7).as("g"),
+      (col("id") % 50).cast("double").as("score"),
+      col("id").as("pid"))
+      .repartition(8) // multiple partitions: partial buffers must merge
+    val got = df.groupBy("g")
+      .agg(TopKByScore.columnFor(col("score"), col("pid"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.score"), col("col.payload"))
+      .as[(Long, Double, Long)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(desc("score"), asc("pid"))
+    val want = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select("g", "score", "pid")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got === want)
+    // plan shape: partial ObjectHashAggregate BEFORE the exchange — the
+    // shuffle carries at most k entries per key
+    val plan = df.groupBy("g")
+      .agg(TopKByScore.columnFor(col("score"), col("pid"), 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("salted join equals plain join (salting never changes the answer)") {
     val fact = spark.range(0, 5000)
       .select((col("id") % 5).as("k"), col("id").as("x"))
