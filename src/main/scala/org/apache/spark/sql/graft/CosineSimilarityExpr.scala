@@ -95,11 +95,17 @@ object CosineSimilarityExpr {
   * session build time (the injection point for cluster deployments via
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CosineSimilarityExpr(exprs.head, exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TopKByScore].getName, "topk_by_score"),
+        TopKByScore.fromExprs))
+  }
 }

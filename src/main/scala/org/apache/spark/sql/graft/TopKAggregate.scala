@@ -126,4 +126,21 @@ object TopKByScore {
     ExpressionUtils.column(TopKByScore(
       ExpressionUtils.expression(score),
       ExpressionUtils.expression(payload), k).toAggregateExpression())
+
+  /** SQL registry builder: `topk_by_score(score, payload, k)` with a
+    * foldable integer k. Shared by [[register]] and [[GraftExtensions]]. */
+  private[graft] def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "topk_by_score expects (score, payload, k)")
+    val k = exprs(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
+        v.asInstanceOf[Int]
+      case other => sys.error(s"topk_by_score: k must be an int literal, got $other")
+    }
+    TopKByScore(exprs.head, exprs(1), k).toAggregateExpression()
+  }
+
+  /** Register `topk_by_score` for the SQL-text surface. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_score", fromExprs, "built-in")
 }

@@ -170,6 +170,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("topk_by_score is callable from the SQL-text surface") {
+    org.apache.spark.sql.graft.TopKByScore.register(spark)
+    spark.range(0, 100)
+      .select((col("id") % 3).as("g"), col("id").cast("double").as("s"),
+        col("id").as("p"))
+      .createOrReplaceTempView("topk_sql_t")
+    val rows = spark.sql(
+      """SELECT g, topk_by_score(s, p, 2) AS top FROM topk_sql_t GROUP BY g""")
+      .selectExpr("g", "top[0].payload AS best")
+      .as[(Long, Long)].collect().toMap
+    assert(rows === Map(0L -> 99L, 1L -> 97L, 2L -> 98L))
+  }
+
   test("salted join equals plain join (salting never changes the answer)") {
     val fact = spark.range(0, 5000)
       .select((col("id") % 5).as("k"), col("id").as("x"))
