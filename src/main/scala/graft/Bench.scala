@@ -92,7 +92,11 @@ object Bench {
       // "tail" string field — accept both "value": and \"value\":
       val tot = "\\\\?\"value\\\\?\"\\s*:\\s*([0-9.]+)".r
         .findFirstMatchIn(txt).map(_.group(1))
-      System.err.println(s"[bench] trend ${f.getName}: total=${tot.getOrElse("?")} s")
+      // suite size per round: totals are not comparable as the suite grows
+      val nQ = "\\\\?\"(q\\d+[a-z0-9_]*)\\\\?\"\\s*:".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet.size
+      System.err.println(
+        s"[bench] trend ${f.getName}: total=${tot.getOrElse("?")} s ($nQ queries)")
     }
     System.err.println(f"[bench] trend this-run: total=$total%.2f s (${names.size} queries, ${errors.size} errors)")
 
