@@ -54,6 +54,25 @@ object AsOf {
       resolve(lp, leftTime), resolve(rp, rightTime), outer))
   }
 
+  /** SCD2-ize an event history: each (keys, time) row becomes a validity
+    * interval `[valid_from, valid_to)` where `valid_to` is the key's next
+    * event time (null = still current). An as-of join then becomes a PLAIN
+    * condition join against the intervals — the form that works where
+    * as-of/window-over-stream cannot: Structured Streaming stream-static
+    * enrichment (join each streaming event to the dim row valid at its
+    * event time), plus any engine without an as-of operator.
+    *
+    * One window over the key — same single-shuffle shape as the as-of
+    * operator itself. History times must be unique per key (ties make
+    * "the next event" ambiguous — same contract as DuckDB ASOF). */
+  def intervalize(history: DataFrame, keys: Seq[String],
+      timeCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+    history
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+  }
+
   /** Compositional equivalent: tag sides, union, and carry the latest right
     * payload forward with `last(_, ignoreNulls)` over (keys, time, side).
     * Right rows sort BEFORE left rows at equal times, so `<=` is inclusive

@@ -69,6 +69,29 @@ object TemporalOps {
           && col("signup_ts") <= col("error_ts"))
         .select("error_id", "error_user", "error_ts",
           "signup_id", "signup_user", "signup_ts")
+    }),
+
+    // SCD2 spelling of the as-of join: the purchase history becomes
+    // validity intervals (AsOf.intervalize — one window), clicks join on a
+    // PLAIN key + interval condition. Same answer as q45's custom operator;
+    // this is the form a stream-static enrichment runs (streams can't
+    // window the static side's "latest", but they can condition-join
+    // against precomputed intervals).
+    "q64_scd2_enrich" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val hist = AsOf.intervalize(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts"), col("value")),
+        Seq("p_user"), "ts")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .join(hist, col("user_id") === col("p_user") &&
+          col("click_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("click_ts") < col("valid_to")))
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("valid_from")).as("purchase_us"),
+          r4(col("value")).as("last_purchase_value"))
     })
   )
 
@@ -86,6 +109,19 @@ object TemporalOps {
                 b.user_id AS signup_user, b.ts AS signup_ts
          FROM (SELECT * FROM events WHERE event_type = 'error') a
          JOIN (SELECT * FROM events WHERE event_type = 'signup') b
-           ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts"""
+           ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts""",
+    "q64_scd2_enrich" ->
+      """WITH hist AS (
+           SELECT user_id, ts, value,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+           FROM events WHERE event_type = 'purchase'),
+         clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click')
+         SELECT c.event_id AS click_id, c.user_id,
+                epoch_us(h.ts) AS purchase_us,
+                round(h.value, 4) AS last_purchase_value
+         FROM clicks c JOIN hist h ON h.user_id = c.user_id
+           AND c.ts >= h.ts
+           AND (h.valid_to IS NULL OR c.ts < h.valid_to)"""
   )
 }

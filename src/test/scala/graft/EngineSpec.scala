@@ -240,6 +240,35 @@ class EngineSpec extends AnyFunSuite {
       s.user_id == 1L && s.start_ms == 1000L && s.end_ms == 2000L && s.n_events == 2))
   }
 
+  test("streaming as-of enrichment: stream-static join on intervalized dim ≡ batch as-of") {
+    import graft.operators.AsOf
+    import graft.streaming.EventStream
+    val base = Tables(spark, "/root/testdata/sf0.001", "events")
+    val clicks = base.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val purchases = base.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value")
+    // batch truth: the custom as-of operator
+    val want = AsOf.join(clicks, purchases, Seq("user_id"), Seq("p_user"),
+        "click_ts", "p_ts")
+      .select($"click_id", $"value").as[(Long, Double)].collect().toSet
+    // streaming path: clicks as a file stream, purchases intervalized as a
+    // STATIC dim, plain stream-static condition join
+    val in = Files.createTempDirectory("graft_enrich_in").toString
+    val out = Files.createTempDirectory("graft_enrich_out").toString
+    val ckpt = Files.createTempDirectory("graft_enrich_ck").toString
+    clicks.write.mode("overwrite").parquet(in)
+    val dim = AsOf.intervalize(purchases, Seq("p_user"), "p_ts")
+    val stream = spark.readStream.schema(clicks.schema).parquet(in)
+      .join(dim, $"user_id" === $"p_user" &&
+        $"click_ts" >= $"valid_from" &&
+        ($"valid_to".isNull || $"click_ts" < $"valid_to"))
+      .select($"click_id", $"value")
+    EventStream.runAvailableNow(stream, out, ckpt)
+    val got = spark.read.parquet(out).as[(Long, Double)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("sinkToWarehouse: stream lands day partitions, replay is idempotent") {
     import graft.streaming.EventStream
     val in = Files.createTempDirectory("graft_sink_in").toString
