@@ -46,13 +46,14 @@ object Exporter {
   /** K6: atomic publish — write to `<path>._tmp`, then rename into place,
     * then drop a `.done` JSON marker (the reference's tmp+rename + semaphore
     * files, `ebi_biosample/extract.py:232-260`). */
-  def atomically(path: String)(write: String => Unit): Unit = {
+  def atomically(path: String, marker: Boolean = true)(
+      write: String => Unit): Unit = {
     val tmp = path + "._tmp"
     deleteRecursively(Paths.get(tmp))
     write(tmp)
     deleteRecursively(Paths.get(path))
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    Files.writeString(Paths.get(path + ".done"),
+    if (marker) Files.writeString(Paths.get(path + ".done"),
       s"""{"path": "$path", "completed_at_ms": ${System.currentTimeMillis()}}""")
   }
 
@@ -76,7 +77,8 @@ object Exporter {
     *         compact) */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      minFilesToBother: Int = 4): Long = {
+      minFilesToBother: Int = 4,
+      marker: Boolean = true): Long = {
     // Hadoop FileSystem, not java.io.File: a warehouse dir is s3a://
     // or hdfs:// exactly where compaction matters most
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -89,11 +91,34 @@ object Exporter {
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (files.length < minFilesToBother || files.length <= targetFiles) return -1L
     val df = spark.read.parquet(dir)
-    atomically(dir) { tmp =>
+    atomically(dir, marker) { tmp =>
       df.coalesce(targetFiles).write
         .mode("overwrite").option("compression", "zstd").parquet(tmp)
     }
     parquetFiles().length.toLong
+  }
+
+  /** Compaction over a hive-partitioned table: each `col=value` partition
+    * directory compacts independently (incremental writers fragment per
+    * partition, and per-partition compaction leaves hot/current partitions
+    * untouched while old ones are repacked). Returns
+    * (partitions compacted, partitions skipped). */
+  def compactPartitioned(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFilesToBother: Int = 4): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = (if (fs.exists(p)) fs.listStatus(p) else Array.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    // no per-partition .done markers: a stray `col=value.done` FILE at the
+    // table root breaks Spark's partition-structure inference.
+    // `toUri.getPath` strips the `file:` scheme — `atomically`'s java.nio
+    // rename needs a plain path (rename-capable local/NFS mounts; see
+    // `compact`'s object-store note)
+    val results = parts.map(part =>
+      compact(spark, part.getPath.toUri.getPath, targetBytes, minFilesToBother,
+        marker = false))
+    (results.count(_ >= 0), results.count(_ < 0))
   }
 
   /** Catalog of an export dir: per-file row/byte stats from parquet footers

@@ -16,6 +16,7 @@ import graft.models.OmicidxModels
   * runMain graft.tools.GraftCli status
   * runMain graft.tools.GraftCli docs
   * runMain graft.tools.GraftCli lint
+  * runMain graft.tools.GraftCli compact <dir>   # small-file repack
   * }}}
   *
   * Config — the reference's file+env layering (`warehouse_cli` loads
@@ -77,6 +78,15 @@ object GraftCli {
         meta.status.orderBy("model").show(truncate = false)
       case "docs" =>
         meta.docs.orderBy("layer", "model").show(truncate = false)
+      case "compact" =>
+        val dir = rest.headOption.getOrElse(sys.error("compact <dir>"))
+        val (done, skipped) = graft.export.Exporter.compactPartitioned(spark, dir)
+        if (done + skipped > 0)
+          println(s"compacted $done partition(s), $skipped already compact")
+        else {
+          val n = graft.export.Exporter.compact(spark, dir)
+          println(if (n < 0) "already compact" else s"compacted to $n file(s)")
+        }
       case "lint" =>
         val bad = Lint.violations(spark, cfg, models)
         if (bad.isEmpty) println("lint OK: every raw model pins its columns")

@@ -147,6 +147,24 @@ class SourcesSpec extends AnyFunSuite {
       "second compact must skip an already-compact dir")
   }
 
+  test("compactPartitioned: per-partition repack, no stray root files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpart")
+      .toString + "/t"
+    val src = graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("ds", date_format(col("o_orderdate"), "yyyy"))
+    src.repartition(8).write.partitionBy("ds").mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    val (done, skipped) = graft.export.Exporter.compactPartitioned(spark, dir,
+      targetBytes = 64L * 1024 * 1024)
+    assert(done > 0, s"expected compactions, got done=$done skipped=$skipped")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === rows)
+    assert(back.columns.contains("ds"), "partition column must survive")
+    // no marker FILES at the table root (they break partition inference)
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".done")))
+  }
+
   test("csv scan with delimiter + inference") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
