@@ -113,6 +113,33 @@ object ScaleOps {
           round(sum("o_totalprice"), 4).as("sum_price"))
     }),
 
+    // Feature statistics per group — the data-QA pass a training pipeline
+    // runs before anything trains: spread (sample stddev), linear
+    // association (Pearson corr), extremes. One partial-aggregated pass.
+    "q65_feature_stats" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 4).as("mean_value"),
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(corr(col("value"), col("user_id").cast("double")), 4)
+            .as("corr_value_user"),
+          round(min("value"), 4).as("min_value"),
+          round(max("value"), 4).as("max_value"))
+    }),
+
+    // Histogram / binning via width_bucket: value distribution per event
+    // type in 10 equal-width bins over [0, 10). The shuffle key is
+    // (type, bin) — histogram cardinality, not row count — so the
+    // aggregation output is tiny at any scale.
+    "q66_histogram" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          width_bucket(col("value"), lit(0.0), lit(10.0), lit(10)).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Train/test contamination audit: test-split docs sharing >= 3 RARE
     // 3-shingles with a train-split doc (the q48 hash split). Joining on
     // the shingle is scale-sane only with the document-frequency cap —
@@ -195,6 +222,24 @@ object ScaleOps {
                 round(sum(o_totalprice), 4) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "q65_feature_stats" ->
+      """SELECT event_type, count(*) AS n,
+                round(avg(value), 4) AS mean_value,
+                round(stddev_samp(value), 4) AS sd_value,
+                round(corr(value, CAST(user_id AS DOUBLE)), 4)
+                  AS corr_value_user,
+                round(min(value), 4) AS min_value,
+                round(max(value), 4) AS max_value
+         FROM events GROUP BY event_type""",
+    // DuckDB has no width_bucket: mirror its arithmetic (bin width 1.0 →
+    // floor(v)+1, with under/overflow bins 0 and n+1) explicitly
+    "q66_histogram" ->
+      """SELECT event_type,
+                CAST(CASE WHEN value < 0.0 THEN 0
+                          WHEN value >= 10.0 THEN 11
+                          ELSE floor(value / 1.0) + 1 END AS BIGINT) AS bin,
+                count(*) AS n
+         FROM events GROUP BY event_type, bin""",
     "q58_contamination" ->
       s"""WITH ${DedupOps.shingleCteSql},
          df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
