@@ -107,5 +107,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[TopKByScore].getName, "topk_by_score"),
         TopKByScore.fromExprs))
+    // the as-of join's planner strategy, so extension-configured sessions
+    // need no AsOf.ensureStrategy call
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -170,6 +170,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("GraftExtensions wires functions + as-of strategy without error") {
+    // extensions apply at session build; here: the injection calls
+    // themselves (a bad builder signature fails this immediately). The
+    // injected pieces are behavior-tested via register()/ensureStrategy.
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new org.apache.spark.sql.graft.GraftExtensions().apply(e)
+  }
+
   test("topk_by_score is callable from the SQL-text surface") {
     org.apache.spark.sql.graft.TopKByScore.register(spark)
     spark.range(0, 100)
