@@ -84,7 +84,7 @@ object Exporter {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetFiles() =
-      (if (fs.exists(p)) fs.listStatus(p) else Array.empty)
+      (if (fs.exists(p)) fs.listStatus(p) else Array.empty[org.apache.hadoop.fs.FileStatus])
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val files = parquetFiles()
     val totalBytes = files.map(_.getLen).sum
@@ -108,7 +108,7 @@ object Exporter {
       minFilesToBother: Int = 4): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = (if (fs.exists(p)) fs.listStatus(p) else Array.empty)
+    val parts = (if (fs.exists(p)) fs.listStatus(p) else Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
     // no per-partition .done markers: a stray `col=value.done` FILE at the
     // table root breaks Spark's partition-structure inference.

@@ -191,6 +191,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows === Map(0L -> 99L, 1L -> 97L, 2L -> 98L))
   }
 
+  test("edge paths: empty inputs and bad arguments fail fast, not mysteriously") {
+    // compact: missing dir → skipped, no crash
+    assert(graft.export.Exporter.compact(spark, "/tmp/graft_no_such_dir_x") === -1L)
+    // bloom: invalid fpp rejected eagerly
+    intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomSemiJoin(spark.range(1).toDF("k"),
+        spark.range(1).toDF("s"), "k", "s", fpp = 1.5)
+    }
+    // sessionize: empty frame stays empty with the session_seq column
+    val empty = Sessionize.batch(
+      Seq.empty[(Long, java.sql.Timestamp, Long)]
+        .toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", "event_id", 60L)
+    assert(empty.count() === 0L && empty.columns.contains("session_seq"))
+    // config: explicitly-named missing file is an error, not silent defaults
+    val e = intercept[RuntimeException](
+      graft.core.GraftConfig.load(Some("/tmp/graft_no_such_config.yml")))
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("salted join equals plain join (salting never changes the answer)") {
     val fact = spark.range(0, 5000)
       .select((col("id") % 5).as("k"), col("id").as("x"))
