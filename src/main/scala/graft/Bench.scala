@@ -50,6 +50,7 @@ object Bench {
       .filter(n => only.forall(f => f.exists(n.startsWith)))
     // warm-up (untimed): compiles codegen, warms JIT + parquet footers cache
     graft.queries.CurationOps.clearCache()
+    graft.queries.DedupOps.clearCache()
     names.foreach(exec)
     // settle the JVM between warm-up and the timed passes so GC debt from
     // warm-up isn't billed to the first timed queries
@@ -59,8 +60,13 @@ object Bench {
     // each pass drops the shared-cluster cache: q47 pays the full pipeline
     // every pass (honest min-of-2), while q51/q52 time their incremental
     // work over the pass's materialized clusters — the real pipeline shape
+    // each pass also drops the shared shingle/signature stage cache: the
+    // first consumer (q31 in sorted order) pays the materialization per
+    // pass, later consumers time their own work over the shared artifact —
+    // the shape a real pipeline ships (signatures are persisted once)
     def timedPass(): Map[String, Double] = {
       graft.queries.CurationOps.clearCache()
+      graft.queries.DedupOps.clearCache()
       names.map { name =>
         val t0 = System.nanoTime()
         exec(name)

@@ -17,12 +17,57 @@ import graft.functions.TextFunctions._
   *    shingle set (16 mins at once), candidate pairs come only from LSH band
   *    buckets (shuffle keyed on (band, bandHash) — never an O(n²) cross
   *    join);
-  *  - SimHash is a pure narrow projection after one explode+agg.
+  *  - SimHash is a pure narrow projection after one explode+agg;
+  *  - the tokenize→shingle→hash stages are MATERIALIZED ONCE per
+  *    (session, dir) and shared by every consumer (q31/q32/q33/q58/q60 and
+  *    q47's pair generation) — in a real dedup pipeline the shingle sets and
+  *    signatures are persisted artifacts computed in one pass, not
+  *    recomputed per downstream query. Same shape as CurationOps' cluster
+  *    cache: lazily localCheckpoint'ed, dropped via [[clearCache]] so the
+  *    bench pays the materialization exactly once per pass.
   */
 object DedupOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+
+  /** Shared-stage cache keyed by (session, dir, stage). `computeIfAbsent`
+    * is safe under the parallel Verify pool; the build lambda only
+    * constructs a lazy plan (the checkpoint materializes on first action).
+    * Stages are resolved OUTSIDE any enclosing computeIfAbsent (a mapping
+    * function must not touch the same map — see [[signaturesCached]]). */
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  def clearCache(): Unit = stageCache.clear()
+
+  private def cachedStage(s: SparkSession, dir: String, stage: String)
+      (build: => DataFrame): DataFrame =
+    stageCache.computeIfAbsent((s, dir, stage),
+      _ => build.localCheckpoint(eager = false))
+
+  /** Materialized distinct (doc_id, sh) 3-shingle pairs — the base stage
+    * shared by the signature pipeline and ScaleOps' contamination audit. */
+  private[queries] def shingleSetCached(s: SparkSession, dir: String): DataFrame =
+    cachedStage(s, dir, "shingles")(shingleSet(docs(s, dir)))
+
+  /** Materialized per-doc shingle-set arrays — the exact-rescoring side of
+    * the LSH-then-verify queries (q31, q60). */
+  private def shingleArraysCached(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSetCached(s, dir)
+    cachedStage(s, dir, "shingleArrays")(
+      sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs")))
+  }
+
+  /** Materialized MinHash signatures (doc_id, mh0..mh15). */
+  private def signaturesCached(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSetCached(s, dir) // resolve BEFORE entering the cache
+    cachedStage(s, dir, "signatures")(signaturesFrom(sh))
+  }
+
+  /** Materialized (doc_id, simhash) fingerprints shared by q34/q38. */
+  private def simhashCached(s: SparkSession, dir: String): DataFrame =
+    cachedStage(s, dir, "simhash")(simhashDf(docs(s, dir)))
 
   // ---- shared MinHash constants (mirrored literally into the oracle SQL) --
   private val P = 1000000007L // modulus
@@ -61,11 +106,10 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
 
-  /** doc_id + mh0..mh15 via one grouped aggregation. */
-  private def signatures(d: DataFrame): DataFrame = {
+  /** doc_id + mh0..mh15 via one grouped aggregation over a shingle set. */
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
     val h = stableHash(col("sh"))
-    shingleSet(d)
-      .groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(min(perm(h, 0)).as("mh0"),
         (1 until NumHashes).map(i => min(perm(h, i)).as(s"mh$i")): _*)
   }
@@ -104,16 +148,14 @@ object DedupOps {
     // emitted jaccard is exact. The oracle computes the identical banding
     // + rescoring in DuckDB.
     "q31_ngram_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val wb = bandedSignatures(d)
+      val wb = bandedSignatures(signaturesCached(s, dir))
       val l = wb.select(col("band"), col("key"), col("doc_id").as("doc_a"))
       val r = wb.select(col("band"), col("key"), col("doc_id").as("doc_b"))
       val cand = l.join(r, Seq("band", "key"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       // per-doc shingle sets: one row per doc, bounded by doc length
-      val sets = shingleSet(d).groupBy("doc_id")
-        .agg(collect_set(col("sh")).as("shs"))
+      val sets = shingleArraysCached(s, dir)
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")),
           Seq("doc_a"))
@@ -130,14 +172,14 @@ object DedupOps {
 
     // MinHash signatures (16 permutations over 3-shingles).
     "q32_minhash_sig" -> ((s, dir) =>
-      signatures(docs(s, dir)).select(
+      signaturesCached(s, dir).select(
         (col("doc_id") +: (0 until NumHashes).map(i => col(s"mh$i"))): _*)),
 
     // MinHash + LSH candidate pairs: band the signature (4 bands × 4 rows),
     // bucket-join on (band, band key), estimate Jaccard as matching-
     // signature fraction. Only bucket collisions are ever paired.
     "q33_minhash_lsh_pairs" -> ((s, dir) => {
-      val withBands = bandedSignatures(docs(s, dir))
+      val withBands = bandedSignatures(signaturesCached(s, dir))
       val l = withBands.select(col("band"), col("key"),
         col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val r = withBands.select(col("band"), col("key"),
@@ -160,15 +202,13 @@ object DedupOps {
     // Same LSH-then-verify shape as q31: candidates from the band buckets,
     // exact rescoring from the full shingle sets.
     "q60_containment" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val wb = bandedSignatures(d)
+      val wb = bandedSignatures(signaturesCached(s, dir))
       val l = wb.select(col("band"), col("key"), col("doc_id").as("doc_a"))
       val r = wb.select(col("band"), col("key"), col("doc_id").as("doc_b"))
       val cand = l.join(r, Seq("band", "key"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val sets = shingleSet(d).groupBy("doc_id")
-        .agg(collect_set(col("sh")).as("shs"))
+      val sets = shingleArraysCached(s, dir)
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")),
           Seq("doc_a"))
@@ -186,7 +226,7 @@ object DedupOps {
     // SimHash: 60-bit signed-sum fingerprint over token hashes (with
     // multiplicity). Pure projection + one aggregation. 60 bits (not 64)
     // because the engine-portable stableHash is a 60-bit positive long.
-    "q34_simhash" -> ((s, dir) => simhashDf(docs(s, dir))),
+    "q34_simhash" -> ((s, dir) => simhashCached(s, dir)),
 
     // SimHash near-dup pairs — UNBOUNDED and EXACT. The 60-bit fingerprint
     // is cut into 5 bands of 12 bits: a pair within Hamming distance ≤ 4
@@ -196,7 +236,7 @@ object DedupOps {
     // n² theta-join — and the Hamming filter removes false positives, so
     // the output is exactly all pairs with Hamming ≤ 4.
     "q38_simhash_pairs" -> ((s, dir) => {
-      val sh = simhashDf(docs(s, dir))
+      val sh = simhashCached(s, dir)
       val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until SimhashBands).map { b =>
           struct(lit(b).as("band"),
@@ -225,10 +265,11 @@ object DedupOps {
 
   /** doc_id, sig (16-long array), band, key — the MinHash-LSH banding
     * shared by q33 (estimate from collisions) and q31 (exact rescoring of
-    * collisions). */
-  private def bandedSignatures(d: DataFrame): DataFrame = {
+    * collisions). A cheap narrow explode over the materialized signatures —
+    * never worth caching itself. */
+  private def bandedSignatures(sigs: DataFrame): DataFrame = {
     val sigArr = array((0 until NumHashes).map(i => col(s"mh$i")): _*)
-    signatures(d).select(col("doc_id"), sigArr.as("sig"))
+    sigs.select(col("doc_id"), sigArr.as("sig"))
       .select(col("doc_id"), col("sig"),
         explode(array((0 until NumHashes / BandRows).map { b =>
           struct(lit(b).as("band"),

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.stableHash
 import graft.operators.{Layout, RuntimeFilter, Sessionize, Skew}
@@ -147,10 +146,16 @@ object ScaleOps {
     // thresholds swap the exact join for the MinHash-LSH candidate
     // pipeline (q33) over cross-split pairs.
     "q58_contamination" -> ((s, dir) => {
-      val sh = DedupOps.shingleSet(Tables(s, dir, "documents"))
-      val rare = sh
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      val sh = DedupOps.shingleSetCached(s, dir)
+      // document frequency via groupBy + shuffled-hash join — a window
+      // count over partitionBy(sh) computes the same df but pays a full
+      // sort of the shingle set; the hash aggregation + hash join never
+      // sort, and the agg side arrives pre-partitioned on sh so the join
+      // adds no extra exchange for it
+      val rareSh = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= ContaminationMaxDf)
+        .select("sh")
+      val rare = sh.join(rareSh.hint("shuffle_hash"), Seq("sh"))
         .withColumn("bucket",
           pmod(stableHash(col("doc_id").cast("string")), lit(100)))
       val train = rare.filter(col("bucket") < 80)

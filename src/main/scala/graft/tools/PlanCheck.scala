@@ -71,6 +71,7 @@ object PlanCheck {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     val out = new StringBuilder
     graft.queries.CurationOps.clearCache() // signatures assume a cold cache
+    graft.queries.DedupOps.clearCache()
     withStaticPlans(spark) {
       names.foreach { name =>
         try {

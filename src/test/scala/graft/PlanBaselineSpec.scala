@@ -28,8 +28,11 @@ class PlanBaselineSpec extends AnyFunSuite {
 
   test("plan signatures match the committed baseline (no shuffle/codegen regressions)") {
     // q47's plan differs when the shared-cluster cache is warm (it becomes
-    // a checkpoint scan) — signatures are defined over a cold cache
+    // a checkpoint scan), and likewise the shared shingle/signature stages —
+    // signatures are defined over a cold cache, queries built in sorted
+    // order (matching PlanCheck.main, so the cold/warm split is identical)
     graft.queries.CurationOps.clearCache()
+    graft.queries.DedupOps.clearCache()
     val diffs = PlanCheck.withStaticPlans(spark) {
       baseline.toSeq.sortBy(_._1).flatMap { case (name, want) =>
         val got = PlanCheck.signature(spark, dir, name)
