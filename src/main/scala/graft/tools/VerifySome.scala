@@ -1,0 +1,41 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Subset of Verify for fast iteration: dump only the named queries (or
+  * prefixes) + their oracle SQL, in the exact format tools/check_oracle.py
+  * consumes. Usage: runMain graft.tools.VerifySome <sfDir> <outDir> q49 q67
+  */
+object VerifySome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val prefixes = args.drop(2)
+    val spark = graft.core.GraftSession.local(8)
+    new java.io.File(outDir).mkdirs()
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
+    names.foreach { name =>
+      try graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify-some] $name failed: ${e.getMessage}")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .filter { case (k, _) => names.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("@SF_DIR@", sfDir))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

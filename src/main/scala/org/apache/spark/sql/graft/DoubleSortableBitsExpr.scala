@@ -1,0 +1,54 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType}
+
+/** Order-preserving IEEE-754 bit image of a double: a signed long whose
+  * `<` ordering equals the double's ordering (-inf < … < -0.0 < +0.0 < …
+  * < +inf < NaN, matching Spark's NaN-greatest sort order).
+  *
+  * Transform: raw bits for non-negatives; `~bits ^ Long.MinValue` for
+  * negatives (flip all bits into ascending order, then rebase into the
+  * signed-negative range).
+  *
+  * Why: the high bits of this long are a DATA-INDEPENDENT, order-preserving
+  * range bucket (sign + exponent + top mantissa bits). Operators that need
+  * a distributed sort bucketed by value range (two-level exact percentiles,
+  * range layout) can bucket WITHOUT a min/max pre-scan — one less full pass
+  * over the data, no broadcast dependency before the main shuffle.
+  */
+case class DoubleSortableBitsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_sortable_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    DoubleSortableBitsExpr.sortableBits(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => {
+      val b = ctx.freshName("bits")
+      s"""
+         |long $b = Double.doubleToRawLongBits($d);
+         |${ev.value} = ($b >= 0L) ? $b : (~$b ^ Long.MIN_VALUE);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleSortableBitsExpr =
+    copy(child = newChild)
+}
+
+object DoubleSortableBitsExpr {
+  def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToRawLongBits(d)
+    if (b >= 0L) b else ~b ^ java.lang.Long.MIN_VALUE
+  }
+
+  def columnFor(c: Column): Column =
+    ExpressionUtils.column(DoubleSortableBitsExpr(ExpressionUtils.expression(c)))
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DoubleSortableBitsExpr
+
+/** Two-level exact percentiles (q49) + the order-preserving bit bucket it
+  * rides on, + the approx form's rank-error bound (q67). */
+class PercentileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("DoubleSortableBitsExpr preserves double ordering incl. specials") {
+    val specials = Seq(Double.NegativeInfinity, -1.5e300, -2.0, -1.0,
+      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue,
+      1.0, 2.0, 1.5e300, Double.PositiveInfinity)
+    val rnd = new scala.util.Random(42)
+    val doubles = specials ++ Seq.fill(500)(
+      (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(20) - 10))
+    // scalar contract: bit image sorts exactly like the doubles
+    val byDouble = doubles.sorted // -0.0 < 0.0 under Ordering.Double.TotalOrdering
+    val byBits = doubles.sortBy(DoubleSortableBitsExpr.sortableBits)
+    assert(byBits.map(d => java.lang.Double.doubleToRawLongBits(d)) ==
+      byDouble.map(d => java.lang.Double.doubleToRawLongBits(d)))
+    // NaN maps above +inf (Spark's NaN-greatest order)
+    assert(DoubleSortableBitsExpr.sortableBits(Double.NaN) >
+      DoubleSortableBitsExpr.sortableBits(Double.PositiveInfinity))
+    // codegen == interpreted == scalar on a DataFrame
+    val df = doubles.toDF("d")
+      .withColumn("bits", DoubleSortableBitsExpr.columnFor(col("d")))
+    assert(df.collect().forall(r =>
+      r.getLong(1) == DoubleSortableBitsExpr.sortableBits(r.getDouble(0))))
+  }
+
+  test("q49 two-level ranks == single-sort percentiles on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q49_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // oracle-by-construction: sort each group in memory, interpolate
+    val rows = graft.sources.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .as[(String, Double)].collect()
+    for ((g, vsRaw) <- rows.groupBy(_._1)) {
+      val vs = vsRaw.map(_._2).sorted
+      def pct(p: Double): Double = {
+        val idx = p * (vs.length - 1)
+        val lo = vs(idx.toInt)
+        val hi = vs(math.ceil(idx).toInt)
+        math.rint((lo + (hi - lo) * (idx - math.floor(idx))) * 1e4) / 1e4
+      }
+      val (p50, p90, p99, n) = got(g)
+      assert(n == vs.length, s"group $g count")
+      assert(p50 == pct(0.5) && p90 == pct(0.9) && p99 == pct(0.99),
+        s"group $g: got ($p50,$p90,$p99) want (${pct(0.5)},${pct(0.9)},${pct(0.99)})")
+    }
+  }
+
+  test("q67 approx percentiles: every rank-error bound holds") {
+    val out = SparkEntry.queries("q67_approx_percentiles")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
+  }
+}
