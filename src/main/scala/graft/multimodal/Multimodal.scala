@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * The Spark-side contract (schema, batching, partition sizing) is real and
-  * tested; the codec itself is STUBBED with a deterministic fake — this
-  * container has no image/audio libraries. Swap [[StubCodec]] for a JNI/
-  * library-backed codec in production; nothing else changes.
+  * tested. IMAGES decode for real via the JDK's own `javax.imageio`
+  * ([[ImageIoCodec]] — PNG/JPEG/GIF/BMP, no external dependency); audio and
+  * video remain STUBBED with a deterministic fake (this container has no
+  * media libraries) — swap in a JNI/library-backed [[Codec]] in production
+  * and nothing else changes.
   */
 object Multimodal {
 
@@ -55,13 +57,67 @@ object Multimodal {
       }
   }
 
+  /** Real image decode via the JDK's `javax.imageio` — true width/height
+    * plus per-channel pixel statistics as the feature vector:
+    * `[meanR, meanG, meanB, stdLuma, aspect (w/h clamped to 1), coverage
+    * of sampled pixels, 0, 0]`, all in [0, 1]. Pixel stats SAMPLE a
+    * bounded grid (≤ [[ImageIoCodec.MaxSamples]] per axis) so one huge
+    * image can't stall a task — decode cost stays proportional to payload,
+    * stats cost is O(1).
+    *
+    * Non-image media and undecodable payloads fall through to
+    * [[StubCodec]] (documented stub: no audio/video libraries in this
+    * container), so a mixed batch never throws.
+    */
+  object ImageIoCodec extends Codec {
+    val MaxSamples = 64
+
+    def decode(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+      batch.map { r =>
+        val img =
+          if (r.media_type == "image")
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload)))
+            catch { case _: java.io.IOException => None }
+          else None
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val xs = 0 until w by math.max(1, w / MaxSamples)
+            val ys = 0 until h by math.max(1, h / MaxSamples)
+            var sr = 0.0; var sg = 0.0; var sb = 0.0
+            var sl = 0.0; var sl2 = 0.0; var np = 0
+            for (y <- ys; x <- xs) {
+              val rgb = im.getRGB(x, y)
+              val cr = (rgb >> 16) & 0xff
+              val cg = (rgb >> 8) & 0xff
+              val cb = rgb & 0xff
+              val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
+              sr += cr; sg += cg; sb += cb
+              sl += luma; sl2 += luma * luma; np += 1
+            }
+            val ml = sl / np
+            MediaFeatures(r.media_id, r.media_type, r.payload.length, w, h, 0L,
+              Array(
+                (sr / np / 255.0).toFloat, (sg / np / 255.0).toFloat,
+                (sb / np / 255.0).toFloat,
+                (math.sqrt(math.max(0.0, sl2 / np - ml * ml)) / 255.0).toFloat,
+                (math.min(w.toDouble / h, 1.0)).toFloat,
+                (np.toDouble / (w.toLong * h)).toFloat, 0f, 0f))
+          case None =>
+            StubCodec.decode(Iterator(r)).next()
+        }
+      }
+  }
+
   /** The distributed decode: partition-local batches through the codec.
     * `mapPartitions` is deliberate here (SURVEY.md §7.3 preference (d)) —
     * codec calls are imperative per-record work no Catalyst expression can
     * express, and partition-locality is what amortizes native-codec setup.
     */
   def extractFeatures(media: Dataset[MediaRecord],
-      codec: Codec = StubCodec): Dataset[MediaFeatures] = {
+      codec: Codec = ImageIoCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(codec.decode(_))
   }

@@ -115,6 +115,40 @@ class EngineSpec extends AnyFunSuite {
     assert(metaDf.count() === 50L)
   }
 
+  test("multimodal: javax.imageio decodes real PNGs distributed, stub only for non-images") {
+    // real PNGs, generated in-fixture: dimensions and solid fill color are
+    // the ground truth the decoded features must reproduce
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "image", png(37, 21, 0xff0000), "a.png"),
+      Multimodal.MediaRecord(2L, "image", png(128, 256, 0x00ff00), "b.png"),
+      Multimodal.MediaRecord(3L, "image", Array[Byte](1, 2, 3), "corrupt.png"),
+      Multimodal.MediaRecord(4L, "audio", png(8, 8, 0), "not-an-image.wav"))
+    val feats = Multimodal.extractFeatures(
+        spark.createDataset(records).repartition(3))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width === 37 && feats(1L).height === 21)
+    assert(feats(1L).feature(0) === 1f && feats(1L).feature(1) === 0f) // red
+    assert(feats(2L).width === 128 && feats(2L).height === 256)
+    assert(feats(2L).feature(1) === 1f && feats(2L).feature(0) === 0f) // green
+    assert(feats(2L).feature(3) === 0f) // solid fill: zero luma stddev
+    assert(feats(2L).feature(4) === 0.5f) // aspect 128/256
+    // corrupt image payload + audio fall through to the deterministic stub
+    val stub3 = Multimodal.StubCodec.decode(Iterator(records(2))).next()
+    assert(feats(3L).width === stub3.width &&
+      feats(3L).height === stub3.height &&
+      feats(3L).feature.toSeq === stub3.feature.toSeq)
+    assert(feats(4L).duration_ms === Multimodal.StubCodec
+      .decode(Iterator(records(3))).next().duration_ms)
+  }
+
   test("shingles: fewer tokens than k yields empty, exact k yields one") {
     val df = Seq("a b", "a b c", "a b c d").toDF("text")
       .select(TextFunctions.shingles(
