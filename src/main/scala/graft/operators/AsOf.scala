@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{AsOfJoinPlan, AsOfJoinStrategy, PlanBridge}
+import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
 
 /** Public as-of join API (SURVEY.md custom-operator path (c)).
   *
@@ -32,14 +33,27 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 
+  /** Internal long image of a time column for tolerance arithmetic: µs for
+    * TIMESTAMP, days-since-epoch for DATE, the raw value for numerics. */
+  private def timeUnits(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c)
+    case DateType => unix_date(c).cast("long")
+    case _ => c.cast("long")
+  }
+
   /** As-of join via the custom operator. For each `left` row: the latest
     * `right` row with `right(rightTime) <= left(leftTime)` and equal keys.
-    * `outer=false` (DuckDB ASOF JOIN default) drops unmatched left rows. */
+    * `outer=false` (DuckDB ASOF JOIN default) drops unmatched left rows.
+    * `tolerance`: max lookback in the time column's internal units (µs for
+    * TIMESTAMP, days for DATE, raw for numerics) — a match additionally
+    * requires `leftTime - rightTime < tolerance` (strict, the DuckDB
+    * `b.ts > a.ts - INTERVAL x` spelling; pandas `merge_asof` uses `<=`). */
   def join(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      outer: Boolean = false): DataFrame = {
+      outer: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed
@@ -49,9 +63,19 @@ object AsOf {
       plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
         .getOrElse(sys.error(s"as-of join: column $name not found in " +
           plan.output.map(_.name).mkString(", ")))
+    if (tolerance.isDefined) {
+      // tolerance subtracts internal time values as longs
+      val ok = Set[DataType](TimestampType, DateType) ++
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType)
+      require(ok.contains(resolve(lp, leftTime).dataType),
+        s"tolerance needs a temporal/integral time column, got " +
+          resolve(lp, leftTime).dataType)
+    }
     PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
-      resolve(lp, leftTime), resolve(rp, rightTime), outer))
+      resolve(lp, leftTime), resolve(rp, rightTime), outer, tolerance))
   }
 
   /** SCD2-ize an event history: each (keys, time) row becomes a validity
@@ -64,24 +88,41 @@ object AsOf {
     *
     * One window over the key — same single-shuffle shape as the as-of
     * operator itself. History times must be unique per key (ties make
-    * "the next event" ambiguous — same contract as DuckDB ASOF). */
+    * "the next event" ambiguous — same contract as DuckDB ASOF).
+    *
+    * `tolerance` caps each interval at `valid_from + tolerance` (internal
+    * units, see [[join]]): the interval form of the strict-lookback match
+    * `leftTime - rightTime < tolerance`, because consumers join with
+    * `t < valid_to`. With tolerance set, `valid_to` is never null. */
   def intervalize(history: DataFrame, keys: Seq[String],
-      timeCol: String): DataFrame = {
+      timeCol: String, tolerance: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
-    history
+    val base = history
       .withColumn("valid_from", col(timeCol))
       .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+    tolerance match {
+      case None => base
+      case Some(t) =>
+        val cap = history.schema(timeCol).dataType match {
+          case TimestampType =>
+            timestamp_micros(unix_micros(col("valid_from")) + t)
+          case DateType => date_add(col("valid_from"), t.toInt)
+          case _ => col("valid_from") + lit(t)
+        }
+        base.withColumn("valid_to", least(col("valid_to"), cap))
+    }
   }
 
   /** Compositional equivalent: tag sides, union, and carry the latest right
     * payload forward with `last(_, ignoreNulls)` over (keys, time, side).
     * Right rows sort BEFORE left rows at equal times, so `<=` is inclusive
     * like [[join]]. One shuffle (the window partitioning) — never a join,
-    * never quadratic. */
+    * never quadratic. `tolerance` as in [[join]] (strict lookback, internal
+    * units): a carried match that is too old is nulled back to no-match. */
   def joinViaUnionWindow(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      outer: Boolean = false): DataFrame = {
+      outer: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     val keyed = rightKeys.zip(leftKeys)
@@ -109,7 +150,17 @@ object AsOf {
     val carried = unioned
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-    val filtered = if (outer) carried else carried.filter(col("_match").isNotNull)
+    val toleranced = tolerance match {
+      case None => carried
+      case Some(t) =>
+        val mt = timeUnits(col("_match").getField(rightTime),
+          right.schema(rightTime).dataType)
+        val lt = timeUnits(col("_t"), left.schema(leftTime).dataType)
+        carried.withColumn("_match",
+          when(col("_match").isNotNull && lt - mt < t, col("_match")))
+    }
+    val filtered =
+      if (outer) toleranced else toleranced.filter(col("_match").isNotNull)
     filtered.select(
       lCols.map(c => col(s"_left.$c").as(c)) ++
         rCols.map(c => col(s"_match.$c").as(c)): _*)

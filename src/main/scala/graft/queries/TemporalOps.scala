@@ -71,6 +71,31 @@ object TemporalOps {
           "signup_id", "signup_user", "signup_ts")
     }),
 
+    // AS-OF JOIN WITH TOLERANCE (pandas merge_asof / production-SCD2 max
+    // lookback): q45's join, but a purchase older than 1 day no longer
+    // matches — the custom exec checks the bound on its retained candidate
+    // in the same O(1)-state streaming merge (no post-filter: an outer
+    // variant must null-extend, not drop). Strict bound (lt - rt < tol =
+    // DuckDB's `b.ts > a.ts - INTERVAL x`); the oracle spells it as the
+    // native ASOF JOIN + the tolerance filter, equivalent for inner joins
+    // because the as-of match is the LATEST candidate.
+    "q68_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          r4(col("value")).as("purchase_value"))
+      AsOf.join(clicks, purchases,
+          leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+          leftTime = "click_ts", rightTime = "purchase_ts",
+          tolerance = Some(86400000000L)) // 1 day in µs
+        .select("click_id", "user_id", "click_ts",
+          "purchase_id", "purchase_ts", "purchase_value")
+    }),
+
     // SCD2 spelling of the as-of join: the purchase history becomes
     // validity intervals (AsOf.intervalize — one window), clicks join on a
     // PLAIN key + interval condition. Same answer as q45's custom operator;
@@ -110,6 +135,16 @@ object TemporalOps {
          FROM (SELECT * FROM events WHERE event_type = 'error') a
          JOIN (SELECT * FROM events WHERE event_type = 'signup') b
            ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts""",
+    "q68_asof_tolerance" ->
+      """WITH m AS MATERIALIZED (
+           SELECT a.event_id AS click_id, a.user_id AS user_id,
+                  a.ts AS click_ts, b.event_id AS purchase_id,
+                  b.ts AS purchase_ts, round(b.value, 4) AS purchase_value
+           FROM (SELECT * FROM events WHERE event_type = 'click') a
+           ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+             ON a.user_id = b.user_id AND b.ts <= a.ts)
+         SELECT * FROM m
+         WHERE purchase_ts > click_ts - INTERVAL 1 DAY""",
     "q64_scd2_enrich" ->
       """WITH hist AS (
            SELECT user_id, ts, value,

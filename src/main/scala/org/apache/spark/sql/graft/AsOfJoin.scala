@@ -20,6 +20,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * sort order. Null times never match; null keys never match (SQL equi-join
   * semantics — a null-keyed left row is dropped, or null-extended if outer).
   *
+  * `tolerance` (pandas `merge_asof` / production SCD2 form): a max lookback
+  * in the time column's INTERNAL units (µs for TIMESTAMP, days for DATE,
+  * raw for numerics). A candidate only matches while
+  * `leftTime - rightTime < tolerance` (strict — DuckDB's
+  * `b.ts > a.ts - INTERVAL x` spelling); the latest candidate being too old
+  * means every candidate is, so the row is unmatched (dropped, or
+  * null-extended if outer).
+  *
   * Spark has no built-in as-of join: the naive spelling is a range
   * theta-join (`l.k = r.k AND r.t <= l.t`) + window-max filter, which plans
   * the equi-part fine but materializes EVERY preceding right row per left
@@ -38,7 +46,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    isOuter: Boolean) extends BinaryNode {
+    isOuter: Boolean,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isOuter) right.output.map(_.withNullability(true))
@@ -56,7 +65,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
-        p.isOuter, planLater(p.left), planLater(p.right)) :: Nil
+        p.isOuter, p.tolerance, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }
@@ -71,6 +80,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     isOuter: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -106,6 +116,10 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val outer = isOuter
+    // tolerance compares internal time values as longs (µs for TIMESTAMP,
+    // days for DATE, raw for numerics) — enforced long-representable by the
+    // public API
+    val tolOrNeg = tolerance.getOrElse(-1L)
     val keyTypes = lKeys.map(_.dataType)
     val timeType = lTime.dataType
     val outAttrs = output
@@ -131,6 +145,7 @@ case class AsOfJoinExec(
         private var rHeadKey: UnsafeRow = _
         private var lastMatch: InternalRow = _ // latest right row of lastKey seen
         private var lastKey: UnsafeRow = _
+        private var lastTimeL: Long = 0L // lastMatch's time (internal units)
         private var nextOut: InternalRow = _
         advanceRight()
 
@@ -163,14 +178,23 @@ case class AsOfJoinExec(
               while (continue) {
                 val c = keyOrd.compare(rHeadKey, lk)
                 if (c < 0) { advanceRight(); continue = rHead != null }
-                else if (c == 0 &&
-                    timeOrd.lteq(rTimeEval.eval(rHead), lt)) {
-                  lastMatch = rHead.copy()
-                  lastKey = rHeadKey.copy()
-                  advanceRight(); continue = rHead != null
+                else if (c == 0) {
+                  val rt = rTimeEval.eval(rHead)
+                  if (timeOrd.lteq(rt, lt)) {
+                    lastMatch = rHead.copy()
+                    lastKey = rHeadKey.copy()
+                    if (tolOrNeg >= 0) lastTimeL = rt.asInstanceOf[Number].longValue
+                    advanceRight(); continue = rHead != null
+                  } else continue = false
                 } else continue = false
               }
-              val matched = lastMatch != null && keyOrd.compare(lastKey, lk) == 0
+              // tolerance: the retained match is the LATEST at-or-before —
+              // if even it is too old, every candidate is (strict lookback:
+              // leftTime - rightTime < tolerance)
+              val matched = lastMatch != null &&
+                keyOrd.compare(lastKey, lk) == 0 &&
+                (tolOrNeg < 0 ||
+                  lt.asInstanceOf[Number].longValue - lastTimeL < tolOrNeg)
               if (matched) nextOut = resultProj(joined(l, lastMatch))
               else if (outer) nextOut = resultProj(joined(l, nullRight))
             }

@@ -33,10 +33,11 @@ class AsOfSpec extends AnyFunSuite {
     (null.asInstanceOf[String], Some(10L), 300.0)) // must match NO trade
     .toDF("qsym", "qt", "price")
 
-  private def naive(outer: Boolean) = {
+  private def naive(outer: Boolean, tolerance: Option[Long] = None) = {
     // correct-by-construction: theta join + keep max qt per trade
-    val j = trades.join(quotes,
-      col("sym") === col("qsym") && col("qt") <= col("t"),
+    val pred = col("sym") === col("qsym") && col("qt") <= col("t") &&
+      tolerance.map(tol => col("t") - col("qt") < tol).getOrElse(lit(true))
+    val j = trades.join(quotes, pred,
       if (outer) "left_outer" else "inner")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("trade_id").orderBy(col("qt").desc_nulls_last)
@@ -68,6 +69,43 @@ class AsOfSpec extends AnyFunSuite {
     val got = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt")
       .select("trade_id", "price").as[(Int, Double)].collect().toMap
     assert(got === Map(1 -> 100.0, 2 -> 101.0, 3 -> 102.0, 4 -> 200.0))
+  }
+
+  test("tolerance: both variants match the naive bounded-lookback spelling") {
+    // tol=6: trade t=10 keeps quote qt=5 (10-5=5 < 6); trade t=25 keeps
+    // qt=21; MSFT trade t=15 LOSES its only quote qt=1 (15-1=14); null
+    // keys/times behave exactly as without tolerance
+    for (tol <- Seq(1L, 6L, 100L); outer <- Seq(false, true)) {
+      val want = canon(naive(outer, Some(tol)))
+      val a = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt",
+        outer = outer, tolerance = Some(tol))
+      val b = AsOf.joinViaUnionWindow(trades, quotes, Seq("sym"), Seq("qsym"),
+        "t", "qt", outer = outer, tolerance = Some(tol))
+      assert(canon(a) === want, s"custom op tol=$tol outer=$outer")
+      assert(canon(b) === want, s"union-window tol=$tol outer=$outer")
+    }
+    // spot-check the tol=6 inner matches end-to-end
+    val got = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt",
+        tolerance = Some(6L))
+      .select("trade_id", "price").as[(Int, Double)].collect().toMap
+    assert(got === Map(1 -> 100.0, 2 -> 101.0, 3 -> 102.0))
+  }
+
+  test("intervalize with tolerance caps validity at from + tol") {
+    val hist = quotes.filter(col("qsym").isNotNull && col("qt").isNotNull)
+    val iv = AsOf.intervalize(hist, Seq("qsym"), "qt", tolerance = Some(6L))
+      .select("qsym", "qt", "valid_to").as[(String, Long, Long)]
+      .collect().toSet
+    // AAPL 5→min(20, 11)=11, 20→min(21, 26)=21, 21→min(99, 27)=27,
+    // 99→105 (no next: capped, not null); MSFT 1→7
+    assert(iv === Set(("AAPL", 5L, 11L), ("AAPL", 20L, 21L),
+      ("AAPL", 21L, 27L), ("AAPL", 99L, 105L), ("MSFT", 1L, 7L)))
+    // interval join over capped intervals ≡ as-of with tolerance (inner)
+    val viaIv = trades.filter(col("sym").isNotNull && col("t").isNotNull)
+      .join(AsOf.intervalize(hist, Seq("qsym"), "qt", tolerance = Some(6L)),
+        col("sym") === col("qsym") && col("t") >= col("valid_from") &&
+          col("t") < col("valid_to"))
+    assert(canon(viaIv) === canon(naive(outer = false, Some(6L))))
   }
 
   test("physical plan is the custom exec over single key-shuffles per side") {
