@@ -1,0 +1,42 @@
+package graft.tools
+
+/** Bounded experiment (r4 verdict #5): can the ~0.1 s/query dispatch floor
+  * on tiny queries be reduced by conf alone? Times a basket of the
+  * suite's smallest queries under runtime-settable variants:
+  * shuffle-partition floor, AQE off, and both. Results land in PERF.md.
+  */
+object FloorProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val basket = Seq("q03_topk_brand", "q08_union_all", "q12_filter_between",
+      "q13_case_like", "q14_scalar_string", "q19_distinct", "q20_projection",
+      "q22_first_token", "q30_dedup_exact", "q48_hash_split")
+    val spark = graft.core.GraftSession.local(32)
+    def runAll(): Double = {
+      val t0 = System.nanoTime()
+      basket.foreach { n =>
+        graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val variants = Seq(
+      "baseline(sp=32,aqe=on)" -> Map[String, String](),
+      "sp=8" -> Map("spark.sql.shuffle.partitions" -> "8"),
+      "aqe=off" -> Map("spark.sql.adaptive.enabled" -> "false"),
+      "sp=8,aqe=off" -> Map("spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.adaptive.enabled" -> "false"))
+    runAll(); runAll() // warm JIT + codegen + footer caches
+    val base = variants.map { case (label, conf) =>
+      val prev = conf.keys.map(k => k -> spark.conf.get(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      runAll() // re-plan under the new conf before timing
+      val t = (1 to 3).map(_ => runAll()).min
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      println(f"[floor] $label%-22s total=$t%.2fs per-query=${t / basket.size}%.3fs")
+      t
+    }
+    println(f"[floor] spread: best=${base.min}%.2fs worst=${base.max}%.2fs")
+    spark.stop()
+  }
+}
