@@ -122,6 +122,40 @@ object Multimodal {
     media.mapPartitions(codec.decode(_))
   }
 
+  /** Real image resize (the brief's decode → RESIZE → feature step):
+    * bilinear scale to `w`×`h` via JDK Graphics2D, re-encoded as PNG back
+    * into the opaque payload column — the record stays a [[MediaRecord]],
+    * so resize composes with [[extractFeatures]] and any downstream step.
+    * Non-images and undecodable payloads pass through unchanged (same
+    * fall-through contract as [[ImageIoCodec]]). Partition-local batches
+    * via the same `mapPartitions` path as the codec. */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img =
+        if (r.media_type == "image")
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case _: java.io.IOException => None }
+        else None
+      img match {
+        case Some(im) =>
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(im, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(payload = bos.toByteArray)
+        case None => r
+      }
+    })
+  }
+
   /** Binary-metadata projection that needs no codec at all — pure columnar. */
   def byteMetadata(df: DataFrame): DataFrame =
     df.select(col("media_id"), col("media_type"),

@@ -78,6 +78,26 @@ object AsOf {
       resolve(lp, leftTime), resolve(rp, rightTime), outer, tolerance))
   }
 
+  /** Forward as-of join (pandas `merge_asof` direction="forward"): for
+    * each left row, the EARLIEST right row with
+    * `right(rightTime) >= left(leftTime)` and equal keys. Implemented by
+    * running [[join]] on negated internal-time images — the backward
+    * streaming merge over descending time IS the forward join — so the
+    * same exec, exchanges, null semantics, and `tolerance` (now a max
+    * look-AHEAD: `rightTime - leftTime < tolerance`) apply unchanged. */
+  def joinForward(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      outer: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
+    val lNeg = left.withColumn("_graft_lnegt",
+      negate(timeUnits(col(leftTime), left.schema(leftTime).dataType)))
+    val rNeg = right.withColumn("_graft_rnegt",
+      negate(timeUnits(col(rightTime), right.schema(rightTime).dataType)))
+    join(lNeg, rNeg, leftKeys, rightKeys, "_graft_lnegt", "_graft_rnegt",
+        outer, tolerance)
+      .drop("_graft_lnegt", "_graft_rnegt")
+  }
+
   /** SCD2-ize an event history: each (keys, time) row becomes a validity
     * interval `[valid_from, valid_to)` where `valid_to` is the key's next
     * event time (null = still current). An as-of join then becomes a PLAIN

@@ -91,6 +91,28 @@ class AsOfSpec extends AnyFunSuite {
     assert(got === Map(1 -> 100.0, 2 -> 101.0, 3 -> 102.0))
   }
 
+  test("forward direction: earliest at-or-after, with and without tolerance") {
+    // naive forward: theta join qt >= t, keep MIN qt per trade
+    def naiveFwd(tolerance: Option[Long]) = {
+      val pred = col("sym") === col("qsym") && col("qt") >= col("t") &&
+        tolerance.map(tol => col("qt") - col("t") < tol).getOrElse(lit(true))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("trade_id").orderBy(col("qt").asc_nulls_last)
+      trades.join(quotes, pred, "inner")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn")
+    }
+    for (tol <- Seq(None, Some(2L), Some(80L))) {
+      val got = AsOf.joinForward(trades, quotes, Seq("sym"), Seq("qsym"),
+        "t", "qt", tolerance = tol)
+      assert(canon(got) === canon(naiveFwd(tol)), s"tol=$tol")
+    }
+    // spot-check: trade t=25 → earliest later AAPL quote is qt=99
+    val m = AsOf.joinForward(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt")
+      .select("trade_id", "qt").as[(Int, Long)].collect().toMap
+    assert(m(3) === 99L && m(1) === 20L)
+  }
+
   test("intervalize with tolerance caps validity at from + tol") {
     val hist = quotes.filter(col("qsym").isNotNull && col("qt").isNotNull)
     val iv = AsOf.intervalize(hist, Seq("qsym"), "qt", tolerance = Some(6L))

@@ -145,6 +145,15 @@ class EngineSpec extends AnyFunSuite {
     assert(feats(3L).width === stub3.width &&
       feats(3L).height === stub3.height &&
       feats(3L).feature.toSeq === stub3.feature.toSeq)
+    // resize → decode composes: true target dims, color preserved,
+    // non-images pass through untouched
+    val resized = Multimodal.extractFeatures(Multimodal.resize(
+        spark.createDataset(records).repartition(2), 16, 12))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(resized(1L).width === 16 && resized(1L).height === 12)
+    assert(resized(1L).feature(0) === 1f && resized(1L).feature(1) === 0f)
+    assert(resized(2L).width === 16 && resized(2L).height === 12)
+    assert(resized(4L).width === feats(4L).width) // audio: untouched stub
     assert(feats(4L).duration_ms === Multimodal.StubCodec
       .decode(Iterator(records(3))).next().duration_ms)
   }
