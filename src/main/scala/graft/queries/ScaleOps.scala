@@ -166,6 +166,32 @@ object ScaleOps {
         .groupBy("test_doc_id", "train_doc_id")
         .agg(count(lit(1)).as("overlap"))
         .filter(col("overlap") >= ContaminationMinOverlap)
+    }),
+
+    // Sequence packing for pre-training batches: docs laid out by
+    // cumulative token count within a hash shard; a doc's sequence id is
+    // the 512-token bin of its START offset (docs may straddle bins — the
+    // pack-then-truncate contract). Packing is PER SHARD, the unit a real
+    // pipeline packs per output file/worker: the window sorts one shard,
+    // shard count scales with the cluster, and no global order is ever
+    // required — the scale-safe form of a cumulative layout.
+    "q70_sequence_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512
+      val nShards = 32
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(stableHash(col("doc_id").cast("string")), lit(nShards))
+            .as("shard"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("start_offset",
+          coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          floor(col("start_offset") / budget).as("seq_id"),
+          pmod(col("start_offset"), lit(budget.toLong)).as("offset_in_seq"))
     })
   )
 
@@ -259,6 +285,24 @@ object ScaleOps {
          SELECT test_doc_id, train_doc_id, count(*) AS overlap
          FROM te JOIN tr USING (sh)
          GROUP BY test_doc_id, train_doc_id
-         HAVING count(*) >= $ContaminationMinOverlap"""
+         HAVING count(*) >= $ContaminationMinOverlap""",
+    "q70_sequence_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 32 AS shard,
+                  len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_offset
+           FROM d)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+                start_offset % 512 AS offset_in_seq
+         FROM o"""
   )
 }

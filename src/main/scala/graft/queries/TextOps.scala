@@ -165,6 +165,24 @@ object TextOps {
         .select(col("doc_id"), col("frame_idx"),
           md5(expr("substring(text, cast(frame_idx * 64 + 1 as int), 32)")
             .cast("binary")).as("frame_md5"))
+    }),
+
+    // Intra-document repetition (the Gopher-rule quality signal): fraction
+    // of duplicate 3-grams WITH multiplicity — high values flag boilerplate
+    // / looped text that survives inter-doc dedup. Pure narrow projection
+    // (tokens materialized first — HOF lambdas re-evaluate a split per
+    // element otherwise); zero shuffles at any scale.
+    "q69_repetition" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shingles(col("toks"), 3).as("shs"))
+        .select(col("doc_id"),
+          size(col("shs")).as("n_ngrams"),
+          size(array_distinct(col("shs"))).as("n_distinct_ngrams"),
+          r4(when(size(col("shs")) === 0, 0.0)
+            .otherwise(lit(1.0) - size(array_distinct(col("shs")))
+              .cast("double") / size(col("shs")).cast("double")))
+            .as("rep_fraction"))
     })
   )
 
@@ -237,6 +255,23 @@ object TextOps {
                 md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32))
                   AS frame_md5
          FROM idx""",
+    "q69_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, t,
+                        unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                 FROM toks WHERE len(t) >= 3),
+         g AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+               FROM idx),
+         agg AS (SELECT doc_id, count(*) AS n_ngrams,
+                        count(DISTINCT sh) AS n_distinct_ngrams
+                 FROM g GROUP BY doc_id)
+         SELECT doc_id, n_ngrams, n_distinct_ngrams,
+                round(1.0 - n_distinct_ngrams * 1.0 / n_ngrams, 4)
+                  AS rep_fraction
+         FROM agg
+         UNION ALL
+         SELECT doc_id, 0, 0, 0.0 FROM toks WHERE len(t) < 3""",
     "q59_bpe_tokens" ->
       """WITH pre AS (
            SELECT doc_id,
