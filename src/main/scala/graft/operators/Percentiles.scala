@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DoubleSortableBitsExpr
+
+/** Distributed EXACT percentiles (linear interpolation, `quantile_cont`
+  * semantics) with no single-task-per-group stage — the scale-safe form of
+  * `Window.partitionBy(group).orderBy(value)` when groups are few and huge.
+  *
+  * Two-level ranking:
+  *  1. each row gets a DATA-INDEPENDENT order-preserving range bucket: the
+  *     top 20 bits of the value's IEEE-754 sortable image
+  *     ([[org.apache.spark.sql.graft.DoubleSortableBitsExpr]]) — no min/max
+  *     pre-scan, no broadcast before the main shuffle;
+  *  2. the window partition key becomes (group, bucket): the sort
+  *     parallelizes across populated buckets, no task holds more than one
+  *     value-range bucket;
+  *  3. global rank = in-bucket row_number + a prefix sum over per-bucket
+  *     counts (a ≤2^20-row aggregate at ANY data scale);
+  *  4. bracketing ranks per percentile fall out of a filter + aggregation.
+  *
+  * Ties share a value, so row_number tie-order cannot change the result.
+  * A single heavy-hitter VALUE still lands in one bucket (all ties, one
+  * partition) — for such domains use `approx_percentile` (bounded-memory
+  * sketch; see CurationOps q67 for the rank-error-bound verification
+  * recipe). Used by q49; oracle-verified against DuckDB `quantile_cont`.
+  */
+object Percentiles {
+
+  /** Exact interpolated percentiles of `valueCol` per `groupCol`.
+    * Output: groupCol, p&lt;tag&gt; per requested percentile, n.
+    * `ps` maps output-column tag → fraction, e.g. Seq("50" -> 0.5). */
+  def exactByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)], roundTo: Int = 4): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val bucketed = df.select(g.as("_g"), v.as("_v"))
+      .filter(col("_v").isNotNull)
+      .withColumn("_bucket",
+        shiftright(DoubleSortableBitsExpr.columnFor(col("_v").cast("double")), 44))
+    val bucketTot = bucketed.groupBy("_g", "_bucket")
+      .agg(count(lit(1)).as("_btot"))
+    val wBuckets = Window.partitionBy("_g").orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTot
+      .withColumn("_boff", coalesce(sum("_btot").over(wBuckets), lit(0L)))
+      .withColumn("_n", sum("_btot").over(Window.partitionBy("_g")))
+    val wInBucket = Window.partitionBy("_g", "_bucket").orderBy("_v")
+    val ranked = bucketed
+      .join(broadcast(offsets.select("_g", "_bucket", "_boff", "_n")),
+        Seq("_g", "_bucket"))
+      .withColumn("_rn", row_number().over(wInBucket) + col("_boff"))
+    val aggs = ps.flatMap { case (tag, p) =>
+      val idx = lit(p) * (col("_n") - 1) // 0-based fractional rank
+      Seq(
+        max(when(col("_rn") - 1 === floor(idx), col("_v"))).as(s"_lo_$tag"),
+        max(when(col("_rn") - 1 === ceil(idx), col("_v"))).as(s"_hi_$tag"),
+        max(idx - floor(idx)).as(s"_f_$tag"))
+    }
+    ranked.groupBy("_g")
+      .agg(max("_n").as("_nn"), aggs: _*)
+      .select(col("_g").as(groupCol) +: ps.map { case (tag, _) =>
+        val interp: Column = col(s"_lo_$tag") +
+          (col(s"_hi_$tag") - col(s"_lo_$tag")) * col(s"_f_$tag")
+        round(interp, roundTo).as(s"p$tag")
+      } :+ col("_nn").as("n"): _*)
+  }
+}

@@ -67,56 +67,14 @@ object CurationOps {
     // Exact percentiles per group (linear interpolation — matches DuckDB
     // quantile_cont) WITHOUT a raw-row window over the 3-value group key
     // (every group in ONE task — the scale-killer the r4 verdict flagged).
-    // Two-level ranking instead:
-    //   1. each row gets a DATA-INDEPENDENT order-preserving range bucket:
-    //      the top 20 bits of the IEEE-754 sortable image of the value
-    //      ([[DoubleSortableBitsExpr]]) — no min/max pre-scan, no broadcast
-    //      before the main shuffle;
-    //   2. the window partition key becomes (group, bucket): the sort
-    //      parallelizes across the populated buckets and no task ever
-    //      holds more than one value-range bucket;
-    //   3. global rank = row_number within (group, bucket) + the bucket's
-    //      offset (a prefix sum over the per-bucket counts — a ≤2^20-row
-    //      aggregate at ANY data scale);
-    //   4. the two bracketing ranks per percentile fall out of a plain
-    //      filter + aggregation; interpolation matches quantile_cont.
-    // Ties share a value so row_number tie-order can't change the result.
-    // A single heavy-hitter VALUE still lands in one bucket — for domains
-    // like that, q67 ships the approx_percentile sketch form instead.
-    "q49_percentiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.graft.DoubleSortableBitsExpr
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      val bucketed = li.withColumn("bucket",
-        shiftright(DoubleSortableBitsExpr.columnFor(col("v").cast("double")), 44))
-      val bucketTot = bucketed.groupBy("g", "bucket").agg(count(lit(1)).as("btot"))
-      val wBuckets = Window.partitionBy("g").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = bucketTot
-        .withColumn("boff", coalesce(sum("btot").over(wBuckets), lit(0L)))
-        .withColumn("n", sum("btot").over(Window.partitionBy("g")))
-      val wInBucket = Window.partitionBy("g", "bucket").orderBy("v")
-      val ranked = bucketed
-        .join(broadcast(offsets.select("g", "bucket", "boff", "n")),
-          Seq("g", "bucket"))
-        .withColumn("rn", row_number().over(wInBucket) + col("boff"))
-      val ps = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
-      val aggs = ps.flatMap { case (tag, p) =>
-        val idx = lit(p) * (col("n") - 1) // 0-based fractional rank
-        Seq(
-          max(when(col("rn") - 1 === floor(idx), col("v"))).as(s"lo_$tag"),
-          max(when(col("rn") - 1 === ceil(idx), col("v"))).as(s"hi_$tag"),
-          max(idx - floor(idx)).as(s"f_$tag"))
-      }
-      ranked.groupBy("g")
-        .agg(max("n").as("nn"), aggs: _*)
-        .select(col("g").as("l_returnflag") +: ps.map { case (tag, _) =>
-          r4(col(s"lo_$tag") +
-            (col(s"hi_$tag") - col(s"lo_$tag")) * col(s"f_$tag"))
-            .as(s"p$tag")
-        } :+ col("nn").as("n"): _*)
-    }),
+    // The operator is graft.operators.Percentiles.exactByGroup: two-level
+    // ranking over data-independent IEEE-754 range buckets — see its
+    // Scaladoc for the plan shape and the heavy-hitter caveat. q67 ships
+    // the approx_percentile sketch form for unbounded value domains.
+    "q49_percentiles" -> ((s, dir) =>
+      graft.operators.Percentiles.exactByGroup(
+        Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99))),
 
     // The 100 TB percentile operator: approx_percentile's bounded-memory
     // sketch (map-side combinable, no histogram, no sort) — for value

@@ -56,6 +56,38 @@ class PercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("exactByGroup on adversarial distributions == in-memory sort") {
+    // constant group (one bucket holds everything), negatives straddling
+    // zero, two-value heavy hitters, exponential spread across octaves,
+    // and a group smaller than the percentile count
+    val rnd = new scala.util.Random(7)
+    val data: Seq[(String, Double)] =
+      Seq.fill(2000)(("const", 42.0)) ++
+        Seq.tabulate(3000)(i => ("negpos", (i - 1500) * 0.25)) ++
+        Seq.fill(1500)(("twoval", if (rnd.nextBoolean()) -1.0 else 1e9)) ++
+        Seq.tabulate(2500)(i => ("expo", math.pow(2.0, i % 40) * (1 + i % 7))) ++
+        Seq(("tiny", 5.0), ("tiny", -5.0))
+    val df = spark.createDataFrame(data).toDF("g", "v").repartition(7)
+    val got = graft.operators.Percentiles
+      .exactByGroup(df, "g", "v", Seq("25" -> 0.25, "50" -> 0.5, "99" -> 0.99),
+        roundTo = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    for ((g, pairs) <- data.groupBy(_._1)) {
+      val vs = pairs.map(_._2).sorted
+      def pct(p: Double): Double = {
+        val idx = p * (vs.length - 1)
+        val lo = vs(idx.toInt)
+        val hi = vs(math.ceil(idx).toInt)
+        math.rint((lo + (hi - lo) * (idx - math.floor(idx))) * 1e6) / 1e6
+      }
+      val (p25, p50, p99, n) = got(g)
+      assert(n == vs.length, s"$g n")
+      assert(p25 == pct(0.25) && p50 == pct(0.5) && p99 == pct(0.99),
+        s"$g: got ($p25,$p50,$p99) want (${pct(0.25)},${pct(0.5)},${pct(0.99)})")
+    }
+  }
+
   test("q67 approx percentiles: every rank-error bound holds") {
     val out = SparkEntry.queries("q67_approx_percentiles")(
       spark, "/root/testdata/sf0.001").collect()
