@@ -310,6 +310,26 @@ class EngineSpec extends AnyFunSuite {
     EventStream.runAvailableNow(stream, out, ckpt)
     val got = spark.read.parquet(out).as[(Long, Double)].collect().toSet
     assert(got === want && got.nonEmpty)
+
+    // with tolerance: capped intervals make the SAME plain condition join
+    // enforce the max lookback (valid_to is never null when capped), so
+    // streaming enrichment composes with tolerance for free
+    val tol = 86400000000L // 1 day in µs
+    val wantTol = AsOf.join(clicks, purchases, Seq("user_id"), Seq("p_user"),
+        "click_ts", "p_ts", tolerance = Some(tol))
+      .select($"click_id", $"value").as[(Long, Double)].collect().toSet
+    val out2 = Files.createTempDirectory("graft_enrich_out2").toString
+    val ckpt2 = Files.createTempDirectory("graft_enrich_ck2").toString
+    val dimTol = AsOf.intervalize(purchases, Seq("p_user"), "p_ts",
+      tolerance = Some(tol))
+    val streamTol = spark.readStream.schema(clicks.schema).parquet(in)
+      .join(dimTol, $"user_id" === $"p_user" &&
+        $"click_ts" >= $"valid_from" && $"click_ts" < $"valid_to")
+      .select($"click_id", $"value")
+    EventStream.runAvailableNow(streamTol, out2, ckpt2)
+    val gotTol = spark.read.parquet(out2).as[(Long, Double)].collect().toSet
+    assert(gotTol === wantTol && gotTol.nonEmpty)
+    assert(gotTol.size < got.size) // the bound actually drops matches
   }
 
   test("sinkToWarehouse: stream lands day partitions, replay is idempotent") {
