@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall of the approximate similarity paths against brute-force ground
+  * truth — the quality property the oracle replay can't express (the
+  * oracles confirm both engines compute the SAME approximation; this spec
+  * confirms the approximation is a GOOD one on real data). */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** top-5 neighbor sets per probe from a (qid, cid, cosine, rnk) result. */
+  private def top5(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  test("IVF top-5 recall vs brute force >= 60% on the probe set") {
+    val brute = top5("q35_ann_brute")
+    val ivf = top5("q39_ann_ivf")
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // single-cell probing (nprobe=1) on 8 cells: high recall expected on
+    // clustered data; the floor guards against a broken quantizer, the
+    // exact value is data-dependent
+    assert(mean >= 0.6, f"mean IVF recall $mean%.2f")
+  }
+
+  test("near-dup LSH banding recovers the expected share of true pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.CosineSimilarity
+    // ground truth: all pairs with cosine >= 0.4 (brute force on sf0.001;
+    // the synthetic corpus tops out at cos ~0.48)
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val truth = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        CosineSimilarity.cosineSim(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // q36 reports pairs at cos >= 0.3 via banded LSH; restrict to >= 0.4
+    val found = SparkEntry.queries("q36_embed_neardup")(spark, dir)
+      .filter(col("cosine") >= 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    // 4 bands x 4 planes: per-pair candidate probability
+    // 1-(1-(1-theta/pi)^4)^4 ~ 0.50 at cos=0.4, rising steeply with
+    // similarity (~0.97 at cos 0.8). This corpus' true pairs all hug the
+    // 0.40-0.48 band, the hardest regime — measured 0.35 (23/66), fully
+    // deterministic (fixed integer-mix planes). The floor guards a broken
+    // banding (which collapses to ~0), not sampling noise.
+    assert(recall >= 0.3, f"LSH pair recall $recall%.2f (${found.size}/${truth.size})")
+  }
+}
