@@ -125,6 +125,26 @@ object CurationOps {
           r4(sum("value")).as("sum_value"))
     }),
 
+    // Domain mixing: deterministic per-source sampling rates reweight the
+    // corpus toward a target mixture (the data-mixture step before
+    // training; sources tiered by suffix → rates 1.0/0.5/0.25/0.1). Keep
+    // iff hash(doc_id) % 10000 < rate·10000 — the same hash-threshold
+    // determinism as q48/q50: recomputation-stable, no stored sample
+    // table, engine-portable. One hash aggregation; the kept set itself
+    // needs no shuffle at all at any scale.
+    "q71_domain_mix" -> ((s, dir) => {
+      val tier = expr("int(regexp_extract(source, '([0-9]+)$', 1)) div 5")
+      val rate = when(tier === 0, 1.0).when(tier === 1, 0.5)
+        .when(tier === 2, 0.25).otherwise(0.1)
+      val kept =
+        pmod(stableHash(col("doc_id").cast("string")), lit(10000)) < rate * 10000
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          r4(max(rate)).as("target_rate"))
+    }),
+
     // Quality-ranked canonical selection: within each dup cluster keep the
     // HIGHEST-quality document (q24's scorer), not the lowest id — what a
     // curation pipeline actually ships. One window over the cluster id.
@@ -221,6 +241,22 @@ object CurationOps {
       """SELECT l_returnflag, count(*) AS n,
                 TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
          FROM lineitem GROUP BY l_returnflag""",
+    "q71_domain_mix" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+                  CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) // 5
+                    AS tier,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 10000 AS h
+           FROM documents),
+         r AS (SELECT *, CASE tier WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                                   WHEN 2 THEN 0.25 ELSE 0.1 END AS rate
+               FROM d)
+         SELECT source, count(*) AS n_total,
+                CAST(sum(CASE WHEN h < rate * 10000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                round(CAST(max(rate) AS DOUBLE), 4) AS target_rate
+         FROM r GROUP BY source""",
     "q50_stratified_sample" ->
       """SELECT event_type, count(*) AS n_sampled,
                 min(event_id) AS min_event_id,
