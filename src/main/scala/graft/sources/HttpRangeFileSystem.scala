@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.io.{FileNotFoundException, IOException}
+import java.net.{HttpURLConnection, URI, URL}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Read-only Hadoop FileSystem for `http(s)://` lakes — the S5 remote-scan
+  * operator driven END TO END (Hadoop's own `fs.http.HttpFileSystem` can
+  * neither list nor seek, so Spark's parquet reader rejects it; DuckDB's
+  * `httpfs` is the reference analog, `db.py:18-36`).
+  *
+  * Length comes from a 1-byte `Range` probe (`Content-Range` total, the
+  * part S3/CDN/nginx all implement), falling back to `Content-Length`.
+  * Reads are served by per-call ranged GETs behind Hadoop's
+  * `BufferedFSInputStream`, which turns the parquet reader's seek+read
+  * pattern (footer, then row-group chunks) into a few large requests —
+  * exactly how a remote object store is meant to be scanned: bytes moved
+  * ∝ columns read, never the whole object.
+  *
+  * Register via [[LakeReader.httpFs]]; globs are not supported (HTTP has
+  * no listing) — address files directly, as the reference does with its
+  * https parquet URLs.
+  */
+class HttpRangeFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var workDir: Path = new Path("/")
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(
+      s"$getScheme://${Option(name.getAuthority).getOrElse("")}")
+  }
+
+  override def getScheme: String = "http"
+  override def getUri: URI = fsUri
+
+  private def toUrl(f: Path): URL = {
+    val u = f.toUri
+    if (u.getScheme != null) u.toURL else fsUri.resolve(u).toURL
+  }
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val url = toUrl(f)
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestProperty("Range", "bytes=0-0")
+    val code = conn.getResponseCode
+    try {
+      if (code == 404) throw new FileNotFoundException(f.toString)
+      val len =
+        if (code == 206) {
+          val cr = conn.getHeaderField("Content-Range") // "bytes 0-0/N"
+          if (cr == null || !cr.contains("/"))
+            throw new IOException(s"no Content-Range from $url")
+          cr.substring(cr.indexOf('/') + 1).toLong
+        } else if (code == 200) conn.getContentLengthLong
+        else throw new IOException(s"HTTP $code probing $url")
+      new FileStatus(len, false, 1, 32L * 1024 * 1024, 0L, f)
+    } finally conn.disconnect()
+  }
+
+  /** HTTP has no directory listing: a path lists as itself (enough for
+    * Spark's file index over explicit file paths). */
+  override def listStatus(f: Path): Array[FileStatus] =
+    Array(getFileStatus(f))
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val len = getFileStatus(f).getLen
+    new FSDataInputStream(new BufferedFSInputStream(
+      new HttpRangeFileSystem.RangeStream(toUrl(f), len),
+      math.max(bufferSize, 128 * 1024)))
+  }
+
+  override def setWorkingDirectory(dir: Path): Unit = workDir = dir
+  override def getWorkingDirectory: Path = workDir
+
+  private def readOnly = new IOException(s"$getScheme filesystem is read-only")
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = throw readOnly
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream = throw readOnly
+  override def rename(src: Path, dst: Path): Boolean = throw readOnly
+  override def delete(f: Path, recursive: Boolean): Boolean = throw readOnly
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    throw readOnly
+}
+
+/** `https://` flavor — same implementation, TLS handled by the JDK. */
+class HttpsRangeFileSystem extends HttpRangeFileSystem {
+  override def getScheme: String = "https"
+}
+
+object HttpRangeFileSystem {
+
+  /** Seekable stream over ranged GETs. Each read issues one request for
+    * exactly the wanted span; `BufferedFSInputStream` above it batches the
+    * caller's small reads into large spans. */
+  private final class RangeStream(url: URL, len: Long) extends FSInputStream {
+    private var pos = 0L
+
+    override def seek(p: Long): Unit = {
+      if (p < 0 || p > len) throw new java.io.EOFException(s"seek $p len $len")
+      pos = p
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      if (read(b, 0, 1) <= 0) -1 else b(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, l: Int): Int = {
+      if (l == 0) return 0
+      if (pos >= len) return -1
+      val end = math.min(len - 1, pos + l - 1)
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Range", s"bytes=$pos-$end")
+      val code = conn.getResponseCode
+      if (code != 206 && code != 200)
+        throw new IOException(s"HTTP $code reading $url")
+      val in = conn.getInputStream
+      try {
+        if (code == 200) { // server ignored Range: skip up to pos
+          var toSkip = pos
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s <= 0) throw new IOException(s"cannot skip to $pos in $url")
+            toSkip -= s
+          }
+        }
+        val want = (end - pos + 1).toInt
+        var got = 0
+        var eof = false
+        while (got < want && !eof) {
+          val n = in.read(b, off + got, want - got)
+          if (n < 0) eof = true else got += n
+        }
+        if (got == 0) -1
+        else { pos += got; got }
+      } finally in.close()
+    }
+  }
+}

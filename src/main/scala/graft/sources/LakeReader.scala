@@ -44,6 +44,17 @@ object LakeReader {
     if (pathStyle) h.set("fs.s3a.path.style.access", "true")
   }
 
+  /** S5 (https flavor): register the Range-request-backed read-only
+    * filesystems so `spark.read.parquet("https://…/file.parquet")` works
+    * directly — the engine-side twin of the reference reading public
+    * https parquet through DuckDB's httpfs. See [[HttpRangeFileSystem]];
+    * no listing, so address files (not globs). */
+  def httpFs(spark: SparkSession): Unit = {
+    val h = spark.sparkContext.hadoopConfiguration
+    h.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+    h.set("fs.https.impl", classOf[HttpsRangeFileSystem].getName)
+  }
+
   /** S2: NDJSON(.gz) glob scan; gzip decompressed automatically. Pass a
     * schema to pin types against drift (all-null columns otherwise infer
     * as string). */

@@ -217,4 +217,64 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getString(0) === "2021-01-07 00:22:30.866")
     assert(r.getLong(1) === 9606L)
   }
+
+  test("S5: remote http lake scan — ranged GETs, column pruning moves fewer bytes") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.util.concurrent.atomic.AtomicLong
+    val root = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    val served = new AtomicLong(0) // payload bytes actually shipped
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val p = root.resolve(x.getRequestURI.getPath.stripPrefix("/"))
+        if (!java.nio.file.Files.isRegularFile(p)) {
+          x.sendResponseHeaders(404, -1); x.close(); return
+        }
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        Option(x.getRequestHeaders.getFirst("Range")) match {
+          case Some(r) => // "bytes=a-b"
+            val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+            val from = a.toInt
+            val to = if (b.isEmpty) bytes.length - 1 else b.toInt
+            val slice = bytes.slice(from, to + 1)
+            x.getResponseHeaders.add("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            x.sendResponseHeaders(206, slice.length)
+            x.getResponseBody.write(slice)
+            served.addAndGet(slice.length)
+          case None =>
+            x.sendResponseHeaders(200, bytes.length)
+            x.getResponseBody.write(bytes)
+            served.addAndGet(bytes.length)
+        }
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      LakeReader.httpFs(spark)
+      // correctness: remote scan == local scan, row for row
+      val remote = spark.read
+        .parquet(s"http://127.0.0.1:$port/nation.parquet")
+        .collect().map(_.toSeq).toSet
+      val local = spark.read
+        .parquet("/root/testdata/sf0.001/nation.parquet")
+        .collect().map(_.toSeq).toSet
+      assert(remote === local && remote.nonEmpty)
+      // efficiency: a 2-column projection of the 16-column lineitem must
+      // move fewer payload bytes than the object holds — the ranged reads
+      // fetch footer + projected column chunks, not the file
+      val size = java.nio.file.Files.size(root.resolve("lineitem.parquet"))
+      served.set(0)
+      val n = spark.read
+        .parquet(s"http://127.0.0.1:$port/lineitem.parquet")
+        .select("l_orderkey", "l_quantity").count()
+      assert(n === 6000L)
+      assert(served.get() < size,
+        s"pruned scan shipped ${served.get()} of $size bytes")
+    } finally server.stop(0)
+  }
 }
