@@ -167,6 +167,50 @@ object TextOps {
             .cast("binary")).as("frame_md5"))
     }),
 
+    // Tokenizer vocabulary: token → dense id by descending corpus
+    // frequency (ties lexicographic) — the vocab-build step before
+    // training a tokenizer. The global-order window runs over the
+    // AGGREGATED vocabulary (vocab-bounded — ~1M rows even at web scale),
+    // never over the token stream; the stream only feeds the hash
+    // aggregation.
+    "q72_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .withColumn("token_id", row_number()
+          .over(Window.orderBy(desc("freq"), asc("tok"))).cast("long"))
+    }),
+
+    // tf-idf top-3 terms per document via the k-bounded TopKByScore
+    // aggregate (map-side heap: ≤3 entries per doc cross the shuffle; the
+    // oracle's window spelling sorts every doc's full term list). idf is
+    // rounded to 6 decimals on BOTH engines (the q39 centroid precedent)
+    // so libm ulp drift can't flip rankings; score ties break toward the
+    // lower md5-hash token id in both engines.
+    "q73_tfidf_topterms" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = d.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dft = d.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val ndocs = docs(s, dir).agg(countDistinct("doc_id").as("n"))
+      val scored = tf.join(broadcast(dft), Seq("tok"))
+        .crossJoin(broadcast(ndocs))
+        .withColumn("idf6", round(log(col("n").cast("double") / col("df")), 6))
+        .withColumn("score", col("tf") * col("idf6"))
+        .withColumn("tok_id", stableHash(col("tok")))
+      scored.groupBy("doc_id")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("score"), col("tok_id"), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.payload").as("tok_id"), r4(col("col.score")).as("tfidf"))
+        .join(broadcast(scored.select("tok_id", "tok").distinct()),
+          Seq("tok_id"))
+        .select("doc_id", "rnk", "tok", "tfidf")
+    }),
+
     // Intra-document repetition (the Gopher-rule quality signal): fraction
     // of duplicate 3-grams WITH multiplicity — high values flag boilerplate
     // / looped text that survives inter-doc dedup. Pure narrow projection
@@ -255,6 +299,28 @@ object TextOps {
                 md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32))
                   AS frame_md5
          FROM idx""",
+    "q72_vocab" ->
+      """SELECT tok, count(*) AS freq,
+                row_number() OVER (ORDER BY count(*) DESC, tok) AS token_id
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok""",
+    "q73_tfidf_topterms" ->
+      """WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM d GROUP BY 1, 2),
+         dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM d GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         s AS (SELECT tf.doc_id, tf.tok,
+                      tf.tf * round(ln(n.n * 1.0 / dft.df), 6) AS score,
+                      CAST('0x' || substr(md5(tf.tok), 1, 15) AS BIGINT)
+                        AS tok_id
+               FROM tf JOIN dft USING (tok) CROSS JOIN n),
+         r AS (SELECT doc_id, tok, score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, tok_id) AS rnk
+               FROM s)
+         SELECT doc_id, rnk, tok, round(score, 4) AS tfidf
+         FROM r WHERE rnk <= 3""",
     "q69_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),
