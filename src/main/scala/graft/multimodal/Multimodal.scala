@@ -76,9 +76,12 @@ object Multimodal {
       batch.map { r =>
         val img =
           if (r.media_type == "image")
+            // JDK readers throw UNCHECKED exceptions (AIOOBE, IAE, …) on
+            // crafted/truncated payloads, not just IOException — a mixed
+            // batch must never kill the job
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.payload)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           else None
         img match {
           case Some(im) =>
@@ -136,7 +139,7 @@ object Multimodal {
         if (r.media_type == "image")
           try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         else None
       img match {
         case Some(im) =>

@@ -41,6 +41,18 @@ object AsOf {
     case _ => c.cast("long")
   }
 
+  /** Types whose [[timeUnits]] image is exact. Everything else (double,
+    * decimal, string, …) would silently truncate or null under the long
+    * cast — reject loudly instead. */
+  private def requireLongTime(dt: DataType, what: String): Unit = {
+    val ok = Set[DataType](TimestampType, DateType,
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType)
+    require(ok.contains(dt),
+      s"$what needs a temporal/integral time column, got $dt")
+  }
+
   /** As-of join via the custom operator. For each `left` row: the latest
     * `right` row with `right(rightTime) <= left(leftTime)` and equal keys.
     * `outer=false` (DuckDB ASOF JOIN default) drops unmatched left rows.
@@ -63,16 +75,8 @@ object AsOf {
       plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
         .getOrElse(sys.error(s"as-of join: column $name not found in " +
           plan.output.map(_.name).mkString(", ")))
-    if (tolerance.isDefined) {
-      // tolerance subtracts internal time values as longs
-      val ok = Set[DataType](TimestampType, DateType) ++
-        Seq(org.apache.spark.sql.types.LongType,
-          org.apache.spark.sql.types.IntegerType,
-          org.apache.spark.sql.types.ShortType)
-      require(ok.contains(resolve(lp, leftTime).dataType),
-        s"tolerance needs a temporal/integral time column, got " +
-          resolve(lp, leftTime).dataType)
-    }
+    if (tolerance.isDefined)
+      requireLongTime(resolve(lp, leftTime).dataType, "tolerance")
     PlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
       resolve(lp, leftTime), resolve(rp, rightTime), outer, tolerance))
@@ -89,6 +93,10 @@ object AsOf {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       outer: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
+    // the negated-time trick runs on timeUnits images, which are exact
+    // only for temporal/integral columns
+    requireLongTime(left.schema(leftTime).dataType, "joinForward")
+    requireLongTime(right.schema(rightTime).dataType, "joinForward")
     val lNeg = left.withColumn("_graft_lnegt",
       negate(timeUnits(col(leftTime), left.schema(leftTime).dataType)))
     val rNeg = right.withColumn("_graft_rnegt",
@@ -126,7 +134,10 @@ object AsOf {
         val cap = history.schema(timeCol).dataType match {
           case TimestampType =>
             timestamp_micros(unix_micros(col("valid_from")) + t)
-          case DateType => date_add(col("valid_from"), t.toInt)
+          case DateType =>
+            require(t.isValidInt, // silent Int wrap would cap BEFORE valid_from
+              s"date tolerance must fit an Int day count, got $t")
+            date_add(col("valid_from"), t.toInt)
           case _ => col("valid_from") + lit(t)
         }
         base.withColumn("valid_to", least(col("valid_to"), cap))
@@ -173,6 +184,8 @@ object AsOf {
     val toleranced = tolerance match {
       case None => carried
       case Some(t) =>
+        requireLongTime(left.schema(leftTime).dataType, "tolerance")
+        requireLongTime(right.schema(rightTime).dataType, "tolerance")
         val mt = timeUnits(col("_match").getField(rightTime),
           right.schema(rightTime).dataType)
         val lt = timeUnits(col("_t"), left.schema(leftTime).dataType)

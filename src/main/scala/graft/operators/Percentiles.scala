@@ -31,7 +31,10 @@ object Percentiles {
 
   /** Exact interpolated percentiles of `valueCol` per `groupCol`.
     * Output: groupCol, p&lt;tag&gt; per requested percentile, n.
-    * `ps` maps output-column tag → fraction, e.g. Seq("50" -> 0.5). */
+    * `ps` maps output-column tag → fraction, e.g. Seq("50" -> 0.5).
+    * Nulls are ignored (`quantile_cont` semantics) and `n` counts
+    * non-null values; a group whose values are ALL null is absent from
+    * the output (where SQL would emit a NULL-percentile row). */
   def exactByGroup(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)], roundTo: Int = 4): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })

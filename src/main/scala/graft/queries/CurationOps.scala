@@ -26,7 +26,10 @@ object CurationOps {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def clearCache(): Unit = clusterCache.clear()
+  def clearCache(): Unit = {
+    clusterCache.values().forEach(StageCacheSupport.unpersistCheckpoint)
+    clusterCache.clear()
+  }
 
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.computeIfAbsent((s, dir), { case (sess, d) =>

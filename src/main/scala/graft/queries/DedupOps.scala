@@ -39,7 +39,13 @@ object DedupOps {
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  def clearCache(): Unit = stageCache.clear()
+  /** Drop cache entries AND their materialized checkpoint blocks — without
+    * the unpersist, each bench pass would leak the prior pass's blocks
+    * until GC/ContextCleaner gets to them. */
+  def clearCache(): Unit = {
+    stageCache.values().forEach(StageCacheSupport.unpersistCheckpoint)
+    stageCache.clear()
+  }
 
   private def cachedStage(s: SparkSession, dir: String, stage: String)
       (build: => DataFrame): DataFrame =

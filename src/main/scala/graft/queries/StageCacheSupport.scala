@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+/** Support for the per-(session, dir) stage caches (DedupOps, CurationOps):
+  * a `localCheckpoint(eager = false)` DataFrame holds its materialized
+  * blocks via the checkpointed RDD inside its `LogicalRDD` plan — dropping
+  * the map reference leaves those blocks to nondeterministic
+  * GC/ContextCleaner reclamation, so an explicit clear must unpersist. */
+object StageCacheSupport {
+
+  /** Free the checkpoint blocks behind a localCheckpoint'ed DataFrame.
+    * Safe on any DataFrame: non-checkpoint plans simply don't match. */
+  val unpersistCheckpoint: java.util.function.Consumer[DataFrame] = df =>
+    try {
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+}

@@ -200,14 +200,17 @@ object TextOps {
         .withColumn("idf6", round(log(col("n").cast("double") / col("df")), 6))
         .withColumn("score", col("tf") * col("idf6"))
         .withColumn("tok_id", stableHash(col("tok")))
+      // the id→token map comes from the vocab-sized dft aggregate, NOT
+      // from scored (which would re-run the whole tf/join pipeline a
+      // second time just to name the winners)
+      val tokNames = dft.select(stableHash(col("tok")).as("tok_id"), col("tok"))
       scored.groupBy("doc_id")
         .agg(org.apache.spark.sql.graft.TopKByScore
           .columnFor(col("score"), col("tok_id"), 3).as("top"))
         .select(col("doc_id"), posexplode(col("top")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
           col("col.payload").as("tok_id"), r4(col("col.score")).as("tfidf"))
-        .join(broadcast(scored.select("tok_id", "tok").distinct()),
-          Seq("tok_id"))
+        .join(broadcast(tokNames), Seq("tok_id"))
         .select("doc_id", "rnk", "tok", "tfidf")
     }),
 

@@ -54,11 +54,19 @@ class HttpRangeFileSystem extends FileSystem {
       val len =
         if (code == 206) {
           val cr = conn.getHeaderField("Content-Range") // "bytes 0-0/N"
-          if (cr == null || !cr.contains("/"))
-            throw new IOException(s"no Content-Range from $url")
-          cr.substring(cr.indexOf('/') + 1).toLong
+          val total = Option(cr).filter(_.contains("/"))
+            .map(_.substring(cr.indexOf('/') + 1))
+            .getOrElse(throw new IOException(s"no Content-Range from $url"))
+          if (total == "*") conn.getContentLengthLong // RFC 7233 unknown total
+          else
+            try total.toLong
+            catch { case _: NumberFormatException =>
+              throw new IOException(s"bad Content-Range '$cr' from $url") }
         } else if (code == 200) conn.getContentLengthLong
         else throw new IOException(s"HTTP $code probing $url")
+      if (len < 0) // chunked/no-length: a seekable reader would seek to len-8
+        throw new IOException(s"$url reports no length (chunked?); " +
+          "a seekable scan needs Content-Length or a ranged total")
       new FileStatus(len, false, 1, 32L * 1024 * 1024, 0L, f)
     } finally conn.disconnect()
   }
@@ -126,13 +134,15 @@ object HttpRangeFileSystem {
         throw new IOException(s"HTTP $code reading $url")
       val in = conn.getInputStream
       try {
-        if (code == 200) { // server ignored Range: skip up to pos
-          var toSkip = pos
-          while (toSkip > 0) {
-            val s = in.skip(toSkip)
-            if (s <= 0) throw new IOException(s"cannot skip to $pos in $url")
-            toSkip -= s
-          }
+        if (code == 200 && pos > 0) {
+          // the server ignored Range: honoring this read would re-download
+          // the whole prefix on EVERY call (each read is its own request —
+          // O(size²) for any scan). Fail loudly: Range support is the
+          // contract here, and S3/CDN/nginx/object stores all provide it.
+          in.close()
+          throw new IOException(
+            s"$url ignores Range requests; this filesystem requires a " +
+              "ranged server for reads beyond offset 0")
         }
         val want = (end - pos + 1).toInt
         var got = 0
