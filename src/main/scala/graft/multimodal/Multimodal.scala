@@ -57,60 +57,116 @@ object Multimodal {
       }
   }
 
-  /** Real image decode via the JDK's `javax.imageio` — true width/height
-    * plus per-channel pixel statistics as the feature vector:
-    * `[meanR, meanG, meanB, stdLuma, aspect (w/h clamped to 1), coverage
-    * of sampled pixels, 0, 0]`, all in [0, 1]. Pixel stats SAMPLE a
-    * bounded grid (≤ [[ImageIoCodec.MaxSamples]] per axis) so one huge
-    * image can't stall a task — decode cost stays proportional to payload,
-    * stats cost is O(1).
+  /** Real media decode with ONLY the JDK: `javax.imageio` for images
+    * (PNG/JPEG/GIF/BMP — true width/height plus per-channel pixel
+    * statistics) and `javax.sound.sampled` for uncompressed audio
+    * (WAV/AIFF/AU — true sample rate, channels, duration, RMS amplitude).
     *
-    * Non-image media and undecodable payloads fall through to
-    * [[StubCodec]] (documented stub: no audio/video libraries in this
-    * container), so a mixed batch never throws.
+    * Image features: `[meanR, meanG, meanB, stdLuma, aspect (w/h clamped
+    * to 1), coverage of sampled pixels, 0, 0]`, all in [0, 1]. Pixel stats
+    * SAMPLE a bounded grid (≤ [[ImageIoCodec.MaxSamples]] per axis) so one
+    * huge image can't stall a task — decode cost stays proportional to
+    * payload, stats cost is O(1). Audio features:
+    * `[sampleRate/96k, channels/8, bits/32, rms, zeroCrossRate, 0, 0, 0]`
+    * with sample stats over a bounded prefix
+    * ([[ImageIoCodec.MaxAudioBytes]]).
+    *
+    * Compressed audio, video, and undecodable payloads fall through to
+    * [[StubCodec]] (documented stub: no codec libraries in this
+    * container), so a mixed batch never throws — JDK readers raise
+    * UNCHECKED exceptions on crafted payloads, hence the NonFatal guards.
     */
   object ImageIoCodec extends Codec {
     val MaxSamples = 64
+    val MaxAudioBytes = 1 << 16
+
+    private def decodeAudio(r: MediaRecord): Option[MediaFeatures] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val durMs =
+            if (frames >= 0 && fmt.getFrameRate > 0)
+              (frames.toDouble / fmt.getFrameRate * 1000.0).toLong
+            else 0L
+          // bounded-prefix sample stats (16-bit little-endian PCM path;
+          // other sample sizes report zeros but keep the true header data)
+          val buf = new Array[Byte](MaxAudioBytes)
+          var n = 0
+          var eof = false
+          while (n < buf.length && !eof) {
+            val got = ais.read(buf, n, buf.length - n)
+            if (got < 0) eof = true else n += got
+          }
+          var rms = 0.0
+          var zc = 0
+          var samples = 0
+          if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
+            var prevNeg = false
+            var i = 0
+            while (i + 1 < n) {
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort / 32768.0
+              rms += s * s
+              val neg = s < 0
+              if (samples > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              samples += 1
+              i += 2
+            }
+          }
+          Some(MediaFeatures(r.media_id, r.media_type, r.payload.length,
+            0, 0, durMs,
+            Array(
+              (fmt.getSampleRate / 96000f).min(1f),
+              (fmt.getChannels / 8f).min(1f),
+              (fmt.getSampleSizeInBits / 32f).min(1f),
+              if (samples > 0) math.sqrt(rms / samples).toFloat else 0f,
+              if (samples > 1) zc.toFloat / (samples - 1) else 0f,
+              0f, 0f, 0f)))
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      img.map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val xs = 0 until w by math.max(1, w / MaxSamples)
+        val ys = 0 until h by math.max(1, h / MaxSamples)
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var sl = 0.0; var sl2 = 0.0; var np = 0
+        for (y <- ys; x <- xs) {
+          val rgb = im.getRGB(x, y)
+          val cr = (rgb >> 16) & 0xff
+          val cg = (rgb >> 8) & 0xff
+          val cb = rgb & 0xff
+          val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
+          sr += cr; sg += cg; sb += cb
+          sl += luma; sl2 += luma * luma; np += 1
+        }
+        val ml = sl / np
+        MediaFeatures(r.media_id, r.media_type, r.payload.length, w, h, 0L,
+          Array(
+            (sr / np / 255.0).toFloat, (sg / np / 255.0).toFloat,
+            (sb / np / 255.0).toFloat,
+            (math.sqrt(math.max(0.0, sl2 / np - ml * ml)) / 255.0).toFloat,
+            (math.min(w.toDouble / h, 1.0)).toFloat,
+            (np.toDouble / (w.toLong * h)).toFloat, 0f, 0f))
+      }
+    }
 
     def decode(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] =
       batch.map { r =>
-        val img =
-          if (r.media_type == "image")
-            // JDK readers throw UNCHECKED exceptions (AIOOBE, IAE, …) on
-            // crafted/truncated payloads, not just IOException — a mixed
-            // batch must never kill the job
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.payload)))
-            catch { case scala.util.control.NonFatal(_) => None }
-          else None
-        img match {
-          case Some(im) =>
-            val w = im.getWidth
-            val h = im.getHeight
-            val xs = 0 until w by math.max(1, w / MaxSamples)
-            val ys = 0 until h by math.max(1, h / MaxSamples)
-            var sr = 0.0; var sg = 0.0; var sb = 0.0
-            var sl = 0.0; var sl2 = 0.0; var np = 0
-            for (y <- ys; x <- xs) {
-              val rgb = im.getRGB(x, y)
-              val cr = (rgb >> 16) & 0xff
-              val cg = (rgb >> 8) & 0xff
-              val cb = rgb & 0xff
-              val luma = 0.299 * cr + 0.587 * cg + 0.114 * cb
-              sr += cr; sg += cg; sb += cb
-              sl += luma; sl2 += luma * luma; np += 1
-            }
-            val ml = sl / np
-            MediaFeatures(r.media_id, r.media_type, r.payload.length, w, h, 0L,
-              Array(
-                (sr / np / 255.0).toFloat, (sg / np / 255.0).toFloat,
-                (sb / np / 255.0).toFloat,
-                (math.sqrt(math.max(0.0, sl2 / np - ml * ml)) / 255.0).toFloat,
-                (math.min(w.toDouble / h, 1.0)).toFloat,
-                (np.toDouble / (w.toLong * h)).toFloat, 0f, 0f))
-          case None =>
-            StubCodec.decode(Iterator(r)).next()
-        }
+        (r.media_type match {
+          case "image" => decodeImage(r)
+          case "audio" => decodeAudio(r)
+          case _ => None // video: no JDK codec — stub
+        }).getOrElse(StubCodec.decode(Iterator(r)).next())
       }
   }
 

@@ -158,6 +158,42 @@ class EngineSpec extends AnyFunSuite {
       .decode(Iterator(records(3))).next().duration_ms)
   }
 
+  test("multimodal: javax.sound decodes real WAVs, stub only for compressed audio") {
+    // 16-bit mono PCM sine, 8 kHz, 2000 frames = exactly 250 ms
+    def wav(hz: Double, frames: Int, rate: Float): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val s = (math.sin(2 * math.Pi * hz * i / rate) * 16384).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav(440.0, 2000, 8000f), "a.wav"),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](9, 9, 9), "bad.mp3"))
+    val feats = Multimodal.extractFeatures(
+        spark.createDataset(records).repartition(2))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).duration_ms === 250L)
+    assert(feats(1L).feature(0) === 8000f / 96000f) // true sample rate
+    assert(feats(1L).feature(1) === 1f / 8f)        // mono
+    assert(feats(1L).feature(2) === 16f / 32f)      // 16-bit
+    // full-scale/2 sine has RMS ~ 0.5/sqrt(2) ~ 0.354
+    assert(math.abs(feats(1L).feature(3) - 0.354f) < 0.01f)
+    assert(feats(1L).feature(4) > 0f) // sine crosses zero
+    // undecodable audio falls through to the deterministic stub
+    val stub = Multimodal.StubCodec.decode(Iterator(records(1))).next()
+    assert(feats(2L).width === stub.width &&
+      feats(2L).feature.toSeq === stub.feature.toSeq)
+  }
+
   test("shingles: fewer tokens than k yields empty, exact k yields one") {
     val df = Seq("a b", "a b c", "a b c d").toDF("text")
       .select(TextFunctions.shingles(
