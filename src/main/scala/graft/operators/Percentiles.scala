@@ -14,12 +14,16 @@ import org.apache.spark.sql.graft.DoubleSortableBitsExpr
   *     top 20 bits of the value's IEEE-754 sortable image
   *     ([[org.apache.spark.sql.graft.DoubleSortableBitsExpr]]) — no min/max
   *     pre-scan, no broadcast before the main shuffle;
-  *  2. the window partition key becomes (group, bucket): the sort
-  *     parallelizes across populated buckets, no task holds more than one
-  *     value-range bucket;
-  *  3. global rank = in-bucket row_number + a prefix sum over per-bucket
-  *     counts (a ≤2^20-row aggregate at ANY data scale);
-  *  4. bracketing ranks per percentile fall out of a filter + aggregation.
+  *  2. a prefix sum over per-bucket counts (a ≤2^20-row-per-group
+  *     aggregate at ANY data scale) gives each bucket its global rank
+  *     offset — which also tells us exactly WHICH buckets contain the
+  *     floor/ceil ranks of the requested percentiles;
+  *  3. only those bracketing buckets are sorted: rows broadcast-semi-join
+  *     the (tiny) candidate-bucket set before the in-bucket row_number
+  *     window, so the sort input is O(rows-in-bracketing-buckets) — about
+  *     n/2^20 per requested rank — not the full data;
+  *  4. global rank = in-bucket row_number + the bucket's offset; the
+  *     bracketing values fall out of a filter + aggregation.
   *
   * Ties share a value, so row_number tie-order cannot change the result.
   * A single heavy-hitter VALUE still lands in one bucket (all ties, one
@@ -51,10 +55,20 @@ object Percentiles {
     val offsets = bucketTot
       .withColumn("_boff", coalesce(sum("_btot").over(wBuckets), lit(0L)))
       .withColumn("_n", sum("_btot").over(Window.partitionBy("_g")))
+    // a bucket needs sorting only if its global rank span [boff, boff+btot)
+    // contains the floor or ceil rank of some requested percentile — every
+    // other bucket's rows can never be a bracketing value
+    val isCandidate = ps.map { case (_, p) =>
+      val idx = lit(p) * (col("_n") - 1)
+      Seq(floor(idx), ceil(idx)).map(r =>
+        col("_boff") <= r && r < col("_boff") + col("_btot"))
+        .reduce(_ || _)
+    }.reduce(_ || _)
+    val candidates = offsets.filter(isCandidate)
+      .select("_g", "_bucket", "_boff", "_n")
     val wInBucket = Window.partitionBy("_g", "_bucket").orderBy("_v")
     val ranked = bucketed
-      .join(broadcast(offsets.select("_g", "_bucket", "_boff", "_n")),
-        Seq("_g", "_bucket"))
+      .join(broadcast(candidates), Seq("_g", "_bucket"))
       .withColumn("_rn", row_number().over(wInBucket) + col("_boff"))
     val aggs = ps.flatMap { case (tag, p) =>
       val idx = lit(p) * (col("_n") - 1) // 0-based fractional rank

@@ -52,24 +52,37 @@ object DedupOps {
     stageCache.computeIfAbsent((s, dir, stage),
       _ => build.localCheckpoint(eager = false))
 
-  /** Materialized distinct (doc_id, sh) 3-shingle pairs — the base stage
-    * shared by the signature pipeline and ScaleOps' contamination audit. */
+  /** THE materialized shingle artifact: one row per doc carrying BOTH the
+    * distinct shingle-set array (exact-rescoring side of q31/q60) and the
+    * 16 MinHash mins (q32/q33/q47 signatures) — produced by a single
+    * tokenize→shingle→groupBy(doc_id) aggregation and checkpointed once.
+    * One build job instead of three chained checkpoints (shingles →
+    * arrays, → signatures): at any scale the expensive part — tokenizing
+    * and hashing the corpus — runs exactly once, and the artifact is
+    * what a real dedup pipeline persists. */
+  private def docShinglesCached(s: SparkSession, dir: String): DataFrame =
+    cachedStage(s, dir, "docShingles") {
+      val h = stableHash(col("sh"))
+      shingleSet(docs(s, dir)).groupBy("doc_id").agg(
+        collect_set(col("sh")).as("shs"),
+        (0 until NumHashes).map(i => min(perm(h, i)).as(s"mh$i")): _*)
+    }
+
+  /** Exploded distinct (doc_id, sh) pairs — a NARROW view of the per-doc
+    * artifact (shared with ScaleOps' contamination audit). */
   private[queries] def shingleSetCached(s: SparkSession, dir: String): DataFrame =
-    cachedStage(s, dir, "shingles")(shingleSet(docs(s, dir)))
+    docShinglesCached(s, dir)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
 
-  /** Materialized per-doc shingle-set arrays — the exact-rescoring side of
-    * the LSH-then-verify queries (q31, q60). */
-  private def shingleArraysCached(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSetCached(s, dir)
-    cachedStage(s, dir, "shingleArrays")(
-      sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs")))
-  }
+  /** Per-doc shingle-set arrays — the exact-rescoring side of the
+    * LSH-then-verify queries (q31, q60). */
+  private def shingleArraysCached(s: SparkSession, dir: String): DataFrame =
+    docShinglesCached(s, dir).select(col("doc_id"), col("shs"))
 
-  /** Materialized MinHash signatures (doc_id, mh0..mh15). */
-  private def signaturesCached(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSetCached(s, dir) // resolve BEFORE entering the cache
-    cachedStage(s, dir, "signatures")(signaturesFrom(sh))
-  }
+  /** MinHash signatures (doc_id, mh0..mh15). */
+  private def signaturesCached(s: SparkSession, dir: String): DataFrame =
+    docShinglesCached(s, dir).select(
+      (col("doc_id") +: (0 until NumHashes).map(i => col(s"mh$i"))): _*)
 
   /** Materialized (doc_id, simhash) fingerprints shared by q34/q38. */
   private def simhashCached(s: SparkSession, dir: String): DataFrame =
@@ -111,14 +124,6 @@ object DedupOps {
     d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
-
-  /** doc_id + mh0..mh15 via one grouped aggregation over a shingle set. */
-  private def signaturesFrom(sh: DataFrame): DataFrame = {
-    val h = stableHash(col("sh"))
-    sh.groupBy("doc_id")
-      .agg(min(perm(h, 0)).as("mh0"),
-        (1 until NumHashes).map(i => min(perm(h, i)).as(s"mh$i")): _*)
-  }
 
   /** DuckDB CTEs producing `sh(doc_id, sh)` — the distinct 3-shingle set,
     * the SQL mirror of [[shingleSet]] (shared with ScaleOps). */

@@ -360,6 +360,9 @@ object Relational {
     // two-countDistinct agg: Spark's Expand rewrite would double every
     // input row before the distinct shuffle; two narrow 2-column scans
     // shuffle less and each stays a plain partial-aggregated pipeline.
+    // (A single-pipeline union of the two tagged key streams was MEASURED
+    // 1.6× slower: one fat 3-column high-cardinality shuffle costs more
+    // than two skinny ones plus the tiny join.)
     "q44_approx_distinct" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       def exactDistinct(key: String, as: String) =

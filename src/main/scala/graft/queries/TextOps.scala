@@ -102,7 +102,11 @@ object TextOps {
     // a content-stable representative shingle) + shingle cardinality.
     // Shingles are deduped per doc BEFORE hashing (array_distinct is
     // partition-local), so one md5 per distinct shingle and a plain
-    // count(*) instead of a countDistinct Expand.
+    // count(*) instead of a countDistinct Expand. Spelled as explode +
+    // groupBy(doc_id) — a zero-shuffle array_min(transform(shs, md5))
+    // narrow form was MEASURED 7× SLOWER: higher-order-function lambdas
+    // evaluate interpreted per element, codegen'd md5 over exploded rows
+    // wins even paying the doc_id shuffle.
     "q26_fingerprint" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -184,34 +188,36 @@ object TextOps {
 
     // tf-idf top-3 terms per document via the k-bounded TopKByScore
     // aggregate (map-side heap: ≤3 entries per doc cross the shuffle; the
-    // oracle's window spelling sorts every doc's full term list). idf is
-    // rounded to 6 decimals on BOTH engines (the q39 centroid precedent)
-    // so libm ulp drift can't flip rankings; score ties break toward the
-    // lower md5-hash token id in both engines.
+    // oracle's window spelling sorts every doc's full term list). The
+    // corpus is tokenized ONCE: tf is one row per (doc, tok), so df is an
+    // aggregate OF tf (the tf exchange is reused at runtime, no second
+    // scan) and stays vocab-bounded → broadcastable at any corpus size.
+    // A window `count over (partition by tok)` would avoid the broadcast
+    // but shuffles every tf row on the token — head tokens appear in
+    // nearly every doc, so that partitioning is skew incarnate; the
+    // broadcast-join form is the scale shape. The token string itself is
+    // the heap payload (no id→name re-join). idf is rounded to 6 decimals
+    // on BOTH engines (the q39 centroid precedent) so libm ulp drift
+    // can't flip rankings; score ties break toward the lexicographically
+    // smaller token in both engines (UTF8String bytewise == DuckDB binary
+    // collation).
     "q73_tfidf_topterms" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val tf = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val tf = d.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dft = d.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      // doc_id-only column scan — no tokenize on this branch
       val ndocs = docs(s, dir).agg(countDistinct("doc_id").as("n"))
-      val scored = tf.join(broadcast(dft), Seq("tok"))
+      tf.join(broadcast(dft), Seq("tok"))
         .crossJoin(broadcast(ndocs))
         .withColumn("idf6", round(log(col("n").cast("double") / col("df")), 6))
         .withColumn("score", col("tf") * col("idf6"))
-        .withColumn("tok_id", stableHash(col("tok")))
-      // the id→token map comes from the vocab-sized dft aggregate, NOT
-      // from scored (which would re-run the whole tf/join pipeline a
-      // second time just to name the winners)
-      val tokNames = dft.select(stableHash(col("tok")).as("tok_id"), col("tok"))
-      scored.groupBy("doc_id")
+        .groupBy("doc_id")
         .agg(org.apache.spark.sql.graft.TopKByScore
-          .columnFor(col("score"), col("tok_id"), 3).as("top"))
+          .columnFor(col("score"), col("tok"), 3).as("top"))
         .select(col("doc_id"), posexplode(col("top")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
-          col("col.payload").as("tok_id"), r4(col("col.score")).as("tfidf"))
-        .join(broadcast(tokNames), Seq("tok_id"))
-        .select("doc_id", "rnk", "tok", "tfidf")
+          col("col.payload").as("tok"), r4(col("col.score")).as("tfidf"))
     }),
 
     // Intra-document repetition (the Gopher-rule quality signal): fraction
@@ -314,13 +320,11 @@ object TextOps {
          dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM d GROUP BY 1),
          n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
          s AS (SELECT tf.doc_id, tf.tok,
-                      tf.tf * round(ln(n.n * 1.0 / dft.df), 6) AS score,
-                      CAST('0x' || substr(md5(tf.tok), 1, 15) AS BIGINT)
-                        AS tok_id
+                      tf.tf * round(ln(n.n * 1.0 / dft.df), 6) AS score
                FROM tf JOIN dft USING (tok) CROSS JOIN n),
          r AS (SELECT doc_id, tok, score,
                       row_number() OVER (PARTITION BY doc_id
-                        ORDER BY score DESC, tok_id) AS rnk
+                        ORDER BY score DESC, tok) AS rnk
                FROM s)
          SELECT doc_id, rnk, tok, round(score, 4) AS tfidf
          FROM r WHERE rnk <= 3""",

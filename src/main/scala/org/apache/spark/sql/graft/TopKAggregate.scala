@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-key top-K as a custom imperative aggregate — the third extension
   * category this engine uses (codegen'd scalar expressions, a whole-operator
@@ -24,11 +25,12 @@ import org.apache.spark.sql.types._
   * pass over everything.
   *
   * Ordering: higher score wins; equal scores break toward the LOWER payload
-  * id (mirror `ORDER BY score DESC, payload ASC` in oracle SQL). Types are
-  * fixed (score double, payload long) — the common "top docs by score"
-  * shape; widen by hashing/packing into the payload.
+  * (mirror `ORDER BY score DESC, payload ASC` in oracle SQL). Score is
+  * double; the payload is `bigint` (ids) or `string` (e.g. tokens —
+  * UTF8String's bytewise order matches DuckDB's default binary collation,
+  * so the tie-break agrees across engines).
   *
-  * Result: `array<struct<score double, payload bigint>>`, sorted best-first.
+  * Result: `array<struct<score double, payload bigint|string>>`, best-first.
   */
 case class TopKByScore(
     scoreExpr: Expression,
@@ -36,41 +38,60 @@ case class TopKByScore(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Any)]] {
 
   require(k > 0, "k must be positive")
 
-  // weakest entry first: ascending score, then DESCENDING payload (a larger
-  // payload id loses the tie, so it sits earlier — i.e. is evicted first)
-  private def ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, p) => (s, -p) }
+  private def payloadIsString = payloadExpr.dataType == StringType
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
-    new java.util.TreeSet[(Double, Long)](ord)
+  // lower payload wins a score tie, so compare payload DESCENDING (the
+  // larger payload sorts earlier in the asc tree — i.e. is evicted first)
+  private def payloadCompare(a: Any, b: Any): Int =
+    if (payloadIsString)
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    else java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
-  override def update(buf: java.util.TreeSet[(Double, Long)],
-      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+  // weakest entry first: ascending score, then descending payload
+  private def ord: java.util.Comparator[(Double, Any)] =
+    new java.util.Comparator[(Double, Any)] {
+      override def compare(x: (Double, Any), y: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(x._1, y._1)
+        if (c != 0) c else payloadCompare(y._2, x._2)
+      }
+    }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Any)] =
+    new java.util.TreeSet[(Double, Any)](ord)
+
+  override def update(buf: java.util.TreeSet[(Double, Any)],
+      input: InternalRow): java.util.TreeSet[(Double, Any)] = {
     val s = scoreExpr.eval(input)
     val p = payloadExpr.eval(input)
     if (s != null && p != null) {
-      add(buf, (s.asInstanceOf[Double], p.asInstanceOf[Long]))
+      // UTF8String from an UnsafeRow aliases a reused buffer — copy before
+      // the value outlives this input row
+      val pc = p match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      add(buf, (s.asInstanceOf[Double], pc))
     }
     buf
   }
 
-  private def add(buf: java.util.TreeSet[(Double, Long)],
-      e: (Double, Long)): Unit = {
+  private def add(buf: java.util.TreeSet[(Double, Any)],
+      e: (Double, Any)): Unit = {
     if (buf.size < k) buf.add(e)
     else if (ord.compare(e, buf.first()) > 0) { buf.pollFirst(); buf.add(e) }
   }
 
-  override def merge(a: java.util.TreeSet[(Double, Long)],
-      b: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+  override def merge(a: java.util.TreeSet[(Double, Any)],
+      b: java.util.TreeSet[(Double, Any)]): java.util.TreeSet[(Double, Any)] = {
     b.forEach(e => add(a, e))
     a
   }
 
-  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+  override def eval(buf: java.util.TreeSet[(Double, Any)]): Any = {
     // best-first: descending iterator of the (asc-ordered) tree
     val it = buf.descendingIterator()
     val rows = Array.newBuilder[InternalRow]
@@ -81,34 +102,62 @@ case class TopKByScore(
     new GenericArrayData(rows.result().asInstanceOf[Array[Any]])
   }
 
-  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    buf.forEach { case (s, p) => bb.putDouble(s); bb.putLong(p) }
-    bb.array()
+  override def serialize(buf: java.util.TreeSet[(Double, Any)]): Array[Byte] = {
+    if (payloadIsString) {
+      val bos = new java.io.ByteArrayOutputStream(4 + buf.size * 24)
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.forEach { case (s, p) =>
+        out.writeDouble(s)
+        val bytes = p.asInstanceOf[UTF8String].getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      out.flush()
+      bos.toByteArray
+    } else {
+      val bb = ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      buf.forEach { case (s, p) =>
+        bb.putDouble(s); bb.putLong(p.asInstanceOf[Long])
+      }
+      bb.array()
+    }
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Any)] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf.add((bb.getDouble, bb.getLong)))
+    if (payloadIsString) {
+      (0 until n).foreach { _ =>
+        val s = bb.getDouble
+        val len = bb.getInt
+        val b = new Array[Byte](len)
+        bb.get(b)
+        buf.add((s, UTF8String.fromBytes(b)))
+      }
+    } else {
+      (0 until n).foreach(_ => buf.add((bb.getDouble, bb.getLong)))
+    }
     buf
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
-    StructField("payload", LongType, nullable = false))), containsNull = false)
+    StructField("payload", payloadExpr.dataType, nullable = false))),
+    containsNull = false)
 
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(scoreExpr, payloadExpr)
   override def prettyName: String = "topk_by_score"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (scoreExpr.dataType == DoubleType && payloadExpr.dataType == LongType)
+    if (scoreExpr.dataType == DoubleType &&
+        (payloadExpr.dataType == LongType || payloadExpr.dataType == StringType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"topk_by_score expects (double, bigint), got " +
+      s"topk_by_score expects (double, bigint|string), got " +
         s"(${scoreExpr.dataType.simpleString}, ${payloadExpr.dataType.simpleString})")
 
   override def withNewMutableAggBufferOffset(offset: Int): TopKByScore =
