@@ -150,6 +150,41 @@ object DedupOps {
         .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("dup_count"))
     }),
 
+    // Exact duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — the fixed-width
+    // variant of ExactSubstr): docs are cut into non-overlapping 3-token
+    // spans; a span whose exact text occurs ≥2 times ACROSS THE CORPUS is
+    // boilerplate and removed; each doc is rebuilt from its surviving
+    // spans in order. Scale shape: span frequencies via hash aggregation
+    // on the span text, then a shuffle equi-join back on the span — the
+    // frequency table is corpus-sized (NOT broadcastable), so both sides
+    // hash-partition on content; AQE's skew join handles the
+    // every-doc-shares-it boilerplate span. Rebuild is
+    // collect_list(kept struct) → array_sort → join: per-doc memory only.
+    // Docs with <3 tokens have no spans and are absent (oracle mirrors).
+    "q74_dup_span_removal" -> ((s, dir) => {
+      val W = 3
+      val toks = col("toks")
+      val spanArr = when(size(toks) < W, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), (size(toks) / lit(W)).cast("int") - 1),
+          i => concat_ws(" ",
+            (1 to W).map(j => element_at(toks, i * W + j)): _*)))
+      val spans = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(spanArr))
+        .withColumnsRenamed(Map("pos" -> "span_idx", "col" -> "span"))
+      val freq = spans.groupBy("span").agg(count(lit(1)).as("freq"))
+      spans.join(freq, Seq("span"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("freq") >= 2, 1L).otherwise(0L)).as("n_removed"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(when(col("freq") < 2,
+              struct(col("span_idx"), col("span"))))),
+            x => x.getField("span"))).cast("binary")).as("kept_md5"))
+    }),
+
     // Exact n-gram Jaccard — UNBOUNDED. Candidate pairs come from the
     // MinHash-LSH band buckets (same generator as q33: shuffle keyed on
     // (band, key), never an n² self-join); candidates are then EXACTLY
@@ -311,6 +346,27 @@ object DedupOps {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
          count(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
+    // string_agg skips the NULLed-out (removed) spans and orders by
+    // span_idx — the SQL mirror of collect_list(when(kept, struct)) →
+    // array_sort → concat_ws on the Spark side
+    "q74_dup_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, t, unnest(range(0, len(t) // 3)) AS i
+                 FROM toks),
+         spans AS (SELECT doc_id, i AS span_idx,
+                          t[i*3+1] || ' ' || t[i*3+2] || ' ' || t[i*3+3]
+                            AS span
+                   FROM idx),
+         freq AS (SELECT span, count(*) AS freq FROM spans GROUP BY 1)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN freq < 2 THEN span END,
+                                        ' ' ORDER BY span_idx), ''))
+                  AS kept_md5
+         FROM spans JOIN freq USING (span)
+         GROUP BY doc_id""",
     // identical LSH banding as q33 generates the candidates; the exact
     // jaccard is then recomputed from the full shingle sets (sh CTE comes
     // from sigSql) — mirrors the Spark LSH-then-verify pipeline 1:1

@@ -236,6 +236,35 @@ object TextOps {
             .otherwise(lit(1.0) - size(array_distinct(col("shs")))
               .cast("double") / size(col("shs")).cast("double")))
             .as("rep_fraction"))
+    }),
+
+    // PII redaction (the scrub step every training pipeline runs before
+    // release): regex-match emails/phone numbers, count them, replace with
+    // typed placeholders. The synthetic corpus is PII-free, so the QUERY
+    // ITSELF deterministically injects a fake email + phone derived from
+    // doc_id — identically on both engines — then scrubs them back out:
+    // the patterns, counting, and replacement plumbing are what's under
+    // test. Patterns are RE2-safe (no lookarounds/backrefs) so Java regex
+    // and DuckDB's RE2 match identical spans; replacement is global on
+    // both sides (Spark regexp_replace default, DuckDB 'g' flag). Pure
+    // narrow projection — zero shuffles at any scale.
+    "q75_pii_redact" -> ((s, dir) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\+1-555-[0-9]{4}"
+      docs(s, dir)
+        .select(col("doc_id"), concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("txt"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("txt"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("txt"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").cast("binary")).as("redacted_md5"))
     })
   )
 
@@ -345,6 +374,24 @@ object TextOps {
          FROM agg
          UNION ALL
          SELECT doc_id, 0, 0, 0.0 FROM toks WHERE len(t) < 3""",
+    "q75_pii_redact" ->
+      """WITH inj AS (SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com or +1-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+              FROM documents)
+         SELECT doc_id,
+            CAST(len(regexp_extract_all(txt,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+              AS n_emails,
+            CAST(len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS BIGINT)
+              AS n_phones,
+            md5(regexp_replace(
+                  regexp_replace(txt,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM inj""",
     "q59_bpe_tokens" ->
       """WITH pre AS (
            SELECT doc_id,

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupOps, TextOps}
+
+// top-level: Spark encoders cannot resolve inner-class case classes
+case class ScrubDoc(doc_id: Long, text: String, lang: String, source: String,
+    n_chars: Long)
+
+/** Semantics of the corpus-scrub operators (q74 duplicate-span removal,
+  * q75 PII redaction) on crafted fixtures — the oracle queries cover the
+  * synthetic-corpus integration; this pins the edge cases directly. */
+class ScrubSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def writeDocs(docs: Seq[ScrubDoc]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("scrub").toString
+    docs.toDF().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q74: corpus-frequent spans removed, order kept, short docs absent") {
+    // span width 3, removal threshold: corpus freq >= 2.
+    //  - "a b c" appears in docs 1 and 2 -> removed from both
+    //  - doc 1 keeps "x y z" then "p q r" (order preserved)
+    //  - doc 3 has 2 tokens -> no spans -> absent from output
+    //  - doc 4 repeats "a b c" twice ITSELF -> both instances removed
+    val dir = writeDocs(Seq(
+      ScrubDoc(1L, "a b c x y z p q r", "en", "s", 17),
+      ScrubDoc(2L, "q q q a b c", "en", "s", 11),
+      ScrubDoc(3L, "t u", "en", "s", 3),
+      ScrubDoc(4L, "a b c a b c tail77 x9 k", "en", "s", 23)))
+    val out = DedupOps.queries("q74_dup_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // doc 3 has no spans: it is NOT in the output at all (oracle mirrors)
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === ((3L, 1L, m("x y z p q r"))))
+    assert(out(2L) === ((2L, 1L, m("q q q"))))
+    assert(out(4L) === ((3L, 2L, m("tail77 x9 k"))))
+  }
+
+  test("q74: doc with every span removed hashes the empty string") {
+    val dir = writeDocs(Seq(
+      ScrubDoc(1L, "a b c", "en", "s", 5),
+      ScrubDoc(2L, "a b c", "en", "s", 5)))
+    val out = DedupOps.queries("q74_dup_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val emptyMd5 = org.apache.commons.codec.digest.DigestUtils.md5Hex("")
+    assert(out === Map(1L -> emptyMd5, 2L -> emptyMd5))
+  }
+
+  test("q75: injected PII is found and redacted; md5 matches the scrub") {
+    val dir = writeDocs(Seq(ScrubDoc(7L, "hello world", "en", "s", 11)))
+    val row = TextOps.queries("q75_pii_redact")(spark, dir).collect().head
+    assert(row.getAs[Long]("n_emails") === 1L)
+    assert(row.getAs[Long]("n_phones") === 1L)
+    val expected = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      "hello world contact <EMAIL> or <PHONE>")
+    assert(row.getAs[String]("redacted_md5") === expected)
+  }
+}
