@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * The Spark-side contract (schema, batching, partition sizing) is real and
-  * tested. IMAGES decode for real via the JDK's own `javax.imageio`
-  * ([[ImageIoCodec]] — PNG/JPEG/GIF/BMP, no external dependency); audio and
-  * video remain STUBBED with a deterministic fake (this container has no
-  * media libraries) — swap in a JNI/library-backed [[Codec]] in production
-  * and nothing else changes.
+  * tested, and so is everything the JDK can do without external codecs:
+  * IMAGES decode fully (`javax.imageio` — PNG/JPEG/GIF/BMP), uncompressed
+  * AUDIO decodes fully (`javax.sound.sampled` — WAV/AIFF/AU), and VIDEO
+  * gets a real ISO-BMFF metadata parse (mvhd duration, tkhd geometry — no
+  * frame decode). Only compressed-stream DECODE (mp3/h264 frames, …)
+  * falls back to the deterministic [[StubCodec]] — swap in a
+  * library-backed [[Codec]] in production and nothing else changes.
   */
 object Multimodal {
 
@@ -128,6 +130,75 @@ object Multimodal {
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** MP4/QuickTime METADATA parse — JDK-only byte walking of the ISO
+      * BMFF box tree (no frame decode; the JDK has no video codec, and a
+      * pipeline's ingest step wants exactly this: true duration and frame
+      * geometry without paying a decode). `moov/mvhd` gives
+      * timescale+duration, the first non-degenerate `moov/trak/tkhd`
+      * gives width/height (16.16 fixed point). Feature vector:
+      * `[durationSec/3600, w/4096, h/4096, nTopLevelBoxes/64, 0...]`.
+      * Truncated/crafted payloads fall through to the stub via the shared
+      * NonFatal guard. */
+    private def decodeVideo(r: MediaRecord): Option[MediaFeatures] =
+      try {
+        val b = r.payload
+        def u32(o: Int): Long =
+          ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+            ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+        def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+        def boxType(o: Int): String =
+          new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        // walk a box span [from, until): returns (type, bodyOff, bodyEnd)
+        def children(from: Int, until: Int): Iterator[(String, Int, Int)] =
+          new Iterator[(String, Int, Int)] {
+            private var o = from
+            def hasNext: Boolean = o + 8 <= until
+            def next(): (String, Int, Int) = {
+              val sz32 = u32(o)
+              val (hdr, size) =
+                if (sz32 == 1L && o + 16 <= until) (16, u64(o + 8))
+                else if (sz32 == 0L) (8, (until - o).toLong) // to end of span
+                else (8, sz32)
+              val end = math.min(until.toLong, o + math.max(size, 8L)).toInt
+              val res = (boxType(o), o + hdr, end)
+              o = end
+              res
+            }
+          }
+        var nTop = 0
+        var isMp4 = false
+        var durMs = 0L
+        var w = 0
+        var h = 0
+        children(0, b.length).foreach { case (t, off, end) =>
+          nTop += 1
+          if (t == "ftyp") isMp4 = true
+          if (t == "moov") children(off, end).foreach {
+            case ("mvhd", mo, _) =>
+              val v = b(mo) & 0xff
+              val (ts, dur) =
+                if (v == 1) (u32(mo + 20), u64(mo + 24))
+                else (u32(mo + 12), u32(mo + 16))
+              if (ts > 0) durMs = dur * 1000L / ts
+            case ("trak", to, tend) => children(to, tend).foreach {
+              case ("tkhd", ko, _) if w == 0 =>
+                val v = b(ko) & 0xff
+                val geo = ko + (if (v == 1) 88 else 76) // width/height offset
+                val tw = (u32(geo) >> 16).toInt
+                val th = (u32(geo + 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              case _ => ()
+            }
+            case _ => ()
+          }
+        }
+        if (!isMp4) None
+        else Some(MediaFeatures(r.media_id, r.media_type, b.length, w, h,
+          durMs, Array(
+            (durMs / 3600000f).min(1f), (w / 4096f).min(1f),
+            (h / 4096f).min(1f), (nTop / 64f).min(1f), 0f, 0f, 0f, 0f)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     private def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
       val img =
         try Option(javax.imageio.ImageIO.read(
@@ -165,7 +236,8 @@ object Multimodal {
         (r.media_type match {
           case "image" => decodeImage(r)
           case "audio" => decodeAudio(r)
-          case _ => None // video: no JDK codec — stub
+          case "video" => decodeVideo(r) // metadata parse; frames stubbed
+          case _ => None
         }).getOrElse(StubCodec.decode(Iterator(r)).next())
       }
   }

@@ -194,6 +194,41 @@ class EngineSpec extends AnyFunSuite {
       feats(2L).feature.toSeq === stub.feature.toSeq)
   }
 
+  test("multimodal: MP4 box walk yields true duration + geometry, stub for junk") {
+    // hand-built minimal ISO-BMFF: ftyp + moov{mvhd(v0), trak{tkhd(v0)}}
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100) // v0 body
+      b.putInt(12, 600)   // timescale: 600 units/sec
+      b.putInt(16, 9000)  // duration: 9000 units = 15 s
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84) // v0 body
+      b.putInt(76, 640 << 16) // width, 16.16 fixed
+      b.putInt(80, 360 << 16) // height
+      box("tkhd", b.array())
+    }
+    val mp4 = box("ftyp", "isom    ".getBytes("US-ASCII")) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4, "clip.mp4"),
+      Multimodal.MediaRecord(2L, "video", Array[Byte](1, 2, 3, 4), "junk.bin"))
+    val feats = Multimodal.extractFeatures(
+        spark.createDataset(records).repartition(2))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).duration_ms === 15000L)
+    assert(feats(1L).width === 640 && feats(1L).height === 360)
+    // undecodable payload falls through to the deterministic stub
+    val stubJunk = Multimodal.StubCodec.decode(Iterator(records(1))).next()
+    assert(feats(2L).width === stubJunk.width &&
+      feats(2L).feature.toSeq === stubJunk.feature.toSeq)
+  }
+
   test("shingles: fewer tokens than k yields empty, exact k yields one") {
     val df = Seq("a b", "a b c", "a b c d").toDF("text")
       .select(TextFunctions.shingles(
