@@ -44,21 +44,23 @@ case class TopKByScore(
 
   private def payloadIsString = payloadExpr.dataType == StringType
 
-  // lower payload wins a score tie, so compare payload DESCENDING (the
-  // larger payload sorts earlier in the asc tree — i.e. is evicted first)
-  private def payloadCompare(a: Any, b: Any): Int =
-    if (payloadIsString)
-      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
-    else java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-
-  // weakest entry first: ascending score, then descending payload
-  private def ord: java.util.Comparator[(Double, Any)] =
+  // weakest entry first: ascending score, then DESCENDING payload (lower
+  // payload wins a score tie, so the larger payload sorts earlier in the
+  // asc tree — i.e. is evicted first). @transient lazy: built once per
+  // task after deserialization, never allocated per row.
+  @transient private lazy val ord: java.util.Comparator[(Double, Any)] = {
+    val str = payloadIsString
     new java.util.Comparator[(Double, Any)] {
       override def compare(x: (Double, Any), y: (Double, Any)): Int = {
         val c = java.lang.Double.compare(x._1, y._1)
-        if (c != 0) c else payloadCompare(y._2, x._2)
+        if (c != 0) c
+        else if (str)
+          y._2.asInstanceOf[UTF8String].compareTo(x._2.asInstanceOf[UTF8String])
+        else java.lang.Long.compare(y._2.asInstanceOf[Long],
+          x._2.asInstanceOf[Long])
       }
     }
+  }
 
   override def createAggregationBuffer(): java.util.TreeSet[(Double, Any)] =
     new java.util.TreeSet[(Double, Any)](ord)
