@@ -51,6 +51,7 @@ object Bench {
     // warm-up (untimed): compiles codegen, warms JIT + parquet footers cache
     graft.queries.CurationOps.clearCache()
     graft.queries.DedupOps.clearCache()
+    graft.queries.SimilarityOps.clearCache()
     names.foreach(exec)
     // settle the JVM between warm-up and the timed passes so GC debt from
     // warm-up isn't billed to the first timed queries
@@ -67,6 +68,7 @@ object Bench {
     def timedPass(): Map[String, Double] = {
       graft.queries.CurationOps.clearCache()
       graft.queries.DedupOps.clearCache()
+    graft.queries.SimilarityOps.clearCache()
       names.map { name =>
         val t0 = System.nanoTime()
         exec(name)

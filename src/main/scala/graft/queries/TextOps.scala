@@ -265,6 +265,86 @@ object TextOps {
           md5(regexp_replace(
             regexp_replace(col("txt"), emailPat, "<EMAIL>"),
             phonePat, "<PHONE>").cast("binary")).as("redacted_md5"))
+    }),
+
+    // Training-chunk split: fixed-size token windows with overlap (size 32,
+    // stride 24 → 8-token overlap), the context-window packing prep step.
+    // One row per (doc, chunk) with the chunk's token count and content
+    // digest. slice() clamps at the end of the doc on both engines, so the
+    // last chunk is shorter. Narrow (explode is partition-local), zero
+    // shuffles at any corpus size.
+    "q76_chunk_overlap" -> ((s, dir) => {
+      val sz = 32
+      val stride = 24
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor((size(col("toks")) - lit(1)) / lit(stride.toDouble))
+              .cast("long"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(sz)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+    }),
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1): word-count bounds,
+    // mean-word-length band, symbol-to-word ratio ('#' chars + '...'
+    // runs), alphabetic-word fraction, minimum stopword hits — the
+    // standard pretraining keep/drop gate. Every signal and the composite
+    // keep flag are emitted per doc. Pure narrow projection, zero
+    // shuffles; all predicates compare exact integer-ratio doubles so both
+    // engines agree bit-for-bit.
+    "q77_gopher_filter" -> ((s, dir) => {
+      val nW = size(col("toks"))
+      val meanLen =
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          nW.cast("double")
+      val nHash = (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("double")
+      val nEll = size(regexp_extract_all(col("text"), lit("\\.\\.\\."),
+        lit(0))).cast("double")
+      val symRatio = (nHash + nEll) / nW.cast("double")
+      val alphaFrac =
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double") /
+          nW.cast("double")
+      val stopCount = markerCount(col("toks"),
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          nW.cast("long").as("n_words"),
+          r4(meanLen).as("mean_word_len"),
+          r4(symRatio).as("symbol_ratio"),
+          r4(alphaFrac).as("alpha_frac"),
+          stopCount.cast("long").as("stop_count"),
+          (nW >= 50 && nW <= 100000 &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            symRatio <= 0.1 && alphaFrac >= 0.8 &&
+            stopCount >= 2).as("keep"))
+    }),
+
+    // URL/domain extraction + per-domain corpus stats (the source-mix
+    // accounting every web-corpus pipeline runs). The synthetic corpus is
+    // URL-free, so the query deterministically appends one URL derived
+    // from doc_id — identically on both engines (the q75 injection
+    // precedent); the regex extraction, domain grouping, and stats are
+    // what's under test. One map-side-combinable hash aggregation.
+    "q78_url_domains" -> ((s, dir) => {
+      val urlPat = "https?://([A-Za-z0-9.-]+)"
+      docs(s, dir)
+        .select(col("doc_id"), concat(
+          col("text"), lit(" see https://site"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string")).as("txt"))
+        .select(col("doc_id"),
+          regexp_extract(col("txt"), urlPat, 1).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
     })
   )
 
@@ -392,6 +472,53 @@ object TextOps {
                     '<EMAIL>', 'g'),
                   '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          FROM inj""",
+    "q76_chunk_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, t,
+                        unnest(range(0, (len(t) - 1) // 24 + 1)) AS chunk_idx
+                 FROM toks),
+         ch AS (SELECT doc_id, chunk_idx,
+                       t[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)] AS chunk
+                FROM idx)
+         SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch""",
+    "q77_gopher_filter" -> {
+      val stop = markersSql(
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      s"""WITH m AS (SELECT doc_id,
+            len(string_split(text, ' ')) AS nw,
+            length(replace(text, ' ', '')) * 1.0
+              / len(string_split(text, ' ')) AS mean_len,
+            (length(text) - length(replace(text, '#', ''))
+             + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+              / len(string_split(text, ' ')) AS sym_ratio,
+            len(list_filter(string_split(text, ' '),
+                x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+              / len(string_split(text, ' ')) AS alpha_frac,
+            $stop AS stop_count
+          FROM documents)
+          SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+                 round(mean_len, 4) AS mean_word_len,
+                 round(sym_ratio, 4) AS symbol_ratio,
+                 round(alpha_frac, 4) AS alpha_frac,
+                 CAST(stop_count AS BIGINT) AS stop_count,
+                 (nw >= 50 AND nw <= 100000
+                  AND mean_len >= 3.0 AND mean_len <= 10.0
+                  AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+                  AND stop_count >= 2) AS keep
+          FROM m"""
+    },
+    "q78_url_domains" ->
+      """WITH inj AS (SELECT doc_id,
+              text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS txt
+            FROM documents)
+         SELECT regexp_extract(txt, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+                count(*) AS n_docs, min(doc_id) AS min_doc,
+                max(doc_id) AS max_doc
+         FROM inj GROUP BY domain""",
     "q59_bpe_tokens" ->
       """WITH pre AS (
            SELECT doc_id,

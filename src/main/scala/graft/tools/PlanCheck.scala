@@ -72,6 +72,7 @@ object PlanCheck {
     val out = new StringBuilder
     graft.queries.CurationOps.clearCache() // signatures assume a cold cache
     graft.queries.DedupOps.clearCache()
+    graft.queries.SimilarityOps.clearCache()
     withStaticPlans(spark) {
       names.foreach { name =>
         try {

@@ -33,6 +33,7 @@ class PlanBaselineSpec extends AnyFunSuite {
     // order (matching PlanCheck.main, so the cold/warm split is identical)
     graft.queries.CurationOps.clearCache()
     graft.queries.DedupOps.clearCache()
+    graft.queries.SimilarityOps.clearCache()
     val diffs = PlanCheck.withStaticPlans(spark) {
       baseline.toSeq.sortBy(_._1).flatMap { case (name, want) =>
         val got = PlanCheck.signature(spark, dir, name)

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Behavioral properties of the round-5 training-prep additions (q76–q79)
+  * that the oracle replay can't express: chunk reconstruction, filter-rule
+  * semantics, keeper uniqueness, and the widened cosine expression. */
+class TrainingPrepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q76 chunks: count = ceil(n/stride), sizes <= 32, stride-aligned reconstruction") {
+    import graft.functions.TextFunctions.tokens
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = SparkEntry.queries("q76_chunk_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val n = docs(doc)
+      val expect = (n - 1) / 24 + 1 // ceil(n / stride) for n >= 1
+      assert(cs.length === expect, s"doc $doc: ${cs.length} chunks for $n tokens")
+      val byIdx = cs.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq === (0L until expect.toLong))
+      // every chunk covers [idx*24, min(idx*24+32, n)) tokens
+      byIdx.foreach { case (_, idx, sz) =>
+        assert(sz === math.min(idx * 24 + 32, n.toLong) - idx * 24)
+      }
+    }
+  }
+
+  test("q77 gopher keep flag equals the conjunction of its emitted signals") {
+    val rows = SparkEntry.queries("q77_gopher_filter")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nW = r.getAs[Long]("n_words")
+      val stop = r.getAs[Long]("stop_count")
+      val keep = r.getAs[Boolean]("keep")
+      // the rounded signals are displays; recheck the integer-exact parts
+      if (nW < 50 || stop < 2) assert(!keep, s"doc ${r.get(0)} kept despite failing bounds")
+    }
+    // the synthetic corpus is ordinary prose: at least one doc must pass
+    // and at least one must fail, else the gate tests nothing
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("q78 domains: injected URL always extracted, 7 domains partition the corpus") {
+    val rows = SparkEntry.queries("q78_url_domains")(spark, dir).collect()
+    assert(rows.length === 7)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = graft.sources.Tables(spark, dir, "documents").count()
+    assert(total === nDocs, "every doc lands in exactly one domain bucket")
+    rows.foreach(r => assert(r.getAs[String]("domain").matches("site[0-6]\\.example\\.org")))
+  }
+
+  test("q79 semantic dedup: exactly one keeper per cell, keeper maximizes cosine") {
+    val rows = SparkEntry.queries("q79_semantic_dedup")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Double]("cos_centroid"), r.getAs[Boolean]("keep")))
+    val nVecs = graft.sources.Tables(spark, dir, "embeddings").count()
+    assert(rows.length.toLong === nVecs)
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length === 1, s"cell $cell has ${keepers.length} keepers")
+      // keeper's rounded cosine is the cell max (ties resolved by vec_id
+      // upstream on the 6-decimal value; at 4 decimals >= is the check)
+      assert(keepers.head._3 >= members.map(_._3).max - 1e-9)
+    }
+  }
+
+  test("cosine expression accepts double arrays and matches float-side math") {
+    import graft.plans.CosineSimilarity.cosineSim
+    val df = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("as_double", col("embedding").cast("array<double>"))
+    val both = df.select(
+      cosineSim(col("embedding"), col("embedding")).as("ff"),
+      cosineSim(col("as_double"), col("as_double")).as("dd"),
+      cosineSim(col("embedding"), col("as_double")).as("fd"))
+      .collect()
+    both.foreach { r =>
+      // float values widen exactly to double: all three spellings are the
+      // same sequence of double ops -> bit-identical results
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(0) === r.getDouble(2))
+    }
+  }
+}
