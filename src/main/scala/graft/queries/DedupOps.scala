@@ -170,10 +170,15 @@ object DedupOps {
           sequence(lit(0), (size(toks) / lit(W)).cast("int") - 1),
           i => concat_ws(" ",
             (1 to W).map(j => element_at(toks, i * W + j)): _*)))
+      // partition the span stream on content ONCE: the frequency aggregate
+      // consumes that exchange directly and the join-back reuses the SAME
+      // exchange (ReusedExchange) for its left side — one content shuffle
+      // of the stream instead of two (agg + join each re-shuffling it)
       val spans = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), posexplode(spanArr))
         .withColumnsRenamed(Map("pos" -> "span_idx", "col" -> "span"))
+        .repartition(col("span"))
       val freq = spans.groupBy("span").agg(count(lit(1)).as("freq"))
       spans.join(freq, Seq("span"))
         .groupBy("doc_id").agg(

