@@ -33,8 +33,16 @@ object TextFunctions {
   def fastHash(c: Column): Column = xxhash64(c)
 
   /** Word k-shingles as space-joined strings; empty array when < k tokens.
-    * (Guard needed: Spark `sequence(0, n)` descends when n is negative.) */
+    * Native one-loop expression ([[org.apache.spark.sql.graft.ShinglesExpr]])
+    * — the composed HOF form ([[shinglesComposed]]) interprets its lambda
+    * per shingle and was measured ~0.4 s/corpus-pass slower. */
   def shingles(toks: Column, k: Int = 3): Column =
+    org.apache.spark.sql.graft.ShinglesExpr.columnFor(toks, k)
+
+  /** The pre-expression composed spelling of [[shingles]] — kept as the
+    * equivalence-test reference. (Guard needed: Spark `sequence(0, n)`
+    * descends when n is negative.) */
+  def shinglesComposed(toks: Column, k: Int = 3): Column =
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - k),

@@ -394,6 +394,33 @@ object TextOps {
           r4(sum(col("kp")).cast("double") / count(lit(1)).cast("double"))
             .as("keep_rate"),
           r4(avg(col("ml"))).as("avg_word_len"))
+    }),
+
+    // Unigram LM scoring (the CCNet-style perplexity-lite quality signal):
+    // train a unigram model on the corpus (token → log p, vocab-bounded →
+    // broadcast), score each doc by its mean token log-prob. Rare-token /
+    // gibberish docs score low. Per-token log-probs are rounded to 6
+    // decimals on BOTH engines before the per-doc mean (the q73 idf
+    // precedent) so libm ulp drift can't move the 4-decimal output. The
+    // token stream partitions once on doc_id pre-explode (q73 shape): the
+    // per-doc aggregate is exchange-free; the vocab aggregate is the only
+    // other shuffle and map-side combine collapses it.
+    "q81_unigram_lm" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = docs(s, dir)
+        .select(size(tokens(col("text"))).as("n"))
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      val lp = vocab.withColumn("lp6",
+        round(log(col("cnt").cast("double") / lit(total.toDouble)), 6))
+      docs(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .join(broadcast(lp.select(col("tok"), col("lp6"))), Seq("tok"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_tokens"),
+          r4(avg(col("lp6"))).as("mean_logprob"))
     })
   )
 
@@ -587,6 +614,17 @@ object TextOps {
                  round(avg(ml), 4) AS avg_word_len
           FROM m GROUP BY source"""
     },
+    "q81_unigram_lm" ->
+      """WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         v AS (SELECT tok, count(*) AS cnt FROM d GROUP BY tok),
+         t AS (SELECT count(*) AS total FROM d),
+         lp AS (SELECT tok, round(ln(cnt * 1.0 / total), 6) AS lp6
+                FROM v CROSS JOIN t)
+         SELECT d.doc_id, count(*) AS n_tokens,
+                round(avg(lp.lp6), 4) AS mean_logprob
+         FROM d JOIN lp USING (tok)
+         GROUP BY d.doc_id""",
     "q78_url_domains" ->
       """WITH inj AS (SELECT doc_id,
               text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)

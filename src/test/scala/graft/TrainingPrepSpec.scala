@@ -73,6 +73,25 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("native ShinglesExpr equals the composed HOF form on the corpus + edges") {
+    import graft.functions.TextFunctions.{shingles, shinglesComposed, tokens}
+    val diff = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        shingles(col("toks"), 3).as("a"), shinglesComposed(col("toks"), 3).as("b"))
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(diff === 0)
+    // edges: fewer tokens than k -> empty; exactly k -> one; null -> null
+    import spark.implicits._
+    val edge = Seq(Some("a b"), Some("a b c"), None).toDF("text")
+      .select(shingles(split(col("text"), " "), 3).as("shs"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(edge(0) === Seq.empty)
+    assert(edge(1) === Seq("a b c"))
+    assert(edge(2) === null)
+  }
+
   test("cosine expression accepts double arrays and matches float-side math") {
     import graft.plans.CosineSimilarity.cosineSim
     val df = graft.sources.Tables(spark, dir, "embeddings")
