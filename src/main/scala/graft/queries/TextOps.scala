@@ -55,6 +55,18 @@ object TextOps {
       gopherSymRatio <= 0.1 && gopherAlphaFrac >= 0.8 &&
       gopherStopCount >= 2
 
+  /** The Gopher gate as a reusable transform over any frame with `doc_id`
+    * and `text` columns — BATCH OR STREAMING (all signals are narrow
+    * column expressions, so the same gate drops low-quality docs inside a
+    * `readStream → writeStream` ingest pipeline with zero changes; see
+    * TrainingPrepSpec's streaming ≡ batch test). */
+  def gopherGate(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        gopherNWords.cast("long").as("n_words"),
+        gopherStopCount.cast("long").as("stop_count"),
+        gopherKeep.as("keep"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F7 + A2: explode tokens → word frequency top-K (deterministic
     // tiebreak). The classic map-side-combinable aggregation.

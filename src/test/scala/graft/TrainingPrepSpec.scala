@@ -92,6 +92,29 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(edge(2) === null)
   }
 
+  test("streaming Gopher gate over a file stream equals the batch gate") {
+    import graft.streaming.EventStream
+    import graft.queries.TextOps
+    val docsPath = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val tmp = java.nio.file.Files.createTempDirectory("gate").toString
+    // a file-stream source watches a DIRECTORY; stage the table into one
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/in"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(docsPath),
+      java.nio.file.Paths.get(s"$tmp/in/documents.parquet"))
+    val streamed = TextOps.gopherGate(
+      EventStream.fileStream(spark, s"$tmp/in", schema))
+    EventStream.runAvailableNow(streamed, s"$tmp/out", s"$tmp/ckpt")
+    val got = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val want = TextOps.gopherGate(spark.read.parquet(docsPath))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("cosine expression accepts double arrays and matches float-side math") {
     import graft.plans.CosineSimilarity.cosineSim
     val df = graft.sources.Tables(spark, dir, "embeddings")
