@@ -10,6 +10,7 @@ import graft.core.{Audit, ExportSpec, Materialization, Model}
   * {{{
   * raw.documents_raw          (view over the documents lake)
   *   ├─ staging.doc_quality   (q24 quality scorer)
+  *   ├─ staging.doc_gate      (q77 Gopher keep/drop gate)
   *   └─ staging.dedup_clusters(MinHash-LSH pairs → connected components)
   *        ├─ mart.corpus_keepers (highest-quality doc per cluster)   [export]
   *        └─ mart.corpus_splits  (cluster-hash train/val/test split) [export]
@@ -39,6 +40,20 @@ object CurationModels {
         graft.queries.TextOps.queries("q24_quality_score")(s, cfg.dataRoot)),
       description = "Per-document quality heuristics (stopword/punct/length)",
       grain = Seq("doc_id")),
+
+    Model("doc_gate", "staging",
+      dependsOn = Seq("documents_raw"),
+      build = Some((s, _) =>
+        graft.queries.TextOps.gopherGate(s.table("documents_raw"))),
+      description = "Gopher-rule keep/drop gate per document (q77 signals)",
+      grain = Seq("doc_id"),
+      audits = Seq(
+        Audit("gate_covers_every_doc",
+          "SELECT doc_id FROM documents_raw " +
+            "EXCEPT SELECT doc_id FROM doc_gate"),
+        Audit("kept_docs_pass_integer_rules",
+          "SELECT doc_id FROM doc_gate " +
+            "WHERE keep AND (n_words < 50 OR stop_count < 2)"))),
 
     Model("dedup_clusters", "staging",
       dependsOn = Seq("documents_raw"),
