@@ -32,6 +32,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ShinglesExpr.compute: windows match a straightforward sliding reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("a b")))
+    val kGen = Gen.choose(1, 5)
+    check(Prop.forAll(tokGen, kGen) { (toks, k) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = org.apache.spark.sql.graft.ShinglesExpr.compute(arr, k)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val want = if (toks.size < k) Seq.empty
+                 else toks.sliding(k).map(_.mkString(" ")).toSeq
+      got == want
+    })
+  }
+
   test("unionFind: component labels are the min reachable id (vs BFS closure)") {
     val edgeGen = Gen.listOf(
       Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 60L)))
