@@ -56,10 +56,10 @@ object Bench {
     // settle the JVM between warm-up and the timed passes so GC debt from
     // warm-up isn't billed to the first timed queries
     System.gc()
-    // two timed passes, per-query min: the host shows intermittent
+    // three timed passes, per-query min: the host shows intermittent
     // multi-second stalls; min-of-k isolates engine time from host noise
     // each pass drops the shared-cluster cache: q47 pays the full pipeline
-    // every pass (honest min-of-2), while q51/q52 time their incremental
+    // every pass (honest min-of-k), while q51/q52 time their incremental
     // work over the pass's materialized clusters — the real pipeline shape
     // each pass also drops the shared shingle/signature stage cache: the
     // first consumer (q31 in sorted order) pays the materialization per
@@ -68,22 +68,23 @@ object Bench {
     def timedPass(): Map[String, Double] = {
       graft.queries.CurationOps.clearCache()
       graft.queries.DedupOps.clearCache()
-    graft.queries.SimilarityOps.clearCache()
+      graft.queries.SimilarityOps.clearCache()
       names.map { name =>
         val t0 = System.nanoTime()
         exec(name)
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
-    val p1 = timedPass()
-    val p2 = timedPass()
+    // min-of-3: this host shows ±30% multi-minute noise windows that can
+    // span an entire 2-pass run; a third pass makes the min robust to one
+    // bad window (measured pairs ranged 1.55-2.06x from noise alone)
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    def best(n: String): Double = passes.map(_(n)).min
     // failed queries report null and are EXCLUDED from total: a
     // time-to-throw must never enter the trend line as if it were work done
-    val results = names.filterNot(errors.contains)
-      .map(n => n -> math.min(p1(n), p2(n)))
+    val results = names.filterNot(errors.contains).map(n => n -> best(n))
     val qs = names.map { n =>
-      "\"" + n + "\":" + (if (errors.contains(n)) "null"
-                          else math.min(p1(n), p2(n)).toString)
+      "\"" + n + "\":" + (if (errors.contains(n)) "null" else best(n).toString)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errJson = errors.map { case (k, v) =>
