@@ -127,6 +127,23 @@ object ScaleOps {
           round(max("value"), 4).as("max_value"))
     }),
 
+    // Per-group z-score normalization (the feature-prep step before
+    // training): group stats aggregate to one row per type (broadcastable
+    // at any scale), join back broadcast, normalize in a narrow
+    // projection — never a window over the low-cardinality group key.
+    // mu/sigma are rounded to 6 decimals on BOTH engines before the
+    // division so aggregate summation-order ulps can't move the rounded z.
+    "q82_zscore_normalize" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy("event_type").agg(
+        round(avg("value"), 6).as("mu6"),
+        round(stddev_samp(col("value")), 6).as("sd6"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu6")) / col("sd6"), 4).as("z"))
+    }),
+
     // Histogram / binning via width_bucket: value distribution per event
     // type in 10 equal-width bins over [0, 10). The shuffle key is
     // (type, bin) — histogram cardinality, not row count — so the
@@ -253,6 +270,13 @@ object ScaleOps {
                 round(sum(o_totalprice), 4) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "q82_zscore_normalize" ->
+      """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu6,
+                           round(stddev_samp(value), 6) AS sd6
+                    FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type,
+                round((e.value - s.mu6) / s.sd6, 4) AS z
+         FROM events e JOIN s USING (event_type)""",
     "q65_feature_stats" ->
       """SELECT event_type, count(*) AS n,
                 round(avg(value), 4) AS mean_value,
