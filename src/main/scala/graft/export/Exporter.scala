@@ -12,16 +12,28 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object Exporter {
 
-  /** K1/K2: parquet export with codec, optional hive partitioning, and
-    * file sizing (`COPY ... (FORMAT PARQUET, COMPRESSION zstd,
-    * ROW_GROUP_SIZE ...)`). */
+  /** K1/K2: parquet export with codec, optional hive partitioning, file
+    * sizing, and ROW-GROUP sizing (`COPY ... (FORMAT PARQUET, COMPRESSION
+    * zstd, ROW_GROUP_SIZE 100000)`, `EXPORT_DEPLOYMENT.md:46`).
+    *
+    * `rowGroupRows` maps to parquet-mr's `parquet.block.row.count.limit` —
+    * the same row-count semantics as the reference's ROW_GROUP_SIZE — and
+    * `rowGroupBytes` to `parquet.block.size`; a group closes at whichever
+    * limit hits first. Row-group granularity is what remote range readers
+    * (https/s3 footer-first scans) actually prune on, so exports meant for
+    * remote consumption should keep groups ~100k rows rather than the
+    * 128 MB default. */
   def parquet(df: DataFrame, path: String,
       compression: String = "zstd",
       partitionBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 1000000L): Unit = {
+      maxRecordsPerFile: Long = 1000000L,
+      rowGroupRows: Long = 100000L,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
     val w = df.write.mode("overwrite")
       .option("compression", compression)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("parquet.block.row.count.limit", rowGroupRows)
+      .option("parquet.block.size", rowGroupBytes)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }

@@ -92,17 +92,27 @@ object CurationOps {
       val acc = 100 // rank error <= n/acc = 1% of n
       val li = Tables(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      val approx = li.groupBy("g").agg(
+      // the sketch output is |groups|×3 doubles — k-small driver state (the
+      // q39-centroid precedent; builder is eager per the q73/q81 contract).
+      // Folding it back as per-group literals lets the rank check run as ONE
+      // plain aggregation over the fact stream instead of a broadcast-join
+      // stage feeding the agg — one fewer exchange + join in the plan.
+      val approxRows = li.groupBy("g").agg(
         percentile_approx(col("v"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"))
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap")).collect()
+      val apByGroup: Map[String, Seq[Double]] = approxRows
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
       val ps = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
+      def apLit(i: Int): Column = apByGroup.foldLeft(lit(Double.NaN)) {
+        case (acc0, (gv, aps)) => when(col("g") === gv, lit(aps(i))).otherwise(acc0)
+      }
       val aggs = ps.zipWithIndex.flatMap { case ((tag, _), i) =>
-        val av = col("ap").getItem(i)
+        val av = apLit(i)
         Seq(
           sum(when(col("v") < av, 1L).otherwise(0L)).as(s"lt_$tag"),
           sum(when(col("v") <= av, 1L).otherwise(0L)).as(s"le_$tag"))
       }
-      val ranked = li.join(broadcast(approx), Seq("g"))
+      val ranked = li
         .groupBy("g").agg(count(lit(1)).as("n"), aggs: _*)
       // the approx value's exact rank interval is [lt, le-1] (0-based);
       // within bound iff it intersects [p(n-1) - n/acc, p(n-1) + n/acc]

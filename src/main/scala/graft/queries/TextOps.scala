@@ -263,7 +263,9 @@ object TextOps {
         .groupBy("tok").agg(count(lit(1)).as("df"))
       // ndocs is k=1 driver state (the q39-centroid precedent): one
       // doc_id-only count job at build time instead of a 2-exchange
-      // countDistinct branch + broadcast inside the plan
+      // countDistinct branch + broadcast inside the plan. NOTE: this makes
+      // the builder eager (constructing the DataFrame runs a Spark job),
+      // the documented contract for q39/q73/q81.
       val ndocs = docs(s, dir).agg(countDistinct("doc_id")).collect()(0).getLong(0)
       tf.join(broadcast(dft), Seq("tok"))
         .withColumn("idf6", round(log(lit(ndocs.toDouble) / col("df")), 6))
@@ -417,15 +419,28 @@ object TextOps {
     // token stream partitions once on doc_id pre-explode (q73 shape): the
     // per-doc aggregate is exchange-free; the vocab aggregate is the only
     // other shuffle and map-side combine collapses it.
+    // NOTE: this builder (like q73/q39) is NOT side-effect-free — the vocab
+    // aggregate runs eagerly at build time because the model's total token
+    // count is driver state feeding a literal. One corpus scan builds the
+    // vocab; the total is its sum (not a separate scan); the collected rows
+    // are vocab-bounded — the same broadcast-size assumption the lp join
+    // already makes.
     "q81_unigram_lm" -> ((s, dir) => {
-      val vocab = docs(s, dir)
+      val vocabRows = docs(s, dir)
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = docs(s, dir)
-        .select(size(tokens(col("text"))).as("n"))
-        .agg(sum(col("n"))).collect()(0).getLong(0)
-      val lp = vocab.withColumn("lp6",
-        round(log(col("cnt").cast("double") / lit(total.toDouble)), 6))
+        .collect()
+      val total = vocabRows.map(_.getLong(1)).sum
+      import scala.jdk.CollectionConverters._
+      val lp = s.createDataFrame(
+        vocabRows.toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+        .withColumn("lp6",
+          round(log(col("cnt").cast("double") / lit(total.toDouble)), 6))
       docs(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

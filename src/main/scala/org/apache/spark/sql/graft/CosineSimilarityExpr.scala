@@ -41,11 +41,16 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     case ArrayType(DoubleType, _) => true
     case _ => false
   }
+  // plan-time constants: hoisted so the interpreted path doesn't re-match
+  // dataType per row (the codegen path is already branch-free)
+  private lazy val leftIsDouble = isDouble(left)
+  private lazy val rightIsDouble = isDouble(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (xd, yd) = (isDouble(left), isDouble(right))
+    val xd = leftIsDouble
+    val yd = rightIsDouble
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {

@@ -32,6 +32,24 @@ class EngineSpec extends AnyFunSuite {
     assert(sql.contains("CREATE OR REPLACE TEMP VIEW region"))
   }
 
+  test("parquet export honors row-group row-count limit (footer-verified)") {
+    val dir = Files.createTempDirectory("graft_rg").toString
+    val df = Tables(spark, "/root/testdata/sf0.01", "lineitem").coalesce(1)
+    Exporter.parquet(df, s"$dir/li.parquet", rowGroupRows = 10000L)
+    val meta = graft.sources.ParquetFooterMeta(spark, s"$dir/li.parquet")
+      .select("file_name", "row_group_id", "num_rows").collect()
+    val total = meta.map(_.getLong(2)).sum
+    assert(total === df.count())
+    // ~10k-row groups: every group is at the limit except each file's last
+    assert(meta.length > 1, "expected multiple row groups")
+    assert(meta.map(_.getLong(2)).max <= 10000L)
+    // default (100k limit) over the same single-file frame → fewer groups
+    Exporter.parquet(df, s"$dir/li_default.parquet")
+    val metaDef = graft.sources.ParquetFooterMeta(spark, s"$dir/li_default.parquet")
+      .collect()
+    assert(metaDef.length < meta.length)
+  }
+
   test("availableNow file stream: windowed counts, incremental on restart") {
     val in = Files.createTempDirectory("graft_stream_in").toString
     val out = Files.createTempDirectory("graft_stream_out").toString
