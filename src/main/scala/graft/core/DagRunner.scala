@@ -98,7 +98,9 @@ final class DagRunner(spark: SparkSession, cfg: EngineConfig,
           df.write.mode("overwrite").parquet(tablePath(m))
           val out = spark.read.parquet(tablePath(m))
           out.createOrReplaceTempView(m.name)
-          out.count()
+          // rows_affected from the written footers — NOT out.count(), which
+          // would re-scan the table it just materialized
+          graft.sources.ParquetFooterMeta.rowCount(spark, tablePath(m))
         case inc: Materialization.IncrementalByTimeRange =>
           val n = graft.incremental.IntervalRunner
             .refresh(spark, cfg, m, inc)

@@ -68,4 +68,14 @@ object ParquetFooterMeta {
       }
       .toDF()
   }
+
+  /** Total row count of a parquet directory from footers alone — the
+    * post-write row count a materialization reports without re-scanning the
+    * data it just wrote (footers are a few KB per file vs a full second
+    * read of the table). */
+  def rowCount(spark: SparkSession, dir: String): Long = {
+    val rows = apply(spark, s"$dir/*.parquet")
+      .agg(org.apache.spark.sql.functions.sum("num_rows")).collect()
+    if (rows.isEmpty || rows(0).isNullAt(0)) 0L else rows(0).getLong(0)
+  }
 }

@@ -218,6 +218,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out("src_drifted").contains("pinnedSchema"))
   }
 
+  test("table materialization scans its input once (row count from footers)") {
+    val lake = Files.createTempDirectory("graft_onescan_lake").toString
+    spark.range(1000).selectExpr("id AS item_id").coalesce(1)
+      .write.parquet(s"$lake/items.parquet")
+    val cfg = EngineConfig(lake,
+      Files.createTempDirectory("graft_onescan_wh").toString, "/none")
+    val m = Model("mart_items", "mart",
+      materialization = Materialization.Table,
+      build = Some((s: SparkSession, c: EngineConfig) =>
+        s.read.parquet(s"${c.dataRoot}/items.parquet")))
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = new DagRunner(spark, cfg, Seq(m)).run()
+      assert(res.head.status === "success")
+      assert(res.head.rows === 1000L)
+      // listener bus is async — poll until the counter stabilizes
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(100); spins += 1
+      }
+      // one scan of the 1000-row input; the post-write count comes from
+      // footers (metadata-only), so a second 1000-record read means the
+      // out.count() re-scan regressed back in
+      assert(read.get() < 2000L, s"expected one input scan, read=${read.get()}")
+      assert(read.get() >= 1000L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("failing audit fails the model") {
     val cfg = EngineConfig("/none",
       Files.createTempDirectory("graft_wh4").toString, "/none")
