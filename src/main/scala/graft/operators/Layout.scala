@@ -70,4 +70,51 @@ object Layout {
         (((a >> i) & 1).toLong << (2 * i)) |
         (((b >> i) & 1).toLong << (2 * i + 1))
     }
+
+  /** N-dimensional Morton key: bit `i` of dimension `d` lands at position
+    * `i·n + d`. The binary-magic-number spread only exists for power-of-2
+    * strides, so the general form is the bit-at-a-time fold — every shift
+    * and mask is a plan-time constant, so the whole key is still one flat
+    * codegen'd arithmetic expression (no loop, no UDF). Values above `bits`
+    * bits are masked by construction. Requires `n·bits ≤ 63` (the key must
+    * fit a signed long). `zorderN(Seq(a, b), 16) ≡ zorder2(a, b)`. */
+  def zorderN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 1 && bits >= 1 && n * bits <= 63,
+      s"zorderN: $n dims × $bits bits must fit in a signed long (≤ 63)")
+    val terms = for {
+      i <- 0 until bits
+      (c, d) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Inverse of [[zorderN]]: struct of `d0 … d{n-1}` recovered from the
+    * key — file zkey min/max back to per-dimension ranges at plan time. */
+  def unzorderN(z: Column, n: Int, bits: Int): Column = {
+    require(n >= 1 && bits >= 1 && n * bits <= 63)
+    val dims = (0 until n).map { d =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(z, i * n + d).bitwiseAND(lit(1L)), i)
+      }.reduce(_.bitwiseOR(_)).as(s"d$d")
+    }
+    struct(dims: _*)
+  }
+
+  /** ANSI-SQL mirror of [[zorderN]] (oracle-portable). */
+  def zorderNSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.length
+    (for {
+      i <- 0 until bits
+      (c, d) <- cols.zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * n + d})").mkString("(", " | ", ")")
+  }
+
+  /** Reference bit-at-a-time N-dim interleave (tests only). */
+  private[graft] def zorderNRef(vs: Seq[Int], bits: Int): Long = {
+    val n = vs.length
+    (for { i <- 0 until bits; d <- 0 until n } yield
+      ((vs(d) >> i) & 1).toLong << (i * n + d)).foldLeft(0L)(_ | _)
+  }
 }

@@ -92,12 +92,16 @@ object DedupOps {
   private val P = 1000000007L // modulus
   private val NumHashes = 16
   private val BandRows = 4 // 4 bands × 4 rows
-  private val As: Seq[Long] = (1 to NumHashes).map(i => (i * 2654435761L) % P)
-  private val Bs: Seq[Long] = (1 to NumHashes).map(i => (i * 40503L * 65537L) % P)
+  /** Permutation coefficients, defined for ANY i (the shipped queries use
+    * i < 16; the tuned scale path may use more). */
+  private def aCoef(i: Int): Long = ((i + 1) * 2654435761L) % P
+  private def bCoef(i: Int): Long = ((i + 1) * 40503L * 65537L) % P
+  private val As: Seq[Long] = (0 until NumHashes).map(aCoef)
+  private val Bs: Seq[Long] = (0 until NumHashes).map(bCoef)
 
   /** minhash_i input term: ((a_i * (h % P) + b_i) % P). */
   private def perm(h: Column, i: Int): Column =
-    (lit(As(i)) * (h % lit(P)) + lit(Bs(i))) % lit(P)
+    (lit(aCoef(i)) * (h % lit(P)) + lit(bCoef(i))) % lit(P)
 
   private def permSql(h: String, i: Int): String =
     s"((${As(i)} * ($h % $P) + ${Bs(i)}) % $P)"
@@ -313,6 +317,82 @@ object DedupOps {
   private val SimhashBits = 60
   private val SimhashBands = 5
   private val SimhashBandBits = SimhashBits / SimhashBands
+
+  /** SCALE-PATH MinHash-LSH near-dup pairs with parameterized geometry —
+    * the knob set the fixed 16-hash / 4×4-band shipped pipeline (q31/q33)
+    * cannot turn because its geometry is mirrored literally into the
+    * DuckDB oracle.
+    *
+    * Why it exists (measured by [[graft.tools.ScaleStress]]): with a small
+    * shingle vocabulary, the population of a 4-row band bucket grows with
+    * corpus size — at 10× the sf0.1 corpus the 4×4 geometry produced 654k
+    * candidate pairs of which ~6k were true near-dups, and the verify
+    * stage's array-carrying joins inherited the 100× false-positive blowup
+    * (0.5 s → 21 s). Band collision probability is J^rows per band: the
+    * scale levers are MORE hashes with MORE rows per band (8×8 at 64
+    * hashes drops a J≈0 chance collision to ~p^8 while keeping
+    * P(detect J≥0.9) ≈ 99%) and a bucket-population cap (`maxBucket`) that
+    * skips pathological boilerplate buckets outright — the standard
+    * lossy-but-audited guard (a capped bucket's TRUE pairs still usually
+    * collide in another, uncapped band). Recall against planted
+    * duplicates is measured per scale by ScaleStress, not assumed.
+    *
+    * Same LSH-then-verify contract as q31: emitted jaccards are EXACT
+    * (false positives rescored away); geometry only moves the
+    * candidate-recall curve. With (numHashes=16, bandRows=4, maxBucket=0)
+    * this is exactly q31's pipeline (asserted in DedupSpec).
+    */
+  def lshPairsTuned(s: SparkSession, dir: String,
+      numHashes: Int = 64, bandRows: Int = 8,
+      maxBucket: Long = 0L, minJaccard: Double = 0.2): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes $numHashes must be a multiple of bandRows $bandRows")
+    val h = stableHash(col("sh"))
+    // per-doc artifact for THIS hash count (16-hash calls share the q31/q33
+    // artifact; others build and cache their own)
+    val sigs =
+      if (numHashes == NumHashes) docShinglesCached(s, dir)
+      else cachedStage(s, dir, s"docShingles$numHashes") {
+        shingleSet(docs(s, dir)).groupBy("doc_id").agg(
+          collect_set(col("sh")).as("shs"),
+          (0 until numHashes).map(i => min(perm(h, i)).as(s"mh$i")): _*)
+      }
+    val nBands = numHashes / bandRows
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until bandRows).map(r =>
+            col(s"mh${b * bandRows + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val within = if (maxBucket > 0L) {
+      // bucket sizes shuffle on the same (band, key) the pair join uses —
+      // the exchange is shared, so the cap costs one co-partitioned agg
+      val sizes = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= maxBucket)
+        .select("band", "key")
+      banded.join(sizes, Seq("band", "key"))
+    } else banded
+    val cand = within.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(within.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = sigs.select(col("doc_id"), col("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** doc_id, sig (16-long array), band, key — the MinHash-LSH banding
     * shared by q33 (estimate from collisions) and q31 (exact rescoring of

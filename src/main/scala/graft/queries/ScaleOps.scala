@@ -82,6 +82,28 @@ object ScaleOps {
         .withColumn("file_bucket", shiftright(col("zkey"), 16))
     }),
 
+    // N-dimensional Z-order (the zorderN generalization of q55): 3 bucketed
+    // dimensions × 10 bits interleaved into one 30-bit Morton key — range
+    // predicates on ANY of the three dimensions prune files. The inversion
+    // (unzorderN) is asserted in-plan: recovered dims must equal the
+    // inputs, so the oracle regression-protects both directions. Flat
+    // constant-shift arithmetic, fully inside whole-stage codegen.
+    "q83_zorder3" -> ((s, dir) => {
+      val dims = Seq(col("px"), col("sy"), col("ok"))
+      val rt = Layout.unzorderN(col("zkey"), 3, 10)
+      Tables(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("px"),
+          (col("l_suppkey") % 1024).as("sy"),
+          (col("l_orderkey") % 1024).as("ok"))
+        .distinct()
+        .withColumn("zkey", Layout.zorderN(dims, 10))
+        .withColumn("file_bucket", shiftright(col("zkey"), 18))
+        .withColumn("roundtrip_ok",
+          rt.getField("d0") === col("px") &&
+            rt.getField("d1") === col("sy") &&
+            rt.getField("d2") === col("ok"))
+    }),
+
     // Bloom-prefiltered semi join: the dim keys become an ~4 KB sketch
     // evaluated INSIDE the fact scan — at 100 TB only bloom-positive rows
     // reach the semi-join shuffle. Oracle = the plain semi join (the bloom
@@ -257,6 +279,15 @@ object ScaleOps {
                             l_suppkey % 1024 AS sy FROM lineitem),
          z AS (SELECT px, sy, $z AS zkey FROM d)
          SELECT px, sy, zkey, zkey >> 16 AS file_bucket FROM z"""
+    },
+    "q83_zorder3" -> {
+      val z3 = Layout.zorderNSql(Seq("px", "sy", "ok"), 10)
+      s"""WITH d AS (SELECT DISTINCT l_partkey % 1024 AS px,
+                            l_suppkey % 1024 AS sy,
+                            l_orderkey % 1024 AS ok FROM lineitem),
+         z AS (SELECT px, sy, ok, $z3 AS zkey FROM d)
+         SELECT px, sy, ok, zkey, zkey >> 18 AS file_bucket,
+                TRUE AS roundtrip_ok FROM z"""
     },
     "q56_bloom_prefilter" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -46,7 +46,15 @@ object SimilarityOps {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Seq[Seq[Double]]]()
 
-  def clearCache(): Unit = centroidCache.clear()
+  def clearCache(): Unit = {
+    centroidCache.clear()
+    baselineCache.clear()
+  }
+
+  // identity hash, not the session reference: the key must not keep the
+  // SparkSession reachable after the session is discarded
+  private def sessionKey(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}"
 
   /** Deterministic Lloyd refinement: seeds are the k lowest-vec_id vectors;
     * each iteration assigns via the fused [[NearestCentroid]] codegen
@@ -57,31 +65,117 @@ object SimilarityOps {
   private[graft] def lloydCentroids(
       s: SparkSession, dir: String, k: Int, iters: Int): Seq[Seq[Double]] = {
     if (centroidCache.size > CacheMax) centroidCache.clear()
-    // identity hash, not the session reference: the key must not keep the
-    // SparkSession reachable after the session is discarded
-    val sessionKey =
-      s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}"
-    centroidCache.computeIfAbsent((sessionKey, dir, k, iters), { _ =>
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      var cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
-        .map(r => r.getSeq[Float](1).map(_.toDouble))
-        .toSeq
-      for (_ <- 1 to iters) {
-        val assigned = e.select(col("vec_id"), col("embedding"),
-          NearestCentroid.cell(col("embedding"), cents).as("cell"))
-        val means = assigned
-          .select(col("cell"), posexplode(col("embedding")))
-          .groupBy("cell", "pos").agg(round(avg(col("col")), 6).as("m"))
-          .collect()
-        val byCell = means.groupBy(_.getInt(0))
-        cents = (0 until k).map { c =>
-          byCell.get(c)
-            .map(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-            .getOrElse(cents(c))
-        }
-      }
-      cents
+    centroidCache.computeIfAbsent((sessionKey(s), dir, k, iters), { _ =>
+      lloydFromSeeds(emb(s, dir).select(col("vec_id"), col("embedding")),
+        k, iters)
     })
+  }
+
+  /** The Lloyd loop over an explicit (vec_id, embedding) frame — the
+    * uncached training engine behind [[lloydCentroids]] and the
+    * drift-triggered retrain of [[assignIncremental]]. */
+  private[graft] def lloydFromSeeds(
+      e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble))
+      .toSeq
+    for (_ <- 1 to iters) {
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        NearestCentroid.cell(col("embedding"), cents).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(round(avg(col("col")), 6).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = (0 until k).map { c =>
+        byCell.get(c)
+          .map(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(cents(c))
+      }
+    }
+    cents
+  }
+
+  /** Result of an incremental IVF batch assignment: the batch's cell
+    * assignment, the measured drift ratio, and whether the drift hook
+    * retrained the quantizer. */
+  final case class BatchAssignment(assignment: DataFrame, driftRatio: Double,
+      retrained: Boolean)
+
+  /** Per-quantizer drift baseline: mean nearest-centroid squared-L2 of the
+    * TRAINING corpus, cached beside the centroids. */
+  private val baselineCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Double]()
+
+  /** Mean squared-L2 of each vector to its assigned (nearest) centroid:
+    * cell via the codegen'd [[NearestCentroid]], distance via ONE zip_with
+    * against the broadcast-joined centroid row. One aggregation job. */
+  private[graft] def meanCellDist(
+      df: DataFrame, cents: Seq[Seq[Double]]): Double = {
+    val s = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val centDf = s.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+    val r = df.select(col("embedding"),
+        NearestCentroid.cell(col("embedding"), cents).as("cell"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(aggregate(
+        zip_with(col("embedding"), col("cent"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v).as("d2"))
+      .agg(avg(col("d2"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Incremental IVF / semantic-dedup ingestion (the embedding mirror of
+    * [[graft.operators.ConnectedComponents.incremental]]): assign a NEW
+    * batch of vectors against the CACHED quantizer — per-batch cost, no
+    * retraining scan — unless the batch has drifted away from the space the
+    * quantizer was trained on.
+    *
+    * Drift = mean nearest-centroid squared-L2 of the batch over the same
+    * mean of the training corpus (both one aggregation job; the baseline is
+    * cached with the quantizer). A batch drawn from the training
+    * distribution scores ≈ 1; `driftFactor` (default 2×) is the retrain
+    * trigger. On retrain the quantizer is refit on corpus ∪ batch and the
+    * (dir, k, iters) cache entries are REPLACED, so subsequent batches
+    * assign against the refreshed artifact.
+    *
+    * Equivalence (proved in AnnRecallSpec): for a non-drifted batch,
+    * assigning the batch incrementally ≡ the batch's rows inside a full
+    * recompute over corpus ∪ batch with the same quantizer — assignment is
+    * per-row, so batch boundaries cannot change cells. */
+  def assignIncremental(s: SparkSession, dir: String, k: Int, iters: Int,
+      batch: DataFrame, driftFactor: Double = 2.0): BatchAssignment = {
+    val cents = lloydCentroids(s, dir, k, iters)
+    val baseKey = (sessionKey(s), dir, k, iters)
+    val base = baselineCache.computeIfAbsent(baseKey,
+      _ => meanCellDist(emb(s, dir), cents))
+    val batchDist = meanCellDist(batch, cents)
+    val ratio = if (base > 0.0) batchDist / base else 1.0
+    if (ratio > driftFactor) {
+      val retrained = lloydFromSeeds(
+        emb(s, dir).select(col("vec_id"), col("embedding"))
+          .union(batch.select(col("vec_id"), col("embedding"))),
+        k, iters)
+      centroidCache.put((sessionKey(s), dir, k, iters), retrained)
+      baselineCache.remove(baseKey)
+      BatchAssignment(
+        batch.select(col("vec_id"), col("embedding"),
+          NearestCentroid.cell(col("embedding"), retrained).as("cell")),
+        ratio, retrained = true)
+    } else BatchAssignment(
+      batch.select(col("vec_id"), col("embedding"),
+        NearestCentroid.cell(col("embedding"), cents).as("cell")),
+      ratio, retrained = false)
   }
 
   /** Deterministic pseudo-random hyperplane weights in [-0.5, 0.5): a

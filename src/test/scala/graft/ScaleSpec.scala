@@ -33,6 +33,59 @@ class ScaleSpec extends AnyFunSuite {
     assert(got === dims)
   }
 
+  test("zorderN equals bit-at-a-time reference; 2-dim case equals zorder2") {
+    val cases3 = Seq(Seq(0, 0, 0), Seq(1, 0, 0), Seq(0, 1, 0), Seq(0, 0, 1),
+      Seq(1023, 511, 255), Seq(7, 42, 1000), Seq(1023, 1023, 1023))
+    val got3 = cases3.map(c => (c(0), c(1), c(2))).toDF("a", "b", "c")
+      .select(Layout.zorderN(Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .as[Long].collect().toSeq
+    assert(got3 === cases3.map(Layout.zorderNRef(_, 10)))
+    // n=2, bits=16 degenerates to the magic-number zorder2
+    val cases2 = Seq((0, 0), (1023, 511), (65535, 65535), (0xABCD, 0x1234))
+    val both = cases2.toDF("a", "b")
+      .select(Layout.zorderN(Seq(col("a"), col("b")), 16).as("zn"),
+        Layout.zorder2(col("a"), col("b")).as("z2"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (zn, z2) => assert(zn === z2) }
+    // 4 dims × 8 bits
+    val c4 = Seq(Seq(0, 1, 2, 3), Seq(255, 0, 255, 0), Seq(17, 34, 68, 136))
+    val got4 = c4.map(c => (c(0), c(1), c(2), c(3))).toDF("a", "b", "c", "d")
+      .select(Layout.zorderN(
+        Seq(col("a"), col("b"), col("c"), col("d")), 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(got4 === c4.map(Layout.zorderNRef(_, 8)))
+    // guard: a 64-bit key would overflow a signed long
+    intercept[IllegalArgumentException](
+      Layout.zorderN(Seq(col("a"), col("b")), 32))
+  }
+
+  test("unzorderN inverts zorderN for every dimension count") {
+    for (n <- 1 to 4) {
+      val bits = 63 / n min 16
+      val max = (1 << bits) - 1
+      val vals = Seq.tabulate(8)(i =>
+        Seq.tabulate(n)(d => (i * 2654435761L + d * 40503L).toInt & max))
+      val df = vals.map(v => Tuple1(Layout.zorderNRef(v, bits)))
+        .toDF("z")
+        .select(Layout.unzorderN(col("z"), n, bits).as("dims"))
+      val got = df.select((0 until n).map(d =>
+        col(s"dims.d$d").cast("int")): _*).collect()
+        .map(r => (0 until n).map(r.getInt)).toSeq
+      assert(got === vals.map(_.map(_.toInt)))
+    }
+  }
+
+  test("zorderN tile prefix property holds at 3 dims (file pruning)") {
+    // every point of an aligned 2^k-cube shares the zkey prefix — the
+    // pruning property, now in 3 dimensions
+    val tile = for (a <- 16 until 32; b <- 32 until 48; c <- 48 until 64)
+      yield Seq(a, b, c)
+    val keys = tile.map(Layout.zorderNRef(_, 10))
+    val prefix = keys.map(_ >> 12) // 4 low bits per dim interleaved away
+    assert(prefix.distinct.size === 1)
+    assert(keys.distinct.size === tile.size)
+  }
+
   test("zorder2 preserves per-dimension range locality (file pruning)") {
     // all points in a 2^k-aligned tile share the zkey prefix: the layout
     // property that makes either-dimension range predicates prune files

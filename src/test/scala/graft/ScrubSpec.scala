@@ -54,6 +54,39 @@ class ScrubSpec extends AnyFunSuite {
     assert(out === Map(1L -> emptyMd5, 2L -> emptyMd5))
   }
 
+  test("lshPairsTuned at (16, 4, no cap) is exactly the q31 pipeline") {
+    val dir = "/root/testdata/sf0.01"
+    val want = DedupOps.queries("q31_ngram_jaccard")(spark, dir)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val got = DedupOps.lshPairsTuned(spark, dir,
+        numHashes = 16, bandRows = 4, maxBucket = 0L)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(got === want)
+  }
+
+  test("lshPairsTuned: tighter bands and bucket caps only shrink candidates") {
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val loose = pairs(DedupOps.lshPairsTuned(spark, dir, 16, 4))
+    // 2 bands × 8 rows from the same 16 hashes: every candidate must also
+    // be a 4-row candidate (an 8-row agreement contains two 4-row ones)
+    val tight = pairs(DedupOps.lshPairsTuned(spark, dir, 16, 8))
+    assert(tight.subsetOf(loose))
+    // a cap of 1 means no bucket can pair anything
+    assert(pairs(DedupOps.lshPairsTuned(spark, dir, 16, 4, maxBucket = 1L))
+      .isEmpty)
+    // jaccards emitted by the tuned path are exact: re-checked against the
+    // loose (= q31) values on the shared pairs
+    val j16 = DedupOps.lshPairsTuned(spark, dir, 16, 4)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val j64 = DedupOps.lshPairsTuned(spark, dir, 64, 8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    j64.keys.filter(j16.contains).foreach(k => assert(j64(k) === j16(k)))
+  }
+
   test("q75: injected PII is found and redacted; md5 matches the scrub") {
     val dir = writeDocs(Seq(ScrubDoc(7L, "hello world", "en", "s", 11)))
     val row = TextOps.queries("q75_pii_redact")(spark, dir).collect().head
