@@ -107,8 +107,10 @@ object HttpRangeFileSystem {
 
   /** Seekable stream over ranged GETs. Each read issues one request for
     * exactly the wanted span; `BufferedFSInputStream` above it batches the
-    * caller's small reads into large spans. */
-  private final class RangeStream(url: URL, len: Long) extends FSInputStream {
+    * caller's small reads into large spans. (Shared with
+    * [[S3MinimalFileSystem]] — S3 GetObject range reads are the same wire
+    * pattern.) */
+  private[sources] final class RangeStream(url: URL, len: Long) extends FSInputStream {
     private var pos = 0L
 
     override def seek(p: Long): Unit = {

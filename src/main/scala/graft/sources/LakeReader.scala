@@ -44,6 +44,21 @@ object LakeReader {
     if (pathStyle) h.set("fs.s3a.path.style.access", "true")
   }
 
+  /** S5 (connector-free flavor): register [[S3MinimalFileSystem]] as the
+    * `s3a://` implementation — anonymous-read S3-compatible endpoints
+    * (public buckets, MinIO with a download policy) with NO hadoop-aws
+    * dependency. Same conf keys as [[remoteFs]], so switching to the full
+    * S3AFileSystem when the connector jar is deployed is a one-line
+    * `fs.s3a.impl` change. */
+  def s3MinimalFs(spark: SparkSession, endpoint: String): Unit = {
+    val h = spark.sparkContext.hadoopConfiguration
+    h.set("fs.s3a.impl", classOf[S3MinimalFileSystem].getName)
+    // per-FS-instance caching would pin the first endpoint forever
+    h.set("fs.s3a.impl.disable.cache", "true")
+    h.set("fs.s3a.endpoint", endpoint)
+    h.set("fs.s3a.path.style.access", "true")
+  }
+
   /** S5 (https flavor): register the Range-request-backed read-only
     * filesystems so `spark.read.parquet("https://…/file.parquet")` works
     * directly — the engine-side twin of the reference reading public

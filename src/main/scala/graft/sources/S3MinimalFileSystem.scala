@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.io.{FileNotFoundException, IOException}
+import java.net.{HttpURLConnection, URI, URL, URLEncoder}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Minimal read-only Hadoop FileSystem speaking the S3 REST protocol —
+  * the `s3a://` engine surface (S5 remote scan; the reference reads its
+  * published lake from R2/S3-compatible endpoints, `DEPLOYMENT.md:74-77`,
+  * `db.py:18-36`) proven end-to-end WITHOUT the hadoop-aws connector,
+  * which is not present in this build's dependency set.
+  *
+  * Wire protocol (public S3 REST API, path-style addressing):
+  *  - object metadata: `HEAD /bucket/key` → Content-Length;
+  *  - directory probe + listing: `GET /bucket?list-type=2&prefix=…&
+  *    delimiter=/` (ListObjectsV2), paginated via continuation tokens so a
+  *    million-object prefix lists correctly;
+  *  - reads: ranged `GET /bucket/key` through the same
+  *    [[HttpRangeFileSystem.RangeStream]] + `BufferedFSInputStream` stack
+  *    as the http(s) lake scan — the parquet reader's footer-then-column
+  *    seek pattern becomes a few large range requests, bytes moved
+  *    ∝ columns read.
+  *
+  * Configuration mirrors s3a ([[LakeReader.remoteFs]] sets the same keys):
+  * `fs.s3a.endpoint` (required here) and path-style access (always used —
+  * virtual-host addressing needs wildcard DNS that a local MinIO/mock
+  * doesn't have). Requests are UNSIGNED: this filesystem targets
+  * anonymous-read S3-compatible endpoints (public buckets, MinIO with an
+  * anonymous download policy — the reference's lake is public https).
+  * SigV4 signing is deliberately out of scope; for credentialed buckets
+  * deploy the hadoop-aws connector instead — because the conf keys match,
+  * swapping `fs.s3a.impl` is the only change.
+  */
+class S3MinimalFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var endpoint: String = _
+  private var workDir: Path = new Path("/")
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    bucket = Option(name.getAuthority).getOrElse(
+      throw new IOException(s"s3 URI $name carries no bucket"))
+    endpoint = Option(conf.get("fs.s3a.endpoint")).map(_.stripSuffix("/"))
+      .getOrElse(throw new IOException(
+        "fs.s3a.endpoint is required (S3MinimalFileSystem is endpoint-" +
+          "addressed; set it to your MinIO/R2/S3 URL)"))
+    fsUri = URI.create(s"$getScheme://$bucket")
+  }
+
+  override def getScheme: String = "s3a"
+  override def getUri: URI = fsUri
+
+  private def keyOf(f: Path): String = {
+    val raw = f.toUri.getPath
+    raw.stripPrefix("/")
+  }
+
+  private def objectUrl(key: String): URL =
+    // keys may contain '/' (kept) but individual segments need escaping
+    new URL(s"$endpoint/$bucket/" + key.split("/", -1)
+      .map(URLEncoder.encode(_, "UTF-8").replace("+", "%20")).mkString("/"))
+
+  private def headObject(key: String): Option[Long] = {
+    val conn = objectUrl(key).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("HEAD")
+    try conn.getResponseCode match {
+      case 200 => Some(conn.getContentLengthLong)
+      case 404 => None
+      case c => throw new IOException(s"HTTP $c from HEAD $bucket/$key")
+    } finally conn.disconnect()
+  }
+
+  /** One ListObjectsV2 page: (keys with sizes, common prefixes, next
+    * continuation token). */
+  private def listPage(prefix: String, delimiter: Boolean,
+      token: Option[String]): (Seq[(String, Long)], Seq[String], Option[String]) = {
+    val q = new StringBuilder(s"$endpoint/$bucket?list-type=2")
+    if (prefix.nonEmpty)
+      q.append("&prefix=").append(
+        URLEncoder.encode(prefix, "UTF-8").replace("+", "%20"))
+    if (delimiter) q.append("&delimiter=%2F")
+    token.foreach(t => q.append("&continuation-token=")
+      .append(URLEncoder.encode(t, "UTF-8")))
+    val conn = new URL(q.toString).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      val code = conn.getResponseCode
+      if (code != 200) throw new IOException(s"HTTP $code from ListObjectsV2 $q")
+      val xml = scala.xml.XML.load(conn.getInputStream)
+      val contents = (xml \ "Contents").map { c =>
+        ((c \ "Key").text, (c \ "Size").text.toLong)
+      }
+      val prefixes = (xml \ "CommonPrefixes").map(p => (p \ "Prefix").text)
+      val next =
+        if ((xml \ "IsTruncated").text == "true")
+          Some((xml \ "NextContinuationToken").text)
+        else None
+      (contents, prefixes, next)
+    } finally conn.disconnect()
+  }
+
+  private def listAll(prefix: String, delimiter: Boolean): (Seq[(String, Long)], Seq[String]) = {
+    var token: Option[String] = None
+    val keys = Seq.newBuilder[(String, Long)]
+    val prefixes = Seq.newBuilder[String]
+    var more = true
+    while (more) {
+      val (ks, ps, next) = listPage(prefix, delimiter, token)
+      keys ++= ks; prefixes ++= ps
+      token = next; more = next.isDefined
+    }
+    (keys.result(), prefixes.result().distinct)
+  }
+
+  private def fileStatus(key: String, len: Long): FileStatus =
+    new FileStatus(len, false, 1, 32L * 1024 * 1024, 0L,
+      new Path(s"$getScheme://$bucket/$key"))
+
+  private def dirStatus(key: String): FileStatus =
+    new FileStatus(0, true, 1, 0, 0L,
+      new Path(s"$getScheme://$bucket/${key.stripSuffix("/")}"))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty) return dirStatus("") // bucket root
+    headObject(key) match {
+      case Some(len) => fileStatus(key, len)
+      case None =>
+        // S3 has no directories: a key is a "dir" iff something lives
+        // under its prefix
+        val (ks, ps, _) = listPage(s"$key/", delimiter = true, None)
+        if (ks.nonEmpty || ps.nonEmpty) dirStatus(key)
+        else throw new FileNotFoundException(f.toString)
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val key = keyOf(f)
+    if (key.nonEmpty && headObject(key).isDefined)
+      return Array(getFileStatus(f)) // a file lists as itself
+    val prefix = if (key.isEmpty) "" else s"$key/"
+    val (keys, prefixes) = listAll(prefix, delimiter = true)
+    val files = keys.filterNot(_._1 == prefix) // some stores echo the marker
+      .map { case (k, len) => fileStatus(k, len) }
+    val dirs = prefixes.map(dirStatus)
+    if (files.isEmpty && dirs.isEmpty && key.nonEmpty)
+      throw new FileNotFoundException(f.toString)
+    (files ++ dirs).toArray
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val key = keyOf(f)
+    val len = headObject(key).getOrElse(
+      throw new FileNotFoundException(f.toString))
+    new FSDataInputStream(new BufferedFSInputStream(
+      new HttpRangeFileSystem.RangeStream(objectUrl(key), len),
+      math.max(bufferSize, 128 * 1024)))
+  }
+
+  override def setWorkingDirectory(dir: Path): Unit = workDir = dir
+  override def getWorkingDirectory: Path = workDir
+
+  private def readOnly = new IOException("s3a (minimal) filesystem is read-only")
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = throw readOnly
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream = throw readOnly
+  override def rename(src: Path, dst: Path): Boolean = throw readOnly
+  override def delete(f: Path, recursive: Boolean): Boolean = throw readOnly
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    throw readOnly
+}

@@ -277,4 +277,113 @@ class SourcesSpec extends AnyFunSuite {
         s"pruned scan shipped ${served.get()} of $size bytes")
     } finally server.stop(0)
   }
+
+  test("S5: s3a:// parquet scan against an in-process S3-compatible endpoint") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.util.concurrent.atomic.AtomicLong
+    val root = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    val listCalls = new AtomicLong(0)
+    val rangedGets = new AtomicLong(0)
+    // minimal S3 REST endpoint over the local testdata dir: bucket `lake`,
+    // objects = the sf0.001 files. Implements HEAD object, ranged GET
+    // object, and ListObjectsV2 (paginated at 2 keys per page so the
+    // continuation-token loop is actually exercised).
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", new HttpHandler {
+      private def xmlEscape(s: String) =
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      override def handle(x: HttpExchange): Unit = {
+        val path = x.getRequestURI.getPath
+        val query = Option(x.getRequestURI.getQuery).getOrElse("")
+        if (!path.startsWith("/lake")) {
+          x.sendResponseHeaders(404, -1); x.close(); return
+        }
+        if (path.stripSuffix("/") == "/lake" && query.contains("list-type=2")) {
+          listCalls.incrementAndGet()
+          val params = query.split("&").map(_.split("=", 2))
+            .map(kv => kv(0) -> java.net.URLDecoder
+              .decode(if (kv.length > 1) kv(1) else "", "UTF-8")).toMap
+          val prefix = params.getOrElse("prefix", "")
+          val all = java.nio.file.Files.list(root).iterator()
+          val keys = scala.jdk.CollectionConverters
+            .IteratorHasAsScala(all).asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+            .filter(_._1.startsWith(prefix)).toSeq.sortBy(_._1)
+          val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
+          val page = keys.slice(from, from + 2) // tiny pages: force paging
+          val truncated = from + 2 < keys.size
+          val xml =
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<ListBucketResult>
+               |<IsTruncated>$truncated</IsTruncated>
+               |${if (truncated) s"<NextContinuationToken>${from + 2}</NextContinuationToken>" else ""}
+               |${page.map { case (k, sz) =>
+                   s"<Contents><Key>${xmlEscape(k)}</Key><Size>$sz</Size></Contents>"
+                 }.mkString("\n")}
+               |</ListBucketResult>""".stripMargin.getBytes("UTF-8")
+          x.getResponseHeaders.add("Content-Type", "application/xml")
+          x.sendResponseHeaders(200, xml.length)
+          x.getResponseBody.write(xml)
+          x.close(); return
+        }
+        val key = path.stripPrefix("/lake/")
+        val p = root.resolve(java.net.URLDecoder.decode(key, "UTF-8"))
+        if (!java.nio.file.Files.isRegularFile(p)) {
+          x.sendResponseHeaders(404, -1); x.close(); return
+        }
+        if (x.getRequestMethod == "HEAD") {
+          x.getResponseHeaders.add("Content-Length",
+            java.nio.file.Files.size(p).toString)
+          x.sendResponseHeaders(200, -1)
+          x.close(); return
+        }
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        Option(x.getRequestHeaders.getFirst("Range")) match {
+          case Some(r) =>
+            rangedGets.incrementAndGet()
+            val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+            val from = a.toInt
+            val to = if (b.isEmpty) bytes.length - 1 else b.toInt
+            val slice = bytes.slice(from, to + 1)
+            x.getResponseHeaders.add("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            x.sendResponseHeaders(206, slice.length)
+            x.getResponseBody.write(slice)
+          case None =>
+            x.sendResponseHeaders(200, bytes.length)
+            x.getResponseBody.write(bytes)
+        }
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      LakeReader.s3MinimalFs(spark, s"http://127.0.0.1:$port")
+      // object read: s3a scan == local scan, row for row
+      val remote = spark.read.parquet("s3a://lake/nation.parquet")
+        .collect().map(_.toSeq).toSet
+      val local = spark.read
+        .parquet("/root/testdata/sf0.001/nation.parquet")
+        .collect().map(_.toSeq).toSet
+      assert(remote === local && remote.nonEmpty)
+      assert(rangedGets.get() > 0, "parquet scan did not use ranged GETs")
+      // bucket LISTING drives a glob: every *.parquet object is discovered
+      // through paginated ListObjectsV2 and unioned by name
+      listCalls.set(0)
+      val fs = new org.apache.hadoop.fs.Path("s3a://lake/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val listed = fs.listStatus(new org.apache.hadoop.fs.Path("s3a://lake/"))
+        .map(_.getPath.getName).toSet
+      assert(listed.contains("nation.parquet") &&
+        listed.contains("lineitem.parquet"))
+      assert(listCalls.get() >= 2, "ListObjectsV2 pagination was not exercised")
+      // and a glob over the listing scans correctly
+      val regions = spark.read.parquet("s3a://lake/region.parquet")
+      assert(regions.count() === 5L)
+    } finally server.stop(0)
+  }
 }
