@@ -1,0 +1,171 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Executes the reference's sqlmesh YAML model tests UNMODIFIED against the
+  * Spark model catalog (the yaml files under `/root/reference/sqlmesh/
+  * tests/`) — so non-Scala users keep authoring fixtures in the same YAML
+  * dialect.
+  *
+  * Semantics (sqlmesh `model test`): each file holds one test — typed
+  * input rows per upstream model, render variables, and the expected
+  * output rows of the model's QUERY (not its materialization). The runner
+  * registers each input as a temp view under its unqualified name, renders
+  * the target model's SQL with the vars, executes it, and compares rows as
+  * unordered multisets projected onto the expected columns.
+  *
+  * Values normalize before comparison (YAML has no engine types): dates →
+  * ISO strings on both sides, integrals → Long, floats → Double, lists →
+  * element-normalized Lists. Declared input types map VARCHAR/DATE/BIGINT/
+  * DOUBLE and their `[]` list forms — the full vocabulary of the reference
+  * fixtures.
+  */
+object YamlFixtureRunner {
+
+  final case class FixtureResult(test: String, model: String, pass: Boolean,
+      problems: Seq[String])
+
+  def runFile(spark: SparkSession, models: Seq[Model],
+      yamlPath: String): FixtureResult = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val doc = yaml.load[java.util.Map[String, Object]](
+      java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath)))
+    val (testName, bodyAny) = doc.asScala.head
+    val body = asMap(bodyAny)
+    val modelFq = body.get("model").toString
+    val modelName = modelFq.split("\\.").last
+    val model = models.find(_.name == modelName).getOrElse(
+      return FixtureResult(testName, modelFq, pass = false,
+        Seq(s"model $modelName not in catalog")))
+    val sql = model.sql.getOrElse(
+      return FixtureResult(testName, modelFq, pass = false,
+        Seq(s"model $modelName is not SQL-backed")))
+
+    // inputs: one temp view per upstream, typed per the declared columns
+    asMap(body.get("inputs")).asScala.foreach { case (fqName, spec) =>
+      val viewName = fqName.split("\\.").last
+      val m = asMap(spec)
+      val colTypes = asMap(m.get("columns")).asScala.toSeq
+        .map { case (c, t) => c -> sqlType(t.toString) }
+      val schema = StructType(colTypes.map { case (c, t) =>
+        StructField(c, t, nullable = true) })
+      val rows = Option(m.get("rows")).map(asList).getOrElse(Nil).map { r =>
+        val rm = asMap(r)
+        Row.fromSeq(colTypes.map { case (c, t) =>
+          toSpark(rm.get(c), t) })
+      }
+      spark.createDataFrame(rows.asJava, schema).createOrReplaceTempView(viewName)
+    }
+
+    val vars = Option(body.get("vars")).map(asMap(_).asScala.toMap
+      .map { case (k, v) => k -> normalize(v).toString }).getOrElse(Map.empty)
+    val cfg = EngineConfig("/none", "/none", "/none", vars)
+    val out = spark.sql(Model.render(sql, cfg))
+
+    val expected = Option(asMap(asMap(body.get("outputs")).get("query"))
+      .get("rows")).map(asList).getOrElse(Nil).map(r => asMap(r).asScala.toMap)
+    FixtureResult(testName, modelFq, problems(out, expected).isEmpty,
+      problems(out, expected))
+  }
+
+  /** Unordered multiset compare of actual rows vs expected maps, projected
+    * onto the expected columns. */
+  private def problems(out: DataFrame,
+      expected: Seq[Map[String, Object]]): Seq[String] = {
+    if (expected.isEmpty) return Seq("fixture declares no expected rows")
+    val cols = expected.head.keys.toSeq.sorted
+    val missing = cols.filterNot(out.columns.contains)
+    if (missing.nonEmpty)
+      return Seq(s"output lacks expected columns: ${missing.mkString(", ")}")
+    val actual = out.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSeq
+      .map(r => cols.zipWithIndex.map { case (c, i) => c -> normalize(r.get(i)) }.toMap)
+    val want = expected.map(m => cols.map(c => c -> normalize(m.getOrElse(c, null))).toMap)
+    val extraRows = diff(actual, want)
+    val missingRows = diff(want, actual)
+    (if (actual.size != want.size)
+      Seq(s"row count ${actual.size} != expected ${want.size}") else Nil) ++
+      extraRows.take(3).map(r => s"unexpected row: $r") ++
+      missingRows.take(3).map(r => s"missing row: $r")
+  }
+
+  private def diff(a: Seq[Map[String, Any]], b: Seq[Map[String, Any]]) = {
+    val counts = scala.collection.mutable.Map.empty[Map[String, Any], Int]
+    b.foreach(m => counts(m) = counts.getOrElse(m, 0) + 1)
+    a.filter { m =>
+      val c = counts.getOrElse(m, 0)
+      if (c > 0) { counts(m) = c - 1; false } else true
+    }
+  }
+
+  private def asMap(o: Any): java.util.Map[String, Object] = o match {
+    case m: java.util.Map[_, _] => m.asInstanceOf[java.util.Map[String, Object]]
+    case null => java.util.Collections.emptyMap()
+    case other => throw new IllegalArgumentException(s"expected map, got $other")
+  }
+  private def asList(o: Any): Seq[Object] = o match {
+    case l: java.util.List[_] => l.asInstanceOf[java.util.List[Object]].asScala.toSeq
+    case null => Nil
+    case other => throw new IllegalArgumentException(s"expected list, got $other")
+  }
+
+  /** The reference fixtures' type vocabulary. */
+  private def sqlType(t: String): DataType = t.trim.toUpperCase match {
+    case l if l.endsWith("[]") => ArrayType(sqlType(l.dropRight(2)))
+    case "VARCHAR" => StringType
+    case "DATE" => DateType
+    case "BIGINT" => LongType
+    case "DOUBLE" => DoubleType
+    case other => throw new IllegalArgumentException(s"unmapped YAML type $other")
+  }
+
+  /** YAML value → Spark row value of the declared type. */
+  private def toSpark(v: Any, t: DataType): Any = (v, t) match {
+    case (null, _) => null
+    case (d: java.util.Date, DateType) =>
+      new java.sql.Date(d.getTime)
+    case (s: String, DateType) => java.sql.Date.valueOf(s)
+    case (n: Number, LongType) => n.longValue()
+    case (n: Number, DoubleType) => n.doubleValue()
+    case (s: String, StringType) => s
+    case (v2, StringType) => v2.toString
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.toSeq.map(toSpark(_, et))
+    case (other, tt) =>
+      throw new IllegalArgumentException(s"cannot map $other to $tt")
+  }
+
+  private val TsFormat =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+  private val TsPattern =
+    """\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?Z?""".r
+
+  /** Engine-independent canonical form for comparison. */
+  private def normalize(v: Any): Any = v match {
+    case null => null
+    case d: java.sql.Date => d.toString
+    // Timestamp BEFORE util.Date: java.sql.Timestamp IS-A java.util.Date,
+    // and the date branch would truncate the time part
+    case t: java.sql.Timestamp =>
+      t.toLocalDateTime.format(TsFormat)
+    case d: java.util.Date => // snakeyaml parses bare dates to util.Date
+      new java.sql.Date(d.getTime).toString
+    case s: String if TsPattern.matches(s) =>
+      // canonicalize textual timestamps ("…00:00:00.0", "…T…Z") so string
+      // fixtures compare equal to engine timestamps
+      java.time.LocalDateTime.parse(
+        s.stripSuffix("Z").replace(' ', 'T')).format(TsFormat)
+    case s: String => s
+    case b: Boolean => b
+    case n: java.lang.Float => n.toDouble
+    case n: java.lang.Double => n.toDouble
+    case n: java.math.BigDecimal => n.doubleValue()
+    case n: Number => n.longValue()
+    case l: java.util.List[_] => l.asScala.toList.map(normalize)
+    case s: scala.collection.Seq[_] => s.toList.map(normalize)
+    case other => other.toString
+  }
+}
