@@ -120,6 +120,7 @@ final class DagRunner(spark: SparkSession, cfg: EngineConfig,
         val w = src.write.mode("overwrite")
           .option("compression", e.compression)
           .option("maxRecordsPerFile", e.maxRecordsPerFile)
+          .option("parquet.block.row.count.limit", e.rowGroupRows)
         val w2 = if (e.partitionBy.nonEmpty) w.partitionBy(e.partitionBy: _*) else w
         w2.format(e.format).save(s"${cfg.exportDir}/${e.relPath}")
       }

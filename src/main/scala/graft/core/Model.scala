@@ -38,7 +38,10 @@ final case class ExportSpec(
     format: String = "parquet",
     compression: String = "zstd",
     partitionBy: Seq[String] = Nil,
-    maxRecordsPerFile: Long = 1000000L)
+    maxRecordsPerFile: Long = 1000000L,
+    // ROW_GROUP_SIZE 100000 (`EXPORT_DEPLOYMENT.md:46`): row-group
+    // granularity is what remote range readers prune on
+    rowGroupRows: Long = 100000L)
 
 /** A warehouse model: name + layer + derivation + dependencies + audits
   * (≈ one sqlmesh model file / one `models/<layer>/<name>.sql` +
