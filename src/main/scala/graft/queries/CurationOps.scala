@@ -31,7 +31,9 @@ object CurationOps {
     clusterCache.clear()
   }
 
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // bounded like the other shared-stage caches (see DedupOps.cachedStage)
+    if (clusterCache.size > 64) clearCache()
     clusterCache.computeIfAbsent((s, dir), { case (sess, d) =>
       val pairs = DedupOps.queries("q33_minhash_lsh_pairs")(sess, d)
         .filter(col("est_jaccard") >= 0.5)
@@ -42,6 +44,7 @@ object CurationOps {
           (col("id") === col("component")).as("is_keeper"))
         .localCheckpoint(eager = false)
     })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -48,9 +48,14 @@ object DedupOps {
   }
 
   private def cachedStage(s: SparkSession, dir: String, stage: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = {
+    // bounded like SimilarityOps' centroid cache: crossing the limit drops
+    // everything (unpersisting the checkpoint blocks) rather than pinning
+    // artifacts for the process lifetime in long-running multi-dir use
+    if (stageCache.size > 64) clearCache()
     stageCache.computeIfAbsent((s, dir, stage),
       _ => build.localCheckpoint(eager = false))
+  }
 
   /** THE materialized shingle artifact: one row per doc carrying BOTH the
     * distinct shingle-set array (exact-rescoring side of q31/q60) and the
