@@ -46,6 +46,25 @@ object CurationOps {
     })
   }
 
+  /** Dedup clustering over the TUNED pair generator
+    * ([[DedupOps.lshPairsTuned]]) — the full chain (signatures → banded
+    * candidates → exact rescoring → connected components → keepers) with
+    * the scale geometry. At 30× the sf0.1 corpus the fixed q33 geometry
+    * feeds the clustering 3.5M mostly-false candidate edges where this
+    * path feeds it 17.6k true pairs (SCALE.md). With (16, 4, no cap) it
+    * degenerates to exactly q47's pipeline at minJaccard 0.5. */
+  def dedupClustersTuned(s: SparkSession, dir: String,
+      numHashes: Int = 64, bandRows: Int = 8, maxBucket: Long = 64L,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = DedupOps.lshPairsTuned(s, dir, numHashes, bandRows,
+      maxBucket, minJaccard)
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    ConnectedComponents.hashMin(
+        pairs.select(col("doc_a"), col("doc_b")), docs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_keeper"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Dedup CLUSTERS: near-dup pairs (the q33 MinHash-LSH generator at

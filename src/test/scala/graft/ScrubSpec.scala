@@ -87,6 +87,30 @@ class ScrubSpec extends AnyFunSuite {
     j64.keys.filter(j16.contains).foreach(k => assert(j64(k) === j16(k)))
   }
 
+  test("dedupClustersTuned at (16, 4, no cap) = CC over q31's exact pairs") {
+    // q47 thresholds the ESTIMATED jaccard (its oracle mirrors that); the
+    // tuned path rescores exactly — so its degenerate-geometry twin is
+    // connected components over q31's exact pairs at the same threshold.
+    // (Jaccards are rationals with denominators ≤ ~200 shingles, so the
+    // rounded-to-4dp filter cannot straddle the 0.5 boundary.)
+    val dir = "/root/testdata/sf0.01"
+    val pairs = DedupOps.queries("q31_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val docs = graft.sources.Tables(spark, dir, "documents").select("doc_id")
+    val want = graft.operators.ConnectedComponents.hashMin(pairs, docs)
+      .orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val got = graft.queries.CurationOps.dedupClustersTuned(spark, dir,
+        numHashes = 16, bandRows = 4, maxBucket = 0L, minJaccard = 0.5)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === want)
+    // keepers are exactly the cluster minima
+    val keepers = graft.queries.CurationOps.dedupClustersTuned(spark, dir,
+        numHashes = 16, bandRows = 4, maxBucket = 0L, minJaccard = 0.5)
+      .collect().toSeq
+    keepers.foreach(r => assert(r.getBoolean(2) === (r.getLong(0) == r.getLong(1))))
+  }
+
   test("q75: injected PII is found and redacted; md5 matches the scrub") {
     val dir = writeDocs(Seq(ScrubDoc(7L, "hello world", "en", "s", 11)))
     val row = TextOps.queries("q75_pii_redact")(spark, dir).collect().head
