@@ -362,14 +362,7 @@ object DedupOps {
           collect_set(col("sh")).as("shs"),
           (0 until numHashes).map(i => min(perm(h, i)).as(s"mh$i")): _*)
       }
-    val nBands = numHashes / bandRows
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until bandRows).map(r =>
-            col(s"mh${b * bandRows + r}")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedFor(sigs, numHashes, bandRows)
     val within = if (maxBucket > 0L) {
       // bucket sizes shuffle on the same (band, key) the pair join uses —
       // the exchange is shared, so the cap costs one co-partitioned agg
@@ -397,6 +390,108 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** (doc_id, band, key) banding of an (doc_id, mh0..mh{n-1}, …) signature
+    * frame under an arbitrary geometry — shared by [[lshPairsTuned]] and
+    * [[lshPairsIncremental]]. */
+  private def bandedFor(sigs: DataFrame, numHashes: Int,
+      bandRows: Int): DataFrame = {
+    val nBands = numHashes / bandRows
+    sigs.select(col("doc_id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until bandRows).map(r =>
+            col(s"mh${b * bandRows + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Per-doc shingle artifact (shs + mh0..mh{n-1}) for an EXPLICIT
+    * (doc_id, text) frame — the batch twin of the cached corpus artifact. */
+  private def docShinglesOf(d: DataFrame, numHashes: Int): DataFrame = {
+    val h = stableHash(col("sh"))
+    shingleSet(d).groupBy("doc_id").agg(
+      collect_set(col("sh")).as("shs"),
+      (0 until numHashes).map(i => min(perm(h, i)).as(s"mh$i")): _*)
+  }
+
+  /** INCREMENTAL near-dup pair generation (the text mirror of
+    * [[graft.queries.SimilarityOps.assignIncremental]], feeding
+    * [[graft.operators.ConnectedComponents.incremental]]): band a NEW
+    * batch of documents against the persisted corpus signature artifact
+    * and emit exactly the near-dup pairs that involve ≥1 new doc — cost
+    * ∝ |batch| (+ one artifact read), never a corpus re-scan.
+    *
+    * Union semantics (proved in ScrubSpec): with the same geometry and no
+    * bucket cap, `pairs(corpus) ⊎ lshPairsIncremental(corpus, batch)` is
+    * exactly `pairs(corpus ∪ batch)` — per-doc signatures are independent,
+    * so ingesting in batches loses nothing. (With a bucket cap the cap is
+    * evaluated against the UNION's bucket populations, matching what a
+    * full recompute would see.)
+    *
+    * @param newDocs (doc_id, text) batch; ids must not collide with the
+    *                corpus */
+  def lshPairsIncremental(s: SparkSession, dir: String, newDocs: DataFrame,
+      numHashes: Int = 64, bandRows: Int = 8,
+      maxBucket: Long = 0L, minJaccard: Double = 0.2): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes $numHashes must be a multiple of bandRows $bandRows")
+    val corpusSigs =
+      if (numHashes == NumHashes) docShinglesCached(s, dir)
+      else cachedStage(s, dir, s"docShingles$numHashes") {
+        docShinglesOf(docs(s, dir), numHashes)
+      }
+    val batchSigs = docShinglesOf(
+      newDocs.select(col("doc_id"), col("text")), numHashes)
+      .localCheckpoint(eager = false)
+    val newBanded = bandedFor(batchSigs, numHashes, bandRows)
+    val allBanded = bandedFor(corpusSigs, numHashes, bandRows)
+      .union(newBanded)
+    val cappedAll = if (maxBucket > 0L) {
+      val sizes = allBanded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= maxBucket)
+        .select("band", "key")
+      allBanded.join(sizes, Seq("band", "key"))
+    } else allBanded
+    // one side is ALWAYS the batch: the join streams the corpus banding
+    // past the batch's buckets; orientation normalizes to (lo, hi) so a
+    // new-new pair isn't emitted twice
+    val cand = bandedFilter(cappedAll, newBanded, maxBucket)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = corpusSigs.select(col("doc_id"), col("shs"))
+      .union(batchSigs.select(col("doc_id"), col("shs")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Candidate join for the incremental path: batch buckets × all
+    * bucket members, both orientations so the (lo, hi) normalization
+    * upstream sees every pair once. */
+  private def bandedFilter(all: DataFrame, batch: DataFrame,
+      maxBucket: Long): DataFrame = {
+    val cappedBatch = if (maxBucket > 0L)
+      batch.join(all.select("band", "key").distinct(), Seq("band", "key"))
+    else batch
+    val l = cappedBatch.select(col("band"), col("key"),
+      col("doc_id").as("doc_n"))
+    val r = all.select(col("band"), col("key"), col("doc_id").as("doc_o"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
   }
 
   /** doc_id, sig (16-long array), band, key — the MinHash-LSH banding

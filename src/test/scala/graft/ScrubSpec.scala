@@ -111,6 +111,29 @@ class ScrubSpec extends AnyFunSuite {
     keepers.foreach(r => assert(r.getBoolean(2) === (r.getLong(0) == r.getLong(1))))
   }
 
+  test("lshPairsIncremental: batch pairs ⊎ corpus pairs = full recompute") {
+    val fullDir = "/root/testdata/sf0.01"
+    val all = graft.sources.Tables(spark, fullDir, "documents")
+    // split the corpus: ids < 400 are the standing corpus, the rest arrive
+    // as an ingest batch
+    val oldDir = java.nio.file.Files.createTempDirectory("inc_lsh").toString
+    all.filter(col("doc_id") < 400)
+      .write.mode("overwrite").parquet(s"$oldDir/documents.parquet")
+    val batch = all.filter(col("doc_id") >= 400).select("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val full = pairSet(DedupOps.lshPairsTuned(spark, fullDir, 16, 4))
+    val old = pairSet(DedupOps.lshPairsTuned(spark, oldDir, 16, 4))
+    val inc = pairSet(DedupOps.lshPairsIncremental(spark, oldDir, batch, 16, 4))
+    assert(old.intersect(inc).isEmpty, "incremental re-emitted corpus pairs")
+    assert(old.union(inc) === full,
+      s"union mismatch: missing ${(full -- old -- inc).take(3)}, " +
+        s"extra ${(old ++ inc -- full).take(3)}")
+    // every incremental pair involves at least one batch doc
+    assert(inc.forall { case (a, b, _) => a >= 400 || b >= 400 })
+  }
+
   test("q75: injected PII is found and redacted; md5 matches the scrub") {
     val dir = writeDocs(Seq(ScrubDoc(7L, "hello world", "en", "s", 11)))
     val row = TextOps.queries("q75_pii_redact")(spark, dir).collect().head
