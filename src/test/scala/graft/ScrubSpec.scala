@@ -134,6 +134,40 @@ class ScrubSpec extends AnyFunSuite {
     assert(inc.forall { case (a, b, _) => a >= 400 || b >= 400 })
   }
 
+  test("end-to-end batch ingest: incremental pairs + incremental CC = full recompute") {
+    import graft.operators.ConnectedComponents
+    val fullDir = "/root/testdata/sf0.01"
+    val all = graft.sources.Tables(spark, fullDir, "documents")
+    val oldDir = java.nio.file.Files.createTempDirectory("inc_e2e").toString
+    all.filter(col("doc_id") < 400)
+      .write.mode("overwrite").parquet(s"$oldDir/documents.parquet")
+    val batch = all.filter(col("doc_id") >= 400).select("doc_id", "text")
+    val geometry = (16, 4, 0L, 0.5)
+    def clusters(pairs: org.apache.spark.sql.DataFrame,
+        docs: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.hashMin(pairs.select("doc_a", "doc_b"), docs)
+    // standing corpus state: cluster assignment over the old docs
+    val oldAssign = clusters(
+      DedupOps.lshPairsTuned(spark, oldDir, geometry._1, geometry._2,
+        geometry._3, geometry._4),
+      all.filter(col("doc_id") < 400).select("doc_id"))
+    // ingest: batch pairs vs the signature store, folded into the prior
+    // assignment — NO old-old pair regeneration, no corpus re-scan
+    val incPairs = DedupOps.lshPairsIncremental(spark, oldDir, batch,
+      geometry._1, geometry._2, geometry._3, geometry._4)
+    val incremental = ConnectedComponents.incremental(
+      oldAssign, incPairs.select("doc_a", "doc_b"),
+      all.select("doc_id")).orderBy("id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    // ground truth: full recompute over the union corpus
+    val full = clusters(
+      DedupOps.lshPairsTuned(spark, fullDir, geometry._1, geometry._2,
+        geometry._3, geometry._4),
+      all.select("doc_id")).orderBy("id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(incremental === full)
+  }
+
   test("q75: injected PII is found and redacted; md5 matches the scrub") {
     val dir = writeDocs(Seq(ScrubDoc(7L, "hello world", "en", "s", 11)))
     val row = TextOps.queries("q75_pii_redact")(spark, dir).collect().head
