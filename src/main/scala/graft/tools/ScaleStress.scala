@@ -150,21 +150,31 @@ object ScaleStress {
 
   /** One measured pass over the suite at `dir` (caches cleared first, so the
     * shared-artifact payers are billed exactly once, like a real pipeline
-    * run). Returns per-query wall seconds + shuffle bytes + output rows. */
-  def runSuite(spark: SparkSession, dir: String,
-      meter: ShuffleMeter): Seq[QStat] = {
+    * run). Timing uses the noop sink — the Bench methodology: count() would
+    * let Catalyst prune output expressions and time bare row counts.
+    * Returns per-query wall seconds + shuffle bytes; output rows (from
+    * `rows`, counted untimed once per scale) ride along for reporting. */
+  def runSuite(spark: SparkSession, dir: String, meter: ShuffleMeter,
+      rows: Map[String, Long] = Map.empty): Seq[QStat] = {
     clearCaches()
     SuiteQueries.map { name =>
       meter.settle()
       val (r0, w0, _) = meter.snapshot()
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, dir)
-      val outRows = df.count()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       meter.settle()
       val (r1, w1, _) = meter.snapshot()
-      QStat(name, sec, r1 - r0, w1 - w0, outRows)
+      QStat(name, sec, r1 - r0, w1 - w0, rows.getOrElse(name, -1L))
     }
+  }
+
+  /** Untimed output-row counts (deterministic per scale). */
+  def countRows(spark: SparkSession, dir: String): Map[String, Long] = {
+    clearCaches()
+    SuiteQueries.map(n =>
+      n -> graft.SparkEntry.queries(n)(spark, dir).count()).toMap
   }
 
   /** The tuned scale-path LSH (64 hashes, 8-row bands, bucket cap) vs the
@@ -246,7 +256,9 @@ object ScaleStress {
       // timescale (PERF.md protocol); a single pass can misattribute a
       // stall to a query. Shuffle bytes / rows are deterministic — taken
       // from the last pass; seconds are the per-query min.
-      val passes = Seq(runSuite(spark, dir, meter), runSuite(spark, dir, meter))
+      val rows = countRows(spark, dir)
+      val passes = Seq(runSuite(spark, dir, meter, rows),
+        runSuite(spark, dir, meter, rows))
       val stats = passes.last.zip(passes.head).map { case (a, b) =>
         a.copy(sec = math.min(a.sec, b.sec)) }
       val (ccSec, _) = Seq(ccForcedDistributed(spark, dir),

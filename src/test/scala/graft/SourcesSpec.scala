@@ -281,12 +281,28 @@ class SourcesSpec extends AnyFunSuite {
   test("S5: s3a:// parquet scan against an in-process S3-compatible endpoint") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import java.util.concurrent.atomic.AtomicLong
-    val root = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    // bucket root = a temp dir seeded with sf0.001 objects PLUS a
+    // hive-partitioned dataset, so nested keys exercise the dir-probe and
+    // CommonPrefixes paths
+    val root = java.nio.file.Files.createTempDirectory("s3mock")
+    Seq("nation", "lineitem", "region").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        root.resolve(s"$t.parquet"))
+    }
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.lit(3)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(root.resolve("orders_part.parquet").toString)
     val listCalls = new AtomicLong(0)
     val rangedGets = new AtomicLong(0)
-    // minimal S3 REST endpoint over the local testdata dir: bucket `lake`,
-    // objects = the sf0.001 files. Implements HEAD object, ranged GET
-    // object, and ListObjectsV2 (paginated at 2 keys per page so the
+    // minimal S3 REST endpoint over the seeded dir: bucket `lake`.
+    // Implements HEAD object, ranged GET object, and ListObjectsV2 with
+    // REAL delimiter semantics (Contents up to the delimiter,
+    // CommonPrefixes below it; paginated at 2 keys per page so the
     // continuation-token loop is actually exercised).
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -306,15 +322,26 @@ class SourcesSpec extends AnyFunSuite {
             .map(kv => kv(0) -> java.net.URLDecoder
               .decode(if (kv.length > 1) kv(1) else "", "UTF-8")).toMap
           val prefix = params.getOrElse("prefix", "")
-          val all = java.nio.file.Files.list(root).iterator()
-          val keys = scala.jdk.CollectionConverters
-            .IteratorHasAsScala(all).asScala
+          val delim = params.get("delimiter")
+          val walk = java.nio.file.Files.walk(root).iterator()
+          val allKeys = scala.jdk.CollectionConverters
+            .IteratorHasAsScala(walk).asScala
             .filter(java.nio.file.Files.isRegularFile(_))
-            .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+            .map(p => root.relativize(p).toString ->
+              java.nio.file.Files.size(p))
             .filter(_._1.startsWith(prefix)).toSeq.sortBy(_._1)
+          // S3 delimiter semantics: a key with a delimiter after the
+          // prefix rolls up into a CommonPrefix
+          val (direct, below) = delim match {
+            case Some(d) => allKeys.partition(!_._1.drop(prefix.length).contains(d))
+            case None => (allKeys, Nil)
+          }
+          val prefixes = delim.map(d => below.map { case (k, _) =>
+            prefix + k.drop(prefix.length).takeWhile(_ != d.head) + d
+          }.distinct.sorted).getOrElse(Nil)
           val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
-          val page = keys.slice(from, from + 2) // tiny pages: force paging
-          val truncated = from + 2 < keys.size
+          val page = direct.slice(from, from + 2) // tiny pages: force paging
+          val truncated = from + 2 < direct.size
           val xml =
             s"""<?xml version="1.0" encoding="UTF-8"?>
                |<ListBucketResult>
@@ -323,6 +350,9 @@ class SourcesSpec extends AnyFunSuite {
                |${page.map { case (k, sz) =>
                    s"<Contents><Key>${xmlEscape(k)}</Key><Size>$sz</Size></Contents>"
                  }.mkString("\n")}
+               |${(if (from == 0) prefixes else Nil).map(p =>
+                   s"<CommonPrefixes><Prefix>${xmlEscape(p)}</Prefix></CommonPrefixes>"
+                 ).mkString("\n")}
                |</ListBucketResult>""".stripMargin.getBytes("UTF-8")
           x.getResponseHeaders.add("Content-Type", "application/xml")
           x.sendResponseHeaders(200, xml.length)
@@ -384,6 +414,16 @@ class SourcesSpec extends AnyFunSuite {
       // and a glob over the listing scans correctly
       val regions = spark.read.parquet("s3a://lake/region.parquet")
       assert(regions.count() === 5L)
+      // hive-partitioned dataset: nested keys drive the dir-probe
+      // (HEAD 404 → prefix probe) and CommonPrefixes listing; partition
+      // discovery and pruning work over the remote listing
+      val part = spark.read.parquet("s3a://lake/orders_part.parquet")
+      val localPart = spark.read
+        .parquet(root.resolve("orders_part.parquet").toString)
+      assert(part.count() === localPart.count())
+      assert(part.select("bucket").distinct().count() === 3L)
+      assert(part.filter(col("bucket") === 1).count() ===
+        localPart.filter(col("bucket") === 1).count())
     } finally server.stop(0)
   }
 }
