@@ -407,8 +407,14 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Per-doc shingle artifact (shs + mh0..mh{n-1}) for an EXPLICIT
-    * (doc_id, text) frame — the batch twin of the cached corpus artifact. */
+  /** Per-doc shingle artifact (doc_id, shs, mh0..mh{n-1}) for an EXPLICIT
+    * (doc_id, text) frame — the SIGNATURE STORE row format. At corpus
+    * build this is written once as a parquet table; each ingest batch
+    * appends its own rows ([[lshPairsIncrementalAgainst]]), so near-dup
+    * detection never re-tokenizes the standing corpus. */
+  def signaturesOf(d: DataFrame, numHashes: Int = 64): DataFrame =
+    docShinglesOf(d.select(col("doc_id"), col("text")), numHashes)
+
   private def docShinglesOf(d: DataFrame, numHashes: Int): DataFrame = {
     val h = stableHash(col("sh"))
     shingleSet(d).groupBy("doc_id").agg(
@@ -435,13 +441,28 @@ object DedupOps {
   def lshPairsIncremental(s: SparkSession, dir: String, newDocs: DataFrame,
       numHashes: Int = 64, bandRows: Int = 8,
       maxBucket: Long = 0L, minJaccard: Double = 0.2): DataFrame = {
-    require(numHashes % bandRows == 0,
-      s"numHashes $numHashes must be a multiple of bandRows $bandRows")
     val corpusSigs =
       if (numHashes == NumHashes) docShinglesCached(s, dir)
       else cachedStage(s, dir, s"docShingles$numHashes") {
         docShinglesOf(docs(s, dir), numHashes)
       }
+    lshPairsIncrementalAgainst(corpusSigs, newDocs, numHashes, bandRows,
+      maxBucket, minJaccard)
+  }
+
+  /** [[lshPairsIncremental]] against an explicit PERSISTED signature store
+    * (rows in the [[signaturesOf]] format — e.g. `spark.read.parquet` of
+    * the store table). The 100 TB ingest loop: read store → pair the batch
+    * → append `signaturesOf(batch)` to the store → fold the pairs into the
+    * cluster assignment via `ConnectedComponents.incremental`. Multi-batch
+    * convergence (store grows batch by batch, pairs union to the full
+    * recompute) is proved in ScrubSpec. */
+  def lshPairsIncrementalAgainst(store: DataFrame, newDocs: DataFrame,
+      numHashes: Int = 64, bandRows: Int = 8,
+      maxBucket: Long = 0L, minJaccard: Double = 0.2): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes $numHashes must be a multiple of bandRows $bandRows")
+    val corpusSigs = store
     val batchSigs = docShinglesOf(
       newDocs.select(col("doc_id"), col("text")), numHashes)
       .localCheckpoint(eager = false)

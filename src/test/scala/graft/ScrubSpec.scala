@@ -168,6 +168,41 @@ class ScrubSpec extends AnyFunSuite {
     assert(incremental === full)
   }
 
+  test("persisted signature store: multi-batch ingest converges to full recompute") {
+    val fullDir = "/root/testdata/sf0.01"
+    val all = graft.sources.Tables(spark, fullDir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("sigstore").toString +
+      "/signatures.parquet"
+    val (nh, br) = (16, 4)
+    // corpus build: docs < 300 write the store once
+    DedupOps.signaturesOf(all.filter(col("doc_id") < 300), nh)
+      .write.mode("overwrite").parquet(store)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    // two ingest batches: each pairs against the CURRENT store, then
+    // appends its own signatures — the standing corpus is never re-read
+    // as text
+    var pairs = Set.empty[(Long, Long, Double)]
+    Seq((300L, 400L), (400L, 600L)).foreach { case (lo, hi) =>
+      val batch = all.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+      pairs ++= pairSet(DedupOps.lshPairsIncrementalAgainst(
+        spark.read.parquet(store), batch, nh, br))
+      DedupOps.signaturesOf(batch, nh).write.mode("append").parquet(store)
+    }
+    // seed pairs among the original corpus + the two batch deltas must be
+    // exactly the full recompute over everything
+    val oldDir = java.nio.file.Files.createTempDirectory("sigstore_old").toString
+    all.filter(col("doc_id") < 300)
+      .write.mode("overwrite").parquet(s"$oldDir/documents.parquet")
+    val seed = pairSet(DedupOps.lshPairsTuned(spark, oldDir, nh, br))
+    val full = pairSet(DedupOps.lshPairsTuned(spark, fullDir, nh, br))
+    assert(seed.intersect(pairs).isEmpty)
+    assert(seed.union(pairs) === full,
+      s"missing ${(full -- seed -- pairs).take(3)}, extra ${(seed ++ pairs -- full).take(3)}")
+  }
+
   test("q75: injected PII is found and redacted; md5 matches the scrub") {
     val dir = writeDocs(Seq(ScrubDoc(7L, "hello world", "en", "s", 11)))
     val row = TextOps.queries("q75_pii_redact")(spark, dir).collect().head
