@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.ConnectedComponents
+import graft.queries.DedupOps
+
+/** STREAMING dedup ingest — the round-6 incremental pieces composed under
+  * Structured Streaming's execution model. Documents land as files; each
+  * micro-batch:
+  *
+  *  1. pairs the batch against the PERSISTED signature store
+  *     ([[DedupOps.lshPairsIncrementalAgainst]] — the standing corpus is
+  *     never re-tokenized);
+  *  2. folds the new pairs into the persisted cluster assignment
+  *     ([[ConnectedComponents.incremental]] — old clusters enter as star
+  *     edges, cost ∝ batch);
+  *  3. appends the batch's signatures to the store.
+  *
+  * State lives entirely in two parquet tables (store + assignment), so the
+  * ingest is restartable from the checkpoint like every other foreachBatch
+  * sink here; per-batch work is proportional to the batch at any corpus
+  * size. Equivalence to a full batch recompute is proved in ScrubSpec
+  * (multi-batch store test) and end-to-end under streaming in
+  * EngineSpec.
+  */
+object DedupIngest {
+
+  /** Start an AvailableNow ingest over `inDir` (parquet doc files with
+    * `schema`), maintaining `storeDir` (signature store) and `assignDir`
+    * (doc_id → cluster assignment). `maxFilesPerTrigger` bounds batch size
+    * (1 = one file per micro-batch — deterministic batching for tests). */
+  def start(spark: SparkSession, inDir: String, schema: StructType,
+      storeDir: String, assignDir: String, checkpointDir: String,
+      numHashes: Int = 64, bandRows: Int = 8, maxBucket: Long = 0L,
+      minJaccard: Double = 0.5, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) ingestBatch(batch, storeDir, assignDir,
+          numHashes, bandRows, maxBucket, minJaccard)
+      }
+      .start()
+  }
+
+  /** One ingest step (also callable from a batch scheduler): pair `batch`
+    * against the current store, fold into the current assignment, append
+    * signatures. */
+  def ingestBatch(batch: DataFrame, storeDir: String, assignDir: String,
+      numHashes: Int, bandRows: Int, maxBucket: Long,
+      minJaccard: Double): Unit = {
+    val spark = batch.sparkSession
+    def tableOr(dir: String, empty: => DataFrame): DataFrame =
+      if (pathExists(spark, dir)) spark.read.parquet(dir) else empty
+    val batchDocs = batch.select(col("doc_id"), col("text"))
+    val batchSigs = DedupOps.signaturesOf(batchDocs, numHashes)
+    // empty-store bootstrap: the first batch pairs only against itself
+    val store = tableOr(storeDir, batchSigs.limit(0))
+    val pairs = DedupOps.lshPairsIncrementalAgainst(store, batchDocs,
+      numHashes, bandRows, maxBucket, minJaccard)
+    val oldAssign = tableOr(assignDir,
+      batchDocs.select(col("doc_id").as("id"),
+        col("doc_id").as("component")).limit(0))
+    val vertices = oldAssign.select(col("id"))
+      .union(batchDocs.select(col("doc_id"))).distinct()
+    // materialize BEFORE overwriting the table it reads from
+    val newAssign = ConnectedComponents.incremental(
+        oldAssign, pairs.select(col("doc_a"), col("doc_b")), vertices)
+      .localCheckpoint(eager = true)
+    newAssign.write.mode("overwrite").parquet(assignDir)
+    batchSigs.write.mode("append").parquet(storeDir)
+  }
+
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -50,6 +50,38 @@ class EngineSpec extends AnyFunSuite {
     assert(metaDef.length < meta.length)
   }
 
+  test("streaming dedup ingest equals the full batch re-clustering") {
+    import org.apache.spark.sql.functions.col
+    val all = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val in = Files.createTempDirectory("ingest_in").toString
+    val storeDir = Files.createTempDirectory("ingest_store").toString + "/sigs.parquet"
+    val assignDir = Files.createTempDirectory("ingest_assign").toString + "/assign.parquet"
+    val ckpt = Files.createTempDirectory("ingest_ck").toString
+    // three doc files land; maxFilesPerTrigger=1 forces three micro-batches
+    Seq((0L, 200L), (200L, 400L), (400L, 600L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        all.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.parquet(s"$in/batch_$i")
+    }
+    val (nh, br) = (16, 4)
+    val q = graft.streaming.DedupIngest.start(spark, s"$in/batch_*",
+      all.schema, storeDir, assignDir, ckpt,
+      numHashes = nh, bandRows = br, minJaccard = 0.5)
+    q.awaitTermination()
+    val got = spark.read.parquet(assignDir).orderBy("id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    // ground truth: one-shot clustering of the full corpus at the same
+    // geometry and threshold
+    val pairs = graft.queries.DedupOps
+      .lshPairsTuned(spark, "/root/testdata/sf0.01", nh, br,
+        maxBucket = 0L, minJaccard = 0.5)
+    val want = graft.operators.ConnectedComponents
+      .hashMin(pairs.select("doc_a", "doc_b"), all.select("doc_id"))
+      .orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === want)
+    assert(got.size === 500)
+  }
+
   test("availableNow file stream: windowed counts, incremental on restart") {
     val in = Files.createTempDirectory("graft_stream_in").toString
     val out = Files.createTempDirectory("graft_stream_out").toString
