@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning (the byte-pair-encoding tokenizer
+  * training step; Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units" — public algorithm): completes the
+  * tokenizer story next to q72 (vocabulary) and q59 (BPE-ish token
+  * estimates), which count but do not LEARN.
+  *
+  * Scale shape — the part that matters at 100 TB: the iterated frame is
+  * the WORD-FREQUENCY table (one row per distinct word + corpus count),
+  * never the corpus. The corpus is read exactly once to build that table
+  * (one hash aggregation, map-side combinable); each of the K merge
+  * iterations then costs one explode+groupBy over the vocab-bounded table
+  * (pair counts weighted by word frequency) plus a k=1 driver argmax, and
+  * one narrow map applying the merge to the symbol arrays. Lineage is
+  * truncated per iteration (lazy localCheckpoint) exactly like the
+  * ConnectedComponents loop — an iterative DataFrame chain otherwise
+  * re-plans an ever-deeper tree.
+  *
+  * Argmax ties break lexicographically on (left, right) so the learned
+  * merge sequence is deterministic under any partitioning.
+  *
+  * Per-word symbol merging is genuinely imperative per-row logic (a fold
+  * with a skip state), so it runs as a typed Dataset map over the
+  * vocab-bounded table — the documented last-resort tier, OFF the corpus
+  * path (the corpus-wide operators stay expression-only).
+  */
+/** Top-level so Spark can derive its encoder (codegen cannot reach a
+  * private nested case class). */
+final case class WordSyms(syms: Seq[String], freq: Long)
+
+object BpeTrainer {
+
+  /** One learned merge: adjacent symbol pair (left, right) → left+right. */
+  final case class Merge(left: String, right: String)
+
+  /** Learn `numMerges` merges from `docs(textCol)` (whitespace word
+    * segmentation, per-character initial symbols, `endMark` appended to
+    * each word's final symbol so merges cannot cross word boundaries). */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      endMark: String = "</w>"): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus read: word-frequency table, then per-char symbol arrays
+    var words: Dataset[WordSyms] = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        val chars = w.map(_.toString)
+        WordSyms(chars.init :+ (chars.last + endMark), f)
+      }
+      .localCheckpoint(eager = false)
+    val merges = Seq.newBuilder[Merge]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      // adjacent-pair counts weighted by word frequency: vocab-bounded
+      // explode + one map-side-combinable aggregation
+      val top = words.flatMap(ws =>
+          ws.syms.sliding(2).collect { case Seq(a, b) => (a, b, ws.freq) })
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        // deterministic argmax: max count, ties to the smallest (l, r)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(l, r)
+        words = words.map(ws => ws.copy(syms = applyMerge(ws.syms, l, r)))
+          .localCheckpoint(eager = false)
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Left-to-right single-merge application (the BPE contract: after a
+    * merge, the new symbol can immediately pair with the next input
+    * symbol, so `a a a` under merge (a,a) → `aa a`). */
+  private[graft] def applyMerge(syms: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one word with a learned merge list (merges applied in learned
+    * order — the standard greedy BPE encoder). Driver/test utility; bulk
+    * encoding composes this over a word-frequency table the same way
+    * training does. */
+  def encodeWord(word: String, merges: Seq[Merge],
+      endMark: String = "</w>"): Seq[String] = {
+    if (word.isEmpty) return Nil
+    val chars = word.map(_.toString)
+    var syms: Seq[String] = chars.init :+ (chars.last + endMark)
+    merges.foreach(m => syms = applyMerge(syms, m.left, m.right))
+    syms
+  }
+
+  /** Corpus-wide subword token counts under a learned merge list: one
+    * narrow pass over the word-frequency table (the corpus is NOT re-read
+    * per merge). */
+  def encodedLengths(docs: DataFrame, textCol: String,
+      merges: Seq[Merge], endMark: String = "</w>"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w, f, encodeWord(w, merges, endMark).length) }
+      .toDF("word", "freq", "n_subwords")
+  }
+}

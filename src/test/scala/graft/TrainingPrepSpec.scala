@@ -132,4 +132,68 @@ class TrainingPrepSpec extends AnyFunSuite {
       assert(r.getDouble(0) === r.getDouble(2))
     }
   }
+
+  /** In-memory reference BPE (same algorithm, same tie-break) the
+    * distributed trainer must reproduce exactly. */
+  private def referenceBpe(words: Map[String, Long], k: Int,
+      endMark: String = "</w>"): Seq[(String, String)] = {
+    var syms: Map[Seq[String], Long] = words.map { case (w, f) =>
+      val cs = w.map(_.toString)
+      (cs.init :+ (cs.last + endMark)) -> f
+    }
+    val out = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, f) =>
+        s.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += ((l, r))
+        syms = syms.groupMapReduce {
+          case (s, _) => graft.operators.BpeTrainer.applyMerge(s, l, r)
+        }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("BPE trainer reproduces the in-memory reference on a crafted corpus") {
+    import graft.operators.BpeTrainer
+    import spark.implicits._
+    // the classic subword-NMT shape: shared stems, distinct suffixes
+    val docs = Seq(
+      "low low low low low", "lower lower", "newest newest newest",
+      "newest newest newest", "widest widest widest").toDF("text")
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceBpe(words, 8)
+    val got = BpeTrainer.train(docs, "text", 8).map(m => (m.left, m.right))
+    assert(got === want)
+    // the famous first merges: 'est' assembles before anything rarer
+    assert(got.take(2).toSet.subsetOf(Set(("e", "s"), ("s", "t</w>"),
+      ("es", "t</w>"), ("e", "st</w>"))))
+  }
+
+  test("BPE trainer is deterministic and merges shrink encoded lengths monotonically") {
+    import graft.operators.BpeTrainer
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("text").limit(100)
+    val m1 = BpeTrainer.train(docs, "text", 6)
+    val m2 = BpeTrainer.train(docs, "text", 6)
+    assert(m1 === m2)
+    // each successive merge can only reduce the corpus subword total
+    def total(k: Int): Long = BpeTrainer.encodedLengths(docs, "text", m1.take(k))
+      .select((col("freq") * col("n_subwords")).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    val totals = (0 to 6).map(total)
+    totals.sliding(2).foreach { case Seq(a, b) => assert(b < a) }
+    // encodeWord round-trip: concatenated subwords spell the word + mark
+    val enc = BpeTrainer.encodeWord("sparkly", m1)
+    assert(enc.mkString == "sparkly</w>")
+  }
 }
