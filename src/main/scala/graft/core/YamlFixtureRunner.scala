@@ -67,15 +67,20 @@ object YamlFixtureRunner {
 
     val expected = Option(asMap(asMap(body.get("outputs")).get("query"))
       .get("rows")).map(asList).getOrElse(Nil).map(r => asMap(r).asScala.toMap)
-    FixtureResult(testName, modelFq, problems(out, expected).isEmpty,
-      problems(out, expected))
+    val ps = problems(out, expected)
+    FixtureResult(testName, modelFq, ps.isEmpty, ps)
   }
 
   /** Unordered multiset compare of actual rows vs expected maps, projected
     * onto the expected columns. */
   private def problems(out: DataFrame,
       expected: Seq[Map[String, Object]]): Seq[String] = {
-    if (expected.isEmpty) return Seq("fixture declares no expected rows")
+    if (expected.isEmpty) {
+      // a fixture may legitimately assert an EMPTY result (e.g. a filter
+      // model that drops every input row)
+      val n = out.count()
+      return if (n == 0L) Nil else Seq(s"expected no rows, got $n")
+    }
     val cols = expected.head.keys.toSeq.sorted
     val missing = cols.filterNot(out.columns.contains)
     if (missing.nonEmpty)
@@ -151,8 +156,14 @@ object YamlFixtureRunner {
     // and the date branch would truncate the time part
     case t: java.sql.Timestamp =>
       t.toLocalDateTime.format(TsFormat)
-    case d: java.util.Date => // snakeyaml parses bare dates to util.Date
-      new java.sql.Date(d.getTime).toString
+    case d: java.util.Date =>
+      // snakeyaml parses bare YAML dates AND bare timestamps to util.Date
+      // (UTC) — keep the time part when there is one, else date-only
+      val ldt = java.time.Instant.ofEpochMilli(d.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+        ldt.toLocalDate.toString
+      else ldt.format(TsFormat)
     case s: String if TsPattern.matches(s) =>
       // canonicalize textual timestamps ("…00:00:00.0", "…T…Z") so string
       // fixtures compare equal to engine timestamps

@@ -32,8 +32,10 @@ object CurationOps {
   }
 
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // bounded like the other shared-stage caches (see DedupOps.cachedStage)
-    if (clusterCache.size > 64) clearCache()
+    // bounded like the other shared-stage caches (see DedupOps.cachedStage):
+    // overflow drops references only — unpersisting here could strand a
+    // concurrent holder of a truncated-lineage checkpoint
+    if (clusterCache.size > 64) clusterCache.clear()
     clusterCache.computeIfAbsent((s, dir), { case (sess, d) =>
       val pairs = DedupOps.queries("q33_minhash_lsh_pairs")(sess, d)
         .filter(col("est_jaccard") >= 0.5)

@@ -49,10 +49,14 @@ object DedupOps {
 
   private def cachedStage(s: SparkSession, dir: String, stage: String)
       (build: => DataFrame): DataFrame = {
-    // bounded like SimilarityOps' centroid cache: crossing the limit drops
-    // everything (unpersisting the checkpoint blocks) rather than pinning
-    // artifacts for the process lifetime in long-running multi-dir use
-    if (stageCache.size > 64) clearCache()
+    // bounded like SimilarityOps' centroid cache — but the overflow path
+    // drops MAP REFERENCES ONLY (no unpersist): a concurrent caller may
+    // hold a materialized checkpoint whose lineage is truncated, and
+    // unpersisting under it would make its next action unrecoverable.
+    // Unreferenced blocks are reclaimed by the ContextCleaner; the
+    // explicit clearCache() (bench/tests, no concurrent holders) still
+    // unpersists eagerly.
+    if (stageCache.size > 64) stageCache.clear()
     stageCache.computeIfAbsent((s, dir, stage),
       _ => build.localCheckpoint(eager = false))
   }
@@ -459,13 +463,21 @@ object DedupOps {
     * recompute) is proved in ScrubSpec. */
   def lshPairsIncrementalAgainst(store: DataFrame, newDocs: DataFrame,
       numHashes: Int = 64, bandRows: Int = 8,
+      maxBucket: Long = 0L, minJaccard: Double = 0.2): DataFrame =
+    lshPairsFromSigs(store,
+      docShinglesOf(newDocs.select(col("doc_id"), col("text")), numHashes)
+        .localCheckpoint(eager = false),
+      numHashes, bandRows, maxBucket, minJaccard)
+
+  /** [[lshPairsIncrementalAgainst]] with PRECOMPUTED batch signatures
+    * (rows in the [[signaturesOf]] format) — callers that also persist the
+    * batch's signatures (the ingest loop) compute them once and reuse. */
+  def lshPairsFromSigs(store: DataFrame, batchSigs: DataFrame,
+      numHashes: Int = 64, bandRows: Int = 8,
       maxBucket: Long = 0L, minJaccard: Double = 0.2): DataFrame = {
     require(numHashes % bandRows == 0,
       s"numHashes $numHashes must be a multiple of bandRows $bandRows")
     val corpusSigs = store
-    val batchSigs = docShinglesOf(
-      newDocs.select(col("doc_id"), col("text")), numHashes)
-      .localCheckpoint(eager = false)
     val newBanded = bandedFor(batchSigs, numHashes, bandRows)
     val allBanded = bandedFor(corpusSigs, numHashes, bandRows)
       .union(newBanded)
@@ -479,7 +491,7 @@ object DedupOps {
     // one side is ALWAYS the batch: the join streams the corpus banding
     // past the batch's buckets; orientation normalizes to (lo, hi) so a
     // new-new pair isn't emitted twice
-    val cand = bandedFilter(cappedAll, newBanded, maxBucket)
+    val cand = bandedFilter(cappedAll, newBanded)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val sets = corpusSigs.select(col("doc_id"), col("shs"))
@@ -500,13 +512,11 @@ object DedupOps {
 
   /** Candidate join for the incremental path: batch buckets × all
     * bucket members, both orientations so the (lo, hi) normalization
-    * upstream sees every pair once. */
-  private def bandedFilter(all: DataFrame, batch: DataFrame,
-      maxBucket: Long): DataFrame = {
-    val cappedBatch = if (maxBucket > 0L)
-      batch.join(all.select("band", "key").distinct(), Seq("band", "key"))
-    else batch
-    val l = cappedBatch.select(col("band"), col("key"),
+    * upstream sees every pair once. (`all` already carries any bucket cap;
+    * the inner join restricts the batch side to surviving keys, so no
+    * separate batch pre-filter is needed.) */
+  private def bandedFilter(all: DataFrame, batch: DataFrame): DataFrame = {
+    val l = batch.select(col("band"), col("key"),
       col("doc_id").as("doc_n"))
     val r = all.select(col("band"), col("key"), col("doc_id").as("doc_o"))
     l.join(r, Seq("band", "key"))

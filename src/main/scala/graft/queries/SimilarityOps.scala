@@ -64,7 +64,14 @@ object SimilarityOps {
     * the k × dim mean rows ever land on the driver. */
   private[graft] def lloydCentroids(
       s: SparkSession, dir: String, k: Int, iters: Int): Seq[Seq[Double]] = {
-    if (centroidCache.size > CacheMax) centroidCache.clear()
+    if (centroidCache.size > CacheMax) {
+      // baselines are measured AGAINST a specific quantizer — evicting
+      // centroids must evict the baselines too, or assignIncremental would
+      // compare batch distances under a freshly-retrained quantizer to a
+      // baseline from the evicted one
+      centroidCache.clear()
+      baselineCache.clear()
+    }
     centroidCache.computeIfAbsent((sessionKey(s), dir, k, iters), { _ =>
       lloydFromSeeds(emb(s, dir).select(col("vec_id"), col("embedding")),
         k, iters)

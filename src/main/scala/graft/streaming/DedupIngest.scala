@@ -20,11 +20,18 @@ import graft.queries.DedupOps
   *     edges, cost ∝ batch);
   *  3. appends the batch's signatures to the store.
   *
-  * State lives entirely in two parquet tables (store + assignment), so the
-  * ingest is restartable from the checkpoint like every other foreachBatch
-  * sink here; per-batch work is proportional to the batch at any corpus
-  * size. Equivalence to a full batch recompute is proved in ScrubSpec
-  * (multi-batch store test) and end-to-end under streaming in
+  * State lives entirely in two parquet tables (store + assignment), and
+  * both updates are REPLAY-SAFE under foreachBatch's at-least-once
+  * contract: the assignment overwrite goes through the atomic tmp+rename
+  * publish ([[graft.export.Exporter.atomically]] — the old assignment
+  * survives a crash mid-write), and each micro-batch's signatures land in
+  * a DETERMINISTIC `batch=<id>` subdirectory written with overwrite, so a
+  * replayed batch replaces its own rows instead of appending duplicates.
+  * Re-folding a replayed batch's pairs into an already-updated assignment
+  * is a no-op (hash-min components are stable under re-application of
+  * merged edges). Per-batch work is proportional to the batch at any
+  * corpus size. Equivalence to a full batch recompute is proved in
+  * ScrubSpec (multi-batch store test) and end-to-end under streaming in
   * EngineSpec.
   */
 object DedupIngest {
@@ -43,39 +50,61 @@ object DedupIngest {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) ingestBatch(batch, storeDir, assignDir,
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestBatch(batch, batchId, storeDir, assignDir,
           numHashes, bandRows, maxBucket, minJaccard)
       }
       .start()
   }
 
   /** One ingest step (also callable from a batch scheduler): pair `batch`
-    * against the current store, fold into the current assignment, append
-    * signatures. */
-  def ingestBatch(batch: DataFrame, storeDir: String, assignDir: String,
-      numHashes: Int, bandRows: Int, maxBucket: Long,
+    * against the current store, fold into the current assignment, publish
+    * the batch's signatures under its deterministic `batch=<id>` subdir. */
+  def ingestBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      assignDir: String, numHashes: Int, bandRows: Int, maxBucket: Long,
       minJaccard: Double): Unit = {
     val spark = batch.sparkSession
     def tableOr(dir: String, empty: => DataFrame): DataFrame =
       if (pathExists(spark, dir)) spark.read.parquet(dir) else empty
     val batchDocs = batch.select(col("doc_id"), col("text"))
+    // computed ONCE (eager checkpoint): pairing and the store publish both
+    // read the same materialized signatures
     val batchSigs = DedupOps.signaturesOf(batchDocs, numHashes)
-    // empty-store bootstrap: the first batch pairs only against itself
-    val store = tableOr(storeDir, batchSigs.limit(0))
-    val pairs = DedupOps.lshPairsIncrementalAgainst(store, batchDocs,
+      .localCheckpoint(eager = true)
+    // a REPLAYED batch's own rows may already sit in the store — exclude
+    // this batch's subdir from the corpus side so replay pairs against the
+    // same store state as the original run
+    val priorDirs = listBatchDirs(spark, storeDir)
+      .filterNot(_.endsWith(s"batch=$batchId"))
+    val store =
+      if (priorDirs.isEmpty) batchSigs.limit(0) // bootstrap: batch vs itself
+      else spark.read.parquet(priorDirs: _*)
+    val pairs = DedupOps.lshPairsFromSigs(store, batchSigs,
       numHashes, bandRows, maxBucket, minJaccard)
     val oldAssign = tableOr(assignDir,
       batchDocs.select(col("doc_id").as("id"),
         col("doc_id").as("component")).limit(0))
     val vertices = oldAssign.select(col("id"))
       .union(batchDocs.select(col("doc_id"))).distinct()
-    // materialize BEFORE overwriting the table it reads from
+    // materialize BEFORE touching the table it reads from
     val newAssign = ConnectedComponents.incremental(
         oldAssign, pairs.select(col("doc_a"), col("doc_b")), vertices)
       .localCheckpoint(eager = true)
-    newAssign.write.mode("overwrite").parquet(assignDir)
-    batchSigs.write.mode("append").parquet(storeDir)
+    // atomic publish: write beside, rename into place — a crash mid-write
+    // leaves the previous assignment intact
+    graft.export.Exporter.atomically(assignDir, marker = false) { tmp =>
+      newAssign.write.mode("overwrite").parquet(tmp)
+    }
+    // idempotent store publish: deterministic per-batch subdir + overwrite
+    batchSigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
+
+  private def listBatchDirs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.toString).filter(_.contains("batch=")).toSeq
   }
 
   private def pathExists(spark: SparkSession, dir: String): Boolean = {
