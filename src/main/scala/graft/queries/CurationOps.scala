@@ -51,10 +51,11 @@ object CurationOps {
   /** Dedup clustering over the TUNED pair generator
     * ([[DedupOps.lshPairsTuned]]) — the full chain (signatures → banded
     * candidates → exact rescoring → connected components → keepers) with
-    * the scale geometry. At 30× the sf0.1 corpus the fixed q33 geometry
-    * feeds the clustering 3.5M mostly-false candidate edges where this
-    * path feeds it 17.6k true pairs (SCALE.md). With (16, 4, no cap) it
-    * degenerates to exactly q47's pipeline at minJaccard 0.5. */
+    * the scale geometry. At 30× the sf0.1 corpus the OLD fixed 16×4 q33
+    * geometry fed the clustering 3.5M mostly-false candidate edges where
+    * this path feeds it 17.6k true pairs (SCALE.md) — since round 7 the
+    * gated q47 runs the same 64×8+cap banding (over ESTIMATED jaccard;
+    * this path thresholds the exact rescored value, see ScrubSpec). */
   def dedupClustersTuned(s: SparkSession, dir: String,
       numHashes: Int = 64, bandRows: Int = 8, maxBucket: Long = 64L,
       minJaccard: Double = 0.5): DataFrame = {

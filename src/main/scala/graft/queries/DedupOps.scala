@@ -14,7 +14,7 @@ import graft.functions.TextFunctions._
   * Scale design:
   *  - exact dedup = single hash aggregation on a digest (never on raw text);
   *  - MinHash signatures are computed in ONE aggregation over the exploded
-  *    shingle set (16 mins at once), candidate pairs come only from LSH band
+  *    shingle set (64 mins at once), candidate pairs come only from capped LSH
   *    buckets (shuffle keyed on (band, bandHash) — never an O(n²) cross
   *    join);
   *  - SimHash is a pure narrow projection after one explode+agg;
@@ -63,7 +63,7 @@ object DedupOps {
 
   /** THE materialized shingle artifact: one row per doc carrying BOTH the
     * distinct shingle-set array (exact-rescoring side of q31/q60) and the
-    * 16 MinHash mins (q32/q33/q47 signatures) — produced by a single
+    * 64 MinHash mins (q32/q33/q47 signatures) — produced by a single
     * tokenize→shingle→groupBy(doc_id) aggregation and checkpointed once.
     * One build job instead of three chained checkpoints (shingles →
     * arrays, → signatures): at any scale the expensive part — tokenizing
@@ -88,7 +88,7 @@ object DedupOps {
   private def shingleArraysCached(s: SparkSession, dir: String): DataFrame =
     docShinglesCached(s, dir).select(col("doc_id"), col("shs"))
 
-  /** MinHash signatures (doc_id, mh0..mh15). */
+  /** MinHash signatures (doc_id, mh0..mh63). */
   private def signaturesCached(s: SparkSession, dir: String): DataFrame =
     docShinglesCached(s, dir).select(
       (col("doc_id") +: (0 until NumHashes).map(i => col(s"mh$i"))): _*)
@@ -98,11 +98,23 @@ object DedupOps {
     cachedStage(s, dir, "simhash")(simhashDf(docs(s, dir)))
 
   // ---- shared MinHash constants (mirrored literally into the oracle SQL) --
+  // SCALE GEOMETRY (round 7): the gated pipeline runs the tuned
+  // 64-hash / 8-rows-per-band / bucket-cap-64 geometry that ScaleStress
+  // proved candidate-linear at 10×/30× data (SCALE.md) — the old fixed
+  // 16×4 produced 654k candidates for ~6k true near-dups at 10× because a
+  // 4-row band bucket's population grows with corpus size. Band collision
+  // probability is J^rows: 8 rows drops a J≈0 chance collision to ~p^8
+  // while 8 bands keep P(detect J≥0.9) ≈ 99%; the cap skips pathological
+  // boilerplate buckets (a capped bucket's true pairs still collide in
+  // another band — recall measured at 99.6% on planted dups).
   private val P = 1000000007L // modulus
-  private val NumHashes = 16
-  private val BandRows = 4 // 4 bands × 4 rows
+  private val NumHashes = 64
+  private val BandRows = 8 // 8 bands × 8 rows
+  /** Max band-bucket population paired by the gated queries — buckets
+    * larger than this are boilerplate collisions, not near-dup signal. */
+  private val MaxBucket = 64L
   /** Permutation coefficients, defined for ANY i (the shipped queries use
-    * i < 16; the tuned scale path may use more). */
+    * i < 64; other geometries may use fewer or more). */
   private def aCoef(i: Int): Long = ((i + 1) * 2654435761L) % P
   private def bCoef(i: Int): Long = ((i + 1) * 40503L * 65537L) % P
   private val As: Seq[Long] = (0 until NumHashes).map(aCoef)
@@ -117,18 +129,27 @@ object DedupOps {
 
   private val hashSql = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
 
-  /** DuckDB CTE: one row per (doc, band) with the band's concatenated
-    * signature key — the SQL mirror of [[bandedSignatures]]. Assumes a
+  /** DuckDB CTE chain: `banded` = one row per (doc, band) with the band's
+    * concatenated signature key, `capped` = banded minus over-populated
+    * buckets — the SQL mirror of [[cappedBandedSignatures]]. Assumes a
     * `sig` CTE (from [[sigSql]]) is in scope. */
   private lazy val bandedCte: String =
-    s"""banded AS (SELECT doc_id,
+    s"""banded0 AS (SELECT doc_id,
        [${(0 until NumHashes).map(i => s"mh$i").mkString(", ")}] AS sig,
        unnest([${(0 until NumHashes / BandRows).map { b =>
       val key = (0 until BandRows).map(r => s"CAST(mh${b * BandRows + r} AS VARCHAR)")
         .mkString(" || '_' || ")
       s"{'band': $b, 'key': $key}"
     }.mkString(", ")}]) AS bk
-       FROM sig)"""
+       FROM sig),
+       banded AS (SELECT doc_id, sig,
+                         struct_extract(bk, 'band') AS band,
+                         struct_extract(bk, 'key') AS key
+                  FROM banded0),
+       okb AS (SELECT band, key FROM banded
+               GROUP BY band, key HAVING count(*) <= $MaxBucket),
+       capped AS (SELECT b.doc_id, b.sig, b.band, b.key
+                  FROM banded b JOIN okb USING (band, key))"""
 
   /** (doc_id, shingle) distinct pairs. Tokens are materialized into a
     * column first so the shingle lambda doesn't re-split the text per
@@ -212,7 +233,7 @@ object DedupOps {
     // emitted jaccard is exact. The oracle computes the identical banding
     // + rescoring in DuckDB.
     "q31_ngram_jaccard" -> ((s, dir) => {
-      val wb = bandedSignatures(signaturesCached(s, dir))
+      val wb = cappedBandedSignatures(signaturesCached(s, dir))
       val l = wb.select(col("band"), col("key"), col("doc_id").as("doc_a"))
       val r = wb.select(col("band"), col("key"), col("doc_id").as("doc_b"))
       val cand = l.join(r, Seq("band", "key"))
@@ -234,16 +255,17 @@ object DedupOps {
           round(col("jaccard"), 4).as("jaccard"))
     }),
 
-    // MinHash signatures (16 permutations over 3-shingles).
+    // MinHash signatures (64 permutations over 3-shingles).
     "q32_minhash_sig" -> ((s, dir) =>
       signaturesCached(s, dir).select(
         (col("doc_id") +: (0 until NumHashes).map(i => col(s"mh$i"))): _*)),
 
-    // MinHash + LSH candidate pairs: band the signature (4 bands × 4 rows),
-    // bucket-join on (band, band key), estimate Jaccard as matching-
-    // signature fraction. Only bucket collisions are ever paired.
+    // MinHash + LSH candidate pairs: band the signature (8 bands × 8 rows,
+    // buckets over the population cap skipped), bucket-join on (band, band
+    // key), estimate Jaccard as matching-signature fraction. Only
+    // surviving-bucket collisions are ever paired.
     "q33_minhash_lsh_pairs" -> ((s, dir) => {
-      val withBands = bandedSignatures(signaturesCached(s, dir))
+      val withBands = cappedBandedSignatures(signaturesCached(s, dir))
       val l = withBands.select(col("band"), col("key"),
         col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val r = withBands.select(col("band"), col("key"),
@@ -266,7 +288,7 @@ object DedupOps {
     // Same LSH-then-verify shape as q31: candidates from the band buckets,
     // exact rescoring from the full shingle sets.
     "q60_containment" -> ((s, dir) => {
-      val wb = bandedSignatures(signaturesCached(s, dir))
+      val wb = cappedBandedSignatures(signaturesCached(s, dir))
       val l = wb.select(col("band"), col("key"), col("doc_id").as("doc_a"))
       val r = wb.select(col("band"), col("key"), col("doc_id").as("doc_b"))
       val cand = l.join(r, Seq("band", "key"))
@@ -328,9 +350,9 @@ object DedupOps {
   private val SimhashBandBits = SimhashBits / SimhashBands
 
   /** SCALE-PATH MinHash-LSH near-dup pairs with parameterized geometry —
-    * the knob set the fixed 16-hash / 4×4-band shipped pipeline (q31/q33)
-    * cannot turn because its geometry is mirrored literally into the
-    * DuckDB oracle.
+    * the knob set behind the gated pipeline (q31/q33 run the 64×8+cap
+    * default since round 7; this entry point exists for other corpora,
+    * whose optimal geometry differs with shingle vocabulary and dup rate).
     *
     * Why it exists (measured by [[graft.tools.ScaleStress]]): with a small
     * shingle vocabulary, the population of a 4-row band bucket grows with
@@ -348,8 +370,9 @@ object DedupOps {
     *
     * Same LSH-then-verify contract as q31: emitted jaccards are EXACT
     * (false positives rescored away); geometry only moves the
-    * candidate-recall curve. With (numHashes=16, bandRows=4, maxBucket=0)
-    * this is exactly q31's pipeline (asserted in DedupSpec).
+    * candidate-recall curve. With (numHashes=64, bandRows=8, maxBucket=64)
+    * this is exactly q31's pipeline — since round 7 the GATED queries run
+    * this geometry themselves (asserted in ScrubSpec).
     */
   def lshPairsTuned(s: SparkSession, dir: String,
       numHashes: Int = 64, bandRows: Int = 8,
@@ -525,7 +548,20 @@ object DedupOps {
         greatest(col("doc_n"), col("doc_o")).as("doc_b"))
   }
 
-  /** doc_id, sig (16-long array), band, key — the MinHash-LSH banding
+  /** [[bandedSignatures]] minus over-populated buckets — the gated
+    * queries' banding (q31/q33/q60). The bucket-size aggregate shuffles on
+    * the same (band, key) the downstream pair join uses, so the exchange
+    * is shared and the cap costs one co-partitioned aggregation. */
+  private def cappedBandedSignatures(sigs: DataFrame): DataFrame = {
+    val banded = bandedSignatures(sigs)
+    val ok = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") <= MaxBucket)
+      .select("band", "key")
+    banded.join(ok, Seq("band", "key"))
+  }
+
+  /** doc_id, sig (64-long array), band, key — the MinHash-LSH banding
     * shared by q33 (estimate from collisions) and q31 (exact rescoring of
     * collisions). A cheap narrow explode over the materialized signatures —
     * never worth caching itself. */
@@ -590,9 +626,8 @@ object DedupOps {
       s"""$sigSql,
          $bandedCte,
          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-                  FROM banded l JOIN banded r
-                    ON struct_extract(l.bk, 'band') = struct_extract(r.bk, 'band')
-                   AND struct_extract(l.bk, 'key') = struct_extract(r.bk, 'key')
+                  FROM capped l JOIN capped r
+                    ON l.band = r.band AND l.key = r.key
                    AND l.doc_id < r.doc_id),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
@@ -613,9 +648,8 @@ object DedupOps {
          $bandedCte,
          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
                          l.sig AS sig_a, r.sig AS sig_b
-                  FROM banded l JOIN banded r
-                    ON struct_extract(l.bk, 'band') = struct_extract(r.bk, 'band')
-                   AND struct_extract(l.bk, 'key') = struct_extract(r.bk, 'key')
+                  FROM capped l JOIN capped r
+                    ON l.band = r.band AND l.key = r.key
                    AND l.doc_id < r.doc_id)
          SELECT doc_a, doc_b,
                 round(len(list_filter(range(1, ${NumHashes + 1}),
@@ -641,9 +675,8 @@ object DedupOps {
       s"""$sigSql,
          $bandedCte,
          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-                  FROM banded l JOIN banded r
-                    ON struct_extract(l.bk, 'band') = struct_extract(r.bk, 'band')
-                   AND struct_extract(l.bk, 'key') = struct_extract(r.bk, 'key')
+                  FROM capped l JOIN capped r
+                    ON l.band = r.band AND l.key = r.key
                    AND l.doc_id < r.doc_id),
          cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i

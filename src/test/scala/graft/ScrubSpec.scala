@@ -54,12 +54,14 @@ class ScrubSpec extends AnyFunSuite {
     assert(out === Map(1L -> emptyMd5, 2L -> emptyMd5))
   }
 
-  test("lshPairsTuned at (16, 4, no cap) is exactly the q31 pipeline") {
+  test("lshPairsTuned at (64, 8, cap 64) is exactly the q31 pipeline") {
+    // since round 7 the GATED q31 runs the tuned scale geometry itself —
+    // the parameterized entry point at the same knobs must agree exactly
     val dir = "/root/testdata/sf0.01"
     val want = DedupOps.queries("q31_ngram_jaccard")(spark, dir)
       .orderBy("doc_a", "doc_b").collect().toSeq
     val got = DedupOps.lshPairsTuned(spark, dir,
-        numHashes = 16, bandRows = 4, maxBucket = 0L)
+        numHashes = 64, bandRows = 8, maxBucket = 64L)
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(got === want)
   }
@@ -87,12 +89,12 @@ class ScrubSpec extends AnyFunSuite {
     j64.keys.filter(j16.contains).foreach(k => assert(j64(k) === j16(k)))
   }
 
-  test("dedupClustersTuned at (16, 4, no cap) = CC over q31's exact pairs") {
+  test("dedupClustersTuned at gated geometry = CC over q31's exact pairs") {
     // q47 thresholds the ESTIMATED jaccard (its oracle mirrors that); the
-    // tuned path rescores exactly — so its degenerate-geometry twin is
-    // connected components over q31's exact pairs at the same threshold.
-    // (Jaccards are rationals with denominators ≤ ~200 shingles, so the
-    // rounded-to-4dp filter cannot straddle the 0.5 boundary.)
+    // tuned path rescores exactly — so at the gated geometry (64, 8,
+    // cap 64) its twin is connected components over q31's exact pairs at
+    // the same threshold. (Jaccards are rationals with denominators ≤ ~200
+    // shingles, so the rounded-to-4dp filter cannot straddle 0.5.)
     val dir = "/root/testdata/sf0.01"
     val pairs = DedupOps.queries("q31_ngram_jaccard")(spark, dir)
       .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
@@ -100,13 +102,13 @@ class ScrubSpec extends AnyFunSuite {
     val want = graft.operators.ConnectedComponents.hashMin(pairs, docs)
       .orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
     val got = graft.queries.CurationOps.dedupClustersTuned(spark, dir,
-        numHashes = 16, bandRows = 4, maxBucket = 0L, minJaccard = 0.5)
+        numHashes = 64, bandRows = 8, maxBucket = 64L, minJaccard = 0.5)
       .orderBy("doc_id").collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got === want)
     // keepers are exactly the cluster minima
     val keepers = graft.queries.CurationOps.dedupClustersTuned(spark, dir,
-        numHashes = 16, bandRows = 4, maxBucket = 0L, minJaccard = 0.5)
+        numHashes = 64, bandRows = 8, maxBucket = 64L, minJaccard = 0.5)
       .collect().toSeq
     keepers.foreach(r => assert(r.getBoolean(2) === (r.getLong(0) == r.getLong(1))))
   }
