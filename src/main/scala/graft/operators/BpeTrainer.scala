@@ -37,6 +37,37 @@ object BpeTrainer {
   /** One learned merge: adjacent symbol pair (left, right) → left+right. */
   final case class Merge(left: String, right: String)
 
+  /** Fixed merge table learned ONCE, offline, from the sf0.01 corpus
+    * (`runMain graft.tools.BpeLearn /root/testdata/sf0.01 24` — output
+    * pasted verbatim). The q85 oracle gate applies this exact table on
+    * both engines; applying a FIXED table is well-defined on any corpus,
+    * so the constant does not tie q85 to one SF. */
+  val LearnedMerges: Seq[Merge] = Seq(
+    Merge("e", "r</w>"),
+    Merge("o", "w</w>"),
+    Merge("t", "o"),
+    Merge("a", "t"),
+    Merge("l", "u"),
+    Merge("a", "s"),
+    Merge("i", "n"),
+    Merge("e", "r"),
+    Merge("o", "r"),
+    Merge("a", "r"),
+    Merge("p", "ar"),
+    Merge("i", "n</w>"),
+    Merge("j", "o"),
+    Merge("jo", "in</w>"),
+    Merge("as", "h</w>"),
+    Merge("h", "ash</w>"),
+    Merge("r", "ow</w>"),
+    Merge("at", "c"),
+    Merge("atc", "h</w>"),
+    Merge("b", "atch</w>"),
+    Merge("a", "n</w>"),
+    Merge("c", "an</w>"),
+    Merge("s", "can</w>"),
+    Merge("c", "o"))
+
   /** Learn `numMerges` merges from `docs(textCol)` (whitespace word
     * segmentation, per-character initial symbols, `endMark` appended to
     * each word's final symbol so merges cannot cross word boundaries). */

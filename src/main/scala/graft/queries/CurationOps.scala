@@ -68,6 +68,41 @@ object CurationOps {
         (col("id") === col("component")).as("is_keeper"))
   }
 
+  /** q86 builder: stage the doc_id < 600 slice as 3 single-file batches,
+    * run the AvailableNow DedupIngest stream over them (one file per
+    * micro-batch), read back the persisted assignment. Fresh temp dirs per
+    * call — the query is re-runnable and leaves no state behind in the
+    * data dir. The end state is batching-order-invariant (uncapped
+    * geometry: pair (a,b) is emitted when the later of a,b ingests;
+    * ScrubSpec proves multi-batch ⊎ = full recompute). */
+  private def ingestEndState(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 600)
+    val base = java.nio.file.Files.createTempDirectory("q86_ingest").toString
+    val inDir = java.nio.file.Paths.get(base, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    Seq((0L, 200L), (200L, 400L), (400L, 600L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        val tmp = s"$base/stage$i"
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        // flatten: the file stream source lists FILES under inDir; one
+        // parquet file per batch ⇒ maxFilesPerTrigger=1 ⇒ 3 micro-batches
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file under $tmp"))
+        java.nio.file.Files.move(part.toPath, inDir.resolve(s"b$i.parquet"))
+    }
+    graft.streaming.DedupIngest.start(s, inDir.toString, schema,
+      s"$base/store", s"$base/assign", s"$base/ckpt").awaitTermination()
+    s.read.parquet(s"$base/assign")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_keeper"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Dedup CLUSTERS: near-dup pairs (the q33 MinHash-LSH generator at
@@ -78,6 +113,29 @@ object CurationOps {
     // id-keyed shuffles (see ConnectedComponents). The oracle recomputes
     // the identical pairs, then transitive closure via RECURSIVE CTE.
     "q47_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
+
+    // The TUNED full dedup chain, oracle-gated (VERDICT r6 task 2):
+    // signatures → capped 64×8 banding → EXACT rescoring at jaccard >= 0.5
+    // → connected components → keepers. Differs from q47 in thresholding
+    // the exact rescored jaccard instead of the banding estimate — the
+    // chain a production dedup pipeline ships. The oracle recomputes the
+    // identical pairs (q31's chain at 0.5) then transitive closure via
+    // RECURSIVE CTE.
+    "q84_dedup_clusters_tuned" -> ((s, dir) => dedupClustersTuned(s, dir)),
+
+    // STREAMING ingest end-state, oracle-gated (VERDICT r6 task 2): run
+    // the full DedupIngest loop — 3 file-source micro-batches over a
+    // deterministic doc_id slice, each pairing against the persisted
+    // signature store and folding into the persisted assignment — then
+    // return the final cluster table. The oracle clusters ALL pairs of the
+    // same slice in one shot (recursive CTE, uncapped geometry): the gate
+    // proves batch-by-batch streaming ingest converges to exactly the
+    // one-shot clustering. The slice (doc_id < 600) bounds the builder's
+    // cost at any SF — the machinery under test (micro-batch composition,
+    // store replay, incremental CC) is scale-invariant; per-batch cost is
+    // ∝ batch by construction. Builder is EAGER (runs the stream to
+    // completion) per the q67/q73 documented contract.
+    "q86_ingest_endstate" -> ((s, dir) => ingestEndState(s, dir)),
 
     // Deterministic train/val/test split (80/10/10): bucket = stable
     // md5-derived hash of the doc id, mod 100. Hash-based splits are the
@@ -216,28 +274,56 @@ object CurationOps {
   private val splitBucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
 
-  /** Shared DuckDB CTE chain (usable after `WITH RECURSIVE`): near-dup
-    * pairs (q33's banding at est >= 0.5) → transitive closure → `clus`
-    * (doc_id, cluster_id). */
-  private lazy val clustersCte: String =
-    s"""pairs AS (SELECT doc_a, doc_b FROM (
-         ${DedupOps.oracle("q33_minhash_lsh_pairs")}
-       ) q33 WHERE est_jaccard >= 0.5),
+  /** DuckDB CTE chain (usable after `WITH RECURSIVE`) parameterized by the
+    * pair-generating subquery (must yield (doc_a, doc_b)) and the vertex
+    * predicate: transitive closure → `clus` (doc_id, cluster_id). */
+  private def clustersCteWith(pairsSubquery: String,
+      vertexPred: String = "TRUE"): String =
+    s"""pairs AS ($pairsSubquery),
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                  UNION ALL
                  SELECT doc_b, doc_a FROM pairs),
        reach(node, lbl) AS (
-         SELECT doc_id, doc_id FROM documents
+         SELECT doc_id, doc_id FROM documents WHERE $vertexPred
          UNION
          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
        clus AS (SELECT node AS doc_id, min(lbl) AS cluster_id
                 FROM reach GROUP BY node)"""
+
+  /** Shared chain for q47/q51/q52: near-dup pairs from q33's banding at
+    * est >= 0.5. */
+  private lazy val clustersCte: String = clustersCteWith(
+    s"""SELECT doc_a, doc_b FROM (
+         ${DedupOps.oracle("q33_minhash_lsh_pairs")}
+       ) q33 WHERE est_jaccard >= 0.5""")
 
   val oracle: Map[String, String] = Map(
     "q47_dedup_clusters" ->
       s"""WITH RECURSIVE $clustersCte
          SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper
          FROM clus""",
+    // identical pair chain as q31 but thresholded on the EXACT jaccard at
+    // 0.5 (the tuned chain's contract), then transitive closure
+    "q84_dedup_clusters_tuned" -> {
+      val pairs = s"""SELECT doc_a, doc_b FROM (
+           ${DedupOps.exactPairsSql("TRUE", capped = true, minJaccard = 0.5)}
+         ) p"""
+      s"""WITH RECURSIVE ${clustersCteWith(pairs)}
+         SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper
+         FROM clus"""
+    },
+    // one-shot clustering of the SAME slice the streaming ingest consumed
+    // batch-by-batch: uncapped gated geometry, exact jaccard >= 0.5
+    // (DedupIngest's defaults), vertices = the slice
+    "q86_ingest_endstate" -> {
+      val pairs = s"""SELECT doc_a, doc_b FROM (
+           ${DedupOps.exactPairsSql("doc_id < 600", capped = false,
+              minJaccard = 0.5)}
+         ) p"""
+      s"""WITH RECURSIVE ${clustersCteWith(pairs, "doc_id < 600")}
+         SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper
+         FROM clus"""
+    },
     "q51_keeper_by_quality" ->
       s"""WITH RECURSIVE $clustersCte,
          qual AS (${TextOps.oracle("q24_quality_score")})

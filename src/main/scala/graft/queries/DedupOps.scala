@@ -159,21 +159,54 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
 
-  /** DuckDB CTEs producing `sh(doc_id, sh)` — the distinct 3-shingle set,
-    * the SQL mirror of [[shingleSet]] (shared with ScaleOps). */
-  private[queries] val shingleCteSql =
-    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+  /** DuckDB CTEs producing `sh(doc_id, sh)` — the distinct 3-shingle set
+    * over `documents WHERE pred`, the SQL mirror of [[shingleSet]]. */
+  private def shingleCteSqlWhere(pred: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                 WHERE $pred),
        idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i
                FROM toks WHERE len(t) >= 3),
        sh AS (SELECT DISTINCT doc_id,
                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx)"""
 
-  private val sigSql =
-    s"""WITH $shingleCteSql,
+  private[queries] val shingleCteSql: String = shingleCteSqlWhere("TRUE")
+
+  private def sigSqlWhere(pred: String): String =
+    s"""WITH ${shingleCteSqlWhere(pred)},
        hs AS (SELECT doc_id, $hashSql AS h FROM sh),
        sig AS (SELECT doc_id,
          ${(0 until NumHashes).map(i => s"min(${permSql("h", i)}) AS mh$i").mkString(", ")}
          FROM hs GROUP BY doc_id)"""
+
+  private val sigSql = sigSqlWhere("TRUE")
+
+  /** Complete DuckDB query emitting the exact LSH-then-verify near-dup
+    * pairs (doc_a, doc_b, jaccard) over `documents WHERE pred` — the
+    * oracle-side mirror of [[lshPairsTuned]] at the gated geometry
+    * (64 hashes, 8-row bands; `capped` toggles the bucket cap). Shared by
+    * q31 (capped, 0.2) and the clustering oracles in CurationOps. */
+  private[queries] def exactPairsSql(pred: String, capped: Boolean,
+      minJaccard: Double): String = {
+    val src = if (capped) "capped" else "banded"
+    s"""${sigSqlWhere(pred)},
+       $bandedCte,
+       cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                FROM $src l JOIN $src r
+                  ON l.band = r.band AND l.key = r.key
+                 AND l.doc_id < r.doc_id),
+       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                 FROM cand c
+                 JOIN sh a ON a.doc_id = c.doc_a
+                 JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+       FROM inter
+       JOIN cnt ca ON ca.doc_id = doc_a
+       JOIN cnt cb ON cb.doc_id = doc_b
+       WHERE i * 1.0 / (ca.n + cb.n - i) >= $minJaccard"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content digest, keep lowest doc_id
@@ -623,24 +656,7 @@ object DedupOps {
     // jaccard is then recomputed from the full shingle sets (sh CTE comes
     // from sigSql) — mirrors the Spark LSH-then-verify pipeline 1:1
     "q31_ngram_jaccard" ->
-      s"""$sigSql,
-         $bandedCte,
-         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-                  FROM capped l JOIN capped r
-                    ON l.band = r.band AND l.key = r.key
-                   AND l.doc_id < r.doc_id),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-                   FROM cand c
-                   JOIN sh a ON a.doc_id = c.doc_a
-                   JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-                   GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-                round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
-         FROM inter
-         JOIN cnt ca ON ca.doc_id = doc_a
-         JOIN cnt cb ON cb.doc_id = doc_b
-         WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2""",
+      exactPairsSql("TRUE", capped = true, minJaccard = 0.2),
     "q32_minhash_sig" ->
       s"""$sigSql SELECT * FROM sig""",
     "q33_minhash_lsh_pairs" ->

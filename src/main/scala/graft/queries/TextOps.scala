@@ -173,6 +173,23 @@ object TextOps {
             .as("est_bpe_tokens"))
     }),
 
+    // BPE ENCODING under a FIXED learned merge table — the oracle-gated
+    // face of graft.operators.BpeTrainer: corpus → word-frequency table
+    // (one hash aggregation, the only corpus pass) → greedy BPE encode of
+    // each DISTINCT word under BpeTrainer.LearnedMerges (learned once,
+    // offline, from sf0.01 via graft.tools.BpeLearn; applying a fixed
+    // table is corpus-independent, so the query is well-defined at any
+    // SF). Output is vocab-bounded. The oracle replays the identical
+    // greedy encoder as a chain of literal string replaces over a
+    // double-space-separated symbol string: replace() substitutes
+    // non-overlapping occurrences scanning left to right — exactly the
+    // BPE merge application rule (after a merge the new symbol pairs with
+    // the NEXT input symbol, never re-scanning left).
+    "q85_bpe_encode" -> ((s, dir) =>
+      graft.operators.BpeTrainer.encodedLengths(docs(s, dir), "text",
+          graft.operators.BpeTrainer.LearnedMerges)
+        .withColumn("n_subwords", col("n_subwords").cast("long"))),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode/feature-extract step for real image/audio payloads lives in
     // graft.multimodal (stubbed deterministic transform); here: the
@@ -661,6 +678,25 @@ object TextOps {
                 count(*) AS n_docs, min(doc_id) AS min_doc,
                 max(doc_id) AS max_doc
          FROM inj GROUP BY domain""",
+    "q85_bpe_encode" -> {
+      def esc(x: String) = x.replace("'", "''")
+      // per-word symbol string: chars double-space-joined, single-space
+      // padded, '</w>' glued to the last char — ' h  e  y</w> '
+      val init = "' ' || array_to_string([w[i] for i in " +
+        "range(1, len(w)+1)], '  ') || '</w> '"
+      val enc = graft.operators.BpeTrainer.LearnedMerges.foldLeft(init) {
+        (acc, m) => s"replace($acc, ' ${esc(m.left)}  ${esc(m.right)} '," +
+          s" ' ${esc(m.left + m.right)} ')"
+      }
+      s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+         wf AS (SELECT w, count(*) AS freq FROM words
+                WHERE len(w) > 0 GROUP BY w),
+         enc AS (SELECT w, freq, $enc AS s FROM wf)
+         SELECT w AS word, freq,
+                len(s) - len(replace(s, '  ', ' ')) + 1 AS n_subwords
+         FROM enc"""
+    },
     "q59_bpe_tokens" ->
       """WITH pre AS (
            SELECT doc_id,
