@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * Scale shape — the part that matters at 100 TB: the iterated frame is
   * the WORD-FREQUENCY table (one row per distinct word + corpus count),
   * never the corpus. The corpus is read exactly once to build that table
-  * (one hash aggregation, map-side combinable); each of the K merge
-  * iterations then costs one explode+groupBy over the vocab-bounded table
-  * (pair counts weighted by word frequency) plus a k=1 driver argmax, and
-  * one narrow map applying the merge to the symbol arrays. Lineage is
-  * truncated per iteration (lazy localCheckpoint) exactly like the
-  * ConnectedComponents loop — an iterative DataFrame chain otherwise
-  * re-plans an ever-deeper tree.
+  * (one hash aggregation, map-side combinable). The merge loop is then
+  * SIZE-GATED like [[ConnectedComponents.hashMin]]: a word table within
+  * [[BpeTrainer.DriverMaxWords]] (it always is — vocab ≪ corpus) collects
+  * once and iterates on the driver at O(1) Spark jobs; past the gate each
+  * of the K iterations costs one explode+groupBy over the vocab-bounded
+  * table (pair counts weighted by word frequency) plus a k=1 driver
+  * argmax, and one narrow map applying the merge to the symbol arrays.
+  * Lineage is truncated per distributed iteration (lazy localCheckpoint)
+  * exactly like the ConnectedComponents loop — an iterative DataFrame
+  * chain otherwise re-plans an ever-deeper tree.
   *
   * Argmax ties break lexicographically on (left, right) so the learned
   * merge sequence is deterministic under any partitioning.
@@ -68,11 +71,29 @@ object BpeTrainer {
     Merge("s", "can</w>"),
     Merge("c", "o"))
 
+  /** Above this many distinct words the merge loop stays distributed. The
+    * word-frequency table is vocab-bounded (≪ corpus — a few million rows
+    * for any natural-language corpus at ANY corpus size), so virtually
+    * every real training run takes the driver loop: the CC size-gate
+    * precedent applied to BPE. A real 30k-merge tokenizer run on the
+    * distributed loop is ~60k Spark jobs of pure dispatch floor; on the
+    * driver loop it is ONE corpus-read job + one collect, then local
+    * compute over the table the driver already holds. */
+  val DriverMaxWords: Long = 2000000L
+
   /** Learn `numMerges` merges from `docs(textCol)` (whitespace word
     * segmentation, per-character initial symbols, `endMark` appended to
-    * each word's final symbol so merges cannot cross word boundaries). */
+    * each word's final symbol so merges cannot cross word boundaries).
+    *
+    * The corpus is read ONCE (hash aggregation → word-frequency table).
+    * If the table holds ≤ `driverMax` distinct words (the limit doubles
+    * as the probe, like [[ConnectedComponents.hashMin]]), the K-merge loop
+    * runs on the driver over the collected table — merge-for-merge
+    * identical to the distributed loop (spec-asserted), at O(1) Spark
+    * jobs instead of O(K). `driverMax = 0` forces the distributed loop. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      endMark: String = "</w>"): Seq[Merge] = {
+      endMark: String = "</w>",
+      driverMax: Long = DriverMaxWords): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE corpus read: word-frequency table, then per-char symbol arrays
@@ -86,6 +107,11 @@ object BpeTrainer {
         WordSyms(chars.init :+ (chars.last + endMark), f)
       }
       .localCheckpoint(eager = false)
+    if (driverMax > 0) {
+      val probe = words.limit(math.min(driverMax, Int.MaxValue - 1L).toInt + 1)
+        .collect()
+      if (probe.length <= driverMax) return trainLocal(probe, numMerges)
+    }
     val merges = Seq.newBuilder[Merge]
     var i = 0
     var exhausted = false
@@ -105,6 +131,34 @@ object BpeTrainer {
         merges += Merge(l, r)
         words = words.map(ws => ws.copy(syms = applyMerge(ws.syms, l, r)))
           .localCheckpoint(eager = false)
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Driver-side merge loop over the collected word-frequency table —
+    * identical semantics to the distributed loop: per-occurrence adjacent
+    * pair counts weighted by word frequency, argmax with ties to the
+    * smallest (left, right). */
+  private def trainLocal(table: Array[WordSyms], numMerges: Int): Seq[Merge] = {
+    var words: Seq[(Seq[String], Long)] = table.toSeq.map(w => (w.syms, w.freq))
+    val merges = Seq.newBuilder[Merge]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (l, r) = counts.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += Merge(l, r)
+        words = words.map { case (s, f) => (applyMerge(s, l, r), f) }
         i += 1
       }
     }

@@ -354,28 +354,57 @@ object DedupOps {
     // from band-bucket collisions — shuffle keyed on (band, key), never an
     // n² theta-join — and the Hamming filter removes false positives, so
     // the output is exactly all pairs with Hamming ≤ 4.
-    "q38_simhash_pairs" -> ((s, dir) => {
-      val sh = simhashCached(s, dir)
-      val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until SimhashBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * SimhashBandBits)
-              .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("key"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      val a = banded.select(col("band"), col("key"),
-        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      val b = banded.select(col("band"), col("key"),
-        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-        .withColumn("hamming",
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
-        .filter(col("hamming") <= 4)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .distinct()
-    })
+    "q38_simhash_pairs" -> ((s, dir) => simhashPairsTuned(s, dir))
   )
+
+  /** SimHash near-dup pairs with PARAMETERIZED banding (the enumeration-
+    * family knob the r6 verdict asked for). The 60-bit fingerprint is cut
+    * into 60/bandBits bands; same-band-bucket collisions are candidates,
+    * the Hamming filter removes false positives. Pigeonhole exactness: a
+    * pair within Hamming ≤ maxHamming differs in at most maxHamming bands,
+    * so with `maxHamming < nBands` (required) and no cap the output is
+    * EXACTLY all pairs at that radius — geometry never changes the answer,
+    * only the candidate population. Chance collisions under a fixed band
+    * width are Θ(n²/2^bandBits) per band: the scale levers are WIDER bands
+    * (smaller guaranteed radius — the Manku et al. trade) and `maxBucket`
+    * (skips boilerplate buckets; lossy-but-audited, measured by
+    * ScaleStress). Defaults (12-bit bands, Hamming ≤ 4, no cap) are
+    * EXACTLY the gated q38, which delegates here; the scale geometry is
+    * e.g. (20, 2, 64): 3 bands of 20 bits, 2^20 keys per band. */
+  def simhashPairsTuned(s: SparkSession, dir: String, bandBits: Int = 12,
+      maxHamming: Int = 4, maxBucket: Long = 0L): DataFrame = {
+    require(SimhashBits % bandBits == 0,
+      s"bandBits $bandBits must divide $SimhashBits")
+    val nBands = SimhashBits / bandBits
+    require(maxHamming < nBands,
+      s"pigeonhole exactness needs maxHamming $maxHamming < nBands $nBands")
+    val sh = simhashCached(s, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val within = if (maxBucket > 0L) {
+      val ok = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= maxBucket)
+        .select("band", "key")
+      banded.join(ok, Seq("band", "key"))
+    } else banded
+    val a = within.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = within.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
 
   // ---- simhash banding constants (5 × 12 bits over the 60-bit hash) ----
   private val SimhashBits = 60

@@ -207,6 +207,61 @@ object SimilarityOps {
          |  THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** Embedding near-duplicate pairs above a cosine threshold — UNBOUNDED,
+    * with PARAMETERIZED geometry (the q38-family knob the r6 verdict asked
+    * for). Candidate generation is multi-band hyperplane LSH: a pair is a
+    * candidate iff it agrees on all `bandBits` sign bits of ≥1 band;
+    * candidates are exactly rescored with cosine, so geometry only moves
+    * the recall curve (p_band = (1−θ/π)^bandBits per band). The join is
+    * keyed on (band, key) — never an n² cross product. `maxBucket` skips
+    * over-populated buckets (the same lossy-but-audited guard as
+    * [[DedupOps.lshPairsTuned]]): under a fixed plane count, same-bucket
+    * chance collisions are Θ(n²/2^planes), and the levers are MORE planes
+    * with WIDER bands plus the cap — recall against planted duplicate
+    * embeddings is measured per scale by ScaleStress, not assumed.
+    *
+    * Defaults (16 planes, 4-bit bands, no cap, cos ≥ 0.3) are EXACTLY the
+    * gated q36 (which delegates here); the scale geometry is e.g.
+    * (32, 8, 64): 4 bands of 8 bits over 32 planes, 2^8 keys per band. */
+  def hyperplanePairsTuned(s: SparkSession, dir: String, nPlanes: Int = 16,
+      bandBits: Int = 4, maxBucket: Long = 0L,
+      minCosine: Double = 0.3): DataFrame = {
+    require(nPlanes % bandBits == 0,
+      s"nPlanes $nPlanes must be a multiple of bandBits $bandBits")
+    val nBands = nPlanes / bandBits
+    val e = emb(s, dir)
+    val sig = HyperplaneBucket.bucket(col("embedding"),
+      (0 until nPlanes).map(planeWeights(_, Dim)))
+    val banded = e.select(col("vec_id"), col("embedding"), sig.as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val within = if (maxBucket > 0L) {
+      // the bucket-size aggregate shuffles on the same (band, key) as the
+      // pair join — shared exchange, one co-partitioned agg
+      val ok = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= maxBucket)
+        .select("band", "key")
+      banded.join(ok, Seq("band", "key"))
+    } else banded
+    val a = within.select(col("band"), col("key"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = within.select(col("band"), col("key"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("band", "key")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineSim(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: fixed 10-query probe set × all candidates.
     // The probe set is broadcast; candidates stream — one pass over the
@@ -239,34 +294,10 @@ object SimilarityOps {
     // OR-over-bands construction is the standard recall amplifier
     // (p_band = (1-θ/π)^4 per band, ~42% recall at cos=0.3 rising steeply
     // with similarity). Both sides of the oracle compute the identical
-    // banding, so the comparison is exact.
-    "q36_embed_neardup" -> ((s, dir) => {
-      val nPlanes = 16
-      val bandBits = 4
-      val nBands = nPlanes / bandBits
-      val e = emb(s, dir)
-      val sig = HyperplaneBucket.bucket(col("embedding"),
-        (0 until nPlanes).map(planeWeights(_, Dim)))
-      val banded = e.select(col("vec_id"), col("embedding"), sig.as("sig"))
-        .select(col("vec_id"), col("embedding"),
-          explode(array((0 until nBands).map { b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * bandBits)
-                .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
-          }: _*)).as("bk"))
-        .select(col("vec_id"), col("embedding"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      val a = banded.select(col("band"), col("key"),
-        col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = banded.select(col("band"), col("key"),
-        col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(b, Seq("band", "key")).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          cosineSim(col("ea"), col("eb")).as("cos"))
-        .filter(col("cos") >= 0.3)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
-        .distinct()
-    }),
+    // banding, so the comparison is exact. Delegates to
+    // [[hyperplanePairsTuned]] at the default geometry — the scale knobs
+    // (more planes, wider bands, bucket cap) live there.
+    "q36_embed_neardup" -> ((s, dir) => hyperplanePairsTuned(s, dir)),
 
     // LSH-bucketed ANN (scale path): 12 deterministic random hyperplanes →
     // 12-bit bucket signature; same-bucket collisions are the candidate

@@ -205,6 +205,39 @@ object ScaleStress {
     (sec, n, found.toDouble / nPlanted)
   }
 
+  /** The tuned ENUMERATION-family geometry (q36/q38's knob): wall + output
+    * size at the scale geometry — hyperplane (32 planes, 8-bit bands,
+    * cap 64) and simhash (20-bit bands, Hamming ≤ 2, cap 64) — plus recall
+    * of the PLANTED near-duplicate embeddings (vec ids ≡ 13 mod 19 ground
+    * truth). The contract geometries (q36/q38 in the suite table) output
+    * Θ(n²/2^width) by design; these rows show the parameterized geometry
+    * holding the output ~linear at the same true-dup recall. */
+  def enumTunedStage(spark: SparkSession, dir: String)
+      : (Double, Long, Double, Double, Long) = {
+    clearCaches()
+    val t0 = System.nanoTime()
+    val hp = graft.queries.SimilarityOps.hyperplanePairsTuned(spark, dir,
+        nPlanes = 32, bandBits = 8, maxBucket = 64L, minCosine = 0.3)
+      .select(col("vec_a"), col("vec_b"))
+      .localCheckpoint(eager = true)
+    val hpSec = (System.nanoTime() - t0) / 1e9
+    val hpPairs = hp.count()
+    val planted = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(19)) === 13 && col("vec_id") >= 4)
+      .select((col("vec_id") - 4).as("vec_a"), col("vec_id").as("vec_b"))
+    val nPlanted = planted.count()
+    val found = planted.join(hp, Seq("vec_a", "vec_b"), "left_semi").count()
+    val t1 = System.nanoTime()
+    val sp = graft.queries.DedupOps.simhashPairsTuned(spark, dir,
+        bandBits = 20, maxHamming = 2, maxBucket = 64L)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true)
+    val spSec = (System.nanoTime() - t1) / 1e9
+    val spPairs = sp.count()
+    (hpSec, hpPairs, found.toDouble / math.max(nPlanted, 1L), spSec, spPairs)
+  }
+
   /** Forced-distributed CC over the real q33 pair pipeline (driverMax = 0 ⇒
     * the label-propagation loop runs even though the edge set fits on the
     * driver), checked for exact agreement with the driver union-find path. */
@@ -265,9 +298,15 @@ object ScaleStress {
         ccForcedDistributed(spark, dir)).minBy(_._1)
       val lshRuns = Seq(lshTunedStage(spark, dir), lshTunedStage(spark, dir))
       val (lshSec, lshPairs, lshRecall) = lshRuns.minBy(_._1)
+      val enumRuns = Seq(enumTunedStage(spark, dir), enumTunedStage(spark, dir))
+      val (hpSec, hpPairs, hpRecall, spSec, spPairs) =
+        enumRuns.minBy(r => r._1 + r._4)
       val total = stats.map(_.sec).sum
       System.err.println(f"[scale x$m] total=$total%.2f s  ccDistributed=$ccSec%.2f s" +
         f"  lshTuned=$lshSec%.2f s ($lshPairs pairs, recall=$lshRecall%.4f)")
+      System.err.println(f"[scale x$m] enumTuned: hyperplane=$hpSec%.2f s " +
+        f"($hpPairs pairs, planted recall=$hpRecall%.4f)  " +
+        f"simhash=$spSec%.2f s ($spPairs pairs)")
       stats.foreach { s =>
         System.err.println(f"[scale x$m]   ${s.name}%-26s ${s.sec}%7.2f s  " +
           f"shufW=${s.shufWriteB / 1024.0 / 1024.0}%9.2f MB  rows=${s.outRows}%d")
@@ -278,7 +317,11 @@ object ScaleStress {
       }.mkString("{", ",", "}")
       println(s"""{"scale":$m,"total_sec":$total,"cc_distributed_sec":$ccSec,""" +
         s""""lsh_tuned_sec":$lshSec,"lsh_tuned_pairs":$lshPairs,""" +
-        s""""lsh_tuned_recall":$lshRecall,"queries":$qJson}""")
+        s""""lsh_tuned_recall":$lshRecall,""" +
+        s""""hp_tuned_sec":$hpSec,"hp_tuned_pairs":$hpPairs,""" +
+        s""""hp_tuned_recall":$hpRecall,""" +
+        s""""simhash_tuned_sec":$spSec,"simhash_tuned_pairs":$spPairs,""" +
+        s""""queries":$qJson}""")
       m -> (total, stats)
     }
 

@@ -29,6 +29,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.6, f"mean IVF recall $mean%.2f")
   }
 
+  test("hyperplanePairsTuned: wider bands over the same planes only shrink; cosines exact; cap=1 empties") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // (16, 4) is the gated q36 geometry; (16, 8) re-bands the SAME 16
+    // planes into 2 bands of 8 — an 8-bit agreement contains two 4-bit
+    // agreements, so every tuned candidate is also a q36 candidate
+    val loose = rows(SparkEntry.queries("q36_embed_neardup")(spark, dir))
+    val tight = rows(SimilarityOps.hyperplanePairsTuned(spark, dir,
+      nPlanes = 16, bandBits = 8))
+    assert(tight.keySet.subsetOf(loose.keySet))
+    // emitted cosines are exact rescorings — identical on shared pairs
+    tight.foreach { case (k, v) => assert(v === loose(k)) }
+    // a bucket cap of 1 pairs nothing
+    assert(SimilarityOps.hyperplanePairsTuned(spark, dir,
+      maxBucket = 1L).isEmpty)
+  }
+
   test("near-dup LSH banding recovers the expected share of true pairs") {
     import org.apache.spark.sql.functions._
     import graft.plans.CosineSimilarity

@@ -113,6 +113,25 @@ class ScrubSpec extends AnyFunSuite {
     keepers.foreach(r => assert(r.getBoolean(2) === (r.getLong(0) == r.getLong(1))))
   }
 
+  test("simhashPairsTuned: wide bands exactly = contract filtered to the radius; cap=1 empties") {
+    val dir = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pigeonhole exactness at BOTH geometries: (20-bit bands, Hamming<=2)
+    // must equal the gated q38 output (12-bit bands, Hamming<=4) filtered
+    // to Hamming<=2 — geometry moves candidates, never answers
+    val contract = SparkEntry.queries("q38_simhash_pairs")(spark, dir)
+    val wide = DedupOps.simhashPairsTuned(spark, dir,
+      bandBits = 20, maxHamming = 2)
+    assert(rows(wide) === rows(contract.filter(col("hamming") <= 2)))
+    // a bucket cap of 1 pairs nothing
+    assert(DedupOps.simhashPairsTuned(spark, dir, maxBucket = 1L).isEmpty)
+    // maxHamming >= nBands would break the exactness guarantee: rejected
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairsTuned(spark, dir, bandBits = 20, maxHamming = 3)
+    }
+  }
+
   test("lshPairsIncremental: batch pairs ⊎ corpus pairs = full recompute") {
     val fullDir = "/root/testdata/sf0.01"
     val all = graft.sources.Tables(spark, fullDir, "documents")
