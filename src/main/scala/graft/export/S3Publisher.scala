@@ -1,0 +1,71 @@
+package graft.export
+
+import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.S3MinimalFileSystem
+
+/** Remote export publish — the engine-side twin of the reference's deploy
+  * step (`DEPLOYMENT.md:15-28`: upload exported parquet + catalog to the
+  * R2 lake; `warehouse_cli.py:345-595` upload flow). Ships a local export
+  * directory to an `s3a://` prefix through [[S3MinimalFileSystem]]'s
+  * SigV4-signed PUT / multipart path, KEEPING the atomic-publish
+  * contract: data objects land first, the `.done` marker object LAST —
+  * a reader gating on the marker ([[Exporter.isDone]] locally,
+  * [[isDone]] remotely) never sees a half-published export. S3 PUTs are
+  * atomic per object and a marker-gated layout needs nothing more; the
+  * tmp+rename dance is a filesystem concept that doesn't map onto object
+  * stores (and is exactly why the Hadoop FS write contract stays closed
+  * on [[S3MinimalFileSystem]]).
+  */
+object S3Publisher {
+
+  /** Upload every regular file under `localDir` to `s3aDir` (same
+    * relative layout). If `<localDir>.done` exists ([[Exporter.atomically]]'s
+    * completion marker) it is uploaded LAST as `<s3aDir>.done`. Files
+    * larger than `multipartThreshold` bytes take the multipart path, one
+    * part in memory at a time. */
+  def publishDir(spark: SparkSession, localDir: String, s3aDir: String,
+      multipartThreshold: Long = 8L * 1024 * 1024): Unit = {
+    val fs = s3Fs(spark, s3aDir)
+    val keyPrefix = keyOf(s3aDir)
+    val base = Paths.get(localDir)
+    val files = {
+      val walk = Files.walk(base).iterator()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(walk).asScala
+        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+    }
+    files.foreach { f =>
+      val rel = base.relativize(f).toString
+        .replace(java.io.File.separatorChar, '/')
+      val key = s"$keyPrefix/$rel"
+      if (Files.size(f) > multipartThreshold) {
+        // part size = the threshold (callers against real S3 keep the 8 MB
+        // default — AWS requires ≥5 MiB per non-final part; the in-process
+        // mock lets tests shrink it to force the multi-part path)
+        val in = Files.newInputStream(f)
+        try fs.putObjectMultipart(key, in, partSize = multipartThreshold.toInt)
+        finally in.close()
+      } else fs.putObject(key, Files.readAllBytes(f))
+    }
+    val marker = Paths.get(localDir + ".done")
+    if (Files.exists(marker))
+      fs.putObject(keyPrefix + ".done", Files.readAllBytes(marker))
+  }
+
+  /** Remote completion check — I3 idempotency against the remote lake
+    * (the published `.done` marker object exists). */
+  def isDone(spark: SparkSession, s3aDir: String): Boolean =
+    s3Fs(spark, s3aDir).exists(new Path(s3aDir.stripSuffix("/") + ".done"))
+
+  private def s3Fs(spark: SparkSession, s3aDir: String): S3MinimalFileSystem =
+    new Path(s3aDir).getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case m: S3MinimalFileSystem => m
+      case other => throw new IllegalArgumentException(
+        s"publish requires the s3a:// minimal filesystem, got ${other.getClass.getName}")
+    }
+
+  private def keyOf(s3aDir: String): String =
+    new Path(s3aDir).toUri.getPath.stripPrefix("/").stripSuffix("/")
+}

@@ -110,7 +110,9 @@ object HttpRangeFileSystem {
     * caller's small reads into large spans. (Shared with
     * [[S3MinimalFileSystem]] — S3 GetObject range reads are the same wire
     * pattern.) */
-  private[sources] final class RangeStream(url: URL, len: Long) extends FSInputStream {
+  private[sources] final class RangeStream(url: URL, len: Long,
+      headers: () => Map[String, String] = () => Map.empty)
+      extends FSInputStream {
     private var pos = 0L
 
     override def seek(p: Long): Unit = {
@@ -130,6 +132,9 @@ object HttpRangeFileSystem {
       if (pos >= len) return -1
       val end = math.min(len - 1, pos + l - 1)
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      // per-request headers (e.g. a fresh SigV4 signature — x-amz-date
+      // must be current per request, so the supplier re-signs each time)
+      headers().foreach { case (k, v) => conn.setRequestProperty(k, v) }
       conn.setRequestProperty("Range", s"bytes=$pos-$end")
       val code = conn.getResponseCode
       if (code != 206 && code != 200)

@@ -45,18 +45,26 @@ object LakeReader {
   }
 
   /** S5 (connector-free flavor): register [[S3MinimalFileSystem]] as the
-    * `s3a://` implementation — anonymous-read S3-compatible endpoints
-    * (public buckets, MinIO with a download policy) with NO hadoop-aws
-    * dependency. Same conf keys as [[remoteFs]], so switching to the full
-    * S3AFileSystem when the connector jar is deployed is a one-line
-    * `fs.s3a.impl` change. */
-  def s3MinimalFs(spark: SparkSession, endpoint: String): Unit = {
+    * `s3a://` implementation — S3-compatible endpoints with NO hadoop-aws
+    * dependency. Pass `accessKey`/`secretKey` for credentialed buckets
+    * (every request is then [[SigV4]]-signed; `region` defaults to
+    * us-east-1 — R2 and MinIO accept any region string, AWS needs the
+    * real one); omit them for anonymous-read endpoints. Same conf keys as
+    * [[remoteFs]], so switching to the full S3AFileSystem when the
+    * connector jar is deployed is a one-line `fs.s3a.impl` change. */
+  def s3MinimalFs(spark: SparkSession, endpoint: String,
+      accessKey: Option[String] = None, secretKey: Option[String] = None,
+      region: Option[String] = None): Unit = {
     val h = spark.sparkContext.hadoopConfiguration
     h.set("fs.s3a.impl", classOf[S3MinimalFileSystem].getName)
     // per-FS-instance caching would pin the first endpoint forever
     h.set("fs.s3a.impl.disable.cache", "true")
     h.set("fs.s3a.endpoint", endpoint)
     h.set("fs.s3a.path.style.access", "true")
+    accessKey.fold(h.unset("fs.s3a.access.key"))(h.set("fs.s3a.access.key", _))
+    secretKey.fold(h.unset("fs.s3a.secret.key"))(h.set("fs.s3a.secret.key", _))
+    region.fold(h.unset("fs.s3a.endpoint.region"))(
+      h.set("fs.s3a.endpoint.region", _))
   }
 
   /** S5 (https flavor): register the Range-request-backed read-only

@@ -27,18 +27,21 @@ import org.apache.hadoop.util.Progressable
   * Configuration mirrors s3a ([[LakeReader.remoteFs]] sets the same keys):
   * `fs.s3a.endpoint` (required here) and path-style access (always used —
   * virtual-host addressing needs wildcard DNS that a local MinIO/mock
-  * doesn't have). Requests are UNSIGNED: this filesystem targets
-  * anonymous-read S3-compatible endpoints (public buckets, MinIO with an
-  * anonymous download policy — the reference's lake is public https).
-  * SigV4 signing is deliberately out of scope; for credentialed buckets
-  * deploy the hadoop-aws connector instead — because the conf keys match,
-  * swapping `fs.s3a.impl` is the only change.
+  * doesn't have). When `fs.s3a.access.key` + `fs.s3a.secret.key` are set
+  * (region: `fs.s3a.endpoint.region`, default us-east-1), every request —
+  * HEAD, ListObjectsV2, each ranged GET, and the PUT/multipart write
+  * helpers — carries an AWS [[SigV4]] Authorization header (the public
+  * SigV4 spec; the reference reads AND publishes through authenticated
+  * R2/S3 secrets, `db.py:22-36`, `warehouse_cli.py:345-595`). Without
+  * credentials requests stay anonymous (public buckets, MinIO with an
+  * anonymous download policy).
   */
 class S3MinimalFileSystem extends FileSystem {
 
   private var fsUri: URI = _
   private var bucket: String = _
   private var endpoint: String = _
+  private var creds: Option[SigV4.Credentials] = None
   private var workDir: Path = new Path("/")
 
   override def initialize(name: URI, conf: Configuration): Unit = {
@@ -50,8 +53,26 @@ class S3MinimalFileSystem extends FileSystem {
       .getOrElse(throw new IOException(
         "fs.s3a.endpoint is required (S3MinimalFileSystem is endpoint-" +
           "addressed; set it to your MinIO/R2/S3 URL)"))
+    creds = for {
+      ak <- Option(conf.get("fs.s3a.access.key")).filter(_.nonEmpty)
+      sk <- Option(conf.get("fs.s3a.secret.key")).filter(_.nonEmpty)
+    } yield SigV4.Credentials(ak, sk,
+      Option(conf.get("fs.s3a.endpoint.region")).filter(_.nonEmpty)
+        .getOrElse("us-east-1"))
     fsUri = URI.create(s"$getScheme://$bucket")
   }
+
+  /** Signature headers for a no-body request on `url` (empty for
+    * anonymous mode). Computed per request — x-amz-date must be fresh. */
+  private def signHeaders(method: String, url: URL,
+      payloadSha256: String = SigV4.EmptyPayloadSha256): Map[String, String] =
+    creds.fold(Map.empty[String, String])(c =>
+      SigV4.sign(method, url, c, payloadSha256))
+
+  private def applySigned(conn: HttpURLConnection, method: String,
+      url: URL): Unit =
+    signHeaders(method, url).foreach { case (k, v) =>
+      conn.setRequestProperty(k, v) }
 
   override def getScheme: String = "s3a"
   override def getUri: URI = fsUri
@@ -62,13 +83,17 @@ class S3MinimalFileSystem extends FileSystem {
   }
 
   private def objectUrl(key: String): URL =
-    // keys may contain '/' (kept) but individual segments need escaping
+    // keys may contain '/' (kept) but individual segments need escaping —
+    // with the AWS-canonical RFC 3986 set, so the encoded path IS the
+    // SigV4 canonical URI
     new URL(s"$endpoint/$bucket/" + key.split("/", -1)
-      .map(URLEncoder.encode(_, "UTF-8").replace("+", "%20")).mkString("/"))
+      .map(SigV4.uriEncode).mkString("/"))
 
   private def headObject(key: String): Option[Long] = {
-    val conn = objectUrl(key).openConnection().asInstanceOf[HttpURLConnection]
+    val url = objectUrl(key)
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("HEAD")
+    applySigned(conn, "HEAD", url)
     try conn.getResponseCode match {
       case 200 => Some(conn.getContentLengthLong)
       case 404 => None
@@ -82,12 +107,13 @@ class S3MinimalFileSystem extends FileSystem {
       token: Option[String]): (Seq[(String, Long)], Seq[String], Option[String]) = {
     val q = new StringBuilder(s"$endpoint/$bucket?list-type=2")
     if (prefix.nonEmpty)
-      q.append("&prefix=").append(
-        URLEncoder.encode(prefix, "UTF-8").replace("+", "%20"))
+      q.append("&prefix=").append(SigV4.uriEncode(prefix))
     if (delimiter) q.append("&delimiter=%2F")
     token.foreach(t => q.append("&continuation-token=")
-      .append(URLEncoder.encode(t, "UTF-8")))
-    val conn = new URL(q.toString).openConnection().asInstanceOf[HttpURLConnection]
+      .append(SigV4.uriEncode(t)))
+    val url = new URL(q.toString)
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    applySigned(conn, "GET", url)
     try {
       val code = conn.getResponseCode
       if (code != 200) throw new IOException(s"HTTP $code from ListObjectsV2 $q")
@@ -157,13 +183,95 @@ class S3MinimalFileSystem extends FileSystem {
     val key = keyOf(f)
     val len = headObject(key).getOrElse(
       throw new FileNotFoundException(f.toString))
+    val url = objectUrl(key)
     new FSDataInputStream(new BufferedFSInputStream(
-      new HttpRangeFileSystem.RangeStream(objectUrl(key), len),
+      new HttpRangeFileSystem.RangeStream(url, len,
+        () => signHeaders("GET", url)),
       math.max(bufferSize, 128 * 1024)))
   }
 
   override def setWorkingDirectory(dir: Path): Unit = workDir = dir
   override def getWorkingDirectory: Path = workDir
+
+  // ---- object WRITE path (the remote-publish flow, S3 REST PUT +
+  // multipart; the Hadoop FileSystem contract below stays read-only —
+  // Spark's rename-based commit protocol doesn't map onto S3 semantics,
+  // so publishing is an explicit object-level upload, exactly like the
+  // reference's deploy step, `DEPLOYMENT.md:15-28`) ----
+
+  private def request(method: String, url: URL, body: Array[Byte],
+      expect: Set[Int]): String = {
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    signHeaders(method, url, SigV4.sha256Hex(body))
+      .foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    if (body.nonEmpty || method == "PUT" || method == "POST") {
+      conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(body.length)
+      val out = conn.getOutputStream
+      try out.write(body) finally out.close()
+    }
+    try {
+      val code = conn.getResponseCode
+      if (!expect.contains(code))
+        throw new IOException(s"HTTP $code from $method $url")
+      val in = Option(conn.getInputStream)
+      val text = in.map(i => try new String(i.readAllBytes(), "UTF-8")
+        finally i.close()).getOrElse("")
+      Option(conn.getHeaderField("ETag")).map(e => s"ETAG:$e\n").getOrElse("") +
+        text
+    } finally conn.disconnect()
+  }
+
+  /** Single-request PUT (small objects: catalog files, markers, modest
+    * parquet parts). Signed with the REAL payload hash when credentials
+    * are configured. */
+  def putObject(key: String, bytes: Array[Byte]): Unit = {
+    request("PUT", objectUrl(key), bytes, Set(200))
+    ()
+  }
+
+  /** Multipart upload (public S3 REST: CreateMultipartUpload → UploadPart
+    * × N → CompleteMultipartUpload) — the large-object path; each part is
+    * signed independently. `in` is read and uploaded in `partSize`
+    * chunks, so only one part is ever held in memory. */
+  def putObjectMultipart(key: String, in: java.io.InputStream,
+      partSize: Int = 8 * 1024 * 1024): Unit = {
+    val initXml = request("POST", new URL(s"${objectUrl(key)}?uploads"),
+      Array.emptyByteArray, Set(200))
+    val uploadId = "<UploadId>(.*?)</UploadId>".r
+      .findFirstMatchIn(initXml).map(_.group(1))
+      .getOrElse(throw new IOException(
+        s"CreateMultipartUpload returned no UploadId for $key"))
+    val etags = Seq.newBuilder[(Int, String)]
+    var part = 1
+    val buf = new Array[Byte](partSize)
+    var eof = false
+    while (!eof) {
+      var got = 0
+      while (got < partSize && !eof) {
+        val n = in.read(buf, got, partSize - got)
+        if (n < 0) eof = true else got += n
+      }
+      if (got > 0 || part == 1) { // empty object still needs one part
+        val body = java.util.Arrays.copyOf(buf, got)
+        val resp = request("PUT", new URL(
+          s"${objectUrl(key)}?partNumber=$part&uploadId=" +
+            SigV4.uriEncode(uploadId)), body, Set(200))
+        val etag = "ETAG:(.*)".r.findFirstMatchIn(resp).map(_.group(1).trim)
+          .getOrElse(throw new IOException(s"UploadPart $part of $key: no ETag"))
+        etags += ((part, etag))
+        part += 1
+      }
+    }
+    val completeXml =
+      ("<CompleteMultipartUpload>" + etags.result().map { case (n, e) =>
+        s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+      }.mkString + "</CompleteMultipartUpload>").getBytes("UTF-8")
+    request("POST", new URL(s"${objectUrl(key)}?uploadId=" +
+      SigV4.uriEncode(uploadId)), completeXml, Set(200))
+    ()
+  }
 
   private def readOnly = new IOException("s3a (minimal) filesystem is read-only")
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,

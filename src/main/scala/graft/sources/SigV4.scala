@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.net.URL
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS Signature Version 4 request signing — the header-based variant of
+  * the PUBLIC AWS spec ("Signature Calculations for the Authorization
+  * Header", SigV4). Enables credentialed reads AND writes against
+  * S3-compatible endpoints (AWS, R2, MinIO) without any connector jar:
+  * the reference deploys through authenticated R2/S3 secrets
+  * (`omicidx_etl/db.py:22-36` CREATE SECRET r2/s3; upload flow
+  * `warehouse_cli.py:345-595`), and this is the Spark-side equivalent.
+  *
+  * Algorithm (spec section names in brackets):
+  *  1. canonical request [Task 1]: METHOD, RFC-3986-encoded path, the
+  *     query string with parameters sorted by name, the signed headers
+  *     (here always host + x-amz-content-sha256 + x-amz-date) and the
+  *     payload SHA-256;
+  *  2. string-to-sign [Task 2]: AWS4-HMAC-SHA256, timestamp, the
+  *     date/region/service/aws4_request scope, SHA-256 of (1);
+  *  3. signing key + signature [Task 3]: the HMAC chain
+  *     AWS4+secret → date → region → service → "aws4_request", then
+  *     HMAC(stringToSign) hex-encoded into the Authorization header.
+  *
+  * The in-process S3 mock verifies signatures INDEPENDENTLY (it re-derives
+  * the canonical request server-side from the raw request, exactly like
+  * AWS does) — SourcesSpec's credentialed cases fail on any
+  * canonicalization drift, not just on forgetting the header.
+  */
+object SigV4 {
+
+  final case class Credentials(accessKey: String, secretKey: String,
+      region: String, service: String = "s3")
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"$x%02x").mkString
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    hex(MessageDigest.getInstance("SHA-256").digest(bytes))
+
+  /** Payload hash of a GET/HEAD/DELETE (empty body). */
+  val EmptyPayloadSha256: String = sha256Hex(Array.emptyByteArray)
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  private val AmzDateFmt = DateTimeFormatter
+    .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+
+  /** RFC 3986 encoding with the AWS unreserved set (A-Za-z0-9 - _ . ~):
+    * what both URL building and canonicalization must use — URLEncoder
+    * alone leaves '*' bare and escapes '~', which AWS rejects. */
+  def uriEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+      .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
+
+  /** Canonical query string: '&'-joined name=value with parameters sorted
+    * by (name, value); `rawQuery` must already be URI-encoded (it is the
+    * literal query sent on the wire). */
+  private def canonicalQuery(rawQuery: Option[String]): String =
+    rawQuery.filter(_.nonEmpty).fold("") { q =>
+      q.split("&").toSeq.map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    }
+
+  /** Headers to attach to a request: x-amz-date, x-amz-content-sha256 and
+    * Authorization. `url` must carry the exact path + query that goes on
+    * the wire (already URI-encoded via [[uriEncode]]). `now` is
+    * injectable so the mock can verify against the client's own
+    * x-amz-date. */
+  def sign(method: String, url: URL, creds: Credentials,
+      payloadSha256: String = EmptyPayloadSha256,
+      now: java.time.Instant = java.time.Instant.now()): Map[String, String] = {
+    val amzDate = AmzDateFmt.format(now)
+    signAt(method, url, creds, payloadSha256, amzDate)
+  }
+
+  /** [[sign]] with an explicit pre-formatted x-amz-date — the entry point
+    * a verifying SERVER uses to re-derive the expected signature from the
+    * request's own date header. */
+  def signAt(method: String, url: URL, creds: Credentials,
+      payloadSha256: String, amzDate: String): Map[String, String] = {
+    val date = amzDate.take(8)
+    val host = url.getHost +
+      (if (url.getPort > 0 && url.getPort != url.getDefaultPort)
+        s":${url.getPort}" else "")
+    val canonicalUri = if (url.getPath.isEmpty) "/" else url.getPath
+    val canonicalHeaders =
+      s"host:$host\nx-amz-content-sha256:$payloadSha256\nx-amz-date:$amzDate\n"
+    val signedHeaders = "host;x-amz-content-sha256;x-amz-date"
+    val canonicalRequest = Seq(method, canonicalUri,
+      canonicalQuery(Option(url.getQuery)), canonicalHeaders, signedHeaders,
+      payloadSha256).mkString("\n")
+    val scope = s"$date/${creds.region}/${creds.service}/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(
+      ("AWS4" + creds.secretKey).getBytes(UTF_8), date),
+      creds.region), creds.service), "aws4_request")
+    Map(
+      "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> payloadSha256,
+      "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/" +
+        s"$scope, SignedHeaders=$signedHeaders, " +
+        s"Signature=${hex(hmac(kSigning, stringToSign))}"))
+  }
+}

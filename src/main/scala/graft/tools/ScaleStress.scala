@@ -206,18 +206,30 @@ object ScaleStress {
   }
 
   /** The tuned ENUMERATION-family geometry (q36/q38's knob): wall + output
-    * size at the scale geometry — hyperplane (32 planes, 8-bit bands,
-    * cap 64) and simhash (20-bit bands, Hamming ≤ 2, cap 64) — plus recall
-    * of the PLANTED near-duplicate embeddings (vec ids ≡ 13 mod 19 ground
-    * truth). The contract geometries (q36/q38 in the suite table) output
-    * Θ(n²/2^width) by design; these rows show the parameterized geometry
-    * holding the output ~linear at the same true-dup recall. */
+    * size at the scale geometry — hyperplane with planes ∝ log n (4 bands
+    * of ceil(log₂(n/8)) bits, cap 64) and simhash (20-bit bands,
+    * Hamming ≤ 2, cap 64) — plus recall of the PLANTED near-duplicate
+    * embeddings (vec ids ≡ 13 mod 19 ground truth). The contract
+    * geometries (q36/q38 in the suite table) output Θ(n²/2^width) by
+    * design; these rows show the parameterized geometry holding the
+    * output ~linear at preserved true-dup recall. */
   def enumTunedStage(spark: SparkSession, dir: String)
       : (Double, Long, Double, Double, Long) = {
     clearCaches()
+    // planes ∝ log n — THE enumeration-family scale lever (fixed width ⇒
+    // bucket populations grow with n and a fixed cap eventually swallows
+    // true pairs too, measured: recall 1.0 → 0.33 from 1× to 10× at a
+    // fixed 8-bit band). 4 bands of ceil(log₂(n/8)) bits keep the average
+    // bucket population roughly constant across scales.
+    val nVecs = graft.sources.Tables(spark, dir, "embeddings").count()
+    val bandBits = math.min(14, math.max(8,
+      math.ceil(math.log(nVecs / 8.0) / math.log(2)).toInt))
+    System.err.println(s"[scale] enumTuned geometry: 4 bands × $bandBits bits" +
+      s" for $nVecs vectors")
     val t0 = System.nanoTime()
     val hp = graft.queries.SimilarityOps.hyperplanePairsTuned(spark, dir,
-        nPlanes = 32, bandBits = 8, maxBucket = 64L, minCosine = 0.3)
+        nPlanes = 4 * bandBits, bandBits = bandBits, maxBucket = 64L,
+        minCosine = 0.3)
       .select(col("vec_a"), col("vec_b"))
       .localCheckpoint(eager = true)
     val hpSec = (System.nanoTime() - t0) / 1e9

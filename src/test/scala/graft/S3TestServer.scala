@@ -1,0 +1,205 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+
+import graft.sources.SigV4
+
+/** In-process S3-compatible endpoint over a local directory (one bucket):
+  * HEAD object, ranged GET, ListObjectsV2 with REAL delimiter semantics
+  * (Contents up to the delimiter, CommonPrefixes below it; paginated at
+  * `pageSize` keys so the continuation-token loop is actually exercised)
+  * and — for the publish flow — PUT object + multipart upload
+  * (CreateMultipartUpload / UploadPart / CompleteMultipartUpload).
+  *
+  * With `auth` set, EVERY request must carry a valid SigV4 Authorization
+  * header. Verification is independent and complete: the server re-derives
+  * the canonical request from the raw wire data (method, raw path, raw
+  * query, the client's own x-amz-date) with the shared secret and compares
+  * signatures — exactly AWS's server-side check — and additionally verifies
+  * that x-amz-content-sha256 matches the actual body. Unsigned or
+  * mis-signed requests get 403 (counted in `authRejections`).
+  */
+final class S3TestServer(root: java.nio.file.Path, bucket: String = "lake",
+    auth: Option[SigV4.Credentials] = None, pageSize: Int = 2) {
+
+  val listCalls = new AtomicLong(0)
+  val rangedGets = new AtomicLong(0)
+  val authRejections = new AtomicLong(0)
+  /** Completed object keys in arrival order (plain PUT + completed
+    * multipart) — lets tests assert publish ordering (marker LAST). */
+  val putLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+
+  private val uploads = TrieMap[String, TrieMap[Int, Array[Byte]]]()
+  private val uploadSeq = new AtomicLong(0)
+
+  private val server = HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+
+  def port: Int = server.getAddress.getPort
+  def endpoint: String = s"http://127.0.0.1:$port"
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  private def xmlEscape(s: String) =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def respond(x: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+    if (body.nonEmpty) x.getResponseBody.write(body)
+    x.close()
+  }
+
+  /** AWS-style verification: recompute the signature from the raw request
+    * with the shared secret; also pin the claimed payload hash to the
+    * actual body. Returns false (→ 403) on any mismatch. */
+  private def authorized(x: HttpExchange, body: Array[Byte]): Boolean =
+    auth.forall { creds =>
+      val got = Option(x.getRequestHeaders.getFirst("Authorization"))
+      val amzDate = Option(x.getRequestHeaders.getFirst("x-amz-date"))
+      val claimedHash = Option(x.getRequestHeaders.getFirst("x-amz-content-sha256"))
+      (got, amzDate, claimedHash) match {
+        case (Some(a), Some(d), Some(h)) =>
+          val raw = x.getRequestURI
+          val url = new java.net.URL(s"http://127.0.0.1:$port" + raw.getRawPath +
+            Option(raw.getRawQuery).map("?" + _).getOrElse(""))
+          val want = SigV4.signAt(x.getRequestMethod, url, creds, h, d)
+          a == want("Authorization") && h == SigV4.sha256Hex(body)
+        case _ => false
+      }
+    }
+
+  server.createContext("/", new HttpHandler {
+    override def handle(x: HttpExchange): Unit = try {
+      val body = x.getRequestBody.readAllBytes()
+      val path = x.getRequestURI.getPath
+      val query = Option(x.getRequestURI.getQuery).getOrElse("")
+      if (!authorized(x, body)) {
+        authRejections.incrementAndGet()
+        respond(x, 403, Array.emptyByteArray); return
+      }
+      if (!path.startsWith(s"/$bucket")) { respond(x, 404, Array.emptyByteArray); return }
+
+      if (path.stripSuffix("/") == s"/$bucket" && query.contains("list-type=2")) {
+        handleList(x, query); return
+      }
+      val key = java.net.URLDecoder.decode(path.stripPrefix(s"/$bucket/"), "UTF-8")
+      val params = query.split("&").filter(_.nonEmpty).map(_.split("=", 2))
+        .map(kv => kv(0) -> java.net.URLDecoder
+          .decode(if (kv.length > 1) kv(1) else "", "UTF-8")).toMap
+
+      (x.getRequestMethod, params) match {
+        case ("POST", p) if query.contains("uploads") =>
+          val id = s"up-${uploadSeq.incrementAndGet()}"
+          uploads.put(id, TrieMap.empty)
+          respond(x, 200,
+            s"""<?xml version="1.0"?><InitiateMultipartUploadResult>
+               |<UploadId>$id</UploadId>
+               |</InitiateMultipartUploadResult>""".stripMargin.getBytes("UTF-8"))
+        case ("PUT", p) if p.contains("partNumber") && p.contains("uploadId") =>
+          val parts = uploads.getOrElse(p("uploadId"), {
+            respond(x, 404, Array.emptyByteArray); return })
+          val n = p("partNumber").toInt
+          parts.put(n, body)
+          x.getResponseHeaders.add("ETag", s""""part-$n-${body.length}"""")
+          respond(x, 200, Array.emptyByteArray)
+        case ("POST", p) if p.contains("uploadId") =>
+          val parts = uploads.remove(p("uploadId")).getOrElse {
+            respond(x, 404, Array.emptyByteArray); return }
+          val assembled = parts.toSeq.sortBy(_._1).map(_._2)
+            .foldLeft(Array.emptyByteArray)(_ ++ _)
+          writeObject(key, assembled)
+          respond(x, 200,
+            s"""<?xml version="1.0"?><CompleteMultipartUploadResult>
+               |<Key>${xmlEscape(key)}</Key>
+               |</CompleteMultipartUploadResult>""".stripMargin.getBytes("UTF-8"))
+        case ("PUT", _) =>
+          writeObject(key, body)
+          respond(x, 200, Array.emptyByteArray)
+        case _ => handleObjectRead(x, key)
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[s3mock] ${e.getClass.getSimpleName}: ${e.getMessage}")
+        try respond(x, 500, Array.emptyByteArray) catch { case _: Throwable => }
+    }
+  })
+
+  private def writeObject(key: String, bytes: Array[Byte]): Unit = {
+    val p = root.resolve(key)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, bytes)
+    putLog.add(key)
+  }
+
+  private def handleList(x: HttpExchange, query: String): Unit = {
+    listCalls.incrementAndGet()
+    val params = query.split("&").map(_.split("=", 2))
+      .map(kv => kv(0) -> java.net.URLDecoder
+        .decode(if (kv.length > 1) kv(1) else "", "UTF-8")).toMap
+    val prefix = params.getOrElse("prefix", "")
+    val delim = params.get("delimiter")
+    val walk = java.nio.file.Files.walk(root).iterator()
+    val allKeys = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(walk).asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString.replace(java.io.File.separatorChar, '/') ->
+        java.nio.file.Files.size(p))
+      .filter(_._1.startsWith(prefix)).toSeq.sortBy(_._1)
+    // S3 delimiter semantics: a key with a delimiter after the prefix
+    // rolls up into a CommonPrefix
+    val (direct, below) = delim match {
+      case Some(d) => allKeys.partition(!_._1.drop(prefix.length).contains(d))
+      case None => (allKeys, Nil)
+    }
+    val prefixes = delim.map(d => below.map { case (k, _) =>
+      prefix + k.drop(prefix.length).takeWhile(_ != d.head) + d
+    }.distinct.sorted).getOrElse(Nil)
+    val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
+    val page = direct.slice(from, from + pageSize)
+    val truncated = from + pageSize < direct.size
+    val xml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<ListBucketResult>
+         |<IsTruncated>$truncated</IsTruncated>
+         |${if (truncated) s"<NextContinuationToken>${from + pageSize}</NextContinuationToken>" else ""}
+         |${page.map { case (k, sz) =>
+             s"<Contents><Key>${xmlEscape(k)}</Key><Size>$sz</Size></Contents>"
+           }.mkString("\n")}
+         |${(if (from == 0) prefixes else Nil).map(p =>
+             s"<CommonPrefixes><Prefix>${xmlEscape(p)}</Prefix></CommonPrefixes>"
+           ).mkString("\n")}
+         |</ListBucketResult>""".stripMargin.getBytes("UTF-8")
+    x.getResponseHeaders.add("Content-Type", "application/xml")
+    respond(x, 200, xml)
+  }
+
+  private def handleObjectRead(x: HttpExchange, key: String): Unit = {
+    val p = root.resolve(key)
+    if (!java.nio.file.Files.isRegularFile(p)) {
+      respond(x, 404, Array.emptyByteArray); return
+    }
+    if (x.getRequestMethod == "HEAD") {
+      x.getResponseHeaders.add("Content-Length",
+        java.nio.file.Files.size(p).toString)
+      x.sendResponseHeaders(200, -1)
+      x.close(); return
+    }
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    Option(x.getRequestHeaders.getFirst("Range")) match {
+      case Some(r) =>
+        rangedGets.incrementAndGet()
+        val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+        val from = a.toInt
+        val to = if (b.isEmpty) bytes.length - 1 else b.toInt
+        val slice = bytes.slice(from, to + 1)
+        x.getResponseHeaders.add("Content-Range",
+          s"bytes $from-$to/${bytes.length}")
+        respond(x, 206, slice)
+      case None =>
+        respond(x, 200, bytes)
+    }
+  }
+}

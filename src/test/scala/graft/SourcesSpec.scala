@@ -279,8 +279,6 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("S5: s3a:// parquet scan against an in-process S3-compatible endpoint") {
-    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-    import java.util.concurrent.atomic.AtomicLong
     // bucket root = a temp dir seeded with sf0.001 objects PLUS a
     // hive-partitioned dataset, so nested keys exercise the dir-probe and
     // CommonPrefixes paths
@@ -297,102 +295,13 @@ class SourcesSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit(3)))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(root.resolve("orders_part.parquet").toString)
-    val listCalls = new AtomicLong(0)
-    val rangedGets = new AtomicLong(0)
-    // minimal S3 REST endpoint over the seeded dir: bucket `lake`.
-    // Implements HEAD object, ranged GET object, and ListObjectsV2 with
-    // REAL delimiter semantics (Contents up to the delimiter,
-    // CommonPrefixes below it; paginated at 2 keys per page so the
-    // continuation-token loop is actually exercised).
-    val server = HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
-    server.createContext("/", new HttpHandler {
-      private def xmlEscape(s: String) =
-        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      override def handle(x: HttpExchange): Unit = {
-        val path = x.getRequestURI.getPath
-        val query = Option(x.getRequestURI.getQuery).getOrElse("")
-        if (!path.startsWith("/lake")) {
-          x.sendResponseHeaders(404, -1); x.close(); return
-        }
-        if (path.stripSuffix("/") == "/lake" && query.contains("list-type=2")) {
-          listCalls.incrementAndGet()
-          val params = query.split("&").map(_.split("=", 2))
-            .map(kv => kv(0) -> java.net.URLDecoder
-              .decode(if (kv.length > 1) kv(1) else "", "UTF-8")).toMap
-          val prefix = params.getOrElse("prefix", "")
-          val delim = params.get("delimiter")
-          val walk = java.nio.file.Files.walk(root).iterator()
-          val allKeys = scala.jdk.CollectionConverters
-            .IteratorHasAsScala(walk).asScala
-            .filter(java.nio.file.Files.isRegularFile(_))
-            .map(p => root.relativize(p).toString ->
-              java.nio.file.Files.size(p))
-            .filter(_._1.startsWith(prefix)).toSeq.sortBy(_._1)
-          // S3 delimiter semantics: a key with a delimiter after the
-          // prefix rolls up into a CommonPrefix
-          val (direct, below) = delim match {
-            case Some(d) => allKeys.partition(!_._1.drop(prefix.length).contains(d))
-            case None => (allKeys, Nil)
-          }
-          val prefixes = delim.map(d => below.map { case (k, _) =>
-            prefix + k.drop(prefix.length).takeWhile(_ != d.head) + d
-          }.distinct.sorted).getOrElse(Nil)
-          val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
-          val page = direct.slice(from, from + 2) // tiny pages: force paging
-          val truncated = from + 2 < direct.size
-          val xml =
-            s"""<?xml version="1.0" encoding="UTF-8"?>
-               |<ListBucketResult>
-               |<IsTruncated>$truncated</IsTruncated>
-               |${if (truncated) s"<NextContinuationToken>${from + 2}</NextContinuationToken>" else ""}
-               |${page.map { case (k, sz) =>
-                   s"<Contents><Key>${xmlEscape(k)}</Key><Size>$sz</Size></Contents>"
-                 }.mkString("\n")}
-               |${(if (from == 0) prefixes else Nil).map(p =>
-                   s"<CommonPrefixes><Prefix>${xmlEscape(p)}</Prefix></CommonPrefixes>"
-                 ).mkString("\n")}
-               |</ListBucketResult>""".stripMargin.getBytes("UTF-8")
-          x.getResponseHeaders.add("Content-Type", "application/xml")
-          x.sendResponseHeaders(200, xml.length)
-          x.getResponseBody.write(xml)
-          x.close(); return
-        }
-        val key = path.stripPrefix("/lake/")
-        val p = root.resolve(java.net.URLDecoder.decode(key, "UTF-8"))
-        if (!java.nio.file.Files.isRegularFile(p)) {
-          x.sendResponseHeaders(404, -1); x.close(); return
-        }
-        if (x.getRequestMethod == "HEAD") {
-          x.getResponseHeaders.add("Content-Length",
-            java.nio.file.Files.size(p).toString)
-          x.sendResponseHeaders(200, -1)
-          x.close(); return
-        }
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        Option(x.getRequestHeaders.getFirst("Range")) match {
-          case Some(r) =>
-            rangedGets.incrementAndGet()
-            val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
-            val from = a.toInt
-            val to = if (b.isEmpty) bytes.length - 1 else b.toInt
-            val slice = bytes.slice(from, to + 1)
-            x.getResponseHeaders.add("Content-Range",
-              s"bytes $from-$to/${bytes.length}")
-            x.sendResponseHeaders(206, slice.length)
-            x.getResponseBody.write(slice)
-          case None =>
-            x.sendResponseHeaders(200, bytes.length)
-            x.getResponseBody.write(bytes)
-        }
-        x.close()
-      }
-    })
+    // anonymous mode: no auth required or sent ([[S3TestServer]] carries
+    // the ListObjectsV2 delimiter/pagination semantics the old inline
+    // mock pinned)
+    val server = new S3TestServer(root)
     server.start()
     try {
-      val port = server.getAddress.getPort
-      LakeReader.s3MinimalFs(spark, s"http://127.0.0.1:$port")
+      LakeReader.s3MinimalFs(spark, server.endpoint)
       // object read: s3a scan == local scan, row for row
       val remote = spark.read.parquet("s3a://lake/nation.parquet")
         .collect().map(_.toSeq).toSet
@@ -400,22 +309,23 @@ class SourcesSpec extends AnyFunSuite {
         .parquet("/root/testdata/sf0.001/nation.parquet")
         .collect().map(_.toSeq).toSet
       assert(remote === local && remote.nonEmpty)
-      assert(rangedGets.get() > 0, "parquet scan did not use ranged GETs")
+      assert(server.rangedGets.get() > 0, "parquet scan did not use ranged GETs")
       // bucket LISTING drives a glob: every *.parquet object is discovered
       // through paginated ListObjectsV2 and unioned by name
-      listCalls.set(0)
+      server.listCalls.set(0)
       val fs = new org.apache.hadoop.fs.Path("s3a://lake/")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val listed = fs.listStatus(new org.apache.hadoop.fs.Path("s3a://lake/"))
         .map(_.getPath.getName).toSet
       assert(listed.contains("nation.parquet") &&
         listed.contains("lineitem.parquet"))
-      assert(listCalls.get() >= 2, "ListObjectsV2 pagination was not exercised")
+      assert(server.listCalls.get() >= 2,
+        "ListObjectsV2 pagination was not exercised")
       // and a glob over the listing scans correctly
       val regions = spark.read.parquet("s3a://lake/region.parquet")
       assert(regions.count() === 5L)
       // hive-partitioned dataset: nested keys drive the dir-probe
-      // (HEAD 404 → prefix probe) and CommonPrefixes listing; partition
+      // (HEAD 404 -> prefix probe) and CommonPrefixes listing; partition
       // discovery and pruning work over the remote listing
       val part = spark.read.parquet("s3a://lake/orders_part.parquet")
       val localPart = spark.read
@@ -424,6 +334,102 @@ class SourcesSpec extends AnyFunSuite {
       assert(part.select("bucket").distinct().count() === 3L)
       assert(part.filter(col("bucket") === 1).count() ===
         localPart.filter(col("bucket") === 1).count())
-    } finally server.stop(0)
+    } finally server.stop()
+  }
+
+  test("S5: credentialed s3a scan — every request SigV4-signed, server-verified") {
+    import graft.sources.SigV4
+    val root = java.nio.file.Files.createTempDirectory("s3auth")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/nation.parquet"),
+      root.resolve("nation.parquet"))
+    val creds = SigV4.Credentials("AKIATESTKEY", "wJalrXUtnFEMI/test/secret",
+      "us-east-1")
+    // the mock verifies like AWS does: re-derives the canonical request
+    // from the raw wire data with the shared secret and compares
+    // signatures; any canonicalization drift = 403, not just a missing
+    // header
+    val server = new S3TestServer(root, auth = Some(creds))
+    server.start()
+    try {
+      // unsigned client vs credentialed bucket: rejected with 403
+      LakeReader.s3MinimalFs(spark, server.endpoint)
+      val unsignedErr = intercept[Exception] {
+        spark.read.parquet("s3a://lake/nation.parquet").collect()
+      }
+      assert(server.authRejections.get() > 0, "mock accepted an unsigned request")
+      // signed client: HEAD + ListObjectsV2 + every ranged GET carry a
+      // valid signature; the read round-trips exactly
+      LakeReader.s3MinimalFs(spark, server.endpoint,
+        accessKey = Some(creds.accessKey), secretKey = Some(creds.secretKey),
+        region = Some(creds.region))
+      server.authRejections.set(0)
+      val remote = spark.read.parquet("s3a://lake/nation.parquet")
+        .collect().map(_.toSeq).toSet
+      val local = spark.read
+        .parquet("/root/testdata/sf0.001/nation.parquet")
+        .collect().map(_.toSeq).toSet
+      assert(remote === local && remote.nonEmpty)
+      assert(server.rangedGets.get() > 0, "signed scan did not use ranged GETs")
+      assert(server.authRejections.get() === 0,
+        "a signed request failed the server-side signature check")
+      // a WRONG secret must be rejected even though the header is present
+      LakeReader.s3MinimalFs(spark, server.endpoint,
+        accessKey = Some(creds.accessKey), secretKey = Some("wrong-secret"),
+        region = Some(creds.region))
+      intercept[Exception] {
+        spark.read.parquet("s3a://lake/nation.parquet").collect()
+      }
+      assert(server.authRejections.get() > 0,
+        "mock accepted a request signed with the wrong secret")
+    } finally {
+      server.stop()
+      // leave the conf clean for later tests
+      LakeReader.s3MinimalFs(spark, "http://unset.invalid")
+    }
+  }
+
+  test("K: remote export publish — export, publish, s3a read-back == local; marker LAST") {
+    import graft.sources.SigV4
+    import graft.export.{Exporter, S3Publisher}
+    val root = java.nio.file.Files.createTempDirectory("s3pub")
+    val creds = SigV4.Credentials("AKIAPUBLISH", "publish/secret", "auto")
+    val server = new S3TestServer(root, auth = Some(creds))
+    server.start()
+    try {
+      LakeReader.s3MinimalFs(spark, server.endpoint,
+        accessKey = Some(creds.accessKey), secretKey = Some(creds.secretKey),
+        region = Some(creds.region))
+      // export a mart locally with the atomic tmp+rename + .done marker
+      val exportBase = java.nio.file.Files.createTempDirectory("pubexp")
+      val localDir = s"$exportBase/mart.parquet"
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .limit(2000)
+      Exporter.atomically(localDir) { tmp =>
+        df.coalesce(2).write.mode("overwrite").parquet(tmp)
+      }
+      assert(Exporter.isDone(localDir))
+      // publish to the credentialed bucket; tiny threshold forces at least
+      // one multipart upload (parquet parts here are > 16 KB)
+      assert(!S3Publisher.isDone(spark, "s3a://lake/mart.parquet"))
+      S3Publisher.publishDir(spark, localDir, "s3a://lake/mart.parquet",
+        multipartThreshold = 16 * 1024)
+      // marker object is the LAST put — the atomic-publish contract on an
+      // object store (readers gate on the marker)
+      val puts = scala.jdk.CollectionConverters
+        .ListHasAsScala(server.putLog).asScala.toSeq
+      assert(puts.nonEmpty && puts.last === "mart.parquet.done",
+        s"marker was not published last: $puts")
+      assert(S3Publisher.isDone(spark, "s3a://lake/mart.parquet"))
+      // read-back through the signed s3a scan == the local export
+      val remote = spark.read.parquet("s3a://lake/mart.parquet")
+        .collect().map(_.toSeq).toSet
+      val local = spark.read.parquet(localDir).collect().map(_.toSeq).toSet
+      assert(remote === local && remote.size > 100)
+      assert(server.authRejections.get() === 0)
+    } finally {
+      server.stop()
+      LakeReader.s3MinimalFs(spark, "http://unset.invalid")
+    }
   }
 }
