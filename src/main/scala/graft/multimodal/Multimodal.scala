@@ -292,4 +292,129 @@ object Multimodal {
     df.select(col("media_id"), col("media_type"),
       length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("payload_md5"))
+
+  // ---- image perceptual hashing (DCT pHash — public algorithm) ----
+
+  private val PHashGrid = 32 // resize target before the DCT
+  private val PHashBlock = 8 // low-frequency block kept
+  /** 63 usable bits: the 8×8 block minus the DC coefficient. */
+  val PHashBits: Int = PHashBlock * PHashBlock - 1
+
+  /** DCT-II basis for the 32-point transform, orthonormal scaling. */
+  private lazy val dctBasis: Array[Array[Double]] = {
+    val n = PHashGrid
+    Array.tabulate(n, n) { (u, x) =>
+      val a = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      a * math.cos((2 * x + 1) * u * math.Pi / (2.0 * n))
+    }
+  }
+
+  /** 64-bit-packed 63-bit DCT perceptual hash of an encoded image:
+    * decode → bilinear 32×32 grayscale → 2-D DCT-II → keep the 8×8
+    * low-frequency block, drop DC → bit i = (coefficient > median of the
+    * 63). Stable under re-encode, resize and small edits — near-duplicate
+    * images land within a few bits of Hamming distance (the property
+    * [[imageNearDupPairs]] exploits). None for non-decodable payloads. */
+  def pHash64(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val n = PHashGrid
+      val small = new java.awt.image.BufferedImage(
+        n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(im, 0, 0, n, n, null)
+      g.dispose()
+      val luma = Array.tabulate(n, n) { (y, x) =>
+        val rgb = small.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      // separable 2-D DCT restricted to the kept block: coef(u,v) =
+      // C(u,·) · luma · C(v,·)ᵀ — only 8×8 outputs, O(block²·n²)
+      val b = PHashBlock
+      val coefs = Array.tabulate(b, b) { (v, u) =>
+        var s = 0.0
+        var y = 0
+        while (y < n) {
+          var rowDot = 0.0
+          var x = 0
+          while (x < n) { rowDot += luma(y)(x) * dctBasis(u)(x); x += 1 }
+          s += rowDot * dctBasis(v)(y)
+          y += 1
+        }
+        s
+      }
+      val ac = (for (v <- 0 until b; u <- 0 until b if u != 0 || v != 0)
+        yield coefs(v)(u)).toArray
+      val median = {
+        val sorted = ac.sorted
+        sorted(sorted.length / 2)
+      }
+      var hash = 0L
+      var i = 0
+      while (i < ac.length) {
+        if (ac(i) > median) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
+  }
+
+  /** Per-image perceptual hashes over a media table: (media_id, phash) for
+    * decodable images (others dropped). mapPartitions — the documented
+    * codec tier, same as [[extractFeatures]]. */
+  def imagePHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+        if (r.media_type == "image") pHash64(r.payload).map((r.media_id, _))
+        else None))
+      .toDF("media_id", "phash")
+  }
+
+  /** Image NEAR-DUPLICATE pairs — multimodal dedup, completing the text
+    * (MinHash/SimHash) story: pHash → pigeonhole banding → exact Hamming
+    * rescoring, the identical machinery as the q38 simhash pipeline. The
+    * 63-bit hash splits into 7 bands of 9 bits; a pair within Hamming ≤ 6
+    * differs in at most 6 bands so collides on ≥1 — the output is EXACTLY
+    * all pairs at the radius (no cap). The shuffle is keyed on
+    * (band, key), never an n² cross join; `maxBucket` is the same
+    * lossy-but-audited guard as the text-side tuned geometries. */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 6,
+      maxBucket: Long = 0L): DataFrame = {
+    val bandBits = 9
+    val nBands = PHashBits / bandBits // 7 bands × 9 bits = 63
+    require(maxHamming < nBands,
+      s"pigeonhole exactness needs maxHamming $maxHamming < $nBands bands")
+    val hashes = imagePHashes(media)
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val within = if (maxBucket > 0L) {
+      val ok = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= maxBucket)
+        .select("band", "key")
+      banded.join(ok, Seq("band", "key"))
+    } else banded
+    val a = within.select(col("band"), col("key"),
+      col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val b = within.select(col("band"), col("key"),
+      col("media_id").as("media_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "key")).filter(col("media_a") < col("media_b"))
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .distinct()
+  }
 }

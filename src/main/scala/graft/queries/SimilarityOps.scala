@@ -186,12 +186,22 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random hyperplane weights in [-0.5, 0.5): a
-    * splitmix-style integer mix, computed once on the driver; consumed by
-    * the fused [[graft.plans.HyperplaneBucket]] codegen expression and
-    * mirrored literally into the DuckDB oracle ([[planeSqlExpr]]). */
+    * QUADRATIC integer mix over the flattened (plane, dim) index, computed
+    * once on the driver; consumed by the fused
+    * [[graft.plans.HyperplaneBucket]] codegen expression and mirrored
+    * literally into the DuckDB oracle ([[bucketSqlExpr]]).
+    *
+    * Why quadratic: the round-6 affine mix (offset(p) + j·B mod M) gave
+    * every plane the SAME slope in j — planes were translations of one
+    * sawtooth, so sign-patterns concentrated into few hot band buckets and
+    * the 10×/30× ScaleStress recall collapsed once bucket caps engaged
+    * (measured 1.0 → 0.33). The k² term decorrelates planes (quadratic
+    * residues mod the prime spread uniformly) while staying exactly
+    * mirrorable in integer SQL. */
   private[graft] def planeWeights(p: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
-      val mixed = (((p * 2654435761L) % 1000003L) + j * 104729L) % 1000003L
+      val k = p.toLong * dim + j + 1
+      val mixed = ((k * k % 1000003L) * 2654435761L + k * 104729L) % 1000003L
       mixed.toDouble / 1000003.0 - 0.5
     }
 
@@ -201,9 +211,11 @@ object SimilarityOps {
     * as [[planeWeights]]. */
   private def bucketSqlExpr(nPlanes: Int, v: String): String =
     (0 until nPlanes).map { p =>
-      val pm = (p * 2654435761L) % 1000003L
+      val base = p.toLong * Dim
+      val k = s"($base + j + 1)"
       s"""(CASE WHEN list_dot_product($v, list_transform(range(0, $Dim),
-         |  j -> (($pm + j * 104729) % 1000003) / 1000003.0 - 0.5)) >= 0
+         |  j -> ((($k * $k % 1000003) * 2654435761 + $k * 104729)
+         |        % 1000003) / 1000003.0 - 0.5)) >= 0
          |  THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString("(", " + ", ")")
 

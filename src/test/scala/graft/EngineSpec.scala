@@ -208,6 +208,86 @@ class EngineSpec extends AnyFunSuite {
       .decode(Iterator(records(3))).next().duration_ms)
   }
 
+  test("multimodal: pHash image near-dup finds re-encodes/resizes, not distinct images") {
+    // structured test images: a diagonal gradient and a checkerboard —
+    // perceptually distinct; the near-dups are a JPEG re-encode and a
+    // bilinear downscale of the gradient (the classic pHash invariances)
+    def render(w: Int, h: Int, f: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    def gray(v: Int): Int = { val c = v.max(0).min(255); (c << 16) | (c << 8) | c }
+    // spectrally rich pattern (a plain linear gradient is pHash-degenerate:
+    // almost every AC coefficient sits at ~0, so the median threshold
+    // flips bits on numeric noise — a documented property of the public
+    // algorithm, not of this implementation). `s` scales the sampling
+    // frequency so the same continuous field renders at any resolution.
+    def pattern(s: Double)(x: Int, y: Int): Int = gray((128 +
+      55 * math.sin(x * 0.20 * s) + 45 * math.cos(y * 0.13 * s) +
+      20 * math.sin((x + y) * 0.07 * s)).toInt)
+    val checker = (x: Int, y: Int) => gray(if (((x / 16) + (y / 16)) % 2 == 0) 230 else 20)
+    val base = render(128, 128, pattern(1.0), "png")
+    // near-dup 1: the same pixels through lossy JPEG (explicit quality
+    // 0.9 — ImageIO's default ~0.75 visibly mangles high-frequency
+    // synthetic patterns, pushing hamming past the radius; real photos
+    // re-encode closer, synthetic spectra are the worst case)
+    val jpegDup = {
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(im, null, null), p)
+      w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // near-dup 2: the same field at half resolution
+    val resizedDup = render(64, 64, pattern(2.0), "png")
+    // near-dup 3: brightness shift (+6) — only the DC coefficient moves,
+    // and pHash drops DC
+    val brightDup = render(128, 128,
+      (x, y) => gray(((pattern(1.0)(x, y) & 0xff) + 6).min(255)), "png")
+    val distinct = render(128, 128, checker, "png")
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "image", base, "base.png"),
+      Multimodal.MediaRecord(2L, "image", jpegDup, "dup.jpg"),
+      Multimodal.MediaRecord(3L, "image", resizedDup, "dup_small.png"),
+      Multimodal.MediaRecord(7L, "image", brightDup, "dup_bright.png"),
+      Multimodal.MediaRecord(4L, "image", distinct, "checker.png"),
+      Multimodal.MediaRecord(5L, "image", Array[Byte](1, 2), "corrupt.png"),
+      Multimodal.MediaRecord(6L, "audio", base, "not-image.wav"))
+    val media = spark.createDataset(records).repartition(3)
+    // hashes: only decodable images emit one (distributed path)
+    val hashes = Multimodal.imagePHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet === Set(1L, 2L, 3L, 4L, 7L))
+    val pairs = Multimodal.imageNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every near-dup pairs with the base; the checkerboard pairs with
+    // nothing
+    assert(pairs.contains((1L, 2L)), s"jpeg re-encode not found: $pairs")
+    assert(pairs.contains((1L, 3L)), s"resize not found: $pairs")
+    assert(pairs.contains((1L, 7L)), s"brightness shift not found: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distinct image false-paired: $pairs")
+    // pigeonhole exactness: banding found every pair at the radius that
+    // a brute-force Hamming scan over the hashes finds
+    def bits(x: Long) = java.lang.Long.bitCount(x)
+    val brute = (for {
+      Seq((a, ha), (b, hb)) <- hashes.toSeq.sortBy(_._1).combinations(2)
+      if bits(ha ^ hb) <= 6
+    } yield (a, b) -> bits(ha ^ hb).toLong).toMap
+    assert(pairs === brute)
+  }
+
   test("multimodal: javax.sound decodes real WAVs, stub only for compressed audio") {
     // 16-bit mono PCM sine, 8 kHz, 2000 frames = exactly 250 ms
     def wav(hz: Double, frames: Int, rate: Float): Array[Byte] = {
