@@ -44,10 +44,21 @@ object Bench {
           false
       }
 
+    // q86 is excluded from TIMING on BOTH sides (tools/duck_bench.py skips
+    // it symmetrically, same as q40): its builder runs a full STREAMING
+    // INGEST LIFECYCLE — 3 AvailableNow micro-batches with checkpoint +
+    // state-table parquet writes to fresh temp dirs (~7 s/exec at sf0.1,
+    // dispatch- and IO-floor-bound) — while its oracle is a one-shot
+    // SELECT. Timing stream-checkpoint machinery against a SQL query
+    // measures neither engine's query execution. The CORRECTNESS gate
+    // (Verify) still runs it every round.
+    val nonQueryEntries = Set("q86_ingest_endstate")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(nonQueryEntries)
       .filter(n => only.forall(f => f.exists(n.startsWith)))
+    System.err.println(s"[bench] excluded non-query entries: ${nonQueryEntries.mkString(", ")}")
     // warm-up (untimed): compiles codegen, warms JIT + parquet footers cache
     graft.queries.CurationOps.clearCache()
     graft.queries.DedupOps.clearCache()
