@@ -386,35 +386,116 @@ object Multimodal {
     * lossy-but-audited guard as the text-side tuned geometries. */
   def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 6,
       maxBucket: Long = 0L): DataFrame = {
-    val bandBits = 9
-    val nBands = PHashBits / bandBits // 7 bands × 9 bits = 63
-    require(maxHamming < nBands,
-      s"pigeonhole exactness needs maxHamming $maxHamming < $nBands bands")
-    val hashes = imagePHashes(media)
-    val banded = hashes.select(col("media_id"), col("phash"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("phash"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("media_id"), col("phash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val within = if (maxBucket > 0L) {
-      val ok = banded.groupBy("band", "key")
-        .agg(count(lit(1)).as("bcnt"))
-        .filter(col("bcnt") <= maxBucket)
-        .select("band", "key")
-      banded.join(ok, Seq("band", "key"))
-    } else banded
-    val a = within.select(col("band"), col("key"),
-      col("media_id").as("media_a"), col("phash").as("ph_a"))
-    val b = within.select(col("band"), col("key"),
-      col("media_id").as("media_b"), col("phash").as("ph_b"))
-    a.join(b, Seq("band", "key")).filter(col("media_a") < col("media_b"))
-      .withColumn("hamming",
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("bigint"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("media_a"), col("media_b"), col("hamming"))
-      .distinct()
+    graft.operators.HammingPairs.requireExact(PHashBits, PHashBandBits,
+      maxHamming)
+    graft.operators.HammingPairs.pairs(imagePHashes(media),
+      "media_id", "phash", PHashBits, PHashBandBits, maxHamming, maxBucket,
+      outA = "media_a", outB = "media_b")
+  }
+  private val PHashBandBits = 9 // 7 bands × 9 bits over the 63-bit hash
+
+  // ---- audio fingerprinting (Haitsma–Kalker 2002, simplified — public
+  // algorithm: frame the signal, per-frame energies in log-spaced bands,
+  // bit = sign of the difference-of-differences ΔE(frame, band); robust
+  // to amplitude scaling because every energy scales by the same c²) ----
+
+  private val AudioFrames = 5 // 5 frames × 12 band-diffs = 60 bits
+  private val AudioBandsPerFrame = 13 // 12 differences per frame
+  private val AudioFrameLen = 512 // samples per frame
+  /** 60-bit fingerprint: like the text simhash, bands at 12 bits. */
+  val AudioFpBits: Int = AudioFrames * (AudioBandsPerFrame - 1)
+
+  /** 60-bit audio fingerprint of an encoded (JDK-decodable: WAV/AIFF/AU,
+    * 16-bit little-endian PCM) payload. Frames the first
+    * `AudioFrames × AudioFrameLen` samples, computes per-frame spectral
+    * energy at `AudioBandsPerFrame` log-spaced frequencies (Goertzel-style
+    * single-bin DFT — JDK-only, no FFT library), then
+    * bit(f,b) = [ (E(f,b)−E(f,b+1)) − (E(f−1,b)−E(f−1,b+1)) > 0 ]
+    * (frame −1 = zeros). Deterministic; None when undecodable or shorter
+    * than one frame. */
+  def audioFingerprint64(payload: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val needBytes = AudioFrames * AudioFrameLen * fmt.getFrameSize
+          val buf = new Array[Byte](needBytes)
+          var n = 0
+          var eof = false
+          while (n < buf.length && !eof) {
+            val got = ais.read(buf, n, buf.length - n)
+            if (got < 0) eof = true else n += got
+          }
+          val step = fmt.getFrameSize // first channel of interleaved PCM
+          val samples = Array.tabulate(n / step)(i =>
+            ((buf(i * step + 1) << 8) | (buf(i * step) & 0xff)).toShort / 32768.0)
+          if (samples.length < AudioFrameLen) None
+          else {
+            val nFrames = math.min(AudioFrames, samples.length / AudioFrameLen)
+            // log-spaced analysis frequencies between bins 2 and L/4
+            val bins = Array.tabulate(AudioBandsPerFrame) { b =>
+              2.0 * math.pow(AudioFrameLen / 8.0,
+                b / (AudioBandsPerFrame - 1.0))
+            }
+            val energies = Array.tabulate(AudioFrames, AudioBandsPerFrame) {
+              (f, b) =>
+                if (f >= nFrames) 0.0
+                else {
+                  val w = 2.0 * math.Pi * bins(b) / AudioFrameLen
+                  var re = 0.0; var im = 0.0
+                  var i = 0
+                  while (i < AudioFrameLen) {
+                    val s = samples(f * AudioFrameLen + i)
+                    re += s * math.cos(w * i)
+                    im += s * math.sin(w * i)
+                    i += 1
+                  }
+                  re * re + im * im
+                }
+            }
+            var hash = 0L
+            var bit = 0
+            var f = 0
+            while (f < AudioFrames) {
+              var b = 0
+              while (b < AudioBandsPerFrame - 1) {
+                val cur = energies(f)(b) - energies(f)(b + 1)
+                val prev = if (f == 0) 0.0
+                  else energies(f - 1)(b) - energies(f - 1)(b + 1)
+                if (cur - prev > 0) hash |= (1L << bit)
+                bit += 1
+                b += 1
+              }
+              f += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-clip fingerprints: (media_id, afp) for decodable audio. */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+        if (r.media_type == "audio") audioFingerprint64(r.payload)
+          .map((r.media_id, _))
+        else None))
+      .toDF("media_id", "afp")
+  }
+
+  /** Audio NEAR-DUPLICATE pairs — the third modality through the shared
+    * [[graft.operators.HammingPairs]] engine (text simhash, image pHash,
+    * audio fingerprints: one banding implementation). 60 bits in 5 bands
+    * of 12: exact for Hamming ≤ 4 uncapped. */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 4,
+      maxBucket: Long = 0L): DataFrame = {
+    graft.operators.HammingPairs.requireExact(AudioFpBits, 12, maxHamming)
+    graft.operators.HammingPairs.pairs(audioFingerprints(media),
+      "media_id", "afp", AudioFpBits, 12, maxHamming, maxBucket,
+      outA = "media_a", outB = "media_b")
   }
 }

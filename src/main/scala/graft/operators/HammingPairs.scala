@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** THE Hamming near-duplicate pair engine — one implementation behind
+  * every fingerprint modality: text SimHash (q38 /
+  * [[graft.queries.DedupOps.simhashPairsTuned]]), image pHash
+  * ([[graft.multimodal.Multimodal.imageNearDupPairs]]) and audio
+  * fingerprints ([[graft.multimodal.Multimodal.audioNearDupPairs]]).
+  *
+  * Semantics (Manku et al., WWW'07 pigeonhole banding): the `totalBits`
+  * fingerprint is cut into `totalBits / bandBits` bands; same-band-bucket
+  * collisions become candidates; an exact Hamming filter removes false
+  * positives. A pair within Hamming ≤ maxHamming differs in at most
+  * maxHamming bands, so with `maxHamming < nBands` (required) and no cap
+  * the output is EXACTLY all pairs at the radius — banding moves the
+  * candidate population, never the answer.
+  *
+  * Scale shape: the only shuffle is keyed on (band, key) — never an n²
+  * cross join; chance collisions under a fixed band width are
+  * Θ(n²/2^bandBits) per band, so the scale levers are WIDER bands
+  * (smaller guaranteed radius) and `maxBucket` (skip boilerplate buckets;
+  * lossy-but-audited — ScaleStress measures recall, never assumes it).
+  * The bucket-size aggregate shuffles on the same (band, key) as the
+  * pair join, so the cap costs one co-partitioned aggregation.
+  *
+  * The INCREMENTAL path ([[pairsIncremental]]) is the hamming twin of
+  * [[graft.queries.DedupOps.lshPairsFromSigs]]: band a new batch against
+  * a persisted (id, hash) store and emit exactly the pairs involving ≥1
+  * batch id — per-ingest cost ∝ batch, and batch-pairs ⊎ store-pairs =
+  * full recompute (spec-asserted), so fingerprint dedup ingests
+  * batch-by-batch without ever re-hashing the standing corpus.
+  */
+object HammingPairs {
+
+  /** All pairs within `maxHamming` of each other (subject to `maxBucket`
+    * capping), from an (idCol, hashCol) frame. Output columns:
+    * (`outA`, `outB`, "hamming"), ids normalized `outA < outB`. */
+  def pairs(hashes: DataFrame, idCol: String, hashCol: String,
+      totalBits: Int, bandBits: Int, maxHamming: Int, maxBucket: Long = 0L,
+      outA: String = "id_a", outB: String = "id_b"): DataFrame = {
+    val banded = capped(band(hashes, idCol, hashCol, totalBits, bandBits),
+      maxBucket)
+    val a = banded.select(col("band"), col("key"),
+      col("id").as(outA), col("h").as("h_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as(outB), col("h").as("h_b"))
+    a.join(b, Seq("band", "key")).filter(col(outA) < col(outB))
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(outA), col(outB), col("hamming"))
+      .distinct()
+  }
+
+  /** Pairs involving ≥1 id of `batch`, against `store` ∪ `batch` (both
+    * (idCol, hashCol) frames; ids must not collide across them). With the
+    * same geometry and no cap, `pairs(store) ⊎ pairsIncremental(store,
+    * batch)` is exactly `pairs(store ∪ batch)`; with a cap, the cap is
+    * evaluated against the UNION's bucket populations — matching what a
+    * full recompute would see. */
+  def pairsIncremental(store: DataFrame, batch: DataFrame, idCol: String,
+      hashCol: String, totalBits: Int, bandBits: Int, maxHamming: Int,
+      maxBucket: Long = 0L, outA: String = "id_a",
+      outB: String = "id_b"): DataFrame = {
+    val newBanded = band(batch, idCol, hashCol, totalBits, bandBits)
+    val allBanded = capped(
+      band(store, idCol, hashCol, totalBits, bandBits).union(newBanded),
+      maxBucket)
+    // one side is ALWAYS the batch: the join streams the corpus banding
+    // past the batch's buckets (the capped frame already restricts the
+    // batch side to surviving keys); (lo, hi) normalization keeps a
+    // new-new pair from being emitted twice
+    val l = newBanded.select(col("band"), col("key"),
+      col("id").as("id_n"), col("h").as("h_n"))
+    val r = allBanded.select(col("band"), col("key"),
+      col("id").as("id_o"), col("h").as("h_o"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as(outA),
+        greatest(col("id_n"), col("id_o")).as(outB),
+        bit_count(col("h_n").bitwiseXOR(col("h_o"))).cast("bigint")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** (id, h, band, key) banding of an (idCol, hashCol) frame. */
+  private def band(hashes: DataFrame, idCol: String, hashCol: String,
+      totalBits: Int, bandBits: Int): DataFrame = {
+    require(totalBits % bandBits == 0,
+      s"bandBits $bandBits must divide $totalBits")
+    val nBands = totalBits / bandBits
+    require(nBands >= 2, s"need >= 2 bands, got $nBands")
+    hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("h"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("h"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def capped(banded: DataFrame, maxBucket: Long): DataFrame =
+    if (maxBucket <= 0L) banded
+    else {
+      val ok = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") <= maxBucket)
+        .select("band", "key")
+      banded.join(ok, Seq("band", "key"))
+    }
+
+  /** Validates the pigeonhole-exactness precondition shared by callers. */
+  def requireExact(totalBits: Int, bandBits: Int, maxHamming: Int): Unit = {
+    require(totalBits % bandBits == 0,
+      s"bandBits $bandBits must divide $totalBits")
+    require(maxHamming < totalBits / bandBits,
+      s"pigeonhole exactness needs maxHamming $maxHamming < " +
+        s"${totalBits / bandBits} bands")
+  }
+}

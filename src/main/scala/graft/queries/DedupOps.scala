@@ -373,37 +373,10 @@ object DedupOps {
     * e.g. (20, 2, 64): 3 bands of 20 bits, 2^20 keys per band. */
   def simhashPairsTuned(s: SparkSession, dir: String, bandBits: Int = 12,
       maxHamming: Int = 4, maxBucket: Long = 0L): DataFrame = {
-    require(SimhashBits % bandBits == 0,
-      s"bandBits $bandBits must divide $SimhashBits")
-    val nBands = SimhashBits / bandBits
-    require(maxHamming < nBands,
-      s"pigeonhole exactness needs maxHamming $maxHamming < nBands $nBands")
-    val sh = simhashCached(s, dir)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val within = if (maxBucket > 0L) {
-      val ok = banded.groupBy("band", "key")
-        .agg(count(lit(1)).as("bcnt"))
-        .filter(col("bcnt") <= maxBucket)
-        .select("band", "key")
-      banded.join(ok, Seq("band", "key"))
-    } else banded
-    val a = within.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = within.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .distinct()
+    graft.operators.HammingPairs.requireExact(SimhashBits, bandBits, maxHamming)
+    graft.operators.HammingPairs.pairs(simhashCached(s, dir),
+      "doc_id", "simhash", SimhashBits, bandBits, maxHamming, maxBucket,
+      outA = "doc_a", outB = "doc_b")
   }
 
   // ---- simhash banding constants (5 × 12 bits over the 60-bit hash) ----

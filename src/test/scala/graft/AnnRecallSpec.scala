@@ -73,9 +73,10 @@ class AnnRecallSpec extends AnyFunSuite {
     // 4 bands x 4 planes: per-pair candidate probability
     // 1-(1-(1-theta/pi)^4)^4 ~ 0.50 at cos=0.4, rising steeply with
     // similarity (~0.97 at cos 0.8). This corpus' true pairs all hug the
-    // 0.40-0.48 band, the hardest regime — measured 0.35 (23/66), fully
-    // deterministic (fixed integer-mix planes). The floor guards a broken
-    // banding (which collapses to ~0), not sampling noise.
+    // 0.40-0.48 band, the hardest regime; the value is fully
+    // deterministic (fixed integer-mix planes — requadratified in r7,
+    // which moved the exact number). The floor guards a broken banding
+    // (which collapses to ~0), not sampling noise.
     assert(recall >= 0.3, f"LSH pair recall $recall%.2f (${found.size}/${truth.size})")
   }
 

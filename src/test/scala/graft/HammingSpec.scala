@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.operators.HammingPairs
+
+/** The shared Hamming near-dup engine (one banding implementation behind
+  * simhash / image pHash / audio fingerprints) and the audio modality:
+  * exactness, incremental ⊎ = full, and fingerprint robustness. */
+class HammingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Deterministic (id, hash) corpus with planted near-dups: id ≡ 3
+    * (mod 7) flips `flipBits` low bits of id−1's hash. */
+  private def corpus(n: Int, flipBits: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val base = scala.util.hashing.MurmurHash3.stringHash(s"h$i").toLong &
+        ((1L << 60) - 1)
+      val prev = scala.util.hashing.MurmurHash3.stringHash(s"h${i - 1}").toLong &
+        ((1L << 60) - 1)
+      val h = if (i % 7 == 3 && i > 0) prev ^ ((1L << flipBits) - 1) else base
+      (i.toLong, h)
+    }.toDF("id", "h")
+
+  test("pairs: banding = brute force at the radius; wider bands shrink only candidates") {
+    val df = corpus(400, flipBits = 3)
+    def rows(r: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val banded = rows(HammingPairs.pairs(df, "id", "h", 60, 12, 4))
+    // brute force over the collected hashes
+    val hs = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      Seq((a, ha), (b, hb)) <- hs.sortBy(_._1).toSeq.combinations(2)
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 4
+    } yield (a, b, d.toLong)).toSet
+    assert(banded === brute && brute.nonEmpty)
+    // 20-bit bands (3 bands): still exact for radius <= 2
+    val wide = rows(HammingPairs.pairs(df, "id", "h", 60, 20, 2))
+    assert(wide === brute.filter(_._3 <= 2))
+  }
+
+  test("pairsIncremental: batch ⊎ store = full recompute, disjointly; cap over the union") {
+    val all = corpus(500, flipBits = 2)
+    val store = all.filter(col("id") < 350)
+    val batch = all.filter(col("id") >= 350)
+    def rows(r: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val full = rows(HammingPairs.pairs(all, "id", "h", 60, 12, 4))
+    val old = rows(HammingPairs.pairs(store, "id", "h", 60, 12, 4))
+    val inc = rows(HammingPairs.pairsIncremental(store, batch,
+      "id", "h", 60, 12, 4))
+    assert(old.intersect(inc).isEmpty, "incremental re-emitted store pairs")
+    assert(old.union(inc) === full)
+    assert(inc.forall { case (a, b, _) => a >= 350 || b >= 350 })
+    // with a cap, incremental evaluates bucket populations over the UNION —
+    // exactly what the capped full recompute sees
+    val fullCap = rows(HammingPairs.pairs(all, "id", "h", 60, 12, 4,
+      maxBucket = 2L))
+    val oldCap = rows(HammingPairs.pairs(store, "id", "h", 60, 12, 4,
+      maxBucket = 2L))
+    val incCap = rows(HammingPairs.pairsIncremental(store, batch,
+      "id", "h", 60, 12, 4, maxBucket = 2L))
+    // store-only pairs can differ under the union's populations, but every
+    // batch-involving pair of the capped full recompute must be found
+    assert(fullCap.filter { case (a, b, _) => a >= 350 || b >= 350 } === incCap)
+    assert(oldCap.union(incCap).subsetOf(full))
+  }
+
+  test("audio fingerprint: scale-invariant, near under noise, far across content") {
+    def wav(freqs: Seq[Double], amp: Double, noise: Double): Array[Byte] = {
+      val rate = 8000f
+      val n = 4000
+      val rnd = new scala.util.Random(7) // fixed seed: deterministic noise
+      val samples = Array.tabulate(n) { i =>
+        val t = i / rate
+        val s = freqs.map(f => math.sin(2 * math.Pi * f * t)).sum /
+          freqs.size * amp + noise * (rnd.nextDouble() - 0.5)
+        (s * 20000).toShort
+      }
+      val data = new Array[Byte](n * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // broadband content (6 tones spanning the analysis bands): every band
+    // energy is well off the floor, so difference signs are stable — the
+    // regime real audio sits in; a 2-tone signal leaves most bands at the
+    // noise floor where signs are coin flips
+    val chord = Seq(130.0, 290.0, 440.0, 880.0, 1700.0, 3100.0)
+    val base = wav(chord, amp = 1.0, noise = 0.0)
+    val scaled = wav(chord, amp = 0.5, noise = 0.0)
+    val noisy = wav(chord, amp = 1.0, noise = 0.02)
+    val other = wav(Seq(180.0, 550.0, 1250.0, 2400.0), amp = 1.0, noise = 0.0)
+    val Some(hBase) = Multimodal.audioFingerprint64(base)
+    val Some(hScaled) = Multimodal.audioFingerprint64(scaled)
+    val Some(hNoisy) = Multimodal.audioFingerprint64(noisy)
+    val Some(hOther) = Multimodal.audioFingerprint64(other)
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // energy ratios are amplitude-invariant: identical fingerprint
+    assert(d(hBase, hScaled) === 0)
+    // small additive noise flips at most a few difference signs
+    assert(d(hBase, hNoisy) <= 4, s"noise moved ${d(hBase, hNoisy)} bits")
+    // different spectral content is far
+    assert(d(hBase, hOther) > 8, s"distinct clips only ${d(hBase, hOther)} apart")
+    // undecodable → None
+    assert(Multimodal.audioFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
+
+    // distributed near-dup pairs through the shared HammingPairs engine
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "audio", base, "a.wav"),
+      Multimodal.MediaRecord(2L, "audio", scaled, "a_scaled.wav"),
+      Multimodal.MediaRecord(3L, "audio", noisy, "a_noisy.wav"),
+      Multimodal.MediaRecord(4L, "audio", other, "b.wav"),
+      Multimodal.MediaRecord(5L, "audio", Array[Byte](9), "junk.mp3"),
+      Multimodal.MediaRecord(6L, "image", base, "not-audio.png"))
+    val pairs = Multimodal.audioNearDupPairs(
+        spark.createDataset(records).repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}
