@@ -442,6 +442,85 @@ object TextOps {
     // vocab; the total is its sum (not a separate scan); the collected rows
     // are vocab-bounded — the same broadcast-size assumption the lp join
     // already makes.
+    // Interpolated-smoothing BIGRAM language model quality score — the
+    // step past q81's unigram LM toward CCNet-grade perplexity filtering:
+    // add-one-smoothed conditional p(w2|w1) = (c2+1)/(c1+|V|), scored as
+    // the per-doc mean log-prob over its bigrams. Scale shape: the bigram
+    // stream is partitioned ONCE on (w1, w2); the LM count aggregation
+    // consumes that exchange and the score join-back REUSES it
+    // (ReusedExchange, the q74 pattern) — the LM table is vocab²-bounded
+    // but NOT broadcast (at corpus scale it can be billions of rows; the
+    // shuffle equi-join on the bigram key is the 100 TB plan). c1 derives
+    // from c2 (one more tiny agg), |V| is a scalar (eager builder, the
+    // documented q67/q81 contract). Log-probs rounded to 6dp on BOTH
+    // engines (libm-parity, the q81 precedent).
+    "q87_bigram_lm" -> ((s, dir) => {
+      val withToks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val big = withToks
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ts")) - 2),
+            i => struct(element_at(col("ts"), i + 1).as("w1"),
+              element_at(col("ts"), i + 2).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .repartition(col("w1"), col("w2"))
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      val vocabV = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("tok")).distinct().count()
+      val lp = c2.join(c1, Seq("w1"))
+        .withColumn("lp6", round(log((col("c2") + 1).cast("double") /
+          (col("c1") + lit(vocabV)).cast("double")), 6))
+      big.join(lp.select("w1", "w2", "lp6"), Seq("w1", "w2"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_bigrams"),
+          r4(avg(col("lp6"))).as("mean_logprob"))
+    }),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — public algorithm,
+    // hashed-n-gram flavor): features = unigrams hashed into 256 buckets;
+    // the TARGET distribution is the Gopher-keep subset (q77's gate), the
+    // RAW distribution is the whole corpus; a doc's importance is the mean
+    // log-likelihood ratio of its tokens' buckets. Docs resembling the
+    // quality subset score high — THE data-mixture reweighting step before
+    // sampling (composes with q71's rate-based mixing). Scale shape: one
+    // token pass (bucket = stableHash % 256), two 256-row distributions
+    // (driver-size regardless of corpus — broadcast), one per-doc
+    // aggregation. Log-ratios rounded 6dp on both engines.
+    "q88_dsir_weight" -> ((s, dir) => {
+      val B = 256
+      val keep = docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), gopherKeep.as("keep"))
+      // keep is ONE ROW PER DOC — corpus-sized, never broadcast: both
+      // sides hash-partition on doc_id (the exchange the final per-doc
+      // aggregation reuses)
+      val toks = docs(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("b", pmod(stableHash(col("tok")), lit(B)))
+        .join(keep, Seq("doc_id"))
+      val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter(col("keep")).groupBy("b")
+        .agg(count(lit(1)).as("ct"))
+      val nr = raw.agg(sum("cr")).head().getLong(0)
+      val nt = toks.filter(col("keep")).count()
+      // 256-row log-likelihood-ratio table (add-one smoothed), broadcast
+      val ratio = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"),
+          round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              lit((nt + B).toDouble)) -
+            log((col("cr") + 1).cast("double") / lit((nr + B).toDouble)),
+            6).as("llr6"))
+      toks.join(broadcast(ratio), Seq("b"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_tokens"),
+          first(col("keep")).as("keep"),
+          r4(avg(col("llr6"))).as("importance"))
+    }),
+
     "q81_unigram_lm" -> ((s, dir) => {
       val vocabRows = docs(s, dir)
         .select(explode(tokens(col("text"))).as("tok"))
@@ -472,6 +551,34 @@ object TextOps {
     val preds = words.map(w => s"t = '$w'").mkString(" OR ")
     s"len(list_filter(string_split(text, ' '), t -> $preds))"
   }
+
+  /** q77 oracle SQL, extracted so q88 can embed the identical keep
+    * predicate as a subquery. */
+  private lazy val oracle77ForReuse: String = {
+      val stop = markersSql(gopherStopwords)
+      s"""WITH m AS (SELECT doc_id,
+            len(string_split(text, ' ')) AS nw,
+            length(replace(text, ' ', '')) * 1.0
+              / len(string_split(text, ' ')) AS mean_len,
+            (length(text) - length(replace(text, '#', ''))
+             + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+              / len(string_split(text, ' ')) AS sym_ratio,
+            len(list_filter(string_split(text, ' '),
+                x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+              / len(string_split(text, ' ')) AS alpha_frac,
+            $stop AS stop_count
+          FROM documents)
+          SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+                 round(mean_len, 4) AS mean_word_len,
+                 round(sym_ratio, 4) AS symbol_ratio,
+                 round(alpha_frac, 4) AS alpha_frac,
+                 CAST(stop_count AS BIGINT) AS stop_count,
+                 (nw >= 50 AND nw <= 100000
+                  AND mean_len >= 3.0 AND mean_len <= 10.0
+                  AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+                  AND stop_count >= 2) AS keep
+          FROM m"""
+    }
 
   val oracle: Map[String, String] = Map(
     "q21_wordcount" ->
@@ -604,31 +711,8 @@ object TextOps {
          SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
                 md5(array_to_string(chunk, ' ')) AS chunk_md5
          FROM ch""",
-    "q77_gopher_filter" -> {
-      val stop = markersSql(gopherStopwords)
-      s"""WITH m AS (SELECT doc_id,
-            len(string_split(text, ' ')) AS nw,
-            length(replace(text, ' ', '')) * 1.0
-              / len(string_split(text, ' ')) AS mean_len,
-            (length(text) - length(replace(text, '#', ''))
-             + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
-              / len(string_split(text, ' ')) AS sym_ratio,
-            len(list_filter(string_split(text, ' '),
-                x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
-              / len(string_split(text, ' ')) AS alpha_frac,
-            $stop AS stop_count
-          FROM documents)
-          SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
-                 round(mean_len, 4) AS mean_word_len,
-                 round(sym_ratio, 4) AS symbol_ratio,
-                 round(alpha_frac, 4) AS alpha_frac,
-                 CAST(stop_count AS BIGINT) AS stop_count,
-                 (nw >= 50 AND nw <= 100000
-                  AND mean_len >= 3.0 AND mean_len <= 10.0
-                  AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
-                  AND stop_count >= 2) AS keep
-          FROM m"""
-    },
+    "q77_gopher_filter" -> oracle77ForReuse,
+
     "q80_source_report" -> {
       val stop = markersSql(gopherStopwords)
       s"""WITH m AS (SELECT source,
@@ -657,6 +741,48 @@ object TextOps {
                  round(sum(kp) * 1.0 / count(*), 4) AS keep_rate,
                  round(avg(ml), 4) AS avg_word_len
           FROM m GROUP BY source"""
+    },
+    "q87_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents),
+         d AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+               FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                     FROM t WHERE len(ts) >= 2)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM d GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+         v AS (SELECT count(DISTINCT tok) AS vv FROM (
+                 SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         lp AS (SELECT w1, w2,
+                       round(ln((c2 + 1) * 1.0 / (c1 + vv)), 6) AS lp6
+                FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+         SELECT d.doc_id, count(*) AS n_bigrams,
+                round(avg(lp6), 4) AS mean_logprob
+         FROM d JOIN lp USING (w1, w2)
+         GROUP BY d.doc_id""",
+    "q88_dsir_weight" -> {
+      val keepQ = oracle77ForReuse
+      s"""WITH keepq AS (SELECT doc_id, keep FROM ($keepQ) k77),
+         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+         tb AS (SELECT t.doc_id,
+                       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256
+                         AS b,
+                       k.keep
+                FROM tk t JOIN keepq k USING (doc_id)),
+         raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+         tgt AS (SELECT b, count(*) AS ct FROM tb WHERE keep GROUP BY b),
+         nr AS (SELECT count(*) AS nr FROM tb),
+         nt AS (SELECT count(*) AS nt FROM tb WHERE keep),
+         ratio AS (SELECT raw.b,
+                 round(ln((coalesce(ct, 0) + 1) * 1.0 / (nt + 256))
+                     - ln((cr + 1) * 1.0 / (nr + 256)), 6) AS llr6
+                   FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+                   CROSS JOIN nr CROSS JOIN nt)
+         SELECT tb.doc_id, count(*) AS n_tokens, bool_or(keep) AS keep,
+                round(avg(llr6), 4) AS importance
+         FROM tb JOIN ratio USING (b)
+         GROUP BY tb.doc_id"""
     },
     "q81_unigram_lm" ->
       """WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
