@@ -70,6 +70,75 @@ class HammingSpec extends AnyFunSuite {
     assert(oldCap.union(incCap).subsetOf(full))
   }
 
+  test("streaming fingerprint ingest: image micro-batches = one-shot clustering") {
+    import graft.operators.ConnectedComponents
+    import graft.streaming.FingerprintIngest
+    def render(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int): Int = { val c = v.max(0).min(255); (c << 16) | (c << 8) | c }
+    // three perceptual clusters, members spread ACROSS batches so the
+    // incremental pairing has to find cross-batch duplicates
+    def field(a: Double, b: Double)(s: Double)(x: Int, y: Int): Int =
+      gray((128 + 60 * math.sin(x * a * s) + 50 * math.cos(y * b * s)).toInt)
+    val mk: ((Int, Int) => Int) => Array[Byte] = render(96, 96, _)
+    val clusterA = field(0.21, 0.12) _
+    val clusterB = field(0.08, 0.29) _
+    val checker = (x: Int, y: Int) => gray(if (((x / 12) + (y / 12)) % 2 == 0) 240 else 10)
+    val records = Seq(
+      // batch 0
+      Multimodal.MediaRecord(1L, "image", mk(clusterA(1.0)), "a0.png"),
+      Multimodal.MediaRecord(2L, "image", mk(clusterB(1.0)), "b0.png"),
+      Multimodal.MediaRecord(3L, "image", mk(checker), "c0.png"),
+      // batch 1: near-dups of A and B (brightness shifts — pHash drops the
+      // DC coefficient, so these sit at Hamming ~0 from their originals)
+      Multimodal.MediaRecord(4L, "image",
+        render(96, 96, (x, y) => gray((clusterA(1.0)(x, y) & 0xff) + 6)), "a1.png"),
+      Multimodal.MediaRecord(5L, "image",
+        render(96, 96, (x, y) => gray((clusterB(1.0)(x, y) & 0xff) + 6)), "b1.png"),
+      Multimodal.MediaRecord(6L, "image", Array[Byte](3, 1), "junk.png"),
+      // batch 2: another A member (re-render, identical pixels) + an
+      // unrelated image
+      Multimodal.MediaRecord(7L, "image", mk(clusterA(1.0)), "a2.png"),
+      Multimodal.MediaRecord(8L, "image", mk((x, y) => gray(x * y % 251)), "d2.png"))
+    val base = java.nio.file.Files.createTempDirectory("fpingest").toString
+    val inDir = java.nio.file.Paths.get(base, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    Seq(records.take(3), records.slice(3, 6), records.drop(6))
+      .zipWithIndex.foreach { case (batch, i) =>
+        val tmp = s"$base/stage$i"
+        spark.createDataset(batch).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, inDir.resolve(s"b$i.parquet"))
+      }
+    FingerprintIngest.start(spark, inDir.toString, s"$base/store",
+      s"$base/assign", s"$base/ckpt").awaitTermination()
+    val got = spark.read.parquet(s"$base/assign")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ground truth: one-shot clustering over ALL media's pairs (vertices =
+    // every id that produced a hash — junk has none and is absent)
+    val all = spark.createDataset(records)
+    val hashes = Multimodal.imagePHashes(all)
+    val want = ConnectedComponents.hashMin(
+        Multimodal.imageNearDupPairs(all).select("media_a", "media_b"),
+        hashes.select(col("media_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    // the clusters are the PERCEPTUAL ones: cross-batch members merged
+    assert(got(4L) === got(1L) && got(7L) === got(1L))
+    assert(got(5L) === got(2L))
+    assert(got(3L) !== got(1L))
+    assert(got(8L) !== got(1L))
+    assert(!got.contains(6L)) // undecodable: no hash, no vertex
+  }
+
   test("audio fingerprint: scale-invariant, near under noise, far across content") {
     def wav(freqs: Seq[Double], amp: Double, noise: Double): Array[Byte] = {
       val rate = 8000f
