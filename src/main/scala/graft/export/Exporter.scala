@@ -180,7 +180,7 @@ object Exporter {
       s"CREATE OR REPLACE TEMP VIEW $name AS SELECT * FROM parquet.`$url`;"
     }.mkString("\n")
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toList.reverse

@@ -32,9 +32,10 @@ object S3Publisher {
     val keyPrefix = keyOf(s3aDir)
     val base = Paths.get(localDir)
     val files = {
-      val walk = Files.walk(base).iterator()
-      scala.jdk.CollectionConverters.IteratorHasAsScala(walk).asScala
-        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      val walk = Files.walk(base)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+        .asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      finally walk.close() // Files.walk holds directory handles until closed
     }
     files.foreach { f =>
       val rel = base.relativize(f).toString

@@ -96,21 +96,24 @@ object BpeTrainer {
       driverMax: Long = DriverMaxWords): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // ONE corpus read: word-frequency table, then per-char symbol arrays
+    // ONE corpus read: word-frequency table, then per-codepoint symbol
+    // arrays (codepoints, not UTF-16 code units — matches how every SQL
+    // engine indexes strings, so the q85 oracle replay stays exact on
+    // supplementary-plane characters)
     var words: Dataset[WordSyms] = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) =>
-        val chars = w.map(_.toString)
-        WordSyms(chars.init :+ (chars.last + endMark), f)
-      }
+      .map { case (w, f) => WordSyms(initialSyms(w, endMark), f) }
       .localCheckpoint(eager = false)
     if (driverMax > 0) {
-      val probe = words.limit(math.min(driverMax, Int.MaxValue - 1L).toInt + 1)
-        .collect()
-      if (probe.length <= driverMax) return trainLocal(probe, numMerges)
+      // cheap count probe FIRST — collecting 2M speculative WordSyms rows
+      // (each ~0.5-1 KB of boxed symbol strings) just to discover the gate
+      // doesn't apply would be a driver-OOM risk the 16-byte-row CC
+      // precedent doesn't have
+      if (words.count() <= driverMax)
+        return trainLocal(words.collect(), numMerges)
     }
     val merges = Seq.newBuilder[Merge]
     var i = 0
@@ -137,29 +140,84 @@ object BpeTrainer {
     merges.result()
   }
 
+  /** UTF-8 byte ordering — what Spark's UTF8String binary comparison (the
+    * distributed loop's orderBy) uses; java.lang.String's UTF-16 compare
+    * disagrees on supplementary-plane vs U+E000..U+FFFF ties, so the
+    * driver loop must NOT use the natural String ordering. */
+  private val utf8Ordering: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var res = 0
+    while (res == 0 && i < n) {
+      res = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      i += 1
+    }
+    if (res != 0) res else java.lang.Integer.compare(a.length, b.length)
+  }
+
   /** Driver-side merge loop over the collected word-frequency table —
     * identical semantics to the distributed loop: per-occurrence adjacent
     * pair counts weighted by word frequency, argmax with ties to the
-    * smallest (left, right). */
+    * UTF-8-smallest (left, right). The pair-count table is maintained
+    * INCREMENTALLY (subtract the affected words' old pairs, apply the
+    * merge, add their new pairs — affected words found via a pair→word
+    * inverted index), so a K-merge run costs O(K · affected) not
+    * O(K · vocab): the shape a 30k-merge tokenizer run needs. */
   private def trainLocal(table: Array[WordSyms], numMerges: Int): Seq[Merge] = {
-    var words: Seq[(Seq[String], Long)] = table.toSeq.map(w => (w.syms, w.freq))
-    val merges = Seq.newBuilder[Merge]
-    var i = 0
-    var exhausted = false
-    while (i < numMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, f) =>
-        syms.sliding(2).foreach {
-          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
-          case _ =>
-        }
+    val words = scala.collection.mutable.ArrayBuffer.from(
+      table.map(w => (w.syms, w.freq)))
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(idx: Int, sign: Long): Unit = {
+      val (syms, f) = words(idx)
+      var i = 0
+      while (i + 1 < syms.length) {
+        val k = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(k, 0L) + sign * f
+        if (c == 0L) counts.remove(k) else counts(k) = c
+        if (sign > 0)
+          index.getOrElseUpdate(k,
+            scala.collection.mutable.Set.empty[Int]) += idx
+        i += 1
       }
+      // stale index entries (sign < 0) are tolerated: consumers re-check
+      // adjacency before touching a word, and the entry is rebuilt on add
+    }
+    words.indices.foreach(addWord(_, +1L))
+    implicit val pairOrd: Ordering[(String, String)] =
+      Ordering.Tuple2(utf8Ordering, utf8Ordering)
+    val merges = Seq.newBuilder[Merge]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
       if (counts.isEmpty) exhausted = true
       else {
-        val (l, r) = counts.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val (l, r) = counts.foldLeft(Option.empty[((String, String), Long)]) {
+          case (best, kv) =>
+            best match {
+              case Some((bk, bc)) if kv._2 < bc ||
+                (kv._2 == bc && pairOrd.gteq(kv._1, bk)) => best
+              case _ => Some(kv)
+            }
+        }.get._1
         merges += Merge(l, r)
-        words = words.map { case (s, f) => (applyMerge(s, l, r), f) }
-        i += 1
+        val affected = index.getOrElse((l, r), Set.empty[Int]).toSeq
+        affected.foreach { idx =>
+          val (syms, f) = words(idx)
+          // re-check adjacency — the index may be stale for this word
+          val has = syms.indices.dropRight(1)
+            .exists(i => syms(i) == l && syms(i + 1) == r)
+          if (has) {
+            addWord(idx, -1L)
+            words(idx) = (applyMerge(syms, l, r), f)
+            addWord(idx, +1L)
+          }
+        }
+        index.remove((l, r))
+        m += 1
       }
     }
     merges.result()
@@ -187,10 +245,19 @@ object BpeTrainer {
   def encodeWord(word: String, merges: Seq[Merge],
       endMark: String = "</w>"): Seq[String] = {
     if (word.isEmpty) return Nil
-    val chars = word.map(_.toString)
-    var syms: Seq[String] = chars.init :+ (chars.last + endMark)
+    var syms: Seq[String] = initialSyms(word, endMark)
     merges.foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
+  }
+
+  /** Per-CODEPOINT initial symbols with the end mark glued to the last —
+    * codepoints, not UTF-16 code units, so a supplementary-plane char is
+    * one symbol (matching SQL engines' per-character string indexing; a
+    * lone-surrogate "symbol" would also break round-tripping). */
+  private def initialSyms(word: String, endMark: String): Seq[String] = {
+    val cps = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    cps.init.toSeq :+ (cps.last + endMark)
   }
 
   /** Corpus-wide subword token counts under a learned merge list: one

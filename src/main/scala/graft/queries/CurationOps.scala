@@ -98,9 +98,15 @@ object CurationOps {
     }
     graft.streaming.DedupIngest.start(s, inDir.toString, schema,
       s"$base/store", s"$base/assign", s"$base/ckpt").awaitTermination()
-    s.read.parquet(s"$base/assign")
+    // materialize the assignment into checkpoint blocks, then delete the
+    // staging/store/checkpoint tree — "leaves no state behind" includes
+    // the temp dirs (the eager checkpoint keeps the result servable)
+    val out = s.read.parquet(s"$base/assign")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("is_keeper"))
+      .localCheckpoint(eager = true)
+    graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -415,8 +415,9 @@ object DedupOps {
     require(numHashes % bandRows == 0,
       s"numHashes $numHashes must be a multiple of bandRows $bandRows")
     val h = stableHash(col("sh"))
-    // per-doc artifact for THIS hash count (16-hash calls share the q31/q33
-    // artifact; others build and cache their own)
+    // per-doc artifact for THIS hash count (64-hash calls — the gated
+    // default — share the q31/q33 artifact; other geometries build and
+    // cache their own)
     val sigs =
       if (numHashes == NumHashes) docShinglesCached(s, dir)
       else cachedStage(s, dir, s"docShingles$numHashes") {

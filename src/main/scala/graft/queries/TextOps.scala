@@ -485,10 +485,10 @@ object TextOps {
     // RAW distribution is the whole corpus; a doc's importance is the mean
     // log-likelihood ratio of its tokens' buckets. Docs resembling the
     // quality subset score high — THE data-mixture reweighting step before
-    // sampling (composes with q71's rate-based mixing). Scale shape: one
-    // token pass (bucket = stableHash % 256), two 256-row distributions
-    // (driver-size regardless of corpus — broadcast), one per-doc
-    // aggregation. Log-ratios rounded 6dp on both engines.
+    // sampling (composes with q71's rate-based mixing). Scale shape: two
+    // aggregate passes over the token stream (distributions, then the
+    // per-doc score), two 256-row distributions (driver-size regardless
+    // of corpus — broadcast). Log-ratios rounded 6dp on both engines.
     "q88_dsir_weight" -> ((s, dir) => {
       val B = 256
       val keep = docs(s, dir)
@@ -502,18 +502,22 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .withColumn("b", pmod(stableHash(col("tok")), lit(B)))
         .join(keep, Seq("doc_id"))
-      val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
-      val tgt = toks.filter(col("keep")).groupBy("b")
-        .agg(count(lit(1)).as("ct"))
-      val nr = raw.agg(sum("cr")).head().getLong(0)
-      val nt = toks.filter(col("keep")).count()
-      // 256-row log-likelihood-ratio table (add-one smoothed), broadcast
-      val ratio = raw.join(tgt, Seq("b"), "left")
-        .select(col("b"),
-          round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-              lit((nt + B).toDouble)) -
-            log((col("cr") + 1).cast("double") / lit((nr + B).toDouble)),
-            6).as("llr6"))
+      // ONE aggregation pass yields BOTH 256-row distributions (raw +
+      // target counts per bucket); totals and the log-likelihood ratios
+      // derive from the collected table on the driver — no second and
+      // third corpus pass for nr/nt, no Spark job per scalar.
+      // Math.log + BigDecimal HALF_UP = exactly Catalyst's log + round.
+      val dist = toks.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("ct")).collect()
+      val nr = dist.map(_.getLong(1)).sum
+      val nt = dist.map(_.getLong(2)).sum
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ratio = s.createDataFrame(dist.toSeq.map(r => (r.getLong(0),
+        r6(math.log((r.getLong(2) + 1).toDouble / (nt + B)) -
+          math.log((r.getLong(1) + 1).toDouble / (nr + B))))))
+        .toDF("b", "llr6")
       toks.join(broadcast(ratio), Seq("b"))
         .groupBy("doc_id").agg(
           count(lit(1)).cast("long").as("n_tokens"),

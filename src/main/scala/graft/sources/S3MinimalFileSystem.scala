@@ -268,9 +268,16 @@ class S3MinimalFileSystem extends FileSystem {
       ("<CompleteMultipartUpload>" + etags.result().map { case (n, e) =>
         s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
       }.mkString + "</CompleteMultipartUpload>").getBytes("UTF-8")
-    request("POST", new URL(s"${objectUrl(key)}?uploadId=" +
+    val completeResp = request("POST", new URL(s"${objectUrl(key)}?uploadId=" +
       SigV4.uriEncode(uploadId)), completeXml, Set(200))
-    ()
+    // real S3 can return HTTP 200 with an <Error> BODY when the assembly
+    // fails (documented CompleteMultipartUpload behavior) — a marker-gated
+    // publish must not proceed past a silently failed complete
+    if (!completeResp.contains("<CompleteMultipartUploadResult") ||
+        completeResp.contains("<Error>"))
+      throw new IOException(
+        s"CompleteMultipartUpload for $key returned 200 without a result " +
+          s"document: ${completeResp.take(300)}")
   }
 
   private def readOnly = new IOException("s3a (minimal) filesystem is read-only")

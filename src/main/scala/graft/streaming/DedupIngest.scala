@@ -65,7 +65,7 @@ object DedupIngest {
       minJaccard: Double): Unit = {
     val spark = batch.sparkSession
     def tableOr(dir: String, empty: => DataFrame): DataFrame =
-      if (pathExists(spark, dir)) spark.read.parquet(dir) else empty
+      IngestState.tableOr(spark, dir, empty)
     val batchDocs = batch.select(col("doc_id"), col("text"))
     // computed ONCE (eager checkpoint): pairing and the store publish both
     // read the same materialized signatures
@@ -74,7 +74,7 @@ object DedupIngest {
     // a REPLAYED batch's own rows may already sit in the store — exclude
     // this batch's subdir from the corpus side so replay pairs against the
     // same store state as the original run
-    val priorDirs = listBatchDirs(spark, storeDir)
+    val priorDirs = IngestState.listBatchDirs(spark, storeDir)
       .filterNot(_.endsWith(s"batch=$batchId"))
     val store =
       if (priorDirs.isEmpty) batchSigs.limit(0) // bootstrap: batch vs itself
@@ -99,16 +99,4 @@ object DedupIngest {
     batchSigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
-  private def listBatchDirs(spark: SparkSession, storeDir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.toString).filter(_.contains("batch=")).toSeq
-  }
-
-  private def pathExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
 }

@@ -70,7 +70,7 @@ object FingerprintIngest {
     // the same materialized hashes; normalized (id, h) store row format
     val batchHashes = hasher(batch).toDF("id", "h")
       .localCheckpoint(eager = true)
-    val priorDirs = listBatchDirs(spark, storeDir)
+    val priorDirs = IngestState.listBatchDirs(spark, storeDir)
       .filterNot(_.endsWith(s"batch=$batchId"))
     val store =
       if (priorDirs.isEmpty) batchHashes.limit(0)
@@ -78,7 +78,7 @@ object FingerprintIngest {
     val pairs = HammingPairs.pairsIncremental(store, batchHashes,
       "id", "h", totalBits, bandBits, maxHamming, maxBucket)
     val batchIds = batchHashes.select(col("id"))
-    val oldAssign = tableOr(spark, assignDir,
+    val oldAssign = IngestState.tableOr(spark, assignDir,
       batchIds.select(col("id"), col("id").as("component")).limit(0))
     val vertices = oldAssign.select(col("id")).union(batchIds).distinct()
     val newAssign = ConnectedComponents.incremental(
@@ -90,19 +90,4 @@ object FingerprintIngest {
     batchHashes.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
-  private def tableOr(spark: SparkSession, dir: String,
-      empty: => DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(dir) else empty
-  }
-
-  private def listBatchDirs(spark: SparkSession,
-      storeDir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.toString).filter(_.contains("batch=")).toSeq
-  }
 }

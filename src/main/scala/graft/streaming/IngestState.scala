@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted-state helpers shared by the micro-batch dedup ingests
+  * ([[DedupIngest]] for text signatures, [[FingerprintIngest]] for media
+  * fingerprints) — ONE copy of the replay-safety-critical store layout
+  * logic: per-batch `batch=<id>` subdirectories written with overwrite,
+  * and table-or-empty bootstrap reads. */
+private[streaming] object IngestState {
+
+  /** Read `dir` as parquet if it exists, else the (lazy) empty frame. */
+  def tableOr(spark: SparkSession, dir: String, empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(dir) else empty
+  }
+
+  /** All `batch=<id>` subdirectories of a per-batch store. A replaying
+    * micro-batch filters out its OWN subdir so it pairs against the same
+    * store state as the original run. */
+  def listBatchDirs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.toString).filter(_.contains("batch=")).toSeq
+  }
+}

@@ -141,13 +141,15 @@ final class S3TestServer(root: java.nio.file.Path, bucket: String = "lake",
         .decode(if (kv.length > 1) kv(1) else "", "UTF-8")).toMap
     val prefix = params.getOrElse("prefix", "")
     val delim = params.get("delimiter")
-    val walk = java.nio.file.Files.walk(root).iterator()
-    val allKeys = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(walk).asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(p => root.relativize(p).toString.replace(java.io.File.separatorChar, '/') ->
-        java.nio.file.Files.size(p))
-      .filter(_._1.startsWith(prefix)).toSeq.sortBy(_._1)
+    val walk = java.nio.file.Files.walk(root)
+    val allKeys =
+      try scala.jdk.CollectionConverters
+        .IteratorHasAsScala(walk.iterator()).asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString.replace(java.io.File.separatorChar, '/') ->
+          java.nio.file.Files.size(p))
+        .filter(_._1.startsWith(prefix)).toSeq.sortBy(_._1)
+      finally walk.close()
     // S3 delimiter semantics: a key with a delimiter after the prefix
     // rolls up into a CommonPrefix
     val (direct, below) = delim match {
