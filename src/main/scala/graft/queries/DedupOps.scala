@@ -354,7 +354,37 @@ object DedupOps {
     // from band-bucket collisions — shuffle keyed on (band, key), never an
     // n² theta-join — and the Hamming filter removes false positives, so
     // the output is exactly all pairs with Hamming ≤ 4.
-    "q38_simhash_pairs" -> ((s, dir) => simhashPairsTuned(s, dir))
+    "q38_simhash_pairs" -> ((s, dir) => simhashPairsTuned(s, dir)),
+
+    // BATCH-INCREMENTAL hamming-dedup END-STATE, oracle-gated: build the
+    // standing corpus' simhash clusters (doc_id < 300), then ingest the
+    // rest of the slice (300..600) through
+    // [[graft.operators.HammingPairs.pairsIncremental]] + incremental
+    // connected components — per-ingest cost ∝ batch, the corpus is never
+    // re-paired. The oracle clusters the WHOLE slice in one shot from
+    // BRUTE-FORCE Hamming pairs (pigeonhole exactness: banding ≡ brute at
+    // the radius, so the oracle needn't mirror any banding): the gate
+    // proves the shared Hamming engine's incremental contract under the
+    // driver's hash gate, not just ScalaTest.
+    "q89_hamming_ingest_endstate" -> ((s, dir) => {
+      import graft.operators.{ConnectedComponents, HammingPairs}
+      val sliced = simhashDf(docs(s, dir).filter(col("doc_id") < 600))
+      val store = sliced.filter(col("doc_id") < 300)
+      val batch = sliced.filter(col("doc_id") >= 300)
+      val assign0 = ConnectedComponents.hashMin(
+        HammingPairs.pairs(store, "doc_id", "simhash", SimhashBits,
+            SimhashBandBits, 4, outA = "doc_a", outB = "doc_b")
+          .select(col("doc_a"), col("doc_b")),
+        store.select(col("doc_id")))
+      val incPairs = HammingPairs.pairsIncremental(store, batch,
+        "doc_id", "simhash", SimhashBits, SimhashBandBits, 4,
+        outA = "doc_a", outB = "doc_b")
+      ConnectedComponents.incremental(assign0,
+          incPairs.select(col("doc_a"), col("doc_b")),
+          sliced.select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+    })
   )
 
   /** SimHash near-dup pairs with PARAMETERIZED banding (the enumeration-
@@ -708,14 +738,35 @@ object DedupOps {
          FROM inter
          JOIN cnt ca ON ca.doc_id = doc_a
          JOIN cnt cb ON cb.doc_id = doc_b
-         WHERE i * 1.0 / least(ca.n, cb.n) >= 0.5"""
+         WHERE i * 1.0 / least(ca.n, cb.n) >= 0.5""",
+    // one-shot clustering of the SAME slice the incremental path built
+    // batch-by-batch: brute-force Hamming pairs (banding-free — exactness
+    // argued above) + recursive-CTE transitive closure
+    "q89_hamming_ingest_endstate" ->
+      s"""WITH RECURSIVE sh AS (${simhashSqlWhere("doc_id < 600")}),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sh a JOIN sh b
+                     ON a.doc_id < b.doc_id
+                    AND bit_count(xor(a.simhash, b.simhash)) <= 4),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM sh
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         clus AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                  FROM reach GROUP BY node)
+         SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper
+         FROM clus"""
   )
 
   /** Shared DuckDB SQL computing (doc_id, 60-bit simhash) for all docs. */
-  private lazy val simhashSql: String = {
+  private lazy val simhashSql: String = simhashSqlWhere("TRUE")
+
+  private def simhashSqlWhere(pred: String): String = {
     val tokHash = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
     s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
-                      FROM documents),
+                      FROM documents WHERE $pred),
          hs AS (SELECT doc_id, $tokHash AS h FROM tk),
          bits AS (SELECT doc_id,
            ${(0 until SimhashBits).map(j =>
