@@ -27,6 +27,10 @@ final class S3TestServer(root: java.nio.file.Path, bucket: String = "lake",
   val listCalls = new AtomicLong(0)
   val rangedGets = new AtomicLong(0)
   val authRejections = new AtomicLong(0)
+  /** When set, CompleteMultipartUpload responds HTTP 200 with an <Error>
+    * body and assembles nothing — the documented real-S3 failure shape a
+    * marker-gated publisher must treat as fatal. */
+  val failCompletes = new java.util.concurrent.atomic.AtomicBoolean(false)
   /** Completed object keys in arrival order (plain PUT + completed
     * multipart) — lets tests assert publish ordering (marker LAST). */
   val putLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
@@ -108,6 +112,14 @@ final class S3TestServer(root: java.nio.file.Path, bucket: String = "lake",
         case ("POST", p) if p.contains("uploadId") =>
           val parts = uploads.remove(p("uploadId")).getOrElse {
             respond(x, 404, Array.emptyByteArray); return }
+          if (failCompletes.get()) {
+            // real S3's documented trap: 200 OK, error in the body
+            respond(x, 200,
+              """<?xml version="1.0"?><Error><Code>InternalError</Code>
+                |<Message>We encountered an internal error.</Message>
+                |</Error>""".stripMargin.getBytes("UTF-8"))
+            return
+          }
           val assembled = parts.toSeq.sortBy(_._1).map(_._2)
             .foldLeft(Array.emptyByteArray)(_ ++ _)
           writeObject(key, assembled)

@@ -427,6 +427,21 @@ class SourcesSpec extends AnyFunSuite {
       val local = spark.read.parquet(localDir).collect().map(_.toSeq).toSet
       assert(remote === local && remote.size > 100)
       assert(server.authRejections.get() === 0)
+      // NEGATIVE path: real S3 can answer CompleteMultipartUpload with
+      // HTTP 200 and an <Error> body — the publish must abort BEFORE the
+      // marker, so readers gating on it never see the broken export
+      server.failCompletes.set(true)
+      val before = server.putLog.size()
+      intercept[java.io.IOException] {
+        S3Publisher.publishDir(spark, localDir, "s3a://lake/mart2.parquet",
+          multipartThreshold = 16 * 1024)
+      }
+      val newPuts = scala.jdk.CollectionConverters
+        .ListHasAsScala(server.putLog).asScala.toSeq.drop(before)
+      assert(!newPuts.exists(_.endsWith(".done")),
+        s"marker published after a failed multipart complete: $newPuts")
+      assert(!S3Publisher.isDone(spark, "s3a://lake/mart2.parquet"))
+      server.failCompletes.set(false)
     } finally {
       server.stop()
       LakeReader.s3MinimalFs(spark, "http://unset.invalid")
