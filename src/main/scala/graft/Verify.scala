@@ -52,6 +52,22 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("@SF_DIR@", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Determinism gate (VERDICT r7 item 3): SPARK_GRAFT_VERIFY_REPLAY is a
+    // comma-separated list of shuffle-partition counts (e.g. "7,29"); each
+    // query re-runs under every count and must produce byte-identical
+    // canonical hashes. Off by default — the driver's dump is unchanged;
+    // set the flag locally (and in ReplaySpec) to catch merge-order
+    // nondeterminism before it reaches a driver round.
+    sys.env.get("SPARK_GRAFT_VERIFY_REPLAY").filter(_.nonEmpty).foreach { spec =>
+      val counts = spec.split(",").map(_.trim.toInt).toSeq
+      val bad = graft.core.Determinism.drifting(spark, sfDir,
+        SparkEntry.queries, counts, m => System.err.println(s"[replay] $m"))
+      if (bad.nonEmpty) {
+        System.err.println(s"[verify] DETERMINISM DRIFT: ${bad.mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     spark.stop()
   }
 }

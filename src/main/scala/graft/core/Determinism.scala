@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Replay-based determinism gate (VERDICT r7 item 3).
+  *
+  * The driver's correctness gate hashes each query's canonicalized output
+  * ONCE per round — a query whose result depends on partition merge order
+  * (the r7 `q88` failure: `round(avg(<rounded double>), 4)` parked on a
+  * 4dp half boundary) passes or fails by scheduling luck. This harness
+  * converts that class of bug into a local, loud failure: run the same
+  * query under SEVERAL `spark.sql.shuffle.partitions` settings (different
+  * partition counts force different merge trees and partial-aggregate
+  * groupings) and require byte-identical canonical hashes.
+  *
+  * Canonicalization mirrors the driver's compare (`tools/check_oracle.py`):
+  * columns sorted by name, doubles at 6 significant digits, rows sorted —
+  * so a drift flagged here is exactly a drift the driver's gate can see.
+  *
+  * Each replay runs in `spark.newSession()` — same SparkContext (cheap),
+  * fresh SQLConf (so the partition-count override is session-local and
+  * safe next to Verify's concurrent dump pool) and a fresh session
+  * identity (so per-(session, dir) stage caches in the query suites
+  * recompute rather than serve a hash from the other replay's run).
+  */
+object Determinism {
+
+  /** Format one cell at driver-gate granularity (6 significant digits for
+    * floating point, recursing into arrays/structs). */
+  private def cell(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double => f"$d%.6g"
+    case f: Float => f"${f.toDouble}%.6g"
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case s: Seq[_] => s.map(cell).mkString("[", ",", "]")
+    case r: Row => r.toSeq.map(cell).mkString("(", ",", ")")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => cell(k) + ":" + cell(x) }
+        .sorted.mkString("{", ",", "}")
+    case x => String.valueOf(x)
+  }
+
+  /** Canonical hash: columns sorted by name, rows stringified at driver
+    * granularity, row strings sorted, md5 over the concatenation. */
+  def canonicalHash(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val reordered = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val lines = reordered.collect().map(_.toSeq.map(cell).mkString(""))
+    scala.util.Sorting.quickSort(lines)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Run `queries` under each partition count; return the names whose
+    * canonical hashes drift across replays (empty = deterministic). */
+  def drifting(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      partitionCounts: Seq[Int],
+      onProgress: String => Unit = _ => ()): Seq[String] = {
+    val sessions = partitionCounts.map { n =>
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s
+    }
+    queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val hashes = sessions.map(sess => canonicalHash(fn(sess, sfDir)))
+      val drift = hashes.distinct.size > 1
+      onProgress(s"$name ${if (drift) "DRIFT " + hashes.mkString(" vs ")
+        else "ok " + hashes.head.take(12)}")
+      if (drift) Some(name) else None
+    }
+  }
+}

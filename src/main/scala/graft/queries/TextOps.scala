@@ -20,6 +20,35 @@ object TextOps {
 
   private def r4(c: Column): Column = round(c, 4)
 
+  /** Exact, order-independent 4dp mean of a 6dp-rounded double column.
+    *
+    * `round(avg(x6), 4)` is nondeterministic when `x6` is itself rounded:
+    * Spark's float `avg` depends on partition merge order (doubles are not
+    * associative), and means of 6dp values park exactly on 4dp half
+    * boundaries, where a 1-ulp order difference flips the HALF_UP digit
+    * (the r7 q88 driver-gate flake). Fix: recover the exact integer
+    * micro-units — `x6` is within ~1e-8 of k/1e6, so `round(x6*1e6)` is
+    * exactly k — sum as LONG (associative: any merge order gives the same
+    * bits), then apply half-away-from-zero rounding to 4dp in pure
+    * integer/floor arithmetic. `floor` is safe: the quotient is ≥ 1/(200n)
+    * away from an integer when fractional, and the double division error
+    * (~quotient·2⁻⁵³) is orders of magnitude smaller for any realistic
+    * per-group n. The DuckDB oracle mirrors the formula literally
+    * ([[mean4of6Sql]]). */
+  private[queries] def mean4of6(c: Column): Column = {
+    val s = sum(round(c * lit(1e6)).cast("long"))
+    val n = count(lit(1))
+    signum(s) * floor((abs(s) * 2 + n * 100) / (n * 200)) / lit(10000.0)
+  }
+
+  /** DuckDB mirror of [[mean4of6]]: same micro-unit sum + integer
+    * half-away-from-zero rounding (DuckDB `/` on BIGINT is double division,
+    * like Spark's). */
+  private[queries] def mean4of6Sql(col6: String): String = {
+    val s = s"sum(CAST(round($col6 * 1e6) AS BIGINT))"
+    s"sign($s) * floor((abs($s) * 2 + count(*) * 100) / (count(*) * 200)) / 10000.0"
+  }
+
   /** Marker vocabularies for the language-ID heuristic (n-gram/stopword
     * scoring). Fixed lists so the oracle SQL can mirror them. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -427,21 +456,6 @@ object TextOps {
           r4(avg(col("ml"))).as("avg_word_len"))
     }),
 
-    // Unigram LM scoring (the CCNet-style perplexity-lite quality signal):
-    // train a unigram model on the corpus (token → log p, vocab-bounded →
-    // broadcast), score each doc by its mean token log-prob. Rare-token /
-    // gibberish docs score low. Per-token log-probs are rounded to 6
-    // decimals on BOTH engines before the per-doc mean (the q73 idf
-    // precedent) so libm ulp drift can't move the 4-decimal output. The
-    // token stream partitions once on doc_id pre-explode (q73 shape): the
-    // per-doc aggregate is exchange-free; the vocab aggregate is the only
-    // other shuffle and map-side combine collapses it.
-    // NOTE: this builder (like q73/q39) is NOT side-effect-free — the vocab
-    // aggregate runs eagerly at build time because the model's total token
-    // count is driver state feeding a literal. One corpus scan builds the
-    // vocab; the total is its sum (not a separate scan); the collected rows
-    // are vocab-bounded — the same broadcast-size assumption the lp join
-    // already makes.
     // Interpolated-smoothing BIGRAM language model quality score — the
     // step past q81's unigram LM toward CCNet-grade perplexity filtering:
     // add-one-smoothed conditional p(w2|w1) = (c2+1)/(c1+|V|), scored as
@@ -451,9 +465,15 @@ object TextOps {
     // (ReusedExchange, the q74 pattern) — the LM table is vocab²-bounded
     // but NOT broadcast (at corpus scale it can be billions of rows; the
     // shuffle equi-join on the bigram key is the 100 TB plan). c1 derives
-    // from c2 (one more tiny agg), |V| is a scalar (eager builder, the
-    // documented q67/q81 contract). Log-probs rounded to 6dp on BOTH
-    // engines (libm-parity, the q81 precedent).
+    // from c2 (one more tiny agg), and since round 8 so does |V| (distinct
+    // w1 ∪ w2 of the bigram stream — the vocabulary the LM actually
+    // conditions on): no third corpus scan, no eager driver job, the
+    // builder is side-effect-free (JobCountSpec asserts it). The scalar
+    // rides in as a broadcast 1-row cross join, exactly the oracle's
+    // CROSS JOIN v. Log-probs rounded to 6dp on BOTH engines
+    // (libm-parity, the q81 precedent); the per-doc mean is the exact
+    // micro-unit form ([[mean4of6]]) — r4(avg(lp6)) was the r7 q88
+    // nondeterminism trap.
     "q87_bigram_lm" -> ((s, dir) => {
       val withToks = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
@@ -467,15 +487,16 @@ object TextOps {
         .repartition(col("w1"), col("w2"))
       val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-      val vocabV = docs(s, dir)
-        .select(explode(tokens(col("text"))).as("tok")).distinct().count()
-      val lp = c2.join(c1, Seq("w1"))
+      val vocab = c2.select(col("w1").as("t"))
+        .union(c2.select(col("w2").as("t")))
+        .agg(count_distinct(col("t")).as("vv"))
+      val lp = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
         .withColumn("lp6", round(log((col("c2") + 1).cast("double") /
-          (col("c1") + lit(vocabV)).cast("double")), 6))
+          (col("c1") + col("vv")).cast("double")), 6))
       big.join(lp.select("w1", "w2", "lp6"), Seq("w1", "w2"))
         .groupBy("doc_id").agg(
           count(lit(1)).cast("long").as("n_bigrams"),
-          r4(avg(col("lp6"))).as("mean_logprob"))
+          mean4of6(col("lp6")).as("mean_logprob"))
     }),
 
     // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
@@ -489,6 +510,15 @@ object TextOps {
     // aggregate passes over the token stream (distributions, then the
     // per-doc score), two 256-row distributions (driver-size regardless
     // of corpus — broadcast). Log-ratios rounded 6dp on both engines.
+    // Since round 8 the whole chain is LAZY: the bucket distribution, its
+    // totals, and the 256-row llr table are DataFrames (broadcast 1-row /
+    // 256-row cross joins) instead of collected driver state — zero Spark
+    // jobs at build time, and the shared `toks` exchange appears twice in
+    // ONE plan where ReusedExchange dedupes it (the two passes previously
+    // ran as separate jobs and re-scanned). The per-doc mean is the exact
+    // micro-unit form ([[mean4of6]]) — r4(avg(llr6)) was the r7 driver-gate
+    // flake: float avg is partition-merge-order-sensitive and means of 6dp
+    // values park exactly on 4dp half boundaries.
     "q88_dsir_weight" -> ((s, dir) => {
       val B = 256
       val keep = docs(s, dir)
@@ -504,50 +534,50 @@ object TextOps {
         .join(keep, Seq("doc_id"))
       // ONE aggregation pass yields BOTH 256-row distributions (raw +
       // target counts per bucket); totals and the log-likelihood ratios
-      // derive from the collected table on the driver — no second and
-      // third corpus pass for nr/nt, no Spark job per scalar.
-      // Math.log + BigDecimal HALF_UP = exactly Catalyst's log + round.
+      // derive from that 256-row table — no second and third corpus pass
+      // for nr/nt, no Spark job per scalar.
       val dist = toks.groupBy("b").agg(
         count(lit(1)).as("cr"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("ct")).collect()
-      val nr = dist.map(_.getLong(1)).sum
-      val nt = dist.map(_.getLong(2)).sum
-      def r6(x: Double): Double = BigDecimal(x)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val ratio = s.createDataFrame(dist.toSeq.map(r => (r.getLong(0),
-        r6(math.log((r.getLong(2) + 1).toDouble / (nt + B)) -
-          math.log((r.getLong(1) + 1).toDouble / (nr + B))))))
-        .toDF("b", "llr6")
-      toks.join(broadcast(ratio), Seq("b"))
+        sum(when(col("keep"), 1L).otherwise(0L)).as("ct"))
+      val totals = dist.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+      val ratio = dist.crossJoin(broadcast(totals))
+        .withColumn("llr6", round(
+          log((col("ct") + 1).cast("double") / (col("nt") + B).cast("double")) -
+            log((col("cr") + 1).cast("double") / (col("nr") + B).cast("double")),
+          6))
+      toks.join(broadcast(ratio.select("b", "llr6")), Seq("b"))
         .groupBy("doc_id").agg(
           count(lit(1)).cast("long").as("n_tokens"),
           first(col("keep")).as("keep"),
-          r4(avg(col("llr6"))).as("importance"))
+          mean4of6(col("llr6")).as("importance"))
     }),
 
+    // Unigram LM scoring (the CCNet-style perplexity-lite quality signal):
+    // train a unigram model on the corpus (token → log p, vocab-bounded →
+    // broadcast), score each doc by its mean token log-prob. Rare-token /
+    // gibberish docs score low. Per-token log-probs are rounded to 6
+    // decimals on BOTH engines before the per-doc mean (the q73 idf
+    // precedent) so libm ulp drift can't move the 4-decimal output; the
+    // mean itself is the exact micro-unit form ([[mean4of6]]). The token
+    // stream partitions once on doc_id pre-explode (q73 shape); the vocab
+    // aggregate reads the SAME exchange (ReusedExchange — one corpus
+    // scan), and the model total is a broadcast 1-row cross join, not
+    // collected driver state: the builder is side-effect-free since
+    // round 8 (JobCountSpec asserts zero build-time jobs).
     "q81_unigram_lm" -> ((s, dir) => {
-      val vocabRows = docs(s, dir)
-        .select(explode(tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .collect()
-      val total = vocabRows.map(_.getLong(1)).sum
-      import scala.jdk.CollectionConverters._
-      val lp = s.createDataFrame(
-        vocabRows.toList.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("tok",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cnt",
-            org.apache.spark.sql.types.LongType))))
-        .withColumn("lp6",
-          round(log(col("cnt").cast("double") / lit(total.toDouble)), 6))
-      docs(s, dir)
+      val tokStream = docs(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tokStream.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      val lp = vocab.crossJoin(broadcast(total))
+        .withColumn("lp6",
+          round(log(col("cnt").cast("double") / col("total").cast("double")), 6))
+      tokStream
         .join(broadcast(lp.select(col("tok"), col("lp6"))), Seq("tok"))
         .groupBy("doc_id").agg(
           count(lit(1)).cast("long").as("n_tokens"),
-          r4(avg(col("lp6"))).as("mean_logprob"))
+          mean4of6(col("lp6")).as("mean_logprob"))
     })
   )
 
@@ -747,21 +777,20 @@ object TextOps {
           FROM m GROUP BY source"""
     },
     "q87_bigram_lm" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
                     FROM documents),
          d AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
                FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
                      FROM t WHERE len(ts) >= 2)),
          c2 AS (SELECT w1, w2, count(*) AS c2 FROM d GROUP BY w1, w2),
          c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
-         v AS (SELECT count(DISTINCT tok) AS vv FROM (
-                 SELECT unnest(string_split(text, ' ')) AS tok
-                 FROM documents)),
+         v AS (SELECT count(DISTINCT tk) AS vv FROM (
+                 SELECT w1 AS tk FROM c2 UNION ALL SELECT w2 FROM c2)),
          lp AS (SELECT w1, w2,
                        round(ln((c2 + 1) * 1.0 / (c1 + vv)), 6) AS lp6
                 FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
          SELECT d.doc_id, count(*) AS n_bigrams,
-                round(avg(lp6), 4) AS mean_logprob
+                ${mean4of6Sql("lp6")} AS mean_logprob
          FROM d JOIN lp USING (w1, w2)
          GROUP BY d.doc_id""",
     "q88_dsir_weight" -> {
@@ -784,19 +813,19 @@ object TextOps {
                    FROM raw LEFT JOIN tgt ON raw.b = tgt.b
                    CROSS JOIN nr CROSS JOIN nt)
          SELECT tb.doc_id, count(*) AS n_tokens, bool_or(keep) AS keep,
-                round(avg(llr6), 4) AS importance
+                ${mean4of6Sql("llr6")} AS importance
          FROM tb JOIN ratio USING (b)
          GROUP BY tb.doc_id"""
     },
     "q81_unigram_lm" ->
-      """WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),
          v AS (SELECT tok, count(*) AS cnt FROM d GROUP BY tok),
          t AS (SELECT count(*) AS total FROM d),
          lp AS (SELECT tok, round(ln(cnt * 1.0 / total), 6) AS lp6
                 FROM v CROSS JOIN t)
          SELECT d.doc_id, count(*) AS n_tokens,
-                round(avg(lp.lp6), 4) AS mean_logprob
+                ${mean4of6Sql("lp.lp6")} AS mean_logprob
          FROM d JOIN lp USING (tok)
          GROUP BY d.doc_id""",
     "q78_url_domains" ->

@@ -16,17 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Footer schema per table path, inferred ONCE per JVM. Schema inference
+    * on a schemaless `spark.read.parquet` dispatches a 1-task Spark job per
+    * call; the suite re-reads each table hundreds of times per session, and
+    * the test lake is read-only — so infer once, then hand Spark the schema
+    * explicitly (no job, no footer re-read). Also what keeps lazified
+    * builders at ZERO build-time jobs (JobCountSpec). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
       // reader rejects. Read nanos as long and truncate to micros — the same
       // truncation DuckDB applies (its timestamps are µs precision).
       // The conf set is idempotent (always the same constant), so concurrent
       // builders racing here are benign; it can't be a read option because
-      // nanosAsLong is only honored session-wide (legacy conf).
+      // nanosAsLong is only honored session-wide (legacy conf). Must be set
+      // BEFORE the first (cached) schema inference of this table.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    }
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   }
 }
