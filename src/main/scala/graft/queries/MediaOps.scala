@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRecord
+import graft.sources.Tables
+import graft.streaming.FingerprintIngest
+
+/** MULTIMODAL ingest end-state queries (VERDICT r7 item 4): the image and
+  * audio fingerprint-dedup lifecycles under the driver's hash gate, the
+  * missing twins of q89 (text simhash).
+  *
+  * The q89 recipe can't transfer literally — its oracle recomputes the
+  * fingerprints in DuckDB, and DuckDB cannot decode PNG or WAV. The
+  * strongest independently-checkable oracle for a perceptual pipeline is
+  * GROUND TRUTH BY CONSTRUCTION (the planted-recall pattern SCALE.md
+  * already uses): the query synthesizes a deterministic media corpus whose
+  * perceptual cluster structure is planted — groups of
+  * fingerprint-invariant transforms (brightness shifts / exact re-renders
+  * for images, amplitude scaling for audio) around well-separated base
+  * contents — runs the REAL lifecycle (decode → fingerprint →
+  * incremental banded Hamming pairing against the persisted store →
+  * incremental connected components → atomic publish, batch by batch),
+  * and must reproduce exactly the planted clusters. The oracle states the
+  * planted structure in pure SQL arithmetic over the `documents` ids. Any
+  * breakage anywhere in the chain — codec, DCT/Goertzel fingerprint math,
+  * banding, store replay, incremental CC, publish — lands ids in the
+  * wrong cluster and fails the hash gate.
+  *
+  * Separation is not hoped for, it is MEASURED: `MediaGateSpec` asserts
+  * every cross-group base-content distance is ≥ 4 bits above the pairing
+  * radius and every in-group variant is within it (the same
+  * measured-not-assumed discipline as the LSH recall audits). Everything
+  * is deterministic — fixed renders, no RNG — so the driver's run
+  * reproduces these exact fingerprints.
+  *
+  * Media ids are `documents.doc_id < 48` (present at every SF, so the
+  * gate is SF-invariant like q89's doc_id slice): group g = id/4 with 4
+  * variants, id 47 is an undecodable junk payload (no fingerprint → no
+  * vertex → absent from the end-state, mirrored by the oracle's
+  * exclusion). Batches split by id % 3, so every group spans micro-
+  * batches and the store-vs-batch incremental pairing is what links them.
+  * Builders are EAGER (they run the ingest lifecycle to completion — the
+  * q86 documented contract). Cost is bounded by the 48-id slice at any
+  * SF; the machinery under test is the scale path ([[FingerprintIngest]]:
+  * per-batch cost ∝ batch, (band,key)-keyed shuffles, never n²).
+  */
+object MediaOps {
+
+  private[graft] val NumIds = 48
+  private[graft] val GroupSize = 4
+  private[graft] val JunkId: Long = 47L
+
+  // ---- deterministic synthetic media (no RNG anywhere) ----
+
+  /** Per-group image base content: a smooth 2-D sine field whose two
+    * spatial frequencies and phases vary with the group — distinct groups
+    * produce well-separated DCT signatures (measured in MediaGateSpec). */
+  private def renderPng(g: Int, shift: Int): Array[Byte] = {
+    val w = 96
+    val fx = 0.055 + 0.021 * g
+    val fy = 0.305 - 0.019 * g
+    val im = new java.awt.image.BufferedImage(
+      w, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < w) {
+      var x = 0
+      while (x < w) {
+        val v = (128 + 60 * math.sin(x * fx + g) +
+          50 * math.cos(y * fy + 2.0 * g)).toInt + shift
+        val c = v.max(0).min(255)
+        im.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-group chord: 6 tones picked from a 13-tone log-spaced pool
+    * (50..1900 Hz — inside the fingerprint's analysis band at 8 kHz) by a
+    * group-keyed selection; different groups share few tones, so their
+    * band-energy patterns — and hence fingerprints — are far apart
+    * (measured in MediaGateSpec). */
+  private[graft] def toneSet(g: Int): Seq[Double] = {
+    val pool = Array.tabulate(13)(i => 50.0 * math.pow(1900.0 / 50.0, i / 12.0))
+    // 6 of 13 indices, stepping by a g-keyed coprime stride: two groups'
+    // index sets are distinct translates/strides and overlap little
+    val stride = Seq(1, 2, 3, 4, 5, 6)(g % 6)
+    val start = (g * 7) % 13
+    (0 until 6).map(k => pool((start + k * stride) % 13))
+  }
+
+  private def renderWav(g: Int, amp: Double): Array[Byte] = {
+    val rate = 8000f
+    val n = 4000
+    val freqs = toneSet(g)
+    val samples = Array.tabulate(n) { i =>
+      val t = i / rate
+      val s = freqs.map(f => math.sin(2 * math.Pi * f * t)).sum /
+        freqs.size * amp
+      (s * 20000).toShort
+    }
+    val data = new Array[Byte](n * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The planted image corpus member for `id`: variants 0/3 are the base
+    * render (3 = exact re-render, the exact-dup path), 1/2 are brightness
+    * shifts (+6/+12 — pHash drops the DC coefficient, so these sit at
+    * Hamming ~0); id 47 is undecodable junk. */
+  private[graft] def imageRecord(id: Long): MediaRecord =
+    if (id == JunkId)
+      MediaRecord(id, "image", Array[Byte](0x42, 0x41, 0x44), s"junk$id.png")
+    else {
+      val g = (id / GroupSize).toInt
+      val shift = (id % GroupSize) match {
+        case 1 => 6
+        case 2 => 12
+        case _ => 0
+      }
+      MediaRecord(id, "image", renderPng(g, shift), s"img_${g}_${id % 4}.png")
+    }
+
+  /** The planted audio corpus member for `id`: variants scale amplitude
+    * (the Haitsma–Kalker energy-difference signs are amplitude-invariant
+    * → Hamming 0); id 47 is undecodable junk. */
+  private[graft] def audioRecord(id: Long): MediaRecord =
+    if (id == JunkId)
+      MediaRecord(id, "audio", Array[Byte](9), s"junk$id.wav")
+    else {
+      val g = (id / GroupSize).toInt
+      val amp = (id % GroupSize) match {
+        case 1 => 0.55
+        case 2 => 0.3
+        case _ => 1.0
+      }
+      MediaRecord(id, "audio", renderWav(g, amp), s"clip_${g}_${id % 4}.wav")
+    }
+
+  // ---- the lifecycle under test ----
+
+  /** Run the batch-incremental fingerprint-ingest lifecycle over the
+    * planted corpus for the SF's first [[NumIds]] doc ids: 3 batches
+    * (id % 3) through [[FingerprintIngest.ingestBatch]] — persisted hash
+    * store, incremental pairing, incremental CC, atomic publish — then
+    * return the end-state and delete the temp state (the q86 contract:
+    * leaves nothing behind; the eager checkpoint keeps the result
+    * servable). */
+  private def ingestEndState(s: SparkSession, dir: String,
+      mkRecord: Long => MediaRecord,
+      hasher: Dataset[MediaRecord] => DataFrame,
+      totalBits: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    import s.implicits._
+    // ids from the SF's documents table (48 rows — bounded; mirrors the
+    // oracle's `WHERE doc_id < 48` exactly, whatever ids the SF holds)
+    val ids = Tables(s, dir, "documents")
+      .filter(col("doc_id") < NumIds).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val base = java.nio.file.Files.createTempDirectory("mediagate").toString
+    try {
+      (0 until 3).foreach { b =>
+        val batch = ids.filter(_ % 3 == b).map(mkRecord).toSeq
+        FingerprintIngest.ingestBatch(s.createDataset(batch), b.toLong,
+          s"$base/store", s"$base/assign", hasher, totalBits, bandBits,
+          maxHamming, maxBucket = 0L)
+      }
+      s.read.parquet(s"$base/assign")
+        .select(col("id").as("media_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+        .localCheckpoint(eager = true)
+    } finally graft.export.Exporter.deleteRecursively(
+      java.nio.file.Paths.get(base))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IMAGE fingerprint-ingest end-state: decode → DCT pHash → 7×9-bit
+    // banded incremental Hamming pairing (radius 6, pigeonhole-exact) →
+    // incremental CC, 3 batches; must equal the planted clusters.
+    "q90_image_ingest_endstate" -> ((s, dir) =>
+      ingestEndState(s, dir, imageRecord, Multimodal.imagePHashes,
+        Multimodal.PHashBits, bandBits = 9, maxHamming = 6)),
+
+    // AUDIO fingerprint-ingest end-state: decode → Haitsma–Kalker 60-bit
+    // fingerprint → 5×12-bit banded incremental pairing (radius 4) →
+    // incremental CC, 3 batches; must equal the planted clusters.
+    "q91_audio_ingest_endstate" -> ((s, dir) =>
+      ingestEndState(s, dir, audioRecord, Multimodal.audioFingerprints,
+        Multimodal.AudioFpBits, bandBits = 12, maxHamming = 4))
+  )
+
+  /** The planted structure in pure SQL: cluster = min id of the 4-variant
+    * group, keeper = that min, junk id absent. DuckDB cannot decode the
+    * media; the construction IS the independent statement of the expected
+    * end-state (separation + invariance are measured in MediaGateSpec). */
+  private val plantedSql: String =
+    s"""SELECT doc_id AS media_id,
+              (doc_id // $GroupSize) * $GroupSize AS cluster_id,
+              (doc_id % $GroupSize = 0) AS is_keeper
+       FROM documents WHERE doc_id < $NumIds AND doc_id <> $JunkId"""
+
+  val oracle: Map[String, String] = Map(
+    "q90_image_ingest_endstate" -> plantedSql,
+    "q91_audio_ingest_endstate" -> plantedSql
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.queries.MediaOps
+
+/** The measured foundation of the q90/q91 ground-truth-by-construction
+  * oracles: the planted media corpus must have (a) every in-group variant
+  * within the pairing radius of its base, (b) every cross-group base pair
+  * COMFORTABLY outside it (margin ≥ 4 bits, so a deterministic codec
+  * nudge can't silently cross the line), and (c) the junk id undecodable.
+  * Plus the lifecycle check: the q90/q91 query output IS the planted
+  * clustering (the same assertion the driver's hash gate makes, local).
+  */
+class MediaGateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val groups = (0 until MediaOps.NumIds / MediaOps.GroupSize).toSeq
+  private def d(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("image corpus: in-group within radius 6, cross-group separated by ≥ 10") {
+    val hashes = (0L until MediaOps.NumIds.toLong).flatMap { id =>
+      val r = MediaOps.imageRecord(id)
+      Multimodal.pHash64(r.payload).map(id -> _)
+    }.toMap
+    assert(!hashes.contains(MediaOps.JunkId), "junk image decoded")
+    assert(hashes.size === MediaOps.NumIds - 1)
+    for (g <- groups; v <- 1 until MediaOps.GroupSize) {
+      val id = (g * MediaOps.GroupSize + v).toLong
+      if (id != MediaOps.JunkId) {
+        val dd = d(hashes(g.toLong * MediaOps.GroupSize), hashes(id))
+        assert(dd <= 6, s"image group $g variant $v at Hamming $dd > 6")
+      }
+    }
+    val minCross = (for {
+      Seq(g1, g2) <- groups.combinations(2)
+    } yield d(hashes(g1.toLong * MediaOps.GroupSize),
+      hashes(g2.toLong * MediaOps.GroupSize))).min
+    assert(minCross >= 10, s"closest cross-group image pair at $minCross bits")
+  }
+
+  test("audio corpus: in-group within radius 4, cross-group separated by ≥ 8") {
+    val hashes = (0L until MediaOps.NumIds.toLong).flatMap { id =>
+      val r = MediaOps.audioRecord(id)
+      Multimodal.audioFingerprint64(r.payload).map(id -> _)
+    }.toMap
+    assert(!hashes.contains(MediaOps.JunkId), "junk audio decoded")
+    assert(hashes.size === MediaOps.NumIds - 1)
+    for (g <- groups; v <- 1 until MediaOps.GroupSize) {
+      val id = (g * MediaOps.GroupSize + v).toLong
+      if (id != MediaOps.JunkId) {
+        val dd = d(hashes(g.toLong * MediaOps.GroupSize), hashes(id))
+        assert(dd <= 4, s"audio group $g variant $v at Hamming $dd > 4")
+      }
+    }
+    val minCross = (for {
+      Seq(g1, g2) <- groups.combinations(2)
+    } yield d(hashes(g1.toLong * MediaOps.GroupSize),
+      hashes(g2.toLong * MediaOps.GroupSize))).min
+    assert(minCross >= 8, s"closest cross-group audio pair at $minCross bits")
+  }
+
+  test("q90/q91 end-states reproduce the planted clustering") {
+    for (q <- Seq("q90_image_ingest_endstate", "q91_audio_ingest_endstate")) {
+      val got = SparkEntry.queries(q)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val want = (0L until MediaOps.NumIds.toLong)
+        .filter(_ != MediaOps.JunkId)
+        .map(id => (id, (id / MediaOps.GroupSize) * MediaOps.GroupSize,
+          id % MediaOps.GroupSize == 0)).toSet
+      assert(got === want, s"$q end-state differs from planted clusters")
+    }
+  }
+}
