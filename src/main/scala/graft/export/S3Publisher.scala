@@ -9,27 +9,57 @@ import graft.sources.S3MinimalFileSystem
 /** Remote export publish — the engine-side twin of the reference's deploy
   * step (`DEPLOYMENT.md:15-28`: upload exported parquet + catalog to the
   * R2 lake; `warehouse_cli.py:345-595` upload flow). Ships a local export
-  * directory to an `s3a://` prefix through [[S3MinimalFileSystem]]'s
-  * SigV4-signed PUT / multipart path, KEEPING the atomic-publish
-  * contract: data objects land first, the `.done` marker object LAST —
-  * a reader gating on the marker ([[Exporter.isDone]] locally,
-  * [[isDone]] remotely) never sees a half-published export. S3 PUTs are
-  * atomic per object and a marker-gated layout needs nothing more; the
-  * tmp+rename dance is a filesystem concept that doesn't map onto object
-  * stores (and is exactly why the Hadoop FS write contract stays closed
-  * on [[S3MinimalFileSystem]]).
+  * directory to a remote prefix, KEEPING the atomic-publish contract:
+  * data objects land first, the `.done` marker object LAST — a reader
+  * gating on the marker ([[Exporter.isDone]] locally, [[isDone]]
+  * remotely) never sees a half-published export.
+  *
+  * The publish loop needs nothing but whole-object PUT semantics, so it
+  * runs on ANY Hadoop filesystem (VERDICT r7 item 5):
+  *  - [[S3MinimalFileSystem]] (`s3a://` with this engine's SigV4 stack)
+  *    takes the signed PUT / multipart REST path — each part is one
+  *    buffer in memory, an object-store PUT is atomic per object, and
+  *    the tmp+rename dance stays a filesystem concept that doesn't map
+  *    onto object stores;
+  *  - any other `FileSystem` (stock `hadoop-aws` s3a, hdfs, file://)
+  *    takes `create(path, overwrite) → stream copy → close`, which is
+  *    exactly a whole-object PUT under every object-store connector's
+  *    output-committer-free single-file write.
+  * Marker-last ordering is identical on both paths.
   */
 object S3Publisher {
 
-  /** Upload every regular file under `localDir` to `s3aDir` (same
+  /** Upload every regular file under `localDir` to `remoteDir` (same
     * relative layout). If `<localDir>.done` exists ([[Exporter.atomically]]'s
-    * completion marker) it is uploaded LAST as `<s3aDir>.done`. Files
-    * larger than `multipartThreshold` bytes take the multipart path, one
-    * part in memory at a time. */
-  def publishDir(spark: SparkSession, localDir: String, s3aDir: String,
+    * completion marker) it is uploaded LAST as `<remoteDir>.done`. On the
+    * SigV4 path, files larger than `multipartThreshold` bytes take the
+    * multipart upload, one part in memory at a time. */
+  def publishDir(spark: SparkSession, localDir: String, remoteDir: String,
       multipartThreshold: Long = 8L * 1024 * 1024): Unit = {
-    val fs = s3Fs(spark, s3aDir)
-    val keyPrefix = keyOf(s3aDir)
+    val remote = new Path(remoteDir)
+    val fs = remote.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val put: (java.nio.file.Path, String) => Unit = fs match {
+      case m: S3MinimalFileSystem =>
+        val keyPrefix = keyOf(remoteDir)
+        (f, rel) => {
+          val key = s"$keyPrefix/$rel"
+          if (Files.size(f) > multipartThreshold) {
+            // part size = the threshold (callers against real S3 keep the
+            // 8 MB default — AWS requires ≥5 MiB per non-final part; the
+            // in-process mock lets tests shrink it to force multipart)
+            val in = Files.newInputStream(f)
+            try m.putObjectMultipart(key, in,
+              partSize = multipartThreshold.toInt)
+            finally in.close()
+          } else m.putObject(key, Files.readAllBytes(f))
+        }
+      case generic =>
+        (f, rel) => {
+          val out = generic.create(new Path(remote, rel), true)
+          try Files.copy(f, out) finally out.close()
+          ()
+        }
+    }
     val base = Paths.get(localDir)
     val files = {
       val walk = Files.walk(base)
@@ -38,35 +68,32 @@ object S3Publisher {
       finally walk.close() // Files.walk holds directory handles until closed
     }
     files.foreach { f =>
-      val rel = base.relativize(f).toString
-        .replace(java.io.File.separatorChar, '/')
-      val key = s"$keyPrefix/$rel"
-      if (Files.size(f) > multipartThreshold) {
-        // part size = the threshold (callers against real S3 keep the 8 MB
-        // default — AWS requires ≥5 MiB per non-final part; the in-process
-        // mock lets tests shrink it to force the multi-part path)
-        val in = Files.newInputStream(f)
-        try fs.putObjectMultipart(key, in, partSize = multipartThreshold.toInt)
-        finally in.close()
-      } else fs.putObject(key, Files.readAllBytes(f))
+      put(f, base.relativize(f).toString
+        .replace(java.io.File.separatorChar, '/'))
     }
     val marker = Paths.get(localDir + ".done")
-    if (Files.exists(marker))
-      fs.putObject(keyPrefix + ".done", Files.readAllBytes(marker))
+    if (Files.exists(marker)) {
+      val markerPath = markerOf(remoteDir)
+      fs match {
+        case m: S3MinimalFileSystem =>
+          m.putObject(keyOf(markerPath), Files.readAllBytes(marker))
+        case generic =>
+          val out = generic.create(new Path(markerPath), true)
+          try Files.copy(marker, out) finally out.close()
+      }
+    }
   }
 
   /** Remote completion check — I3 idempotency against the remote lake
-    * (the published `.done` marker object exists). */
-  def isDone(spark: SparkSession, s3aDir: String): Boolean =
-    s3Fs(spark, s3aDir).exists(new Path(s3aDir.stripSuffix("/") + ".done"))
+    * (the published `.done` marker object exists). Any Hadoop FS. */
+  def isDone(spark: SparkSession, remoteDir: String): Boolean = {
+    val p = new Path(markerOf(remoteDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
-  private def s3Fs(spark: SparkSession, s3aDir: String): S3MinimalFileSystem =
-    new Path(s3aDir).getFileSystem(spark.sparkContext.hadoopConfiguration) match {
-      case m: S3MinimalFileSystem => m
-      case other => throw new IllegalArgumentException(
-        s"publish requires the s3a:// minimal filesystem, got ${other.getClass.getName}")
-    }
+  private def markerOf(remoteDir: String): String =
+    remoteDir.stripSuffix("/") + ".done"
 
-  private def keyOf(s3aDir: String): String =
-    new Path(s3aDir).toUri.getPath.stripPrefix("/").stripSuffix("/")
+  private def keyOf(remoteDir: String): String =
+    new Path(remoteDir).toUri.getPath.stripPrefix("/").stripSuffix("/")
 }

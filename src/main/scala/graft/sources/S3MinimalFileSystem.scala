@@ -243,6 +243,23 @@ class S3MinimalFileSystem extends FileSystem {
       .findFirstMatchIn(initXml).map(_.group(1))
       .getOrElse(throw new IOException(
         s"CreateMultipartUpload returned no UploadId for $key"))
+    try uploadParts(key, uploadId, in, partSize)
+    catch {
+      case e: Throwable =>
+        // best-effort AbortMultipartUpload before rethrowing: a failed
+        // part upload or complete otherwise leaves an orphaned multipart
+        // upload accruing storage charges on real S3/R2 until a lifecycle
+        // rule collects it (AWS: DELETE ?uploadId= → 204; 404 if the
+        // upload is already gone)
+        try request("DELETE", new URL(s"${objectUrl(key)}?uploadId=" +
+          SigV4.uriEncode(uploadId)), Array.emptyByteArray, Set(204, 404))
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
+
+  private def uploadParts(key: String, uploadId: String,
+      in: java.io.InputStream, partSize: Int): Unit = {
     val etags = Seq.newBuilder[(Int, String)]
     var part = 1
     val buf = new Array[Byte](partSize)

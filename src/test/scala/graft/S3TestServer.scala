@@ -34,6 +34,10 @@ final class S3TestServer(root: java.nio.file.Path, bucket: String = "lake",
   /** Completed object keys in arrival order (plain PUT + completed
     * multipart) — lets tests assert publish ordering (marker LAST). */
   val putLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  /** Keys whose in-flight multipart upload was aborted
+    * (AbortMultipartUpload) — lets tests assert failed publishes clean
+    * up instead of orphaning uploads. */
+  val abortLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
 
   private val uploads = TrieMap[String, TrieMap[Int, Array[Byte]]]()
   private val uploadSeq = new AtomicLong(0)
@@ -109,17 +113,26 @@ final class S3TestServer(root: java.nio.file.Path, bucket: String = "lake",
           parts.put(n, body)
           x.getResponseHeaders.add("ETag", s""""part-$n-${body.length}"""")
           respond(x, 200, Array.emptyByteArray)
+        case ("DELETE", p) if p.contains("uploadId") =>
+          // AbortMultipartUpload: drop the in-flight parts, 204 (404 if
+          // the upload id is unknown/already gone — AWS's shape)
+          uploads.remove(p("uploadId")) match {
+            case Some(_) => abortLog.add(key); respond(x, 204, Array.emptyByteArray)
+            case None => respond(x, 404, Array.emptyByteArray)
+          }
         case ("POST", p) if p.contains("uploadId") =>
-          val parts = uploads.remove(p("uploadId")).getOrElse {
-            respond(x, 404, Array.emptyByteArray); return }
           if (failCompletes.get()) {
-            // real S3's documented trap: 200 OK, error in the body
+            // real S3's documented trap: 200 OK, error in the body — and
+            // the upload is NOT consumed (it lingers until aborted, which
+            // is exactly the orphan the client's abort path must collect)
             respond(x, 200,
               """<?xml version="1.0"?><Error><Code>InternalError</Code>
                 |<Message>We encountered an internal error.</Message>
                 |</Error>""".stripMargin.getBytes("UTF-8"))
             return
           }
+          val parts = uploads.remove(p("uploadId")).getOrElse {
+            respond(x, 404, Array.emptyByteArray); return }
           val assembled = parts.toSeq.sortBy(_._1).map(_._2)
             .foldLeft(Array.emptyByteArray)(_ ++ _)
           writeObject(key, assembled)

@@ -441,10 +441,42 @@ class SourcesSpec extends AnyFunSuite {
       assert(!newPuts.exists(_.endsWith(".done")),
         s"marker published after a failed multipart complete: $newPuts")
       assert(!S3Publisher.isDone(spark, "s3a://lake/mart2.parquet"))
+      // the failed upload must be ABORTED, not orphaned (real S3 charges
+      // for lingering multipart parts until a lifecycle rule collects them)
+      val aborted = scala.jdk.CollectionConverters
+        .ListHasAsScala(server.abortLog).asScala.toSeq
+      assert(aborted.nonEmpty && aborted.forall(_.startsWith("mart2.parquet/")),
+        s"failed multipart upload was not aborted: $aborted")
       server.failCompletes.set(false)
     } finally {
       server.stop()
       LakeReader.s3MinimalFs(spark, "http://unset.invalid")
     }
+  }
+
+  test("K: publish generalizes past the mock — file:// Hadoop FS, marker + read-back") {
+    import graft.export.{Exporter, S3Publisher}
+    // a second, unrelated FileSystem implementation (Hadoop's local FS):
+    // the publish loop only needs whole-object PUT semantics, so the same
+    // call that ships to the SigV4 mock must ship here too (VERDICT r7
+    // item 5 — a stock-hadoop-aws deployment publishes through this path)
+    val exportBase = java.nio.file.Files.createTempDirectory("pubexp2")
+    val localDir = s"$exportBase/mart.parquet"
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    Exporter.atomically(localDir) { tmp =>
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    val remoteBase = java.nio.file.Files.createTempDirectory("pubdst")
+    val remoteDir = s"file://$remoteBase/lake/mart.parquet"
+    assert(!S3Publisher.isDone(spark, remoteDir))
+    S3Publisher.publishDir(spark, localDir, remoteDir)
+    assert(S3Publisher.isDone(spark, remoteDir))
+    // same layout, same bytes: read back through the published prefix
+    val remote = spark.read.parquet(remoteDir).collect().map(_.toSeq).toSet
+    val local = spark.read.parquet(localDir).collect().map(_.toSeq).toSet
+    assert(remote === local && remote.nonEmpty)
+    // the marker object sits NEXT TO the prefix (reader gate contract)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$remoteBase/lake/mart.parquet.done")))
   }
 }
