@@ -163,21 +163,39 @@ object BpeTrainer {
     * UTF-8-smallest (left, right). The pair-count table is maintained
     * INCREMENTALLY (subtract the affected words' old pairs, apply the
     * merge, add their new pairs — affected words found via a pair→word
-    * inverted index), so a K-merge run costs O(K · affected) not
-    * O(K · vocab): the shape a 30k-merge tokenizer run needs. */
+    * inverted index), and the argmax comes from a max-heap with LAZY
+    * DELETION (every count update pushes a fresh (count, pair) entry;
+    * pops discard entries whose count no longer matches the live table),
+    * so a K-merge run costs O(K · affected · log H) with NO per-merge
+    * scan of the pair table — the shape a 30k-merge tokenizer run needs
+    * (previously the selection step alone was O(K · |pairs|)). */
   private def trainLocal(table: Array[WordSyms], numMerges: Int): Seq[Merge] = {
     val words = scala.collection.mutable.ArrayBuffer.from(
       table.map(w => (w.syms, w.freq)))
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val index = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.Set[Int]]
+    implicit val pairOrd: Ordering[(String, String)] =
+      Ordering.Tuple2(utf8Ordering, utf8Ordering)
+    // max-heap priority: highest count first, ties to the SMALLEST pair —
+    // exactly the distributed loop's orderBy(cnt desc, l, r)
+    val heapOrd: Ordering[(Long, (String, String))] =
+      (a: (Long, (String, String)), b: (Long, (String, String))) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else pairOrd.compare(b._2, a._2)
+      }
+    val heap = scala.collection.mutable.PriorityQueue.empty(heapOrd)
     def addWord(idx: Int, sign: Long): Unit = {
       val (syms, f) = words(idx)
       var i = 0
       while (i + 1 < syms.length) {
         val k = (syms(i), syms(i + 1))
         val c = counts.getOrElse(k, 0L) + sign * f
-        if (c == 0L) counts.remove(k) else counts(k) = c
+        if (c == 0L) counts.remove(k)
+        else {
+          counts(k) = c
+          heap.enqueue((c, k)) // lazy: older entries for k go stale
+        }
         if (sign > 0)
           index.getOrElseUpdate(k,
             scala.collection.mutable.Set.empty[Int]) += idx
@@ -187,22 +205,20 @@ object BpeTrainer {
       // adjacency before touching a word, and the entry is rebuilt on add
     }
     words.indices.foreach(addWord(_, +1L))
-    implicit val pairOrd: Ordering[(String, String)] =
-      Ordering.Tuple2(utf8Ordering, utf8Ordering)
     val merges = Seq.newBuilder[Merge]
     var m = 0
     var exhausted = false
     while (m < numMerges && !exhausted) {
-      if (counts.isEmpty) exhausted = true
+      // pop to the first live entry: count still matches the table (every
+      // live pair re-enqueued at its last update, so the true max is here)
+      var picked = Option.empty[(String, String)]
+      while (picked.isEmpty && heap.nonEmpty) {
+        val (c, k) = heap.dequeue()
+        if (counts.get(k).contains(c)) picked = Some(k)
+      }
+      if (picked.isEmpty) exhausted = true
       else {
-        val (l, r) = counts.foldLeft(Option.empty[((String, String), Long)]) {
-          case (best, kv) =>
-            best match {
-              case Some((bk, bc)) if kv._2 < bc ||
-                (kv._2 == bc && pairOrd.gteq(kv._1, bk)) => best
-              case _ => Some(kv)
-            }
-        }.get._1
+        val (l, r) = picked.get
         merges += Merge(l, r)
         val affected = index.getOrElse((l, r), Set.empty[Int]).toSeq
         affected.foreach { idx =>
