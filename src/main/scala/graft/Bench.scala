@@ -52,7 +52,13 @@ object Bench {
     // SELECT. Timing stream-checkpoint machinery against a SQL query
     // measures neither engine's query execution. The CORRECTNESS gate
     // (Verify) still runs it every round.
-    val nonQueryEntries = Set("q86_ingest_endstate")
+    // lifecycle gates whose builder runs an ingest lifecycle over temp-dir
+    // state while the oracle is a one-shot SELECT: neither side measures
+    // query execution, so both Bench and duck_bench skip them (q40/q86
+    // precedent, PERF.md). q89 stays TIMED — its builder is a plain
+    // (if two-CC-run) query plan over the lake.
+    val nonQueryEntries = Set("q86_ingest_endstate",
+      "q90_image_ingest_endstate", "q91_audio_ingest_endstate")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
