@@ -498,4 +498,128 @@ object Multimodal {
       "media_id", "afp", AudioFpBits, 12, maxHamming, maxBucket,
       outA = "media_a", outB = "media_b")
   }
+
+  // ---- video fingerprinting (structural — the JDK has no video codec,
+  // and the ingest-side dedup signal doesn't need one: the ISO-BMFF
+  // `stsz` sample-size table is the per-frame compressed byte-size time
+  // series, which is a CONTENT signature — intra/inter frame size
+  // patterns track scene structure — while surviving exactly the
+  // transforms a dedup pipeline must see through: remux / box reorder /
+  // faststart (byte-identical table), metadata edits, and uniform
+  // bitrate scaling (fingerprint compares only RELATIVE sizes)) ----
+
+  private val VideoChunks = 61 // 60 chunk-mean comparisons → 60 bits
+  /** 60-bit fingerprint: same banding family as text simhash / audio. */
+  val VideoFpBits: Int = VideoChunks - 1
+
+  /** Walk one ISO-BMFF box span `[from, until)` of `b`:
+    * (type, bodyStart, boxEnd) per box; tolerates 64-bit and to-end-of-
+    * span sizes. Shared by the metadata codec and the fingerprint. */
+  private def bmffChildren(b: Array[Byte], from: Int,
+      until: Int): Iterator[(String, Int, Int)] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    new Iterator[(String, Int, Int)] {
+      private var o = from
+      def hasNext: Boolean = o + 8 <= until
+      def next(): (String, Int, Int) = {
+        val sz32 = u32(o)
+        val (hdr, size) =
+          if (sz32 == 1L && o + 16 <= until) (16, (u32(o + 8) << 32) | u32(o + 12))
+          else if (sz32 == 0L) (8, (until - o).toLong)
+          else (8, sz32)
+        val end = math.min(until.toLong, o + math.max(size, 8L)).toInt
+        val t = new String(b, o + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val res = (t, o + hdr, end)
+        o = end
+        res
+      }
+    }
+  }
+
+  /** 60-bit structural video fingerprint of an ISO-BMFF (MP4/QuickTime)
+    * payload: the first `moov/trak/**/stbl/stsz` sample-size table with
+    * ≥ [[VideoChunks]] entries becomes a frame-size time series; the
+    * series is cut into [[VideoChunks]] equal chunks and
+    * bit i = [mean(chunk i) > mean(chunk i+1)] — relative comparisons
+    * only, so uniformly scaling every frame (bitrate change) preserves
+    * every bit, while different content produces a different up/down
+    * profile. None for non-BMFF payloads, fixed-sample-size tables
+    * (sample_size ≠ 0 carries no per-frame profile) and clips shorter
+    * than [[VideoChunks]] samples. */
+  def videoFingerprint64(payload: Array[Byte]): Option[Long] =
+    try {
+      val b = payload
+      def u32(o: Int): Long =
+        ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      var isMp4 = false
+      var sizes: Array[Long] = null
+      // depth-first hunt for stsz under moov (trak/mdia/minf/stbl vary in
+      // optional-box siblings; walking every container is simpler and
+      // just as bounded)
+      def hunt(from: Int, until: Int): Unit =
+        bmffChildren(b, from, until).foreach { case (t, off, end) =>
+          if (sizes == null) t match {
+            case "stsz" if end - off >= 12 =>
+              val fixed = u32(off + 4)
+              val n = u32(off + 8).toInt
+              if (fixed == 0L && n >= VideoChunks &&
+                  off + 12 + 4L * n <= end)
+                sizes = Array.tabulate(n)(i => u32(off + 12 + 4 * i))
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              hunt(off, end)
+            case _ => ()
+          }
+        }
+      bmffChildren(b, 0, b.length).foreach { case (t, off, end) =>
+        if (t == "ftyp") isMp4 = true
+        if (isMp4 && t == "moov" && sizes == null) hunt(off, end)
+      }
+      if (!isMp4 || sizes == null) None
+      else {
+        val n = sizes.length
+        def chunkMean(i: Int): Double = {
+          val lo = (i.toLong * n / VideoChunks).toInt
+          val hi = ((i + 1).toLong * n / VideoChunks).toInt
+          var s = 0.0
+          var j = lo
+          while (j < hi) { s += sizes(j); j += 1 }
+          s / (hi - lo)
+        }
+        val means = Array.tabulate(VideoChunks)(chunkMean)
+        var hash = 0L
+        var i = 0
+        while (i < VideoFpBits) {
+          if (means(i) > means(i + 1)) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-clip structural fingerprints: (media_id, vfp) for parseable
+    * BMFF video. mapPartitions — the documented codec tier. */
+  def videoFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+        if (r.media_type == "video") videoFingerprint64(r.payload)
+          .map((r.media_id, _))
+        else None))
+      .toDF("media_id", "vfp")
+  }
+
+  /** Video NEAR-DUPLICATE pairs — the FOURTH modality through the shared
+    * [[graft.operators.HammingPairs]] engine (text simhash, image pHash,
+    * audio fingerprints, video structure: one banding implementation).
+    * 60 bits in 5 bands of 12: exact for Hamming ≤ 4 uncapped. */
+  def videoNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 4,
+      maxBucket: Long = 0L): DataFrame = {
+    graft.operators.HammingPairs.requireExact(VideoFpBits, 12, maxHamming)
+    graft.operators.HammingPairs.pairs(videoFingerprints(media),
+      "media_id", "vfp", VideoFpBits, 12, maxHamming, maxBucket,
+      outA = "media_a", outB = "media_b")
+  }
 }

@@ -200,4 +200,66 @@ class HammingSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("video fingerprint: remux/bitrate-invariant, near under trim, far across content") {
+    // minimal ISO-BMFF synthesis: ftyp + moov/trak/mdia/minf/stbl/stsz
+    // (the per-frame compressed-size table the fingerprint reads) + mdat
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(body.length + 8)
+      bb.putInt(body.length + 8).put(t.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    def stszBody(sizes: Seq[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * sizes.length)
+      bb.putInt(0).putInt(0).putInt(sizes.length) // v/flags, fixed=0, count
+      sizes.foreach(s => bb.putInt(s.toInt))
+      bb.array()
+    }
+    def mp4(sizes: Seq[Long], remux: Boolean = false): Array[Byte] = {
+      val ftyp = box("ftyp", "isomisom".getBytes("US-ASCII"))
+      val moov = box("moov", box("trak", box("mdia", box("minf",
+        box("stbl", box("stsz", stszBody(sizes)))))))
+      val mdat = box("mdat", Array.fill(32)(0x11.toByte))
+      // remux: free box + mdat-before-moov — container-level changes a
+      // structural fingerprint must see through
+      if (remux) ftyp ++ box("free", new Array[Byte](8)) ++ mdat ++ moov
+      else ftyp ++ moov ++ mdat
+    }
+    // content = slow GOP-size wave + keyframe spikes every 30 frames
+    def content(period: Double, phase: Double, gop: Int): Seq[Long] =
+      (0 until 1220).map(i => (2500 + 1500 * math.sin(i * 2 * math.Pi /
+        period + phase) + (if (i % gop == 0) 8000 else 0)).toLong)
+    val base = content(150, 0.0, 30)
+    val hBase = Multimodal.videoFingerprint64(mp4(base)).get
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // exact invariances: remux and uniform bitrate scaling
+    assert(d(hBase, Multimodal.videoFingerprint64(mp4(base, remux = true)).get) === 0)
+    assert(d(hBase, Multimodal.videoFingerprint64(mp4(base.map(_ * 2))).get) === 0)
+    // trimming a few frames shifts chunk boundaries slightly: near
+    val hTrim = Multimodal.videoFingerprint64(mp4(base.dropRight(6))).get
+    assert(d(hBase, hTrim) <= 4, s"trim moved ${d(hBase, hTrim)} bits")
+    // different content (different wave + GOP structure): far
+    val hOther = Multimodal.videoFingerprint64(
+      mp4(content(90, 1.3, 24))).get
+    assert(d(hBase, hOther) > 8, s"distinct clips only ${d(hBase, hOther)} apart")
+    // undecodable / non-BMFF / fixed-size-table → None
+    assert(Multimodal.videoFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.videoFingerprint64(
+      box("moov", new Array[Byte](16))).isEmpty)
+
+    // distributed near-dup pairs through the shared HammingPairs engine —
+    // the FOURTH modality on the one banding implementation
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4(base), "v.mp4"),
+      Multimodal.MediaRecord(2L, "video", mp4(base.map(_ * 2), remux = true), "v_remux.mp4"),
+      Multimodal.MediaRecord(3L, "video", mp4(base.dropRight(6)), "v_trim.mp4"),
+      Multimodal.MediaRecord(4L, "video", mp4(content(90, 1.3, 24)), "w.mp4"),
+      Multimodal.MediaRecord(5L, "video", Array[Byte](7), "junk.mp4"),
+      Multimodal.MediaRecord(6L, "audio", mp4(base), "not-video.wav"))
+    val pairs = Multimodal.videoNearDupPairs(
+        spark.createDataset(records).repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
