@@ -136,6 +136,57 @@ object MediaOps {
       MediaRecord(id, "image", renderPng(g, shift), s"img_${g}_${id % 4}.png")
     }
 
+  // minimal ISO-BMFF synthesis for the video corpus: ftyp +
+  // moov/trak/mdia/minf/stbl/stsz (the per-frame size table
+  // [[Multimodal.videoFingerprint64]] reads) + mdat
+  private def bmffBox(t: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(body.length + 8)
+    bb.putInt(body.length + 8).put(t.getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  private def renderMp4(g: Int, scale: Long, remux: Boolean): Array[Byte] = {
+    // per-group content profile: GOP-size wave period/phase + keyframe
+    // interval all vary with the group → distinct up/down chunk profiles
+    val period = 80.0 + 12.0 * g
+    val phase = 0.5 * g
+    val gop = 20 + 2 * (g % 5)
+    val sizes = (0 until 1220).map(i => scale * (2500 +
+      1500 * math.sin(i * 2 * math.Pi / period + phase) +
+      (if (i % gop == 0) 8000 else 0)).toLong)
+    val stszBody = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * sizes.length)
+      bb.putInt(0).putInt(0).putInt(sizes.length) // v/flags, fixed=0, count
+      sizes.foreach(s => bb.putInt(s.toInt))
+      bb.array()
+    }
+    val ftyp = bmffBox("ftyp", "isomisom".getBytes("US-ASCII"))
+    val moov = bmffBox("moov", bmffBox("trak", bmffBox("mdia", bmffBox("minf",
+      bmffBox("stbl", bmffBox("stsz", stszBody))))))
+    val mdat = bmffBox("mdat", Array.fill(32)(0x11.toByte))
+    if (remux) ftyp ++ bmffBox("free", new Array[Byte](8)) ++ mdat ++ moov
+    else ftyp ++ moov ++ mdat
+  }
+
+  /** The planted video corpus member for `id`: variants are the
+    * container/bitrate transforms the structural fingerprint is invariant
+    * to by construction (1 = uniform 2× bitrate scale, 2 = remux with
+    * mdat-before-moov + free box, 3 = exact re-render); id 47 is
+    * undecodable junk. */
+  private[graft] def videoRecord(id: Long): MediaRecord =
+    if (id == JunkId)
+      MediaRecord(id, "video", Array[Byte](7), s"junk$id.mp4")
+    else {
+      val g = (id / GroupSize).toInt
+      val (scale, remux) = (id % GroupSize) match {
+        case 1 => (2L, false)
+        case 2 => (1L, true)
+        case _ => (1L, false)
+      }
+      MediaRecord(id, "video", renderMp4(g, scale, remux),
+        s"vid_${g}_${id % 4}.mp4")
+    }
+
   /** The planted audio corpus member for `id`: variants scale amplitude
     * (the Haitsma–Kalker energy-difference signs are amplitude-invariant
     * → Hamming 0); id 47 is undecodable junk. */
@@ -200,7 +251,14 @@ object MediaOps {
     // incremental CC, 3 batches; must equal the planted clusters.
     "q91_audio_ingest_endstate" -> ((s, dir) =>
       ingestEndState(s, dir, audioRecord, Multimodal.audioFingerprints,
-        Multimodal.AudioFpBits, bandBits = 12, maxHamming = 4))
+        Multimodal.AudioFpBits, bandBits = 12, maxHamming = 4)),
+
+    // VIDEO fingerprint-ingest end-state — the FOURTH modality through
+    // the one lifecycle: ISO-BMFF parse → structural stsz fingerprint →
+    // 5×12-bit banded incremental pairing (radius 4) → incremental CC.
+    "q92_video_ingest_endstate" -> ((s, dir) =>
+      ingestEndState(s, dir, videoRecord, Multimodal.videoFingerprints,
+        Multimodal.VideoFpBits, bandBits = 12, maxHamming = 4))
   )
 
   /** The planted structure in pure SQL: cluster = min id of the 4-variant
@@ -215,6 +273,7 @@ object MediaOps {
 
   val oracle: Map[String, String] = Map(
     "q90_image_ingest_endstate" -> plantedSql,
-    "q91_audio_ingest_endstate" -> plantedSql
+    "q91_audio_ingest_endstate" -> plantedSql,
+    "q92_video_ingest_endstate" -> plantedSql
   )
 }

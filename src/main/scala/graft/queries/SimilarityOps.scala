@@ -311,6 +311,52 @@ object SimilarityOps {
     // (more planes, wider bands, bucket cap) live there.
     "q36_embed_neardup" -> ((s, dir) => hyperplanePairsTuned(s, dir)),
 
+    // EMBEDDING-based eval DECONTAMINATION — the semantic twin of q58's
+    // n-gram contamination check, run before training: holdout docs
+    // (q48's hash-split rule applied to vec_id: bucket ≥ 90 = the test
+    // split) that are suspiciously cosine-close to any TRAIN doc leak
+    // eval signal; the report lists every (eval, train, cosine ≥ 0.3)
+    // pair. Candidates come from the same multi-band hyperplane LSH as
+    // q36 — the join is keyed on (band, key), never |eval| × |train| —
+    // then exact cosine rescoring; the split predicate just partitions
+    // the banded stream, so BOTH sides ride one signature computation and
+    // one exchange. At 100 TB the eval side is the tiny one (≤10% and
+    // typically a fixed benchmark suite): the same plan broadcast-joins
+    // it, and the threshold/geometry knobs are hyperplanePairsTuned's.
+    "q93_embedding_contamination" -> ((s, dir) => {
+      val nPlanes = 16
+      val bandBits = 4
+      val nBands = nPlanes / bandBits
+      val holdout = pmod(graft.functions.TextFunctions.stableHash(
+        col("vec_id").cast("string")), lit(100)) >= 90
+      val sig = HyperplaneBucket.bucket(col("embedding"),
+        (0 until nPlanes).map(planeWeights(_, Dim)))
+      val banded = emb(s, dir)
+        .select(col("vec_id"), col("embedding"), holdout.as("holdout"),
+          sig.as("sig"))
+        .select(col("vec_id"), col("embedding"), col("holdout"),
+          explode(array((0 until nBands).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * bandBits)
+                .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+          }: _*)).as("bk"))
+        .select(col("vec_id"), col("embedding"), col("holdout"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val ev = banded.filter(col("holdout"))
+        .select(col("band"), col("key"), col("vec_id").as("eval_id"),
+          col("embedding").as("ee"))
+      val tr = banded.filter(!col("holdout"))
+        .select(col("band"), col("key"), col("vec_id").as("train_id"),
+          col("embedding").as("te"))
+      ev.join(tr, Seq("band", "key"))
+        .select(col("eval_id"), col("train_id"),
+          cosineSim(col("ee"), col("te")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .select(col("eval_id"), col("train_id"),
+          round(col("cos"), 4).as("cosine"))
+        .distinct()
+    }),
+
     // LSH-bucketed ANN (scale path): 12 deterministic random hyperplanes →
     // 12-bit bucket signature; same-bucket collisions are the candidate
     // pairs. Oracle: the identical integer-mix plane weights + sign-bit
@@ -513,6 +559,24 @@ object SimilarityOps {
          FROM banded a JOIN banded c
            ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
          WHERE list_cosine_similarity(a.v, c.v) >= 0.3""",
+    // q36's banding with the q48 split predicate partitioning the stream
+    "q93_embedding_contamination" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 >= 90 AS holdout
+           FROM embeddings),
+         sg AS (SELECT vec_id, v, holdout,
+                       CAST(${bucketSqlExpr(16, "v")} AS BIGINT) AS sig
+                FROM e),
+         banded AS (SELECT vec_id, v, holdout, b AS band,
+                           (sig >> CAST(4 * b AS INTEGER)) & 15 AS key
+                    FROM sg, range(0, 4) t(b))
+         SELECT DISTINCT a.vec_id AS eval_id, c.vec_id AS train_id,
+                round(list_cosine_similarity(a.v, c.v), 4) AS cosine
+         FROM banded a JOIN banded c
+           ON a.band = c.band AND a.key = c.key
+         WHERE a.holdout AND NOT c.holdout
+           AND list_cosine_similarity(a.v, c.v) >= 0.3""",
     "q37_ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          b AS (SELECT vec_id, v,

@@ -63,8 +63,31 @@ class MediaGateSpec extends AnyFunSuite {
     assert(minCross >= 8, s"closest cross-group audio pair at $minCross bits")
   }
 
-  test("q90/q91 end-states reproduce the planted clustering") {
-    for (q <- Seq("q90_image_ingest_endstate", "q91_audio_ingest_endstate")) {
+  test("video corpus: in-group identical, cross-group separated by ≥ 8") {
+    val hashes = (0L until MediaOps.NumIds.toLong).flatMap { id =>
+      val r = MediaOps.videoRecord(id)
+      Multimodal.videoFingerprint64(r.payload).map(id -> _)
+    }.toMap
+    assert(!hashes.contains(MediaOps.JunkId), "junk video parsed")
+    assert(hashes.size === MediaOps.NumIds - 1)
+    for (g <- groups; v <- 1 until MediaOps.GroupSize) {
+      val id = (g * MediaOps.GroupSize + v).toLong
+      if (id != MediaOps.JunkId) {
+        // bitrate scale / remux / re-render are invariant BY CONSTRUCTION
+        assert(d(hashes(g.toLong * MediaOps.GroupSize), hashes(id)) === 0,
+          s"video group $g variant $v not invariant")
+      }
+    }
+    val minCross = (for {
+      Seq(g1, g2) <- groups.combinations(2)
+    } yield d(hashes(g1.toLong * MediaOps.GroupSize),
+      hashes(g2.toLong * MediaOps.GroupSize))).min
+    assert(minCross >= 8, s"closest cross-group video pair at $minCross bits")
+  }
+
+  test("q90/q91/q92 end-states reproduce the planted clustering") {
+    for (q <- Seq("q90_image_ingest_endstate", "q91_audio_ingest_endstate",
+        "q92_video_ingest_endstate")) {
       val got = SparkEntry.queries(q)(spark, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       val want = (0L until MediaOps.NumIds.toLong)
