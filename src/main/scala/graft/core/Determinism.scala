@@ -41,24 +41,30 @@ object Determinism {
   }
 
   /** Canonical hash: columns sorted by name, rows stringified at driver
-    * granularity, row strings sorted, md5 over the concatenation. */
+    * granularity, row strings sorted, md5 over the concatenation. Cells
+    * join on U+0001 so adjacent string columns can't alias (("ab","c")
+    * vs ("a","bc") must hash differently). */
   def canonicalHash(df: DataFrame): String = {
     val cols = df.columns.sorted
     val reordered = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-    val lines = reordered.collect().map(_.toSeq.map(cell).mkString(""))
+    val lines = reordered.collect().map(_.toSeq.map(cell).mkString("\u0001"))
     scala.util.Sorting.quickSort(lines)
     val md = java.security.MessageDigest.getInstance("MD5")
     lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Run `queries` under each partition count; return the names whose
-    * canonical hashes drift across replays (empty = deterministic). */
+  /** Run `queries` under each partition count — ALWAYS including the
+    * calling session's own count, so a drift that manifests only at the
+    * production/dump count can't escape by the replays merely agreeing
+    * with each other. Returns the names whose canonical hashes drift
+    * across replays (empty = deterministic). */
   def drifting(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       partitionCounts: Seq[Int],
       onProgress: String => Unit = _ => ()): Seq[String] = {
-    val sessions = partitionCounts.map { n =>
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessions = (base +: partitionCounts).distinct.map { n =>
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", n.toString)
       s

@@ -546,9 +546,11 @@ object Multimodal {
     * bit i = [mean(chunk i) > mean(chunk i+1)] — relative comparisons
     * only, so uniformly scaling every frame (bitrate change) preserves
     * every bit, while different content produces a different up/down
-    * profile. None for non-BMFF payloads, fixed-sample-size tables
-    * (sample_size ≠ 0 carries no per-frame profile) and clips shorter
-    * than [[VideoChunks]] samples. */
+    * profile. On multi-track files every qualifying stsz is collected and
+    * the (total-bytes, count)-largest wins — the video track on any real
+    * file — so trak reorder can't switch tracks. None for non-BMFF
+    * payloads, fixed-sample-size tables (sample_size ≠ 0 carries no
+    * per-frame profile) and clips shorter than [[VideoChunks]] samples. */
   def videoFingerprint64(payload: Array[Byte]): Option[Long] =
     try {
       val b = payload
@@ -556,19 +558,22 @@ object Multimodal {
         ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
           ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
       var isMp4 = false
-      var sizes: Array[Long] = null
-      // depth-first hunt for stsz under moov (trak/mdia/minf/stbl vary in
-      // optional-box siblings; walking every container is simpler and
-      // just as bounded)
+      // depth-first hunt for stsz tables under moov (trak/mdia/minf/stbl
+      // vary in optional-box siblings; walking every container is simpler
+      // and just as bounded). ALL qualifying tables are collected and the
+      // winner picked by (total bytes, count) — the video track dominates
+      // both on any real file — so trak REORDER (a remux) cannot switch
+      // which track gets fingerprinted on multi-track files.
+      val candidates = Seq.newBuilder[Array[Long]]
       def hunt(from: Int, until: Int): Unit =
         bmffChildren(b, from, until).foreach { case (t, off, end) =>
-          if (sizes == null) t match {
+          t match {
             case "stsz" if end - off >= 12 =>
               val fixed = u32(off + 4)
               val n = u32(off + 8).toInt
               if (fixed == 0L && n >= VideoChunks &&
                   off + 12 + 4L * n <= end)
-                sizes = Array.tabulate(n)(i => u32(off + 12 + 4 * i))
+                candidates += Array.tabulate(n)(i => u32(off + 12 + 4 * i))
             case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
               hunt(off, end)
             case _ => ()
@@ -576,8 +581,11 @@ object Multimodal {
         }
       bmffChildren(b, 0, b.length).foreach { case (t, off, end) =>
         if (t == "ftyp") isMp4 = true
-        if (isMp4 && t == "moov" && sizes == null) hunt(off, end)
+        if (isMp4 && t == "moov") hunt(off, end)
       }
+      val sizes = candidates.result()
+        .sortBy(s => (-s.sum, -s.length.toLong))
+        .headOption.orNull
       if (!isMp4 || sizes == null) None
       else {
         val n = sizes.length

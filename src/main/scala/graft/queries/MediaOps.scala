@@ -138,11 +138,40 @@ object MediaOps {
 
   // minimal ISO-BMFF synthesis for the video corpus: ftyp +
   // moov/trak/mdia/minf/stbl/stsz (the per-frame size table
-  // [[Multimodal.videoFingerprint64]] reads) + mdat
-  private def bmffBox(t: String, body: Array[Byte]): Array[Byte] = {
+  // [[Multimodal.videoFingerprint64]] reads) + mdat. Shared with the
+  // fingerprint specs (ONE copy of the box-layout knowledge — a format
+  // fix can't silently leave tests asserting a stale synthesis).
+  private[graft] def bmffBox(t: String, body: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(body.length + 8)
     bb.putInt(body.length + 8).put(t.getBytes("US-ASCII")).put(body)
     bb.array()
+  }
+
+  /** One complete `trak` box (mdia/minf/stbl/stsz) carrying the given
+    * per-sample size table. */
+  private[graft] def trakOf(sizes: Seq[Long]): Array[Byte] = {
+    val stszBody = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * sizes.length)
+      bb.putInt(0).putInt(0).putInt(sizes.length) // v/flags, fixed=0, count
+      sizes.foreach(s => bb.putInt(s.toInt))
+      bb.array()
+    }
+    bmffBox("trak", bmffBox("mdia", bmffBox("minf",
+      bmffBox("stbl", bmffBox("stsz", stszBody)))))
+  }
+
+  /** Minimal MP4 carrying the given per-sample size table (plus optional
+    * extra tracks); `remux` emits the container-reordered (free box +
+    * mdat-before-moov) variant a structural fingerprint must see
+    * through. */
+  private[graft] def mp4Of(sizes: Seq[Long], remux: Boolean = false,
+      extraTraks: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    val ftyp = bmffBox("ftyp", "isomisom".getBytes("US-ASCII"))
+    val moov = bmffBox("moov",
+      (trakOf(sizes) +: extraTraks).reduce(_ ++ _))
+    val mdat = bmffBox("mdat", Array.fill(32)(0x11.toByte))
+    if (remux) ftyp ++ bmffBox("free", new Array[Byte](8)) ++ mdat ++ moov
+    else ftyp ++ moov ++ mdat
   }
 
   private def renderMp4(g: Int, scale: Long, remux: Boolean): Array[Byte] = {
@@ -154,18 +183,7 @@ object MediaOps {
     val sizes = (0 until 1220).map(i => scale * (2500 +
       1500 * math.sin(i * 2 * math.Pi / period + phase) +
       (if (i % gop == 0) 8000 else 0)).toLong)
-    val stszBody = {
-      val bb = java.nio.ByteBuffer.allocate(12 + 4 * sizes.length)
-      bb.putInt(0).putInt(0).putInt(sizes.length) // v/flags, fixed=0, count
-      sizes.foreach(s => bb.putInt(s.toInt))
-      bb.array()
-    }
-    val ftyp = bmffBox("ftyp", "isomisom".getBytes("US-ASCII"))
-    val moov = bmffBox("moov", bmffBox("trak", bmffBox("mdia", bmffBox("minf",
-      bmffBox("stbl", bmffBox("stsz", stszBody))))))
-    val mdat = bmffBox("mdat", Array.fill(32)(0x11.toByte))
-    if (remux) ftyp ++ bmffBox("free", new Array[Byte](8)) ++ mdat ++ moov
-    else ftyp ++ moov ++ mdat
+    mp4Of(sizes, remux)
   }
 
   /** The planted video corpus member for `id`: variants are the

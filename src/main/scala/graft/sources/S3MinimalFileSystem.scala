@@ -245,12 +245,14 @@ class S3MinimalFileSystem extends FileSystem {
         s"CreateMultipartUpload returned no UploadId for $key"))
     try uploadParts(key, uploadId, in, partSize)
     catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         // best-effort AbortMultipartUpload before rethrowing: a failed
         // part upload or complete otherwise leaves an orphaned multipart
         // upload accruing storage charges on real S3/R2 until a lifecycle
         // rule collects it (AWS: DELETE ?uploadId= → 204; 404 if the
-        // upload is already gone)
+        // upload is already gone). NonFatal ONLY: on interrupt/OOM the
+        // abort's own network call could hang a cancellation — let the
+        // bucket's lifecycle rule collect those instead.
         try request("DELETE", new URL(s"${objectUrl(key)}?uploadId=" +
           SigV4.uriEncode(uploadId)), Array.emptyByteArray, Set(204, 404))
         catch { case scala.util.control.NonFatal(_) => () }

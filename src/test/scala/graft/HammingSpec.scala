@@ -202,29 +202,9 @@ class HammingSpec extends AnyFunSuite {
   }
 
   test("video fingerprint: remux/bitrate-invariant, near under trim, far across content") {
-    // minimal ISO-BMFF synthesis: ftyp + moov/trak/mdia/minf/stbl/stsz
-    // (the per-frame compressed-size table the fingerprint reads) + mdat
-    def box(t: String, body: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(body.length + 8)
-      bb.putInt(body.length + 8).put(t.getBytes("US-ASCII")).put(body)
-      bb.array()
-    }
-    def stszBody(sizes: Seq[Long]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(12 + 4 * sizes.length)
-      bb.putInt(0).putInt(0).putInt(sizes.length) // v/flags, fixed=0, count
-      sizes.foreach(s => bb.putInt(s.toInt))
-      bb.array()
-    }
-    def mp4(sizes: Seq[Long], remux: Boolean = false): Array[Byte] = {
-      val ftyp = box("ftyp", "isomisom".getBytes("US-ASCII"))
-      val moov = box("moov", box("trak", box("mdia", box("minf",
-        box("stbl", box("stsz", stszBody(sizes)))))))
-      val mdat = box("mdat", Array.fill(32)(0x11.toByte))
-      // remux: free box + mdat-before-moov — container-level changes a
-      // structural fingerprint must see through
-      if (remux) ftyp ++ box("free", new Array[Byte](8)) ++ mdat ++ moov
-      else ftyp ++ moov ++ mdat
-    }
+    // ONE copy of the ISO-BMFF synthesis (MediaOps.mp4Of — also the q92
+    // corpus): a box-layout fix there is what this spec then verifies
+    import graft.queries.MediaOps.{bmffBox => box, mp4Of => mp4}
     // content = slow GOP-size wave + keyframe spikes every 30 frames
     def content(period: Double, phase: Double, gop: Int): Seq[Long] =
       (0 until 1220).map(i => (2500 + 1500 * math.sin(i * 2 * math.Pi /
@@ -246,6 +226,20 @@ class HammingSpec extends AnyFunSuite {
     assert(Multimodal.videoFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.videoFingerprint64(
       box("moov", new Array[Byte](16))).isEmpty)
+    // MULTI-TRACK: the (total-bytes, count)-largest stsz wins, so trak
+    // REORDER (a remux) can't switch which track is fingerprinted — the
+    // small audio-track table never shadows the video one
+    val audioTrak = graft.queries.MediaOps.trakOf(
+      (0 until 200).map(i => 300L + (i % 7) * 40))
+    val ftyp = box("ftyp", "isomisom".getBytes("US-ASCII"))
+    val mdat = box("mdat", Array.fill(32)(0x11.toByte))
+    val videoTrak = graft.queries.MediaOps.trakOf(base)
+    val avOrder = ftyp ++ box("moov", audioTrak ++ videoTrak) ++ mdat
+    val vaOrder = ftyp ++ box("moov", videoTrak ++ audioTrak) ++ mdat
+    val Some(hAv) = Multimodal.videoFingerprint64(avOrder)
+    val Some(hVa) = Multimodal.videoFingerprint64(vaOrder)
+    assert(hAv === hBase && hVa === hBase,
+      "trak reorder switched the fingerprinted track")
 
     // distributed near-dup pairs through the shared HammingPairs engine —
     // the FOURTH modality on the one banding implementation

@@ -16,6 +16,13 @@ class ReplaySpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("canonicalHash separates adjacent cells (no concatenation aliasing)") {
+    import spark.implicits._
+    val a = Seq(("ab", "c")).toDF("x", "y")
+    val b = Seq(("a", "bc")).toDF("x", "y")
+    assert(Determinism.canonicalHash(a) !== Determinism.canonicalHash(b))
+  }
+
   test("all gated queries are partition-count invariant (2 replays)") {
     val bad = Determinism.drifting(spark, sf, SparkEntry.queries, Seq(3, 17))
     assert(bad.isEmpty, s"nondeterministic under replay: ${bad.mkString(", ")}")
