@@ -49,6 +49,41 @@ object TextOps {
     s"sign($s) * floor((abs($s) * 2 + count(*) * 100) / (count(*) * 200)) / 10000.0"
   }
 
+  /** The q88 DSIR-weights plan, shared with q94's selection step (one
+    * definition — the selection scores exactly what the gate verifies). */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val keep = docs(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), gopherKeep.as("keep"))
+    // keep is ONE ROW PER DOC — corpus-sized, never broadcast: both
+    // sides hash-partition on doc_id (the exchange the final per-doc
+    // aggregation reuses)
+    val toks = docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("b", pmod(stableHash(col("tok")), lit(B)))
+      .join(keep, Seq("doc_id"))
+    // ONE aggregation pass yields BOTH 256-row distributions (raw +
+    // target counts per bucket); totals and the log-likelihood ratios
+    // derive from that 256-row table — no second and third corpus pass
+    // for nr/nt, no Spark job per scalar.
+    val dist = toks.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("ct"))
+    val totals = dist.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val ratio = dist.crossJoin(broadcast(totals))
+      .withColumn("llr6", round(
+        log((col("ct") + 1).cast("double") / (col("nt") + B).cast("double")) -
+          log((col("cr") + 1).cast("double") / (col("nr") + B).cast("double")),
+        6))
+    toks.join(broadcast(ratio.select("b", "llr6")), Seq("b"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        first(col("keep")).as("keep"),
+        mean4of6(col("llr6")).as("importance"))
+  }
+
   /** Marker vocabularies for the language-ID heuristic (n-gram/stopword
     * scoring). Fixed lists so the oracle SQL can mirror them. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -519,37 +554,32 @@ object TextOps {
     // micro-unit form ([[mean4of6]]) — r4(avg(llr6)) was the r7 driver-gate
     // flake: float avg is partition-merge-order-sensitive and means of 6dp
     // values park exactly on 4dp half boundaries.
-    "q88_dsir_weight" -> ((s, dir) => {
-      val B = 256
-      val keep = docs(s, dir)
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), gopherKeep.as("keep"))
-      // keep is ONE ROW PER DOC — corpus-sized, never broadcast: both
-      // sides hash-partition on doc_id (the exchange the final per-doc
-      // aggregation reuses)
-      val toks = docs(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("b", pmod(stableHash(col("tok")), lit(B)))
-        .join(keep, Seq("doc_id"))
-      // ONE aggregation pass yields BOTH 256-row distributions (raw +
-      // target counts per bucket); totals and the log-likelihood ratios
-      // derive from that 256-row table — no second and third corpus pass
-      // for nr/nt, no Spark job per scalar.
-      val dist = toks.groupBy("b").agg(
-        count(lit(1)).as("cr"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("ct"))
-      val totals = dist.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-      val ratio = dist.crossJoin(broadcast(totals))
-        .withColumn("llr6", round(
-          log((col("ct") + 1).cast("double") / (col("nt") + B).cast("double")) -
-            log((col("cr") + 1).cast("double") / (col("nr") + B).cast("double")),
-          6))
-      toks.join(broadcast(ratio.select("b", "llr6")), Seq("b"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).cast("long").as("n_tokens"),
-          first(col("keep")).as("keep"),
-          mean4of6(col("llr6")).as("importance"))
+    "q88_dsir_weight" -> ((s, dir) => dsirWeights(s, dir)),
+
+    // DSIR SELECTION — the step q88's weights exist for (Xie et al. 2023
+    // §2.3: sample the training subset WITHOUT replacement with
+    // probability ∝ importance). Sampling-without-replacement ∝ softmax
+    // weights ≡ Gumbel top-k (a published equivalence): score_i =
+    // importance_i + Gumbel_i, take the k largest. The Gumbel draw is
+    // DETERMINISTIC — u_i = (stableHash(doc_id)+1)/(2^60+1) ∈ (0,1),
+    // g_i = −ln(−ln u_i) rounded 6dp on both engines (libm-parity, the
+    // q81 precedent) — so the same docs are selected everywhere: no
+    // rand() seed drift, recomputation-stable, exactly the q48
+    // hash-split philosophy applied to weighted sampling. The top-k runs
+    // as TakeOrderedAndProject (per-partition heaps, k rows per
+    // partition cross the exchange — never a global sort; the q63
+    // scale shape).
+    "q94_dsir_select" -> ((s, dir) => {
+      val k = 100
+      val u = (stableHash(col("doc_id").cast("string")) + 1).cast("double") /
+        lit(1152921504606846977.0) // 2^60 + 1: u ∈ (0,1) exclusive
+      val g6 = round(-log(-log(u)), 6)
+      dsirWeights(s, dir)
+        .select(col("doc_id"), col("importance"), g6.as("g6"))
+        .withColumn("score", col("importance") + col("g6"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
     // Unigram LM scoring (the CCNet-style perplexity-lite quality signal):
@@ -613,6 +643,32 @@ object TextOps {
                   AND stop_count >= 2) AS keep
           FROM m"""
     }
+
+  /** The q88 oracle chain — also the `w` CTE of q94's selection. */
+  private lazy val dsirWeightSql: String = {
+    val keepQ = oracle77ForReuse
+    s"""WITH keepq AS (SELECT doc_id, keep FROM ($keepQ) k77),
+       tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+       tb AS (SELECT t.doc_id,
+                     CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256
+                       AS b,
+                     k.keep
+              FROM tk t JOIN keepq k USING (doc_id)),
+       raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+       tgt AS (SELECT b, count(*) AS ct FROM tb WHERE keep GROUP BY b),
+       nr AS (SELECT count(*) AS nr FROM tb),
+       nt AS (SELECT count(*) AS nt FROM tb WHERE keep),
+       ratio AS (SELECT raw.b,
+               round(ln((coalesce(ct, 0) + 1) * 1.0 / (nt + 256))
+                   - ln((cr + 1) * 1.0 / (nr + 256)), 6) AS llr6
+                 FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+                 CROSS JOIN nr CROSS JOIN nt)
+       SELECT tb.doc_id, count(*) AS n_tokens, bool_or(keep) AS keep,
+              ${mean4of6Sql("llr6")} AS importance
+       FROM tb JOIN ratio USING (b)
+       GROUP BY tb.doc_id"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q21_wordcount" ->
@@ -793,30 +849,21 @@ object TextOps {
                 ${mean4of6Sql("lp6")} AS mean_logprob
          FROM d JOIN lp USING (w1, w2)
          GROUP BY d.doc_id""",
-    "q88_dsir_weight" -> {
-      val keepQ = oracle77ForReuse
-      s"""WITH keepq AS (SELECT doc_id, keep FROM ($keepQ) k77),
-         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                FROM documents),
-         tb AS (SELECT t.doc_id,
-                       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256
-                         AS b,
-                       k.keep
-                FROM tk t JOIN keepq k USING (doc_id)),
-         raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
-         tgt AS (SELECT b, count(*) AS ct FROM tb WHERE keep GROUP BY b),
-         nr AS (SELECT count(*) AS nr FROM tb),
-         nt AS (SELECT count(*) AS nt FROM tb WHERE keep),
-         ratio AS (SELECT raw.b,
-                 round(ln((coalesce(ct, 0) + 1) * 1.0 / (nt + 256))
-                     - ln((cr + 1) * 1.0 / (nr + 256)), 6) AS llr6
-                   FROM raw LEFT JOIN tgt ON raw.b = tgt.b
-                   CROSS JOIN nr CROSS JOIN nt)
-         SELECT tb.doc_id, count(*) AS n_tokens, bool_or(keep) AS keep,
-                ${mean4of6Sql("llr6")} AS importance
-         FROM tb JOIN ratio USING (b)
-         GROUP BY tb.doc_id"""
-    },
+    "q88_dsir_weight" -> dsirWeightSql,
+    // q88's weights + the deterministic Gumbel (same hash-to-(0,1) map
+    // as the q48 split; ln rounded 6dp — libm parity) + top-k
+    "q94_dsir_select" ->
+      s"""WITH w AS ($dsirWeightSql),
+         g AS (SELECT doc_id, importance,
+                      round(-ln(-ln(
+                        (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1, 15) AS BIGINT) + 1) / 1152921504606846977.0)),
+                        6) AS g6
+               FROM w)
+         SELECT doc_id, round(importance + g6, 6) AS score
+         FROM g
+         ORDER BY importance + g6 DESC, doc_id
+         LIMIT 100""",
     "q81_unigram_lm" ->
       s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),
