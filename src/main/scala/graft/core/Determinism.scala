@@ -26,17 +26,20 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object Determinism {
 
   /** Format one cell at driver-gate granularity (6 significant digits for
-    * floating point, recursing into arrays/structs). */
+    * floating point, recursing into arrays/structs). Nested elements join
+    * on the same U+0001 separator as top-level cells (with U+0002 between
+    * map key and value), so values containing ','/':'/'[' cannot alias
+    * structurally different cells — e.g. ["a,b"] vs ["a","b"]. */
   private def cell(v: Any): String = v match {
     case null => "NULL"
     case d: Double => f"$d%.6g"
     case f: Float => f"${f.toDouble}%.6g"
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
-    case s: Seq[_] => s.map(cell).mkString("[", ",", "]")
-    case r: Row => r.toSeq.map(cell).mkString("(", ",", ")")
+    case s: Seq[_] => s.map(cell).mkString("[", "\u0001", "]")
+    case r: Row => r.toSeq.map(cell).mkString("(", "\u0001", ")")
     case m: scala.collection.Map[_, _] =>
-      m.toSeq.map { case (k, x) => cell(k) + ":" + cell(x) }
-        .sorted.mkString("{", ",", "}")
+      m.toSeq.map { case (k, x) => cell(k) + "\u0002" + cell(x) }
+        .sorted.mkString("{", "\u0001", "}")
     case x => String.valueOf(x)
   }
 

@@ -583,9 +583,20 @@ object Multimodal {
         if (t == "ftyp") isMp4 = true
         if (isMp4 && t == "moov") hunt(off, end)
       }
+      // winner = (total bytes, count)-largest; FULL tie-break compares the
+      // series lexicographically, so even sum-and-length-equal tables pick
+      // order-independently (trak reorder can never switch the winner)
+      def wins(a: Array[Long], x: Array[Long]): Boolean = {
+        if (a.sum != x.sum) a.sum > x.sum
+        else if (a.length != x.length) a.length > x.length
+        else {
+          var i = 0
+          while (i < a.length && a(i) == x(i)) i += 1
+          i < a.length && a(i) < x(i)
+        }
+      }
       val sizes = candidates.result()
-        .sortBy(s => (-s.sum, -s.length.toLong))
-        .headOption.orNull
+        .reduceOption((a, x) => if (wins(a, x)) a else x).orNull
       if (!isMp4 || sizes == null) None
       else {
         val n = sizes.length

@@ -160,15 +160,15 @@ object MediaOps {
       bmffBox("stbl", bmffBox("stsz", stszBody)))))
   }
 
-  /** Minimal MP4 carrying the given per-sample size table (plus optional
-    * extra tracks); `remux` emits the container-reordered (free box +
-    * mdat-before-moov) variant a structural fingerprint must see
-    * through. */
-  private[graft] def mp4Of(sizes: Seq[Long], remux: Boolean = false,
-      extraTraks: Seq[Array[Byte]] = Nil): Array[Byte] = {
+  /** Minimal single-track MP4 carrying the given per-sample size table;
+    * `remux` emits the container-reordered (free box + mdat-before-moov)
+    * variant a structural fingerprint must see through. Multi-track
+    * payloads compose [[trakOf]] + [[bmffBox]] directly (HammingSpec's
+    * reorder test). */
+  private[graft] def mp4Of(sizes: Seq[Long],
+      remux: Boolean = false): Array[Byte] = {
     val ftyp = bmffBox("ftyp", "isomisom".getBytes("US-ASCII"))
-    val moov = bmffBox("moov",
-      (trakOf(sizes) +: extraTraks).reduce(_ ++ _))
+    val moov = bmffBox("moov", trakOf(sizes))
     val mdat = bmffBox("mdat", Array.fill(32)(0x11.toByte))
     if (remux) ftyp ++ bmffBox("free", new Array[Byte](8)) ++ mdat ++ moov
     else ftyp ++ moov ++ mdat

@@ -314,41 +314,44 @@ object SimilarityOps {
     // EMBEDDING-based eval DECONTAMINATION — the semantic twin of q58's
     // n-gram contamination check, run before training: holdout docs
     // (q48's hash-split rule applied to vec_id: bucket ≥ 90 = the test
-    // split) that are suspiciously cosine-close to any TRAIN doc leak
-    // eval signal; the report lists every (eval, train, cosine ≥ 0.3)
-    // pair. Candidates come from the same multi-band hyperplane LSH as
-    // q36 — the join is keyed on (band, key), never |eval| × |train| —
-    // then exact cosine rescoring; the split predicate just partitions
-    // the banded stream, so BOTH sides ride one signature computation and
-    // one exchange. At 100 TB the eval side is the tiny one (≤10% and
-    // typically a fixed benchmark suite): the same plan broadcast-joins
-    // it, and the threshold/geometry knobs are hyperplanePairsTuned's.
+    // split) that are suspiciously cosine-close to any TRAIN doc
+    // (bucket < 80 — val is neither side) leak eval signal; the report
+    // lists every (eval, train, cosine ≥ 0.3) pair. Candidates come from
+    // the same multi-band hyperplane LSH as q36 — the join is keyed on
+    // (band, key), never |eval| × |train| — then exact cosine rescoring.
+    // Both join inputs are projections of the SAME banded subtree with
+    // the split predicate applied AFTER the join (the q36 self-join
+    // shape), so one corpus scan + one signature computation + one
+    // exchange serve both sides (ReusedExchange). At 100 TB the eval
+    // side is the tiny one (≤10% and typically a fixed benchmark suite);
+    // the threshold/geometry knobs are hyperplanePairsTuned's.
     "q93_embedding_contamination" -> ((s, dir) => {
       val nPlanes = 16
       val bandBits = 4
       val nBands = nPlanes / bandBits
-      val holdout = pmod(graft.functions.TextFunctions.stableHash(
-        col("vec_id").cast("string")), lit(100)) >= 90
+      val bucket = pmod(graft.functions.TextFunctions.stableHash(
+        col("vec_id").cast("string")), lit(100))
       val sig = HyperplaneBucket.bucket(col("embedding"),
         (0 until nPlanes).map(planeWeights(_, Dim)))
       val banded = emb(s, dir)
-        .select(col("vec_id"), col("embedding"), holdout.as("holdout"),
+        .select(col("vec_id"), col("embedding"), bucket.as("bucket"),
           sig.as("sig"))
-        .select(col("vec_id"), col("embedding"), col("holdout"),
+        .select(col("vec_id"), col("embedding"), col("bucket"),
           explode(array((0 until nBands).map { b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * bandBits)
                 .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
           }: _*)).as("bk"))
-        .select(col("vec_id"), col("embedding"), col("holdout"),
+        .select(col("vec_id"), col("embedding"), col("bucket"),
           col("bk.band").as("band"), col("bk.key").as("key"))
-      val ev = banded.filter(col("holdout"))
-        .select(col("band"), col("key"), col("vec_id").as("eval_id"),
-          col("embedding").as("ee"))
-      val tr = banded.filter(!col("holdout"))
-        .select(col("band"), col("key"), col("vec_id").as("train_id"),
-          col("embedding").as("te"))
+      val ev = banded.select(col("band"), col("key"),
+        col("vec_id").as("eval_id"), col("embedding").as("ee"),
+        col("bucket").as("eb"))
+      val tr = banded.select(col("band"), col("key"),
+        col("vec_id").as("train_id"), col("embedding").as("te"),
+        col("bucket").as("tb"))
       ev.join(tr, Seq("band", "key"))
+        .filter(col("eb") >= 90 && col("tb") < 80)
         .select(col("eval_id"), col("train_id"),
           cosineSim(col("ee"), col("te")).as("cos"))
         .filter(col("cos") >= 0.3)
@@ -559,23 +562,25 @@ object SimilarityOps {
          FROM banded a JOIN banded c
            ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
          WHERE list_cosine_similarity(a.v, c.v) >= 0.3""",
-    // q36's banding with the q48 split predicate partitioning the stream
+    // q36's banding with the q48 split predicate applied after the join:
+    // eval = test buckets (≥ 90), train = train buckets (< 80) — val is
+    // neither side
     "q93_embedding_contamination" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                 CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
-                  AS BIGINT) % 100 >= 90 AS holdout
+                  AS BIGINT) % 100 AS bucket
            FROM embeddings),
-         sg AS (SELECT vec_id, v, holdout,
+         sg AS (SELECT vec_id, v, bucket,
                        CAST(${bucketSqlExpr(16, "v")} AS BIGINT) AS sig
                 FROM e),
-         banded AS (SELECT vec_id, v, holdout, b AS band,
+         banded AS (SELECT vec_id, v, bucket, b AS band,
                            (sig >> CAST(4 * b AS INTEGER)) & 15 AS key
                     FROM sg, range(0, 4) t(b))
          SELECT DISTINCT a.vec_id AS eval_id, c.vec_id AS train_id,
                 round(list_cosine_similarity(a.v, c.v), 4) AS cosine
          FROM banded a JOIN banded c
            ON a.band = c.band AND a.key = c.key
-         WHERE a.holdout AND NOT c.holdout
+         WHERE a.bucket >= 90 AND c.bucket < 80
            AND list_cosine_similarity(a.v, c.v) >= 0.3""",
     "q37_ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -21,9 +21,13 @@ class ReplaySpec extends AnyFunSuite {
     val a = Seq(("ab", "c")).toDF("x", "y")
     val b = Seq(("a", "bc")).toDF("x", "y")
     assert(Determinism.canonicalHash(a) !== Determinism.canonicalHash(b))
+    // nested elements too: ["a,b"] must not alias ["a","b"]
+    val c = Seq(Tuple1(Seq("a,b"))).toDF("xs")
+    val d = Seq(Tuple1(Seq("a", "b"))).toDF("xs")
+    assert(Determinism.canonicalHash(c) !== Determinism.canonicalHash(d))
   }
 
-  test("all gated queries are partition-count invariant (2 replays)") {
+  test("all gated queries are partition-count invariant (base + 2 replays)") {
     val bad = Determinism.drifting(spark, sf, SparkEntry.queries, Seq(3, 17))
     assert(bad.isEmpty, s"nondeterministic under replay: ${bad.mkString(", ")}")
   }
