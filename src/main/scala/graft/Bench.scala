@@ -59,7 +59,7 @@ object Bench {
     // (if two-CC-run) query plan over the lake.
     val nonQueryEntries = Set("q86_ingest_endstate",
       "q90_image_ingest_endstate", "q91_audio_ingest_endstate",
-      "q92_video_ingest_endstate")
+      "q92_video_ingest_endstate", "q95_stream_sessionize_endstate")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -42,6 +42,73 @@ object ScaleOps {
           round(sum(col("value")), 4).as("sum_value"))
     }),
 
+    // STREAMING sessionization END-STATE, oracle-gated — the q86/q89
+    // recipe applied to the stateful flatMapGroupsWithState path: feed a
+    // bounded slice (user_id < 40) of the events table through FOUR
+    // AvailableNow catch-up runs sharing one checkpoint (the I3
+    // resume-semaphore semantics: each run processes exactly the files
+    // that landed since the last), batches cut by event-time terciles so
+    // sessions SPAN batch boundaries and the cross-batch state carry is
+    // what the gate exercises; a final sentinel event per user (10 gaps
+    // past the max ts) flushes every still-open session. The end state
+    // must equal the one-shot batch gaps-and-islands clustering (the q53
+    // oracle shape, same 30-min gap) — Structured Streaming's state
+    // machine and the window spelling must agree session-for-session.
+    // Timestamps ride as epoch MICROSECONDS through UserEvent's long
+    // field (the sessionizer is unit-agnostic; gap = 1800e6 µs). Builder
+    // is EAGER (runs the stream to completion — q86 contract) and leaves
+    // no state behind; cost is bounded by the slice at any SF.
+    "q95_stream_sessionize_endstate" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{EventStream, UserEvent}
+      val gapUs = 1800L * 1000000L
+      val slice = Tables(s, dir, "events")
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long, Long)]
+        .map { case (u, e, t) => UserEvent(u, e, t) }
+      val (minTs, maxTs) = {
+        val r = slice.toDF().agg(min("ts_ms"), max("ts_ms")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (cut1, cut2) =
+        (minTs + (maxTs - minTs) / 3, minTs + 2 * (maxTs - minTs) / 3)
+      val sentinels = slice.toDF().select(col("user_id")).distinct()
+        .select(col("user_id"), (col("user_id") + 1000000000L).as("event_id"),
+          lit(maxTs + 10 * gapUs).as("ts_ms"))
+      val base = java.nio.file.Files.createTempDirectory("sessgate").toString
+      try {
+        val batches = Seq(
+          slice.filter(_.ts_ms < cut1),
+          slice.filter(e => e.ts_ms >= cut1 && e.ts_ms < cut2),
+          slice.filter(_.ts_ms >= cut2))
+        def runOnce(): Unit = {
+          val st = s.readStream
+            .schema("user_id LONG, event_id LONG, ts_ms LONG")
+            .parquet(s"$base/in").as[UserEvent]
+          EventStream.runAvailableNow(
+            EventStream.sessionize(st, gapUs).toDF(), s"$base/out",
+            s"$base/ck")
+          ()
+        }
+        // batch order is the RUN order (one catch-up run per landed file
+        // set), not a file-timestamp race
+        batches.foreach { b =>
+          b.toDF().coalesce(1).write.mode("append").parquet(s"$base/in")
+          runOnce()
+        }
+        sentinels.coalesce(1).write.mode("append").parquet(s"$base/in")
+        runOnce()
+        s.read.parquet(s"$base/out")
+          .filter(col("start_ms") <= maxTs) // drop the open sentinel echo
+          .select(col("user_id"), col("start_ms").as("started_us"),
+            col("end_ms").as("ended_us"), col("n_events"))
+          .localCheckpoint(eager = true)
+      } finally graft.export.Exporter.deleteRecursively(
+        java.nio.file.Paths.get(base))
+    }),
+
     // Symmetric int8 quantization of embeddings: scale = max|x|/127 per
     // vector, q_i = clamp(round(x_i/scale)). A narrow projection (HOFs over
     // the array column, no shuffle at all) that cuts ANN storage and
@@ -235,6 +302,26 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the one-shot batch clustering of the SAME slice the streaming path
+    // built batch-by-batch (q53's gaps-and-islands shape, 30-min gap)
+    "q95_stream_sessionize_endstate" ->
+      """WITH ord AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WHERE user_id < 40
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS session_seq
+           FROM ord)
+         SELECT user_id, epoch_us(min(ts)) AS started_us,
+                epoch_us(max(ts)) AS ended_us, count(*) AS n_events
+         FROM sess GROUP BY user_id, session_seq""",
     "q53_batch_sessionize" ->
       """WITH ord AS (
            SELECT user_id, event_id, ts, value,
