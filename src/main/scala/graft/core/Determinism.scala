@@ -40,6 +40,10 @@ object Determinism {
     case m: scala.collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => cell(k) + "\u0002" + cell(x) }
         .sorted.mkString("{", "\u0001", "}")
+    // escape the separators inside string VALUES (ESC-prefixed), so a
+    // string containing U+0001/U+0002 can't alias a cell boundary either
+    case s: String => s.replace("\u001b", "\u001b\u001b")
+      .replace("\u0001", "\u001b1").replace("\u0002", "\u001b2")
     case x => String.valueOf(x)
   }
 

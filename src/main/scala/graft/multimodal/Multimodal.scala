@@ -585,18 +585,20 @@ object Multimodal {
       }
       // winner = (total bytes, count)-largest; FULL tie-break compares the
       // series lexicographically, so even sum-and-length-equal tables pick
-      // order-independently (trak reorder can never switch the winner)
-      def wins(a: Array[Long], x: Array[Long]): Boolean = {
-        if (a.sum != x.sum) a.sum > x.sum
-        else if (a.length != x.length) a.length > x.length
+      // order-independently (trak reorder can never switch the winner).
+      // Sums are computed once per candidate, not per comparison.
+      def wins(a: (Long, Array[Long]), x: (Long, Array[Long])): Boolean = {
+        if (a._1 != x._1) a._1 > x._1
+        else if (a._2.length != x._2.length) a._2.length > x._2.length
         else {
           var i = 0
-          while (i < a.length && a(i) == x(i)) i += 1
-          i < a.length && a(i) < x(i)
+          while (i < a._2.length && a._2(i) == x._2(i)) i += 1
+          i < a._2.length && a._2(i) < x._2(i)
         }
       }
-      val sizes = candidates.result()
-        .reduceOption((a, x) => if (wins(a, x)) a else x).orNull
+      val sizes = candidates.result().map(a => (a.sum, a))
+        .reduceOption((a, x) => if (wins(a, x)) a else x)
+        .map(_._2).orNull
       if (!isMp4 || sizes == null) None
       else {
         val n = sizes.length

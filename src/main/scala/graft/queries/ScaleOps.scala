@@ -62,51 +62,64 @@ object ScaleOps {
       import s.implicits._
       import graft.streaming.{EventStream, UserEvent}
       val gapUs = 1800L * 1000000L
+      // materialize the slice ONCE (eager checkpoint): the min/max probe,
+      // the sentinel distinct and the three tercile filters below all
+      // read the checkpoint blocks, not five re-scans of the lake
       val slice = Tables(s, dir, "events")
         .filter(col("user_id") < 40)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"))
         .as[(Long, Long, Long)]
         .map { case (u, e, t) => UserEvent(u, e, t) }
-      val (minTs, maxTs) = {
-        val r = slice.toDF().agg(min("ts_ms"), max("ts_ms")).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      val (cut1, cut2) =
-        (minTs + (maxTs - minTs) / 3, minTs + 2 * (maxTs - minTs) / 3)
-      val sentinels = slice.toDF().select(col("user_id")).distinct()
-        .select(col("user_id"), (col("user_id") + 1000000000L).as("event_id"),
-          lit(maxTs + 10 * gapUs).as("ts_ms"))
-      val base = java.nio.file.Files.createTempDirectory("sessgate").toString
-      try {
-        val batches = Seq(
-          slice.filter(_.ts_ms < cut1),
-          slice.filter(e => e.ts_ms >= cut1 && e.ts_ms < cut2),
-          slice.filter(_.ts_ms >= cut2))
-        def runOnce(): Unit = {
-          val st = s.readStream
-            .schema("user_id LONG, event_id LONG, ts_ms LONG")
-            .parquet(s"$base/in").as[UserEvent]
-          EventStream.runAvailableNow(
-            EventStream.sessionize(st, gapUs).toDF(), s"$base/out",
-            s"$base/ck")
-          ()
-        }
-        // batch order is the RUN order (one catch-up run per landed file
-        // set), not a file-timestamp race
-        batches.foreach { b =>
-          b.toDF().coalesce(1).write.mode("append").parquet(s"$base/in")
+        .localCheckpoint(eager = true)
+      val bounds = slice.toDF().agg(min("ts_ms"), max("ts_ms")).head()
+      if (bounds.isNullAt(0)) {
+        // empty slice: the oracle returns zero sessions; so do we
+        slice.toDF().select(col("user_id"),
+          col("ts_ms").as("started_us"), col("ts_ms").as("ended_us"),
+          lit(0L).as("n_events")).limit(0)
+      } else {
+        val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+        val (cut1, cut2) =
+          (minTs + (maxTs - minTs) / 3, minTs + 2 * (maxTs - minTs) / 3)
+        val sentinels = slice.toDF().select(col("user_id")).distinct()
+          .select(col("user_id"),
+            (col("user_id") + 1000000000L).as("event_id"),
+            lit(maxTs + 10 * gapUs).as("ts_ms"))
+        val base = java.nio.file.Files.createTempDirectory("sessgate").toString
+        try {
+          val batches = Seq(
+            slice.filter(_.ts_ms < cut1),
+            slice.filter(e => e.ts_ms >= cut1 && e.ts_ms < cut2),
+            slice.filter(_.ts_ms >= cut2))
+          def runOnce(): Unit = {
+            val st = s.readStream
+              .schema("user_id LONG, event_id LONG, ts_ms LONG")
+              .parquet(s"$base/in").as[UserEvent]
+            EventStream.runAvailableNow(
+              EventStream.sessionize(st, gapUs).toDF(), s"$base/out",
+              s"$base/ck")
+            ()
+          }
+          // batch order is the RUN order (one catch-up run per landed
+          // file set), not a file-timestamp race
+          batches.foreach { b =>
+            b.toDF().coalesce(1).write.mode("append").parquet(s"$base/in")
+            runOnce()
+          }
+          sentinels.coalesce(1).write.mode("append").parquet(s"$base/in")
           runOnce()
-        }
-        sentinels.coalesce(1).write.mode("append").parquet(s"$base/in")
-        runOnce()
-        s.read.parquet(s"$base/out")
-          .filter(col("start_ms") <= maxTs) // drop the open sentinel echo
-          .select(col("user_id"), col("start_ms").as("started_us"),
-            col("end_ms").as("ended_us"), col("n_events"))
-          .localCheckpoint(eager = true)
-      } finally graft.export.Exporter.deleteRecursively(
-        java.nio.file.Paths.get(base))
+          // NoTimeout emits only CLOSED sessions: each sentinel closes
+          // its user's last real session (emitted with its real end),
+          // while the sentinel's own session stays open in state and
+          // never reaches the sink — no filtering needed
+          s.read.parquet(s"$base/out")
+            .select(col("user_id"), col("start_ms").as("started_us"),
+              col("end_ms").as("ended_us"), col("n_events"))
+            .localCheckpoint(eager = true)
+        } finally graft.export.Exporter.deleteRecursively(
+          java.nio.file.Paths.get(base))
+      }
     }),
 
     // Symmetric int8 quantization of embeddings: scale = max|x|/127 per

@@ -319,12 +319,14 @@ object SimilarityOps {
     // lists every (eval, train, cosine ≥ 0.3) pair. Candidates come from
     // the same multi-band hyperplane LSH as q36 — the join is keyed on
     // (band, key), never |eval| × |train| — then exact cosine rescoring.
-    // Both join inputs are projections of the SAME banded subtree with
-    // the split predicate applied AFTER the join (the q36 self-join
-    // shape), so one corpus scan + one signature computation + one
-    // exchange serve both sides (ReusedExchange). At 100 TB the eval
-    // side is the tiny one (≤10% and typically a fixed benchmark suite);
-    // the threshold/geometry knobs are hyperplanePairsTuned's.
+    // Both join inputs are spelled as projections of one banded subtree
+    // with the split predicate after the join (the q36 self-join shape);
+    // Catalyst then pushes each single-sided bucket predicate below the
+    // join, which is the RIGHT outcome at scale — the eval side prunes
+    // to ≤10% of the corpus before its exchange (and is typically a
+    // fixed benchmark suite → broadcastable); each side is scanned once
+    // and shuffles once on (band, key). Threshold/geometry knobs are
+    // hyperplanePairsTuned's.
     "q93_embedding_contamination" -> ((s, dir) => {
       val nPlanes = 16
       val bandBits = 4
