@@ -28,19 +28,33 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects. Read nanos as long and truncate to micros — the same
-      // truncation DuckDB applies (its timestamps are µs precision).
-      // The conf set is idempotent (always the same constant), so concurrent
-      // builders racing here are benign; it can't be a read option because
-      // nanosAsLong is only honored session-wide (legacy conf). Must be set
-      // BEFORE the first (cached) schema inference of this table.
+      // Some lake generations write events.ts as TIMESTAMP(NANOS) parquet,
+      // which Spark's vectorized reader rejects. Read nanos as long and
+      // truncate to micros below — the same truncation DuckDB applies (its
+      // timestamps are µs precision). The conf set is idempotent (always
+      // the same constant), so concurrent builders racing here are benign;
+      // it can't be a read option because nanosAsLong is only honored
+      // session-wide (legacy conf). Must be set BEFORE the first (cached)
+      // schema inference of this table. Micros-precision lakes are
+      // unaffected (the conf only changes how NANOS columns surface).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     val schema = schemaCache.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // Normalize events.ts to TimestampType regardless of how the lake
+    // generation stored it, so every downstream query sees one type:
+    //  - TIMESTAMP(NANOS)  → surfaces as long (conf above): truncate to µs;
+    //  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: reinterpret
+    //    as UTC instant (sessions here pin spark.sql.session.timeZone=UTC,
+    //    so the cast is wall-clock-preserving — identical to what DuckDB
+    //    reads from the same footer).
+    if (name == "events") schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 }
