@@ -59,7 +59,8 @@ object Bench {
     // (if two-CC-run) query plan over the lake.
     val nonQueryEntries = Set("q86_ingest_endstate",
       "q90_image_ingest_endstate", "q91_audio_ingest_endstate",
-      "q92_video_ingest_endstate", "q95_stream_sessionize_endstate")
+      "q92_video_ingest_endstate", "q95_stream_sessionize_endstate",
+      "q96_stream_window_endstate")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -101,8 +102,14 @@ object Bench {
     // failed queries report null and are EXCLUDED from total: a
     // time-to-throw must never enter the trend line as if it were work done
     val results = names.filterNot(errors.contains).map(n => n -> best(n))
+    // 3dp per query: full Double.toString pushed the 90+-query JSON line
+    // past the driver's stdout tail capture (BENCH_r4..r8 all recorded
+    // "parsed": null because the line's head was truncated away). 1 ms
+    // resolution is below host noise; the full-precision map stays on
+    // stderr via the trend lines.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = names.map { n =>
-      "\"" + n + "\":" + (if (errors.contains(n)) "null" else best(n).toString)
+      "\"" + n + "\":" + (if (errors.contains(n)) "null" else fmt(best(n)))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errJson = errors.map { case (k, v) =>
@@ -127,7 +134,7 @@ object Bench {
     }
     System.err.println(f"[bench] trend this-run: total=$total%.2f s (${names.size} queries, ${errors.size} errors)")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED — failing the bench run")

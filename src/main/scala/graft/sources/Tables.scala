@@ -54,7 +54,14 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // Fail fast at the loader on schema drift: a lake generation storing
+        // ts as e.g. millis-since-epoch long-in-string would otherwise flow
+        // downstream untyped and fail far from the cause.
+        throw new IllegalStateException(
+          s"Tables: unsupported physical type for events.ts at $path: $other " +
+            "(expected TIMESTAMP, TIMESTAMP_NTZ, or NANOS-as-long)")
     } else df
   }
 }
