@@ -122,6 +122,74 @@ object ScaleOps {
       }
     }),
 
+    // STREAMING watermarked tumbling-window aggregate END-STATE,
+    // oracle-gated — the q95 recipe applied to the other stateful
+    // streaming operator (EventStream.windowedCounts: watermark +
+    // window() groupBy in append mode). The full events table is fed
+    // through FIVE AvailableNow catch-up runs sharing one checkpoint:
+    // three event-time-tercile batches (so 6-hour windows SPAN batch
+    // boundaries and the cross-batch window-state merge is exercised),
+    // then two far-future sentinel batches. Sentinels drive finalization
+    // with DATA, not with a hoped-for empty flush batch: sentinel 1
+    // advances the watermark past every real window's end, sentinel 2's
+    // batch is where those windows are evicted and emitted (eviction
+    // happens in the batch AFTER the watermark moves). Sentinel 1's own
+    // window is emitted by sentinel 2's pass and filtered by its marker
+    // event_type; sentinel 2's window stays in state and never reaches
+    // the sink. Batches are time-ordered, so nothing is ever late and
+    // the end state must equal the one-shot batch GROUP BY — append
+    // mode's contract. Builder is EAGER (q86/q95 contract); temp state
+    // is deleted on exit.
+    "q96_stream_window_endstate" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+        .localCheckpoint(eager = true)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+      if (bounds.isNullAt(0)) {
+        ev.select(col("ts_us").as("window_start_us"), col("event_type"),
+          lit(0L).as("n_events"), lit(0.0).as("sum_value")).limit(0)
+      } else {
+        val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+        val (cut1, cut2) =
+          (minUs + (maxUs - minUs) / 3, minUs + 2 * (maxUs - minUs) / 3)
+        val dayUs = 86400L * 1000000L
+        def sentinel(tsUs: Long, id: Long) = ev.sparkSession.range(1)
+          .select(lit(id).as("event_id"), timestamp_micros(lit(tsUs)).as("ts"),
+            lit(0L).as("user_id"), lit("_sentinel").as("event_type"),
+            lit(0.0).as("value"))
+        val base = java.nio.file.Files.createTempDirectory("wingate").toString
+        try {
+          val evCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+          val batches = Seq(
+            ev.filter(col("ts_us") < cut1),
+            ev.filter(col("ts_us") >= cut1 && col("ts_us") < cut2),
+            ev.filter(col("ts_us") >= cut2)
+          ).map(_.select(evCols.map(col): _*)) ++ Seq(
+            sentinel(maxUs + 10 * dayUs, 1000000001L),
+            sentinel(maxUs + 20 * dayUs, 1000000002L))
+          batches.foreach { b =>
+            b.coalesce(1).write.mode("append").parquet(s"$base/in")
+            val st = s.readStream
+              .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+                "event_type STRING, value DOUBLE")
+              .parquet(s"$base/in")
+            EventStream.runAvailableNow(
+              EventStream.windowedCounts(st, "ts", "6 hours", "1 hour"),
+              s"$base/out", s"$base/ck")
+          }
+          s.read.parquet(s"$base/out")
+            .filter(col("event_type") =!= "_sentinel")
+            .select(unix_micros(col("window_start")).as("window_start_us"),
+              col("event_type"), col("n").as("n_events"),
+              round(col("total_value"), 4).as("sum_value"))
+            .localCheckpoint(eager = true)
+        } finally graft.export.Exporter.deleteRecursively(
+          java.nio.file.Paths.get(base))
+      }
+    }),
+
     // Symmetric int8 quantization of embeddings: scale = max|x|/127 per
     // vector, q_i = clamp(round(x_i/scale)). A narrow projection (HOFs over
     // the array column, no shuffle at all) that cuts ANN storage and
@@ -335,6 +403,16 @@ object ScaleOps {
          SELECT user_id, epoch_us(min(ts)) AS started_us,
                 epoch_us(max(ts)) AS ended_us, count(*) AS n_events
          FROM sess GROUP BY user_id, session_seq""",
+    // the one-shot batch GROUP BY the streaming watermarked window agg
+    // must converge to once every window is finalized (append-mode
+    // contract; 6-hour epoch-aligned buckets — Spark's window() origin
+    // is the epoch, so plain integer floor-division reproduces it)
+    "q96_stream_window_endstate" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000
+                  AS window_start_us,
+                event_type, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
     "q53_batch_sessionize" ->
       """WITH ord AS (
            SELECT user_id, event_id, ts, value,

@@ -104,6 +104,38 @@ class EngineSpec extends AnyFunSuite {
     assert(n2 >= n1)
   }
 
+  test("append-mode windowed agg: watermark finalization withholds the tail (q96's sentinel is load-bearing)") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_wm_in").toString
+    val out = Files.createTempDirectory("graft_wm_out").toString
+    val ckpt = Files.createTempDirectory("graft_wm_ck").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    events.write.mode("append").parquet(in)
+    val stream = EventStream.fileStream(spark, in, events.schema)
+    EventStream.runAvailableNow(
+      EventStream.windowedCounts(stream, "ts", "6 hours", "1 hour"),
+      out, ckpt)
+    val emitted = spark.read.parquet(out)
+      .select(unix_micros(col("window_start")).as("ws"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val winUs = 21600L * 1000000L
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = maxUs - 3600L * 1000000L
+    val batch = events
+      .groupBy((floor(unix_micros(col("ts")) / winUs) * winUs).as("ws"),
+        col("event_type"))
+      .agg(count(lit(1))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // append mode emits exactly the windows the final watermark passed
+    // (window_end <= max_ts - delay): a strict subset of the batch
+    // group-by — the still-open tail is withheld until more data (q96's
+    // far-future sentinels) advances the watermark past it
+    val finalized = batch.filter { case (ws, _) => ws + winUs <= wmUs }.toSet
+    val open = batch.filterNot { case (ws, _) => ws + winUs <= wmUs }
+    assert(open.nonEmpty, "test premise: some windows must still be open")
+    assert(emitted === finalized)
+  }
+
   test("streaming dedup within watermark drops repeats, keeps state bounded") {
     val in = Files.createTempDirectory("graft_dedup_in").toString
     val out = Files.createTempDirectory("graft_dedup_out").toString
