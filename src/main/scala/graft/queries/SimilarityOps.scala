@@ -49,6 +49,7 @@ object SimilarityOps {
   def clearCache(): Unit = {
     centroidCache.clear()
     baselineCache.clear()
+    pqCache.clear()
   }
 
   // identity hash, not the session reference: the key must not keep the
@@ -101,6 +102,75 @@ object SimilarityOps {
       }
     }
     cents
+  }
+
+  /** Product-quantization geometry: [[PqM]] subspaces of Dim/PqM dims,
+    * [[PqK]] centroids per subspace (4-bit codes), [[PqIters]] Lloyd
+    * iterations per codebook. A vector compresses to PqM small codes —
+    * 256 B of floats → a 32-bit code word, the memory/bandwidth win PQ
+    * exists for. */
+  private[graft] val PqM = 8
+  private[graft] val PqK = 16
+  private[graft] val PqIters = 2
+  private[graft] val PqSub = Dim / PqM
+
+  /** Per-(session, dir, geometry) cache of the PQ codebooks — one
+    * deterministic-Lloyd run PER SUBSPACE over the sliced embeddings
+    * (seeds/iteration/rounding rules identical to [[lloydCentroids]], so
+    * the DuckDB oracle reproduces every codebook exactly). Driver state is
+    * M × K × (Dim/M) doubles — the persisted-artifact shape a deployment
+    * trains once and ships with the index. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
+
+  /** All M codebooks train in ONE fused Lloyd loop over the exploded
+    * (sub, subvector) stream: per iteration a single job computes every
+    * per-(sub, cell, position) mean — 1 + iters corpus scans TOTAL
+    * instead of M × (1 + iters) (24 serial scan-jobs for M=8/iters=2,
+    * which dominated q97's wall time; at 100 TB the difference is the
+    * whole training bill). Per-row assignment dispatches on `sub` via a
+    * when-chain of fused [[NearestCentroid]] expressions — equivalent to
+    * training each subspace independently because rows of different
+    * subs never share a (sub, cell, pos) mean group. */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String,
+      m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    if (pqCache.size > CacheMax) pqCache.clear()
+    pqCache.computeIfAbsent((sessionKey(s), dir, m, k, iters), { _ =>
+      val sub = Dim / m
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      // seeds: the k lowest-vec_id vectors, sliced driver-side
+      val seedRows = e.orderBy("vec_id").limit(k).collect()
+        .map(r => r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+        (0 until m).map(i => seedRows
+          .map(v => v.slice(i * sub, i * sub + sub): Seq[Double])
+          .toIndexedSeq).toIndexedSeq
+      val subFrame = e.select(explode(array((0 until m).map(i =>
+          struct(lit(i).as("sub"),
+            slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)).as("x"))
+        .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
+      for (_ <- 1 to iters) {
+        val cellExpr = (1 until m).foldLeft(
+          when(col("sub") === 0, NearestCentroid.cell(col("sv"), cents(0)))) {
+          (acc, i) => acc.when(col("sub") === i,
+            NearestCentroid.cell(col("sv"), cents(i)))
+        }
+        val means = subFrame
+          .select(col("sub"), cellExpr.as("cell"), posexplode(col("sv")))
+          .groupBy("sub", "cell", "pos")
+          .agg(round(avg(col("col")), 6).as("m"))
+          .collect()
+        val bySubCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        cents = (0 until m).map { i =>
+          (0 until k).map { c =>
+            bySubCell.get((i, c))
+              .map(rs => rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+              .getOrElse(cents(i)(c))
+          }.toIndexedSeq
+        }.toIndexedSeq
+      }
+      cents.map(_.toSeq)
+    })
   }
 
   /** Result of an incremental IVF batch assignment: the batch's cell
@@ -418,6 +488,66 @@ object SimilarityOps {
           (col("pos") + 1).cast("long").as("rnk"))
     }),
 
+    // IVF-PQ (Jégou, Douze, Schmid 2011, "Product Quantization for
+    // Nearest Neighbor Search" — the IVFADC structure, by_residual
+    // disabled): the coarse IVF quantizer (SHARED artifact with q39/q79)
+    // restricts candidates to the probe's cell; within the cell,
+    // candidates are scored from their PQ codes alone via asymmetric
+    // distance computation. Each vector is encoded ONCE as M=8 4-bit
+    // codes (one narrow codegen'd pass — 256 B of floats become one
+    // 32-bit word, the compression that lets a 100 TB corpus's index
+    // fit in executor memory); each probe precomputes its M×K lookup
+    // table of subspace distances (one 128-entry LUT per probe, built in
+    // the broadcast-side projection, never per pair); per-pair work is
+    // then 8 array lookups + 7 adds in FIXED association order — no
+    // aggregation, no 64-dim arithmetic on the hot path. Codebooks are
+    // per-subspace deterministic Lloyd (identical seed/round rules to
+    // q39's quantizer) so DuckDB re-derives them exactly.
+    "q97_ann_ivfpq" -> ((s, dir) => {
+      val (k, iters) = (8, 3)
+      val coarse = lloydCentroids(s, dir, k, iters)
+      val pq = pqCodebooks(s, dir, PqM, PqK, PqIters)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      // left-fold squared L2 — same element order / association as the
+      // oracle's list_sum comprehension
+      def sqL2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)
+      val enc = e.select(
+        (col("vec_id") +:
+          NearestCentroid.cell(col("embedding"), coarse).as("cell") +:
+          (0 until PqM).map(m => NearestCentroid.cell(
+            slice(col("embedding"), m * PqSub + 1, PqSub), pq(m))
+            .as(s"code$m"))): _*)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          NearestCentroid.cell(col("embedding"), coarse).as("cell"))
+      // the ADC lookup table: lut[m][c] = ||q_sub_m - codebook_m[c]||²,
+      // computed once per probe on the (10-row) broadcast side
+      val lut = probes.select(col("qid"), col("cell"),
+        array((0 until PqM).map { m =>
+          array((0 until PqK).map { c =>
+            sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
+              array(pq(m)(c).map(lit): _*))
+          }: _*)
+        }: _*).as("lut"))
+      val adc = (0 until PqM).map(m =>
+          element_at(element_at(col("lut"), m + 1), col(s"code$m") + 1))
+        .reduceLeft(_ + _)
+      // `+ 0.0` drops a negated zero (q79 precedent): adc 0.0 would
+      // otherwise become score -0.0, whose sign survives the round-trip
+      enc.join(broadcast(lut), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"), adc.as("adc"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(negate(col("adc")) + lit(0.0), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
+          (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     // space with the IVF coarse quantizer, then within each cluster keep
     // only the vector closest to its centroid (max cosine, ties to the
@@ -507,6 +637,88 @@ object SimilarityOps {
        |${assign(s"c$iters", "af")}""".stripMargin
   }
 
+  /** DuckDB CTE chain replicating the per-subspace PQ codebook training
+    * ([[pqCodebooks]]): the same deterministic-Lloyd recipe as
+    * [[ivfPrefixSql]] with `sub` as an extra grouping key — seeds are the
+    * k lowest-vec_id SUBvectors per subspace, assignment is
+    * row_number over (squared-subspace-L2, cell), update is the
+    * 6-decimal-rounded per-(sub, cell, position) mean with empty cells
+    * keeping their previous centroid. Emits `es` (vec_id × sub →
+    * subvector), `p$iters` (final codebooks) and `paf` (final code
+    * assignment). Assumes [[ivfPrefixSql]]'s `e` CTE is already in
+    * scope. */
+  private def pqPrefixSql(m: Int, k: Int, iters: Int): String = {
+    val sub = Dim / m
+    def assign(cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
+         |  SELECT es.vec_id, es.sub, es.sv, c.cell,
+         |         row_number() OVER (PARTITION BY es.vec_id, es.sub
+         |           ORDER BY list_sum([(es.sv[i]-c.cent[i])*(es.sv[i]-c.cent[i])
+         |                              FOR i IN range(1, ${sub + 1})]),
+         |                    c.cell) AS rn
+         |  FROM es JOIN $cent c ON es.sub = c.sub) WHERE rn = 1)""".stripMargin
+    def update(assigned: String, prevCent: String, out: String) =
+      s"""${out}m AS (SELECT sub, cell, i, round(avg(sv[i]), 6) AS m
+         |  FROM $assigned, range(1, ${sub + 1}) t(i) GROUP BY sub, cell, i),
+         |$out AS (SELECT p.sub, p.cell, coalesce(n.cent, p.cent) AS cent
+         |  FROM $prevCent p LEFT JOIN
+         |    (SELECT sub, cell, list(m ORDER BY i) AS cent FROM ${out}m
+         |     GROUP BY sub, cell) n USING (sub, cell))""".stripMargin
+    val steps = (1 to iters).map { it =>
+      assign(s"p${it - 1}", s"pa$it") + ",\n" +
+        update(s"pa$it", s"p${it - 1}", s"p$it")
+    }.mkString(",\n")
+    s"""es AS (SELECT e.vec_id, t.sub,
+       |          list_slice(e.v, CAST(t.sub * $sub + 1 AS INTEGER),
+       |                          CAST(t.sub * $sub + $sub AS INTEGER)) AS sv
+       |       FROM e, range(0, $m) t(sub)),
+       |p0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cell, sv AS cent FROM (
+       |         SELECT sub, sv, row_number() OVER (PARTITION BY sub
+       |                  ORDER BY vec_id) AS rn FROM es) WHERE rn <= $k),
+       |$steps,
+       |${assign(s"p$iters", "paf")}""".stripMargin
+  }
+
+  /** q97: coarse-cell candidate restriction (ivf `af`) + PQ/ADC scoring.
+    * The LUT and the 4-term fixed-order sum `l0.d + l1.d + l2.d + l3.d`
+    * mirror the Spark plan's association order literally, so candidates
+    * sharing a code word tie EXACTLY in both engines (tie → lower cid). */
+  private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
+      pqIters: Int): String = {
+    val sub = Dim / m
+    val codeCols = (0 until m).map(i =>
+      s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n         ")
+    val lutJoins = (0 until m).map(i =>
+      s"JOIN lut l$i ON l$i.qid = sc.qid AND l$i.sub = $i AND l$i.cell = sc.c$i")
+      .mkString("\n         ")
+    val adcSum = (0 until m).map(i => s"l$i.d").mkString(" + ")
+    val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
+    s"""${ivfPrefixSql(k, iters)},
+       |${pqPrefixSql(m, pk, pqIters)},
+       |codes AS (SELECT vec_id AS cid,
+       |         $codeCols
+       |          FROM paf GROUP BY vec_id),
+       |pr AS (SELECT vec_id AS qid, v, cell FROM af WHERE vec_id < 10),
+       |lut AS (SELECT qid, sub, cell,
+       |               list_sum([(qv[i]-cent[i])*(qv[i]-cent[i])
+       |                         FOR i IN range(1, ${sub + 1})]) AS d
+       |        FROM (SELECT pr.qid, c.sub, c.cell, c.cent,
+       |                     list_slice(pr.v, CAST(c.sub * $sub + 1 AS INTEGER),
+       |                                      CAST(c.sub * $sub + $sub AS INTEGER)) AS qv
+       |              FROM pr, p$pqIters c)),
+       |sc AS (SELECT pr.qid, a.vec_id AS cid, $scCodes
+       |       FROM af a JOIN pr ON a.cell = pr.cell AND a.vec_id != pr.qid
+       |       JOIN codes cd ON cd.cid = a.vec_id),
+       |sadc AS (SELECT sc.qid, sc.cid, $adcSum AS adc
+       |         FROM sc
+       |         $lutJoins)
+       |SELECT qid, cid, round(adc, 4) AS adc_dist, rnk FROM (
+       |  SELECT qid, cid, adc,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adc, cid) AS rnk
+       |  FROM sadc) WHERE rnk <= 5""".stripMargin
+  }
+
   private def ivfAnnOracleSql(k: Int, iters: Int): String =
     s"""${ivfPrefixSql(k, iters)},
        |p AS (SELECT vec_id AS qid, v AS qe, cell FROM af WHERE vec_id < 10),
@@ -593,6 +805,7 @@ object SimilarityOps {
                 round(list_cosine_similarity(a.v, c.v), 4) AS cosine
          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id""",
     "q39_ann_ivf" -> ivfAnnOracleSql(8, 3),
+    "q97_ann_ivfpq" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
     "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3)
   )
 }

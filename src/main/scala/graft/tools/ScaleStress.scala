@@ -109,7 +109,8 @@ object ScaleStress {
     "q26_fingerprint", "q30_dedup_exact", "q31_ngram_jaccard",
     "q32_minhash_sig", "q33_minhash_lsh_pairs", "q34_simhash",
     "q35_ann_brute", "q36_embed_neardup", "q37_ann_lsh_buckets",
-    "q38_simhash_pairs", "q39_ann_ivf", "q47_dedup_clusters",
+    "q38_simhash_pairs", "q39_ann_ivf", "q97_ann_ivfpq",
+    "q47_dedup_clusters",
     "q48_hash_split", "q51_keeper_by_quality", "q52_cluster_safe_split",
     "q58_contamination", "q73_tfidf_topterms", "q74_dup_span_removal",
     "q79_semantic_dedup", "q81_unigram_lm")

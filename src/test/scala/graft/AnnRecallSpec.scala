@@ -29,6 +29,92 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.6, f"mean IVF recall $mean%.2f")
   }
 
+  test("IVF-PQ: ADC output is exactly reproducible from codes + codebooks") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    // re-derive every emitted adc_dist driver-side from the raw vectors
+    // and the trained codebooks: proves the encode → LUT → lookup-join
+    // plumbing computes sum_m ||q_sub_m - codebook_m[code_m(x)]||² and
+    // nothing else (the oracle proves cross-engine agreement; this proves
+    // the Spark plan against the DEFINITION)
+    val pq = SimilarityOps.pqCodebooks(spark, dir,
+      SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters)
+    val sub = SimilarityOps.PqSub
+    val vecs = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def code(v: IndexedSeq[Double], m: Int): Int =
+      pq(m).zipWithIndex.minBy { case (c, i) =>
+        (sq(v.slice(m * sub, m * sub + sub), c), i) }._2
+    val out = SparkEntry.queries("q97_ann_ivfpq")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, cid, adc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val q = vecs(qid)
+      val expected = (0 until SimilarityOps.PqM).map { m =>
+        sq(q.slice(m * sub, m * sub + sub), pq(m)(code(vecs(cid), m)))
+      }.reduceLeft(_ + _)
+      assert(math.abs(expected - adc) < 5e-5,
+        f"qid=$qid cid=$cid adc=$adc%.4f expected=$expected%.4f")
+    }
+  }
+
+  test("fused PQ codebook training equals independent per-subspace Lloyd") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    SimilarityOps.clearCache()
+    val (m, k, iters) =
+      (SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters)
+    val sub = SimilarityOps.PqSub
+    val fused = SimilarityOps.pqCodebooks(spark, dir, m, k, iters)
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // one Lloyd run per subspace over the sliced frame — the naive
+    // M × (1 + iters)-scan spelling the fused loop replaces
+    val independent = (0 until m).map(i => SimilarityOps.lloydFromSeeds(
+      e.select(col("vec_id"),
+        slice(col("embedding"), i * sub + 1, sub).as("embedding")), k, iters))
+    assert(fused.size === m)
+    fused.zip(independent).zipWithIndex.foreach { case ((f, ind), i) =>
+      assert(f.size === k && ind.size === k)
+      f.zip(ind).zipWithIndex.foreach { case ((fc, ic), c) =>
+        fc.zip(ic).foreach { case (a, b) =>
+          // means are 6dp-rounded in both spellings; sum order differs, so
+          // allow one rounding step at the half boundary
+          assert(math.abs(a - b) <= 2e-6, s"sub $i cell $c: $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("IVF-PQ ADC top-5 recall vs brute force and vs in-cell exact") {
+    val brute = top5("q35_ann_brute")
+    val ivf = top5("q39_ann_ivf")
+    val pq = top5("q97_ann_ivfpq")
+    def meanRecall(truthSets: Map[Long, Set[Long]]): Double = {
+      val rs = truthSets.map { case (q, truth) =>
+        pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    val vsBrute = meanRecall(brute)
+    val vsInCell = meanRecall(ivf)
+    // unit-norm embeddings make L2 ranking ≡ cosine ranking, so exact-L2
+    // top-5 IS q35's top-5. Two compounding losses: the coarse-cell
+    // restriction (q39's own ceiling, ~0.6 here) and PQ quantization
+    // distortion on NEAR-UNIFORM sphere data — this corpus's neighbors
+    // hug cos 0.4-0.48, the regime where independent-subspace
+    // quantization noise reorders ranks most (no cluster structure to
+    // exploit; real embedding corpora quantize far better). The floors
+    // guard a broken codebook/LUT (both collapse toward 0), not the
+    // exact data-dependent values.
+    assert(vsInCell >= 0.35, f"PQ-vs-in-cell recall $vsInCell%.2f")
+    assert(vsBrute >= 0.2, f"PQ-vs-brute recall $vsBrute%.2f")
+  }
+
   test("hyperplanePairsTuned: wider bands over the same planes only shrink; cosines exact; cap=1 empties") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps
