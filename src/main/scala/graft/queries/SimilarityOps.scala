@@ -107,11 +107,11 @@ object SimilarityOps {
   /** Product-quantization geometry: [[PqM]] subspaces of Dim/PqM dims,
     * [[PqK]] centroids per subspace (4-bit codes), [[PqIters]] Lloyd
     * iterations per codebook. A vector compresses to PqM small codes —
-    * 256 B of floats → a 32-bit code word, the memory/bandwidth win PQ
+    * 256 B of floats → a 64-bit code word, the memory/bandwidth win PQ
     * exists for. */
-  private[graft] val PqM = 8
+  private[graft] val PqM = 16
   private[graft] val PqK = 16
-  private[graft] val PqIters = 2
+  private[graft] val PqIters = 3
   private[graft] val PqSub = Dim / PqM
 
   /** Per-(session, dir, geometry) cache of the PQ codebooks — one
@@ -126,7 +126,7 @@ object SimilarityOps {
   /** All M codebooks train in ONE fused Lloyd loop over the exploded
     * (sub, subvector) stream: per iteration a single job computes every
     * per-(sub, cell, position) mean — 1 + iters corpus scans TOTAL
-    * instead of M × (1 + iters) (24 serial scan-jobs for M=8/iters=2,
+    * instead of M × (1 + iters) (64 serial scan-jobs at M=16/iters=3,
     * which dominated q97's wall time; at 100 TB the difference is the
     * whole training bill). Per-row assignment dispatches on `sub` via a
     * when-chain of fused [[NearestCentroid]] expressions — equivalent to
@@ -491,15 +491,16 @@ object SimilarityOps {
     // IVF-PQ (Jégou, Douze, Schmid 2011, "Product Quantization for
     // Nearest Neighbor Search" — the IVFADC structure, by_residual
     // disabled): the coarse IVF quantizer (SHARED artifact with q39/q79)
-    // restricts candidates to the probe's cell; within the cell,
-    // candidates are scored from their PQ codes alone via asymmetric
-    // distance computation. Each vector is encoded ONCE as M=8 4-bit
-    // codes (one narrow codegen'd pass — 256 B of floats become one
-    // 32-bit word, the compression that lets a 100 TB corpus's index
-    // fit in executor memory); each probe precomputes its M×K lookup
-    // table of subspace distances (one 128-entry LUT per probe, built in
-    // the broadcast-side projection, never per pair); per-pair work is
-    // then 8 array lookups + 7 adds in FIXED association order — no
+    // restricts candidates to the probe's nprobe=2 nearest cells; within
+    // them, candidates are scored from their PQ codes alone via
+    // asymmetric distance computation. Each vector is encoded ONCE as
+    // M=16 4-bit codes (one narrow codegen'd pass — 256 B of floats
+    // become one 64-bit word, the compression that lets a 100 TB
+    // corpus's index fit in executor memory); each probe precomputes its
+    // M×K lookup table of subspace distances (one 256-entry LUT per
+    // probe, built in the broadcast-side projection, never per pair);
+    // per-pair work is then 16 array lookups + 15 adds in FIXED
+    // association order — no
     // aggregation, no 64-dim arithmetic on the hot path. Codebooks are
     // per-subspace deterministic Lloyd (identical seed/round rules to
     // q39's quantizer) so DuckDB re-derives them exactly.
@@ -519,11 +520,23 @@ object SimilarityOps {
           (0 until PqM).map(m => NearestCentroid.cell(
             slice(col("embedding"), m * PqSub + 1, PqSub), pq(m))
             .as(s"code$m"))): _*)
+      // nprobe=2: each probe searches its TWO nearest coarse cells — the
+      // standard IVF recall knob (single-cell probing caps recall at the
+      // cell boundary; a second cell roughly doubles the candidate set at
+      // unchanged per-pair cost). Cell ranking is a narrow sorted-struct
+      // expression over the k literal centroids; ties (d, then cell)
+      // match the oracle's row_number ordering, and rank 1 reproduces
+      // NearestCentroid's strict-< lowest-index rule exactly.
+      val nprobe = 2
       val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          NearestCentroid.cell(col("embedding"), coarse).as("cell"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .select(col("qid"), col("qe"),
+          explode(slice(array_sort(array((0 until k).map(c =>
+            struct(sqL2(col("qe"), array(coarse(c).map(lit): _*)).as("d"),
+              lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+        .select(col("qid"), col("qe"), col("cc.cell").as("cell"))
       // the ADC lookup table: lut[m][c] = ||q_sub_m - codebook_m[c]||²,
-      // computed once per probe on the (10-row) broadcast side
+      // computed once per probe on the (nprobe × 10-row) broadcast side
       val lut = probes.select(col("qid"), col("cell"),
         array((0 until PqM).map { m =>
           array((0 until PqK).map { c =>
@@ -679,12 +692,14 @@ object SimilarityOps {
        |${assign(s"p$iters", "paf")}""".stripMargin
   }
 
-  /** q97: coarse-cell candidate restriction (ivf `af`) + PQ/ADC scoring.
-    * The LUT and the 4-term fixed-order sum `l0.d + l1.d + l2.d + l3.d`
-    * mirror the Spark plan's association order literally, so candidates
-    * sharing a code word tie EXACTLY in both engines (tie → lower cid). */
+  /** q97: nprobe=2 coarse-cell candidate restriction (ranked against the
+    * final coarse centroids `c$iters`, ties (d, cell) — rank 1 ≡
+    * NearestCentroid's strict-< rule) + PQ/ADC scoring. The LUT and the
+    * fixed-order ADC sum `l0.d + l1.d + … + l15.d` mirror the Spark
+    * plan's association order literally, so candidates sharing a code
+    * word tie EXACTLY in both engines (tie → lower cid). */
   private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
-      pqIters: Int): String = {
+      pqIters: Int, nprobe: Int = 2): String = {
     val sub = Dim / m
     val codeCols = (0 until m).map(i =>
       s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n         ")
@@ -698,14 +713,21 @@ object SimilarityOps {
        |codes AS (SELECT vec_id AS cid,
        |         $codeCols
        |          FROM paf GROUP BY vec_id),
-       |pr AS (SELECT vec_id AS qid, v, cell FROM af WHERE vec_id < 10),
+       |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
+       |pr AS (SELECT qid, v, cell FROM (
+       |  SELECT pr0.qid, pr0.v, c.cell,
+       |         row_number() OVER (PARTITION BY pr0.qid
+       |           ORDER BY list_sum([(pr0.v[i]-c.cent[i])*(pr0.v[i]-c.cent[i])
+       |                              FOR i IN range(1, ${Dim + 1})]),
+       |                    c.cell) AS rn
+       |  FROM pr0, c$iters c) WHERE rn <= $nprobe),
        |lut AS (SELECT qid, sub, cell,
        |               list_sum([(qv[i]-cent[i])*(qv[i]-cent[i])
        |                         FOR i IN range(1, ${sub + 1})]) AS d
-       |        FROM (SELECT pr.qid, c.sub, c.cell, c.cent,
-       |                     list_slice(pr.v, CAST(c.sub * $sub + 1 AS INTEGER),
+       |        FROM (SELECT pr0.qid, c.sub, c.cell, c.cent,
+       |                     list_slice(pr0.v, CAST(c.sub * $sub + 1 AS INTEGER),
        |                                      CAST(c.sub * $sub + $sub AS INTEGER)) AS qv
-       |              FROM pr, p$pqIters c)),
+       |              FROM pr0, p$pqIters c)),
        |sc AS (SELECT pr.qid, a.vec_id AS cid, $scCodes
        |       FROM af a JOIN pr ON a.cell = pr.cell AND a.vec_id != pr.qid
        |       JOIN codes cd ON cd.cid = a.vec_id),

@@ -90,10 +90,30 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF-PQ ADC top-5 recall vs brute force and vs in-cell exact") {
+  test("IVF-PQ ADC top-5 recall vs brute force and vs same-candidate exact") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
     val brute = top5("q35_ann_brute")
-    val ivf = top5("q39_ann_ivf")
     val pq = top5("q97_ann_ivfpq")
+    // ground truth over the SAME nprobe=2 candidate set: exact L2 top-5
+    // within each probe's two nearest coarse cells, re-derived driver-side
+    // — isolates PQ quantization distortion from the cell restriction
+    val coarse = SimilarityOps.lloydCentroids(spark, dir, 8, 3)
+    val vecs = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val assigned: Map[Long, Int] = vecs.view.mapValues(v =>
+      coarse.zipWithIndex.minBy { case (c, i) => (sq(v, c), i) }._2).toMap
+    val sameCand: Map[Long, Set[Long]] = pq.keys.map { qid =>
+      val q = vecs(qid)
+      val cells = coarse.zipWithIndex
+        .map { case (c, i) => (sq(q, c), i) }.sorted.take(2).map(_._2).toSet
+      val cands = vecs.keys.filter(id => id != qid && cells(assigned(id)))
+      qid -> cands.toSeq.sortBy(id => (sq(q, vecs(id)), id)).take(5).toSet
+    }.toMap
     def meanRecall(truthSets: Map[Long, Set[Long]]): Double = {
       val rs = truthSets.map { case (q, truth) =>
         pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
@@ -101,18 +121,17 @@ class AnnRecallSpec extends AnyFunSuite {
       rs.sum / rs.size
     }
     val vsBrute = meanRecall(brute)
-    val vsInCell = meanRecall(ivf)
+    val vsSame = meanRecall(sameCand)
     // unit-norm embeddings make L2 ranking ≡ cosine ranking, so exact-L2
-    // top-5 IS q35's top-5. Two compounding losses: the coarse-cell
-    // restriction (q39's own ceiling, ~0.6 here) and PQ quantization
-    // distortion on NEAR-UNIFORM sphere data — this corpus's neighbors
-    // hug cos 0.4-0.48, the regime where independent-subspace
-    // quantization noise reorders ranks most (no cluster structure to
-    // exploit; real embedding corpora quantize far better). The floors
-    // guard a broken codebook/LUT (both collapse toward 0), not the
-    // exact data-dependent values.
-    assert(vsInCell >= 0.35, f"PQ-vs-in-cell recall $vsInCell%.2f")
-    assert(vsBrute >= 0.2, f"PQ-vs-brute recall $vsBrute%.2f")
+    // top-5 IS q35's top-5. Two compounding losses: the nprobe=2 cell
+    // restriction and PQ quantization distortion on NEAR-UNIFORM sphere
+    // data — this corpus's neighbors hug cos 0.4-0.48, the regime where
+    // independent-subspace quantization noise reorders ranks most (no
+    // cluster structure to exploit; real embedding corpora quantize far
+    // better). The floors guard a broken codebook/LUT/cell-ranking (all
+    // collapse toward 0), not the exact data-dependent values.
+    assert(vsSame >= 0.4, f"PQ-vs-same-candidate recall $vsSame%.2f (brute $vsBrute%.2f)")
+    assert(vsBrute >= 0.3, f"PQ-vs-brute recall $vsBrute%.2f")
   }
 
   test("hyperplanePairsTuned: wider bands over the same planes only shrink; cosines exact; cap=1 empties") {
