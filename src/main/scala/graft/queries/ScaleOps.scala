@@ -190,6 +190,67 @@ object ScaleOps {
       }
     }),
 
+    // STREAM-STREAM temporal join END-STATE, oracle-gated — the last
+    // stateful streaming operator without a driver gate
+    // (EventStream.streamTemporalJoin: watermarks + a time-range
+    // predicate bound both join-state buffers). Left = click/purchase
+    // events, right = view/signup events, each side its own file stream;
+    // three event-time-tercile batches per side through one shared
+    // checkpoint. Inner stream-stream joins emit eagerly on match, and
+    // with TIME-ORDERED batches every right partner (r.ts ≤ l.ts) lands
+    // in the same or an earlier batch while eviction only claims rows
+    // older than watermark − maxGap below the previous batch's max — so
+    // no sentinel machinery is needed and the end state must equal the
+    // one-shot batch interval join exactly. What the gate exercises:
+    // cross-batch join-state carry (left rows matching right rows
+    // buffered two batches earlier) and state eviction not being
+    // premature.
+    "q98_stream_join_endstate" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        .localCheckpoint(eager = true)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+      if (bounds.isNullAt(0)) {
+        ev.select(col("user_id"), col("event_id").as("left_id"),
+          col("ts_us").as("left_ts_us"), col("event_id").as("right_id"),
+          col("ts_us").as("right_ts_us")).limit(0)
+      } else {
+        val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+        val (cut1, cut2) =
+          (minUs + (maxUs - minUs) / 3, minUs + 2 * (maxUs - minUs) / 3)
+        val base = java.nio.file.Files.createTempDirectory("ssjgate").toString
+        try {
+          val keep = Seq("event_id", "ts", "user_id")
+          val leftSide = ev.filter(col("event_type").isin("click", "purchase"))
+          val rightSide = ev.filter(col("event_type").isin("view", "signup"))
+          val cuts = Seq(col("ts_us") < cut1,
+            col("ts_us") >= cut1 && col("ts_us") < cut2,
+            col("ts_us") >= cut2)
+          cuts.foreach { c =>
+            leftSide.filter(c).select(keep.map(col): _*)
+              .coalesce(1).write.mode("append").parquet(s"$base/l")
+            rightSide.filter(c).select(keep.map(col): _*)
+              .coalesce(1).write.mode("append").parquet(s"$base/r")
+            val schema = "event_id LONG, ts TIMESTAMP, user_id LONG"
+            val l = s.readStream.schema(schema).parquet(s"$base/l")
+            val r = s.readStream.schema(schema).parquet(s"$base/r")
+            EventStream.runAvailableNow(
+              EventStream.streamTemporalJoin(l, r, "6 hours", "12 hours"),
+              s"$base/out", s"$base/ck")
+            ()
+          }
+          s.read.parquet(s"$base/out")
+            .select(col("user_id"), col("left_id"),
+              unix_micros(col("left_ts")).as("left_ts_us"), col("right_id"),
+              unix_micros(col("right_ts")).as("right_ts_us"))
+            .localCheckpoint(eager = true)
+        } finally graft.export.Exporter.deleteRecursively(
+          java.nio.file.Paths.get(base))
+      }
+    }),
+
     // Symmetric int8 quantization of embeddings: scale = max|x|/127 per
     // vector, q_i = clamp(round(x_i/scale)). A narrow projection (HOFs over
     // the array column, no shuffle at all) that cuts ANN storage and
@@ -413,6 +474,17 @@ object ScaleOps {
                 event_type, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // the one-shot batch interval join the streaming path must converge
+    // to (inner join emits eagerly; time-ordered batches mean no pair is
+    // ever lost to eviction — see the builder comment)
+    "q98_stream_join_endstate" ->
+      """SELECT l.user_id, l.event_id AS left_id, epoch_us(l.ts) AS left_ts_us,
+                r.event_id AS right_id, epoch_us(r.ts) AS right_ts_us
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
+         WHERE l.event_type IN ('click', 'purchase')
+           AND r.event_type IN ('view', 'signup')""",
     "q53_batch_sessionize" ->
       """WITH ord AS (
            SELECT user_id, event_id, ts, value,

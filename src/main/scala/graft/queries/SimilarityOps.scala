@@ -114,6 +114,19 @@ object SimilarityOps {
   private[graft] val PqIters = 3
   private[graft] val PqSub = Dim / PqM
 
+  /** Codebook training is BOUNDED, not corpus-proportional: train on the
+    * deterministic `vec_id % mod == 0` sample with
+    * mod = max(1, ceil(n / PqTrainTarget)) — the standard PQ practice
+    * (codebooks need a representative sample, not the corpus; FAISS
+    * trains on a bounded sample regardless of index size). 20k training
+    * vectors is 78+ samples per centroid across the M×K codebooks. At
+    * the gate SFs mod = 1 (full corpus, so the oracle chain is
+    * unchanged); past the target the training bill stays ~PqTrainTarget
+    * vectors while ENCODING still covers every vector. The mod derives
+    * from one count on both sides (a scalar subquery in the oracle), so
+    * the sample is deterministic and engine-portable. */
+  private[graft] val PqTrainTarget = 20000L
+
   /** Per-(session, dir, geometry) cache of the PQ codebooks — one
     * deterministic-Lloyd run PER SUBSPACE over the sliced embeddings
     * (seeds/iteration/rounding rules identical to [[lloydCentroids]], so
@@ -121,7 +134,7 @@ object SimilarityOps {
     * M × K × (Dim/M) doubles — the persisted-artifact shape a deployment
     * trains once and ships with the index. */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int, Long), Seq[Seq[Seq[Double]]]]()
 
   /** All M codebooks train in ONE fused Lloyd loop over the exploded
     * (sub, subvector) stream: per iteration a single job computes every
@@ -133,12 +146,17 @@ object SimilarityOps {
     * training each subspace independently because rows of different
     * subs never share a (sub, cell, pos) mean group. */
   private[graft] def pqCodebooks(s: SparkSession, dir: String,
-      m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+      m: Int, k: Int, iters: Int,
+      trainTarget: Long = PqTrainTarget): Seq[Seq[Seq[Double]]] = {
     if (pqCache.size > CacheMax) pqCache.clear()
-    pqCache.computeIfAbsent((sessionKey(s), dir, m, k, iters), { _ =>
+    pqCache.computeIfAbsent((sessionKey(s), dir, m, k, iters, trainTarget), { _ =>
       val sub = Dim / m
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      // seeds: the k lowest-vec_id vectors, sliced driver-side
+      val all = emb(s, dir).select(col("vec_id"), col("embedding"))
+      // k=1 driver scalar (the q39-centroid precedent): the sample stride
+      val n = all.count()
+      val mod = math.max(1L, (n + trainTarget - 1) / trainTarget)
+      val e = all.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      // seeds: the k lowest-vec_id vectors OF THE SAMPLE, sliced driver-side
       val seedRows = e.orderBy("vec_id").limit(k).collect()
         .map(r => r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
       var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
@@ -652,8 +670,10 @@ object SimilarityOps {
 
   /** DuckDB CTE chain replicating the per-subspace PQ codebook training
     * ([[pqCodebooks]]): the same deterministic-Lloyd recipe as
-    * [[ivfPrefixSql]] with `sub` as an extra grouping key — seeds are the
-    * k lowest-vec_id SUBvectors per subspace, assignment is
+    * [[ivfPrefixSql]] with `sub` as an extra grouping key — training
+    * (seeds + iteration assigns) runs on the deterministic 1-in-PqTrainMod
+    * sample `est`, the final `paf` assignment on ALL vectors; seeds are
+    * the k lowest-vec_id SUBvectors of the sample, assignment is
     * row_number over (squared-subspace-L2, cell), update is the
     * 6-decimal-rounded per-(sub, cell, position) mean with empty cells
     * keeping their previous centroid. Emits `es` (vec_id × sub →
@@ -662,14 +682,14 @@ object SimilarityOps {
     * scope. */
   private def pqPrefixSql(m: Int, k: Int, iters: Int): String = {
     val sub = Dim / m
-    def assign(cent: String, out: String) =
+    def assign(cent: String, out: String, src: String = "est") =
       s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
          |  SELECT es.vec_id, es.sub, es.sv, c.cell,
          |         row_number() OVER (PARTITION BY es.vec_id, es.sub
          |           ORDER BY list_sum([(es.sv[i]-c.cent[i])*(es.sv[i]-c.cent[i])
          |                              FOR i IN range(1, ${sub + 1})]),
          |                    c.cell) AS rn
-         |  FROM es JOIN $cent c ON es.sub = c.sub) WHERE rn = 1)""".stripMargin
+         |  FROM $src es JOIN $cent c ON es.sub = c.sub) WHERE rn = 1)""".stripMargin
     def update(assigned: String, prevCent: String, out: String) =
       s"""${out}m AS (SELECT sub, cell, i, round(avg(sv[i]), 6) AS m
          |  FROM $assigned, range(1, ${sub + 1}) t(i) GROUP BY sub, cell, i),
@@ -685,11 +705,14 @@ object SimilarityOps {
        |          list_slice(e.v, CAST(t.sub * $sub + 1 AS INTEGER),
        |                          CAST(t.sub * $sub + $sub AS INTEGER)) AS sv
        |       FROM e, range(0, $m) t(sub)),
+       |est AS (SELECT * FROM es WHERE vec_id %
+       |          (SELECT GREATEST(1, CAST(ceil(count(*) / $PqTrainTarget.0)
+       |                                   AS BIGINT)) FROM embeddings) = 0),
        |p0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cell, sv AS cent FROM (
        |         SELECT sub, sv, row_number() OVER (PARTITION BY sub
-       |                  ORDER BY vec_id) AS rn FROM es) WHERE rn <= $k),
+       |                  ORDER BY vec_id) AS rn FROM est) WHERE rn <= $k),
        |$steps,
-       |${assign(s"p$iters", "paf")}""".stripMargin
+       |${assign(s"p$iters", "paf", "es")}""".stripMargin
   }
 
   /** q97: nprobe=2 coarse-cell candidate restriction (ranked against the

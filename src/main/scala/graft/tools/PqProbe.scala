@@ -1,0 +1,19 @@
+package graft.tools
+// TEMPORARY probe - not part of the library surface
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.local(16)
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[pqprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    graft.queries.SimilarityOps.clearCache()
+    t("coarse lloyd (8,3)") { graft.queries.SimilarityOps.lloydCentroids(spark, dir, 8, 3) }
+    t("pq codebooks fused (16,16,3)") { graft.queries.SimilarityOps.pqCodebooks(spark, dir, 16, 16, 3) }
+    t("full q97 (warm caches)") { graft.SparkEntry.queries("q97_ann_ivfpq")(spark, dir).write.format("noop").mode("overwrite").save() }
+    t("full q97 again") { graft.SparkEntry.queries("q97_ann_ivfpq")(spark, dir).write.format("noop").mode("overwrite").save() }
+    spark.stop()
+  }
+}

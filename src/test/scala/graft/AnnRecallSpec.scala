@@ -69,6 +69,7 @@ class AnnRecallSpec extends AnyFunSuite {
     val (m, k, iters) =
       (SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters)
     val sub = SimilarityOps.PqSub
+    // at this corpus size the bounded-training stride is 1 (full corpus)
     val fused = SimilarityOps.pqCodebooks(spark, dir, m, k, iters)
     val e = graft.sources.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -86,6 +87,30 @@ class AnnRecallSpec extends AnyFunSuite {
           // allow one rounding step at the half boundary
           assert(math.abs(a - b) <= 2e-6, s"sub $i cell $c: $a vs $b")
         }
+      }
+    }
+  }
+
+  test("bounded-budget PQ training: small target trains on the strided sample only") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    SimilarityOps.clearCache()
+    val (m, k, iters) = (4, 8, 2)
+    val sub = 64 / m
+    // target 100 over 500 vectors → stride 5: codebooks must equal an
+    // independent Lloyd run over exactly the vec_id % 5 == 0 slice — the
+    // 100 TB path (bounded training bill) exercised at test scale
+    val sampled = SimilarityOps.pqCodebooks(spark, dir, m, k, iters,
+      trainTarget = 100L)
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(5L)) === 0)
+    val reference = (0 until m).map(i => SimilarityOps.lloydFromSeeds(
+      e.select(col("vec_id"),
+        slice(col("embedding"), i * sub + 1, sub).as("embedding")), k, iters))
+    sampled.zip(reference).foreach { case (f, ind) =>
+      f.zip(ind).foreach { case (fc, ic) =>
+        fc.zip(ic).foreach { case (a, b) => assert(math.abs(a - b) <= 2e-6) }
       }
     }
   }
