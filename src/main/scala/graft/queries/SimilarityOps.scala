@@ -163,27 +163,32 @@ object SimilarityOps {
         (0 until m).map(i => seedRows
           .map(v => v.slice(i * sub, i * sub + sub): Seq[Double])
           .toIndexedSeq).toIndexedSeq
-      val subFrame = e.select(explode(array((0 until m).map(i =>
-          struct(lit(i).as("sub"),
-            slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)).as("x"))
-        .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
       for (_ <- 1 to iters) {
-        val cellExpr = (1 until m).foldLeft(
-          when(col("sub") === 0, NearestCentroid.cell(col("sv"), cents(0)))) {
-          (acc, i) => acc.when(col("sub") === i,
-            NearestCentroid.cell(col("sv"), cents(i)))
-        }
-        val means = subFrame
-          .select(col("sub"), cellExpr.as("cell"), posexplode(col("sv")))
-          .groupBy("sub", "cell", "pos")
-          .agg(round(avg(col("col")), 6).as("m"))
+        // one narrow pass: pq_encode emits all M codes per row in a single
+        // generated loop (a when-chain of M NearestCentroids blew past the
+        // JVM method limit and dropped the stage out of codegen); rows
+        // explode to (sub, subvector) — M per vector, not Dim — with the
+        // per-dimension means as `sub` parallel avg columns
+        val means = e
+          .select(org.apache.spark.sql.graft.PqExpr
+              .encode(col("embedding"), cents.map(_.toSeq)).as("codes"),
+            posexplode(array((0 until m).map(i =>
+              slice(col("embedding"), i * sub + 1, sub)): _*)))
+          .select(col("pos").as("sub"),
+            element_at(col("codes"), col("pos") + 1).as("cell"),
+            col("col").as("sv"))
+          .groupBy("sub", "cell")
+          .agg(round(avg(element_at(col("sv"), 1)), 6).as("m0"),
+            (1 until sub).map(j =>
+              round(avg(element_at(col("sv"), j + 1)), 6).as(s"m$j")): _*)
           .collect()
-        val bySubCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        val bySubCell = means
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            (0 until sub).map(j => r.getDouble(2 + j)))
+          .toMap
         cents = (0 until m).map { i =>
           (0 until k).map { c =>
-            bySubCell.get((i, c))
-              .map(rs => rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
-              .getOrElse(cents(i)(c))
+            bySubCell.getOrElse((i, c), cents(i)(c)): Seq[Double]
           }.toIndexedSeq
         }.toIndexedSeq
       }
@@ -532,12 +537,13 @@ object SimilarityOps {
       def sqL2(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
           lit(0.0), _ + _)
-      val enc = e.select(
-        (col("vec_id") +:
-          NearestCentroid.cell(col("embedding"), coarse).as("cell") +:
-          (0 until PqM).map(m => NearestCentroid.cell(
-            slice(col("embedding"), m * PqSub + 1, PqSub), pq(m))
-            .as(s"code$m"))): _*)
+      // one fused pq_encode loop per row (M separate NearestCentroid
+      // columns pushed the projection past the JVM method limit — the
+      // whole stage dropped out of codegen and ran interpreted)
+      val enc = e.select(col("vec_id"),
+        NearestCentroid.cell(col("embedding"), coarse).as("cell"),
+        org.apache.spark.sql.graft.PqExpr
+          .encode(col("embedding"), pq).as("codes"))
       // nprobe=2: each probe searches its TWO nearest coarse cells — the
       // standard IVF recall knob (single-cell probing caps recall at the
       // cell boundary; a second cell roughly doubles the candidate set at
@@ -562,9 +568,10 @@ object SimilarityOps {
               array(pq(m)(c).map(lit): _*))
           }: _*)
         }: _*).as("lut"))
-      val adc = (0 until PqM).map(m =>
-          element_at(element_at(col("lut"), m + 1), col(s"code$m") + 1))
-        .reduceLeft(_ + _)
+      // one generated index-order loop (≡ the oracle's left-to-right
+      // l0.d + l1.d + … association)
+      val adc = org.apache.spark.sql.graft.PqExpr
+        .adc(col("codes"), col("lut"))
       // `+ 0.0` drops a negated zero (q79 precedent): adc 0.0 would
       // otherwise become score -0.0, whose sign survives the round-trip
       enc.join(broadcast(lut), Seq("cell"))

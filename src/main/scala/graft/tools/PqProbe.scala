@@ -1,5 +1,9 @@
 package graft.tools
-// TEMPORARY probe - not part of the library surface
+
+/** IVF-PQ cost decomposition probe: times the coarse-quantizer training,
+  * the fused PQ codebook training, and the query (cold + warm) in
+  * isolation — the q97 counterpart of BenchDebug/CCProbe. Usage:
+  * `sbt "runMain graft.tools.PqProbe [sfDir]"`. */
 object PqProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
