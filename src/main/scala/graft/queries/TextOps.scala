@@ -132,6 +132,42 @@ object TextOps {
         gopherKeep.as("keep"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    // the bounded-memory frequency sketch — width × depth counters
+    // regardless of key cardinality, mergeable by pure addition, so at
+    // 100 TB frequency estimation costs a few hundred KB per executor
+    // where an exact groupBy's hash table scales with the vocabulary.
+    // The gate follows the q67 sketch-oracle recipe: a sketch can't
+    // hash-match another engine, so the OUTPUT is the exact top-20
+    // (q21's deterministic (n DESC, word) order) plus a per-token bound
+    // check the query verifies against its own sketch — est_ok ⟺
+    // exact ≤ estimate ≤ exact + ε·N, the CMS guarantee (the lower
+    // bound is unconditional: CMS only ever over-counts; it also proves
+    // the query and the estimate hash the same key bytes). With a fixed
+    // seed the sketch is a deterministic function of the token multiset
+    // (counter merge is addition — partition-order-free), so the
+    // booleans are recomputation-stable, not probabilistic. Sketch +
+    // top-20 are k-small driver state (q39-centroid precedent; builder
+    // eager per the q67 contract).
+    "q99_heavy_hitters" -> ((s, dir) => {
+      val eps = 0.001
+      val conf = 0.999
+      val seed = 42
+      val toks = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+      val sketch = toks.stat.countMinSketch(col("word"), eps, conf, seed)
+      val top = toks.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word")).limit(20).collect()
+      val bound = (eps * sketch.totalCount()).toLong
+      val rows = top.toSeq.zipWithIndex.map { case (r, i) =>
+        val (w, n) = (r.getString(0), r.getLong(1))
+        val est = sketch.estimateCount(w)
+        (w, n, (i + 1).toLong, est >= n && est <= n + bound)
+      }
+      import s.implicits._
+      rows.toDF("word", "n", "rnk", "est_ok")
+    }),
+
     // F7 + A2: explode tokens → word frequency top-K (deterministic
     // tiebreak). The classic map-side-combinable aggregation.
     "q21_wordcount" -> ((s, dir) => {
@@ -671,6 +707,16 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // exact top-20 + TRUE bound flags (the q67 sketch-oracle recipe:
+    // DuckDB gates the exact part and that every CMS bound held)
+    "q99_heavy_hitters" ->
+      """SELECT word, n,
+                row_number() OVER (ORDER BY n DESC, word) AS rnk,
+                TRUE AS est_ok
+         FROM (SELECT word, count(*) AS n FROM (
+                 SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+               GROUP BY word ORDER BY n DESC, word LIMIT 20)""",
     "q21_wordcount" ->
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
