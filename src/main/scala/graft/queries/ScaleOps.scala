@@ -25,6 +25,18 @@ object ScaleOps {
 
   private val splitBucket = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
 
+  /** Shared scaffolding for the streaming end-state gates (q95/q96/q98):
+    * the event-time tercile cuts and the temp-dir bracket with guaranteed
+    * cleanup — one definition so the three gates' recipes stay aligned. */
+  private def terciles(minTs: Long, maxTs: Long): (Long, Long) =
+    (minTs + (maxTs - minTs) / 3, minTs + 2 * (maxTs - minTs) / 3)
+  private def withGateDir[A](prefix: String)(f: String => A): A = {
+    val base = java.nio.file.Files.createTempDirectory(prefix).toString
+    try f(base)
+    finally graft.export.Exporter.deleteRecursively(
+      java.nio.file.Paths.get(base))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Batch sessionization: per-user inactivity-gap (30 min) sessions.
@@ -80,14 +92,12 @@ object ScaleOps {
           lit(0L).as("n_events")).limit(0)
       } else {
         val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
-        val (cut1, cut2) =
-          (minTs + (maxTs - minTs) / 3, minTs + 2 * (maxTs - minTs) / 3)
+        val (cut1, cut2) = terciles(minTs, maxTs)
         val sentinels = slice.toDF().select(col("user_id")).distinct()
           .select(col("user_id"),
             (col("user_id") + 1000000000L).as("event_id"),
             lit(maxTs + 10 * gapUs).as("ts_ms"))
-        val base = java.nio.file.Files.createTempDirectory("sessgate").toString
-        try {
+        withGateDir("sessgate") { base =>
           val batches = Seq(
             slice.filter(_.ts_ms < cut1),
             slice.filter(e => e.ts_ms >= cut1 && e.ts_ms < cut2),
@@ -117,15 +127,15 @@ object ScaleOps {
             .select(col("user_id"), col("start_ms").as("started_us"),
               col("end_ms").as("ended_us"), col("n_events"))
             .localCheckpoint(eager = true)
-        } finally graft.export.Exporter.deleteRecursively(
-          java.nio.file.Paths.get(base))
+        }
       }
     }),
 
     // STREAMING watermarked tumbling-window aggregate END-STATE,
     // oracle-gated — the q95 recipe applied to the other stateful
     // streaming operator (EventStream.windowedCounts: watermark +
-    // window() groupBy in append mode). The full events table is fed
+    // window() groupBy in append mode). A bounded user slice of the
+    // events table is fed
     // through FIVE AvailableNow catch-up runs sharing one checkpoint:
     // three event-time-tercile batches (so 6-hour windows SPAN batch
     // boundaries and the cross-batch window-state merge is exercised),
@@ -142,7 +152,11 @@ object ScaleOps {
     // is deleted on exit.
     "q96_stream_window_endstate" -> ((s, dir) => {
       import graft.streaming.EventStream
+      // bounded slice (q95 precedent): user ids scale with SF, so the
+      // gate's cost is fixed at any scale factor; the operator coverage
+      // (cross-batch window merge, watermark finalization) is unchanged
       val ev = Tables(s, dir, "events")
+        .filter(col("user_id") < 60)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
         .localCheckpoint(eager = true)
@@ -152,15 +166,13 @@ object ScaleOps {
           lit(0L).as("n_events"), lit(0.0).as("sum_value")).limit(0)
       } else {
         val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
-        val (cut1, cut2) =
-          (minUs + (maxUs - minUs) / 3, minUs + 2 * (maxUs - minUs) / 3)
+        val (cut1, cut2) = terciles(minUs, maxUs)
         val dayUs = 86400L * 1000000L
         def sentinel(tsUs: Long, id: Long) = ev.sparkSession.range(1)
           .select(lit(id).as("event_id"), timestamp_micros(lit(tsUs)).as("ts"),
             lit(0L).as("user_id"), lit("_sentinel").as("event_type"),
             lit(0.0).as("value"))
-        val base = java.nio.file.Files.createTempDirectory("wingate").toString
-        try {
+        withGateDir("wingate") { base =>
           val evCols = Seq("event_id", "ts", "user_id", "event_type", "value")
           val batches = Seq(
             ev.filter(col("ts_us") < cut1),
@@ -185,8 +197,7 @@ object ScaleOps {
               col("event_type"), col("n").as("n_events"),
               round(col("total_value"), 4).as("sum_value"))
             .localCheckpoint(eager = true)
-        } finally graft.export.Exporter.deleteRecursively(
-          java.nio.file.Paths.get(base))
+        }
       }
     }),
 
@@ -207,7 +218,9 @@ object ScaleOps {
     // premature.
     "q98_stream_join_endstate" -> ((s, dir) => {
       import graft.streaming.EventStream
+      // bounded slice (q95 precedent): fixed cost at any SF
       val ev = Tables(s, dir, "events")
+        .filter(col("user_id") < 60)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), unix_micros(col("ts")).as("ts_us"))
         .localCheckpoint(eager = true)
@@ -218,10 +231,8 @@ object ScaleOps {
           col("ts_us").as("right_ts_us")).limit(0)
       } else {
         val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
-        val (cut1, cut2) =
-          (minUs + (maxUs - minUs) / 3, minUs + 2 * (maxUs - minUs) / 3)
-        val base = java.nio.file.Files.createTempDirectory("ssjgate").toString
-        try {
+        val (cut1, cut2) = terciles(minUs, maxUs)
+        withGateDir("ssjgate") { base =>
           val keep = Seq("event_id", "ts", "user_id")
           val leftSide = ev.filter(col("event_type").isin("click", "purchase"))
           val rightSide = ev.filter(col("event_type").isin("view", "signup"))
@@ -246,8 +257,7 @@ object ScaleOps {
               unix_micros(col("left_ts")).as("left_ts_us"), col("right_id"),
               unix_micros(col("right_ts")).as("right_ts_us"))
             .localCheckpoint(eager = true)
-        } finally graft.export.Exporter.deleteRecursively(
-          java.nio.file.Paths.get(base))
+        }
       }
     }),
 
@@ -473,14 +483,15 @@ object ScaleOps {
                   AS window_start_us,
                 event_type, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2""",
+         FROM events WHERE user_id < 60 GROUP BY 1, 2""",
     // the one-shot batch interval join the streaming path must converge
     // to (inner join emits eagerly; time-ordered batches mean no pair is
     // ever lost to eviction — see the builder comment)
     "q98_stream_join_endstate" ->
-      """SELECT l.user_id, l.event_id AS left_id, epoch_us(l.ts) AS left_ts_us,
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 60)
+         SELECT l.user_id, l.event_id AS left_id, epoch_us(l.ts) AS left_ts_us,
                 r.event_id AS right_id, epoch_us(r.ts) AS right_ts_us
-         FROM events l JOIN events r
+         FROM ev l JOIN ev r
            ON l.user_id = r.user_id
           AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
          WHERE l.event_type IN ('click', 'purchase')

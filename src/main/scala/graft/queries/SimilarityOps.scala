@@ -159,6 +159,12 @@ object SimilarityOps {
       // seeds: the k lowest-vec_id vectors OF THE SAMPLE, sliced driver-side
       val seedRows = e.orderBy("vec_id").limit(k).collect()
         .map(r => r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      require(seedRows.nonEmpty,
+        s"pqCodebooks: no training vectors in $dir (stride $mod)")
+      // a sample smaller than k trains that many centroids — exactly what
+      // the oracle's `rn <= k` seed CTE yields, so the engines stay in
+      // lockstep instead of indexing past the seed list here
+      val kEff = math.min(k, seedRows.length)
       var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
         (0 until m).map(i => seedRows
           .map(v => v.slice(i * sub, i * sub + sub): Seq[Double])
@@ -187,7 +193,7 @@ object SimilarityOps {
             (0 until sub).map(j => r.getDouble(2 + j)))
           .toMap
         cents = (0 until m).map { i =>
-          (0 until k).map { c =>
+          (0 until kEff).map { c =>
             bySubCell.getOrElse((i, c), cents(i)(c)): Seq[Double]
           }.toIndexedSeq
         }.toIndexedSeq
@@ -563,7 +569,7 @@ object SimilarityOps {
       // computed once per probe on the (nprobe × 10-row) broadcast side
       val lut = probes.select(col("qid"), col("cell"),
         array((0 until PqM).map { m =>
-          array((0 until PqK).map { c =>
+          array(pq(m).indices.map { c =>
             sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
               array(pq(m)(c).map(lit): _*))
           }: _*)

@@ -137,18 +137,20 @@ object TextOps {
     // regardless of key cardinality, mergeable by pure addition, so at
     // 100 TB frequency estimation costs a few hundred KB per executor
     // where an exact groupBy's hash table scales with the vocabulary.
-    // The gate follows the q67 sketch-oracle recipe: a sketch can't
-    // hash-match another engine, so the OUTPUT is the exact top-20
-    // (q21's deterministic (n DESC, word) order) plus a per-token bound
-    // check the query verifies against its own sketch — est_ok ⟺
-    // exact ≤ estimate ≤ exact + ε·N, the CMS guarantee (the lower
-    // bound is unconditional: CMS only ever over-counts; it also proves
-    // the query and the estimate hash the same key bytes). With a fixed
-    // seed the sketch is a deterministic function of the token multiset
-    // (counter merge is addition — partition-order-free), so the
-    // booleans are recomputation-stable, not probabilistic. Sketch +
-    // top-20 are k-small driver state (q39-centroid precedent; builder
-    // eager per the q67 contract).
+    // The gate follows the q67 sketch-oracle SHAPE (output carries its
+    // own bound check) with one honest difference: q67's rank bound is a
+    // hard GK guarantee, while the CMS upper bound is a-priori
+    // probabilistic over seed choice — est_ok ⟺ exact ≤ estimate ≤
+    // exact + 2ε·N. The lower bound is unconditional (CMS only ever
+    // over-counts; it also proves the aggregation and estimateCount hash
+    // the same key bytes). The 2× margin puts the per-token a-priori
+    // failure odds at ~4^-depth ≈ 1e-6 (Markov at twice the mean excess,
+    // minimized over depth=10 rows) — and with the seed FIXED the sketch
+    // is a deterministic, partition-order-free function of the token
+    // multiset, so for a GIVEN corpus the booleans are recomputation-
+    // stable facts, validated here at sf0.001/0.01/0.1. Sketch + top-20
+    // are k-small driver state (q39-centroid precedent; builder eager
+    // per the q67 contract).
     "q99_heavy_hitters" -> ((s, dir) => {
       val eps = 0.001
       val conf = 0.999
@@ -158,7 +160,7 @@ object TextOps {
       val sketch = toks.stat.countMinSketch(col("word"), eps, conf, seed)
       val top = toks.groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("word")).limit(20).collect()
-      val bound = (eps * sketch.totalCount()).toLong
+      val bound = (2.0 * eps * sketch.totalCount()).toLong
       val rows = top.toSeq.zipWithIndex.map { case (r, i) =>
         val (w, n) = (r.getString(0), r.getLong(1))
         val est = sketch.estimateCount(w)
