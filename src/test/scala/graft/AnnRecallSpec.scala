@@ -91,6 +91,38 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ index lifecycle: batch encode under cached artifacts equals full re-encode") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    import org.apache.spark.sql.graft.PqExpr
+    SimilarityOps.clearCache()
+    // the deployment shape: codebooks + coarse quantizer are persisted
+    // artifacts trained once on the standing corpus; a NEW batch is
+    // encoded against them with per-batch cost (the PQ twin of
+    // assignIncremental / lshPairsIncremental). Because encoding is a
+    // pure per-row function of the artifacts, the incrementally-encoded
+    // index must equal a full re-encode row-for-row.
+    val (m, k, iters) =
+      (SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters)
+    val coarse = SimilarityOps.lloydCentroids(spark, dir, 8, 3)
+    val pq = SimilarityOps.pqCodebooks(spark, dir, m, k, iters)
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def index(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      graft.plans.NearestCentroid.cell(col("embedding"), coarse).as("cell"),
+      PqExpr.encode(col("embedding"), pq).as("codes"))
+    // batch drawn from the corpus distribution, re-keyed as new ids
+    val batch = e.filter(col("vec_id") >= 300)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val incremental = index(e).unionByName(index(batch))
+    val full = index(e.unionByName(batch))
+    assert(incremental.exceptAll(full).isEmpty && full.exceptAll(incremental).isEmpty)
+    // and the codes really are per-batch cost: encoding is stateless —
+    // the batch index alone matches the batch rows of the full re-encode
+    val batchOnly = full.filter(col("vec_id") >= 500000L)
+    assert(index(batch).exceptAll(batchOnly).isEmpty)
+  }
+
   test("bounded-budget PQ training: small target trains on the strided sample only") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps
