@@ -38,6 +38,23 @@ object Exporter {
       .parquet(path)
   }
 
+  /** ORC export — K1/K2's sizing semantics on the other columnar format
+    * (`orc.stripe.size` is the pruning granularity remote readers see,
+    * the way parquet row groups are). Same codec default (zstd) and
+    * optional hive partitioning as [[parquet]]. */
+  def orc(df: DataFrame, path: String,
+      compression: String = "zstd",
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 1000000L,
+      stripeBytes: Long = 64L * 1024 * 1024): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("orc.stripe.size", stripeBytes)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+
   /** K4: NDJSON.gz export (`sra/extract.py:527-537`). */
   def ndjsonGz(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "gzip").json(path)

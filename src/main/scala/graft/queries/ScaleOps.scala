@@ -261,6 +261,65 @@ object ScaleOps {
       }
     }),
 
+    // STREAMING watermarked exact-dedup END-STATE, oracle-gated — the
+    // fourth stateful streaming operator under the driver's hash gate
+    // (EventStream.dedupWithinWatermark: dropDuplicatesWithinWatermark
+    // behind an event-time watermark — the streaming face of q30's digest
+    // dedup). A bounded user slice keyed on (user_id, event_type) is fed
+    // through THREE event-time-tercile AvailableNow catch-up runs on one
+    // checkpoint. The watermark delay (3650 days) exceeds the slice's
+    // span, so no key is ever evicted between runs and every repeat MUST
+    // be suppressed by dedup state carried across batches — batches 2 and
+    // 3 consist almost entirely of repeats of keys first seen in batch 1,
+    // so lost checkpoint state or premature eviction re-emits keys as
+    // duplicate rows and breaks the gate's hash. First arrivals are
+    // emitted eagerly (append mode), so no sentinel machinery is needed.
+    // Only the KEY columns reach the sink: which physical first-arrival
+    // row wins within a batch is partition-order dependent, and its
+    // payload is not part of the operator's contract. End state ≡ the
+    // one-shot batch DISTINCT. The bounded-state eviction path itself
+    // (repeats beyond the delay NOT collapsed) is EngineSpec's
+    // dedupWithinWatermark test — it needs a controlled watermark
+    // schedule, not a lake slice.
+    "q100_stream_dedup_endstate" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      // bounded slice (q95 precedent): fixed gate cost at any SF
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id") < 60)
+        .select(col("ts"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .localCheckpoint(eager = true)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+      if (bounds.isNullAt(0)) {
+        ev.select(col("user_id"), col("event_type")).limit(0)
+      } else {
+        val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+        val (cut1, cut2) = terciles(minUs, maxUs)
+        withGateDir("dedupgate") { base =>
+          val keep = Seq("ts", "user_id", "event_type")
+          val cuts = Seq(col("ts_us") < cut1,
+            col("ts_us") >= cut1 && col("ts_us") < cut2,
+            col("ts_us") >= cut2)
+          cuts.foreach { c =>
+            ev.filter(c).select(keep.map(col): _*)
+              .coalesce(1).write.mode("append").parquet(s"$base/in")
+            val st = s.readStream
+              .schema("ts TIMESTAMP, user_id LONG, event_type STRING")
+              .parquet(s"$base/in")
+            EventStream.runAvailableNow(
+              EventStream.dedupWithinWatermark(st,
+                  Seq("user_id", "event_type"), "ts", "3650 days")
+                .select("user_id", "event_type"),
+              s"$base/out", s"$base/ck")
+            ()
+          }
+          s.read.parquet(s"$base/out")
+            .select(col("user_id"), col("event_type"))
+            .localCheckpoint(eager = true)
+        }
+      }
+    }),
+
     // Symmetric int8 quantization of embeddings: scale = max|x|/127 per
     // vector, q_i = clamp(round(x_i/scale)). A narrow projection (HOFs over
     // the array column, no shuffle at all) that cuts ANN storage and
@@ -496,6 +555,11 @@ object ScaleOps {
           AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
          WHERE l.event_type IN ('click', 'purchase')
            AND r.event_type IN ('view', 'signup')""",
+    // the one-shot batch DISTINCT the streaming watermarked dedup must
+    // converge to (no eviction within the gate: delay > slice span)
+    "q100_stream_dedup_endstate" ->
+      """SELECT DISTINCT user_id, event_type
+         FROM events WHERE user_id < 60""",
     "q53_batch_sessionize" ->
       """WITH ord AS (
            SELECT user_id, event_id, ts, value,

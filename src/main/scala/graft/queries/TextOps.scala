@@ -620,6 +620,65 @@ object TextOps {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Multinomial Naive Bayes quality classifier (McCallum & Nigam 1998),
+    // trained IN-PLAN on the Gopher gate's rule labels and scoring every
+    // doc — the bootstrap-classifier step the GPT-3/CCNet curation
+    // pipelines run (seed labels from rules, a cheap linear model
+    // generalizes them; NB is the deterministic published stand-in for
+    // fastText here, training and inference both pure aggregation).
+    // Add-one smoothing over the shared vocabulary: per-token log-odds
+    // lo6 = round(ln p(t|keep) − ln p(t|reject), 6); doc score = prior
+    // log-odds + Σ lo6 over token INSTANCES. The score is carried in
+    // exact integer MICRO-UNITS (the mean4of6 discipline: long sums are
+    // associative, so partition merge order can't move the 4dp output)
+    // and the prior folds in as one more micro-int. Scale shape: labels
+    // are one row per doc co-partitioned on doc_id (q88 shape, never
+    // broadcast); per-class token counts are vocab-bounded → broadcast
+    // back onto the single token-stream exchange (ReusedExchange); every
+    // scalar (class token totals, |V|, the prior) rides as a broadcast
+    // 1-row cross join — zero build-time Spark jobs.
+    "q101_nb_quality_classifier" -> ((s, dir) => {
+      val tokStream = docs(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val labels = docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), gopherKeep.as("keep"))
+      val toks = tokStream.join(labels, Seq("doc_id"))
+      val counts = toks.groupBy("tok").agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("ck"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("cr"))
+      val totals = counts.agg(sum("ck").as("nk"), sum("cr").as("nr"),
+        count(lit(1)).as("vv"))
+      val lo = counts.crossJoin(broadcast(totals))
+        .withColumn("lo6", round(
+          log((col("ck") + 1).cast("double") /
+            (col("nk") + col("vv")).cast("double")) -
+            log((col("cr") + 1).cast("double") /
+              (col("nr") + col("vv")).cast("double")), 6))
+      // prior log-odds as one exact micro-int (6dp-rounded, q81 libm
+      // parity), broadcast onto the per-doc sums
+      val prior = labels.agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("dk"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("dr"))
+        .select(round(round(log((col("dk") + 1).cast("double") /
+          (col("dr") + 1).cast("double")), 6) * lit(1e6)).cast("long")
+          .as("pk"))
+      val t = toks.join(broadcast(lo.select("tok", "lo6")), Seq("tok"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("long").as("n_tokens"),
+          first(col("keep")).as("rule_keep"),
+          sum(round(col("lo6") * lit(1e6)).cast("long")).as("m"))
+        .crossJoin(broadcast(prior))
+      val sc = col("m") + col("pk")
+      t.select(col("doc_id"), col("n_tokens"), col("rule_keep"),
+        // half-away-from-zero micro→4dp in pure integer arithmetic
+        // (mean4of6's rounding shape, same floor-safety argument)
+        (signum(sc) * floor((abs(sc) + 50) / 100) / lit(10000.0))
+          .as("score"),
+        (sc > 0).as("pred_keep"))
+    }),
+
     // Unigram LM scoring (the CCNet-style perplexity-lite quality signal):
     // train a unigram model on the corpus (token → log p, vocab-bounded →
     // broadcast), score each doc by its mean token log-prob. Rare-token /
@@ -912,6 +971,40 @@ object TextOps {
          FROM g
          ORDER BY importance + g6 DESC, doc_id
          LIMIT 100""",
+    // the NB chain re-derived in pure SQL: q77's keep labels, per-class
+    // add-one token counts, 6dp log-odds, exact micro-int score + prior
+    "q101_nb_quality_classifier" ->
+      s"""WITH keepq AS (SELECT doc_id, keep FROM ($oracle77ForReuse) k77),
+         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+         tl AS (SELECT t.doc_id, t.tok, k.keep
+                FROM tk t JOIN keepq k USING (doc_id)),
+         cnt AS (SELECT tok,
+                        sum(CASE WHEN keep THEN 1 ELSE 0 END) AS ck,
+                        sum(CASE WHEN keep THEN 0 ELSE 1 END) AS cr
+                 FROM tl GROUP BY tok),
+         tot AS (SELECT sum(ck) AS nk, sum(cr) AS nr, count(*) AS vv
+                 FROM cnt),
+         pri AS (SELECT CAST(round(round(ln(
+                     (sum(CASE WHEN keep THEN 1 ELSE 0 END) + 1) * 1.0
+                   / (sum(CASE WHEN keep THEN 0 ELSE 1 END) + 1)), 6) * 1e6)
+                   AS BIGINT) AS pk
+                 FROM keepq),
+         lo AS (SELECT tok,
+                       round(ln((ck + 1) * 1.0 / (nk + vv))
+                           - ln((cr + 1) * 1.0 / (nr + vv)), 6) AS lo6
+                FROM cnt CROSS JOIN tot),
+         sc AS (SELECT tl.doc_id, count(*) AS n_tokens,
+                       bool_or(keep) AS rule_keep,
+                       CAST(sum(CAST(round(lo6 * 1e6) AS BIGINT)) AS BIGINT)
+                         AS m
+                FROM tl JOIN lo USING (tok)
+                GROUP BY tl.doc_id)
+         SELECT doc_id, n_tokens, rule_keep,
+                sign(m + pk) * floor((abs(m + pk) + 50) / 100) / 10000.0
+                  AS score,
+                (m + pk) > 0 AS pred_keep
+         FROM sc CROSS JOIN pri""",
     "q81_unigram_lm" ->
       s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),

@@ -78,6 +78,13 @@ object LakeReader {
     h.set("fs.https.impl", classOf[HttpsRangeFileSystem].getName)
   }
 
+  /** ORC glob scan with by-name schema union — the same S1 semantics for
+    * lakes (or lake generations) that standardized on ORC instead of
+    * parquet. ORC is bundled with Spark; predicate pushdown and column
+    * pruning work identically (stripe/row-group statistics). */
+  def orcGlob(spark: SparkSession, glob: String): DataFrame =
+    spark.read.option("mergeSchema", "true").orc(glob)
+
   /** S2: NDJSON(.gz) glob scan; gzip decompressed automatically. Pass a
     * schema to pin types against drift (all-null columns otherwise infer
     * as string). */

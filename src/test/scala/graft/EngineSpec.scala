@@ -152,6 +152,40 @@ class EngineSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() === 300L)
   }
 
+  test("streaming dedup: cross-batch suppression within delay, re-emission after eviction") {
+    val in = Files.createTempDirectory("graft_dedupev_in").toString
+    val out = Files.createTempDirectory("graft_dedupev_out").toString
+    val ckpt = Files.createTempDirectory("graft_dedupev_ck").toString
+    val minUs = 60L * 1000000L
+    def mkBatch(rows: (String, Long)*) =
+      rows.toSeq.toDF("k", "ts_us")
+        .select($"k",
+          org.apache.spark.sql.functions.timestamp_micros($"ts_us").as("ts"))
+    // delay 10 min. A first arrives at t=0; its repeat at +5 min lands in
+    // batch 2 and must be suppressed by dedup state carried across the
+    // checkpoint (cross-batch suppression). B at +60 min advances the
+    // watermark (60-10=50 min) past A's expiry (0+10 min), so batch 3's
+    // A at +65 min RE-EMITS: dropDuplicatesWithinWatermark bounds state,
+    // it does not promise cross-eviction dedup — that completeness pass
+    // is the batch digest groupBy's job (q30), run alongside the stream.
+    val batches = Seq(
+      mkBatch(("A", 0L)),
+      mkBatch(("A", 5L * minUs), ("B", 60L * minUs)),
+      mkBatch(("A", 65L * minUs)))
+    batches.foreach { b =>
+      b.coalesce(1).write.mode("append").parquet(in)
+      val st = spark.readStream.schema("k STRING, ts TIMESTAMP").parquet(in)
+      EventStream.runAvailableNow(
+        EventStream.dedupWithinWatermark(st, Seq("k"), "ts", "10 minutes"),
+        out, ckpt)
+    }
+    val emitted = spark.read.parquet(out).groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(emitted("B") === 1L)
+    assert(emitted("A") === 2L,
+      "A must re-emit once its dedup state expired, and only then")
+  }
+
   test("stream-stream temporal join equals the batch interval join") {
     val base = Tables(spark, "/root/testdata/sf0.001", "events")
     val inC = Files.createTempDirectory("graft_ssj_c").toString

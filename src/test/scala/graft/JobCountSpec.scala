@@ -58,7 +58,8 @@ class JobCountSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  for (q <- Seq("q81_unigram_lm", "q87_bigram_lm", "q88_dsir_weight"))
+  for (q <- Seq("q81_unigram_lm", "q87_bigram_lm", "q88_dsir_weight",
+      "q101_nb_quality_classifier"))
     test(s"$q builder is side-effect-free (zero build-time jobs)") {
       // warm the Tables schema cache: the one 1-task footer-inference job
       // per cold table path is scan setup, not builder eagerness

@@ -37,7 +37,8 @@ class ReplaySpec extends AnyFunSuite {
     // the shape that flaked in r7 — get a denser sweep: prime counts make
     // merge trees maximally dissimilar
     val family = SparkEntry.queries.view
-      .filterKeys(Set("q81_unigram_lm", "q87_bigram_lm", "q88_dsir_weight"))
+      .filterKeys(Set("q81_unigram_lm", "q87_bigram_lm", "q88_dsir_weight",
+        "q101_nb_quality_classifier"))
       .toMap
     val bad = Determinism.drifting(spark, sf, family, Seq(2, 5, 13, 31))
     assert(bad.isEmpty, s"mean4of6 drift: ${bad.mkString(", ")}")

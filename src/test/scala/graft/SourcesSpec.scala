@@ -165,6 +165,23 @@ class SourcesSpec extends AnyFunSuite {
       f.isFile && f.getName.endsWith(".done")))
   }
 
+  test("orc export + glob scan round-trips schema and rows; drift unions by name") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val base = Tables(spark, "/root/testdata/sf0.001", "nation")
+    graft.export.Exporter.orc(base, s"$dir/g1")
+    // a drifted second generation: one extra column
+    graft.export.Exporter.orc(base.withColumn("extra", lit(7L)), s"$dir/g2")
+    val one = LakeReader.orcGlob(spark, s"$dir/g1")
+    assert(one.schema === base.schema)
+    assert(one.count() === base.count())
+    assert(one.exceptAll(base).isEmpty && base.exceptAll(one).isEmpty)
+    val merged = LakeReader.orcGlob(spark, s"$dir/g*")
+    assert(merged.columns.contains("extra"))
+    assert(merged.count() === base.count() * 2)
+    // generation 1 rows carry a typed null in the drifted column
+    assert(merged.filter(col("extra").isNull).count() === base.count())
+  }
+
   test("csv scan with delimiter + inference") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),

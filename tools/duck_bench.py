@@ -26,7 +26,8 @@ for name, q in sorted(sql.items()):
     if name in ("q40_parquet_meta", "q86_ingest_endstate",
                 "q90_image_ingest_endstate", "q91_audio_ingest_endstate",
                 "q92_video_ingest_endstate", "q95_stream_sessionize_endstate",
-                "q96_stream_window_endstate", "q98_stream_join_endstate"):
+                "q96_stream_window_endstate", "q98_stream_join_endstate",
+                "q100_stream_dedup_endstate"):
         continue
     t0 = time.time()
     try:
