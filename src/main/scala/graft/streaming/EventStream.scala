@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -68,24 +68,79 @@ object EventStream {
             state.remove()
             out
           } else {
-            var cur = state.getOption
-            val closed = Seq.newBuilder[UserSession]
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = e.ts_ms, n = s.n + 1))
-                case Some(s) =>
-                  closed += UserSession(uid, s.startMs, s.lastMs, s.n)
-                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
-              }
-            }
+            val (closed, cur) = foldSessions(uid, sorted, state.getOption, gapMs)
             cur.foreach(state.update)
             if (withTimeout) state.setTimeoutDuration(gapMs)
-            closed.result().iterator
+            closed.iterator
           }
       }
+  }
+
+  /** One batch of a user's (sorted) events folded into the gap-session
+    * state: (closed sessions, updated open state). ONE definition shared
+    * by the [[sessionize]] (flatMapGroupsWithState) and [[sessionizeTws]]
+    * (transformWithState) spellings so the two APIs cannot drift. */
+  private def foldSessions(uid: Long, sorted: Seq[UserEvent],
+      init: Option[SessionState], gapMs: Long)
+      : (Seq[UserSession], Option[SessionState]) = {
+    var cur = init
+    val closed = Seq.newBuilder[UserSession]
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+          cur = Some(s.copy(lastMs = e.ts_ms, n = s.n + 1))
+        case Some(s) =>
+          closed += UserSession(uid, s.startMs, s.lastMs, s.n)
+          cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+        case None =>
+          cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+      }
+    }
+    (closed.result(), cur)
+  }
+
+  /** [[sessionize]] on Spark 4's successor stateful API
+    * (`transformWithState`, SPARK-49564): identical inactivity-gap
+    * semantics — the per-batch fold is literally [[foldSessions]] — with
+    * the open session in a typed [[org.apache.spark.sql.streaming.ValueState]]
+    * owned by a [[org.apache.spark.sql.streaming.StatefulProcessor]].
+    * The new API is where streaming-state features land (per-state TTL,
+    * composite state variables, state v3 schema evolution), so the
+    * engine exposes both: existing checkpoints keep the classic
+    * operator, new pipelines get the maintained one. Requires the
+    * RocksDB state-store provider (the API's contract — HDFS-backed
+    * state is not supported; see EngineSpec's conf bracket). NoTimeout
+    * flavor: catch-up runs only; a long-lived stream would register
+    * event-time timers where [[sessionize]] uses its processing-time
+    * timeout. */
+  def sessionizeTws(events: Dataset[UserEvent], gapMs: Long)
+      : Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapMs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The [[sessionizeTws]] processor: open-session state per user key,
+    * batch input folded by [[foldSessions]], closed sessions emitted. */
+  private class SessionizeProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserSession] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var session: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+      val init = if (session.exists()) Some(session.get()) else None
+      val (closed, cur) = foldSessions(uid, sorted, init, gapMs)
+      cur.foreach(session.update)
+      closed.iterator
+    }
   }
 
   /** Stream-stream temporal join (the streaming analog of the batch

@@ -186,6 +186,59 @@ class EngineSpec extends AnyFunSuite {
       "A must re-emit once its dedup state expired, and only then")
   }
 
+  test("transformWithState sessionization == flatMapGroupsWithState across catch-up runs") {
+    import graft.streaming.UserEvent
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // RocksDB state store is transformWithState's hard requirement;
+    // bracket the session conf so other streaming tests keep the default
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 1800L * 1000000L
+      val slice = Tables(spark, "/root/testdata/sf0.001", "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_ms"))
+        .as[UserEvent].localCheckpoint(true)
+      val Array(minTs, maxTs) = slice.toDF()
+        .agg(org.apache.spark.sql.functions.min("ts_ms"),
+          org.apache.spark.sql.functions.max("ts_ms")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut = minTs + (maxTs - minTs) / 2
+      val sentinel = slice.map(e =>
+        UserEvent(e.user_id, e.event_id + 1000000000L, maxTs + 10 * gapUs))
+      val in = Files.createTempDirectory("graft_tws_in").toString
+      val outA = Files.createTempDirectory("graft_tws_a").toString
+      val ckA = Files.createTempDirectory("graft_tws_cka").toString
+      val outB = Files.createTempDirectory("graft_tws_b").toString
+      val ckB = Files.createTempDirectory("graft_tws_ckb").toString
+      // two halves + a sentinel flush: sessions span the batch boundary,
+      // so BOTH APIs must carry open-session state across their
+      // checkpoints and close it identically
+      val batches = Seq(slice.filter(_.ts_ms < cut),
+        slice.filter(_.ts_ms >= cut), sentinel)
+      batches.foreach { b =>
+        b.toDF().coalesce(1).write.mode("append").parquet(in)
+        def st = spark.readStream
+          .schema("user_id LONG, event_id LONG, ts_ms LONG")
+          .parquet(in).as[UserEvent]
+        EventStream.runAvailableNow(
+          EventStream.sessionize(st, gapUs).toDF(), outA, ckA)
+        EventStream.runAvailableNow(
+          EventStream.sessionizeTws(st, gapUs).toDF(), outB, ckB)
+      }
+      val a = spark.read.parquet(outA)
+      val b = spark.read.parquet(outB)
+      assert(a.count() > 0)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "the two stateful APIs diverged session-for-session")
+    } finally {
+      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
   test("stream-stream temporal join equals the batch interval join") {
     val base = Tables(spark, "/root/testdata/sf0.001", "events")
     val inC = Files.createTempDirectory("graft_ssj_c").toString
