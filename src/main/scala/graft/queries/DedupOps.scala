@@ -31,6 +31,26 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** The q74/q102 span stream: docs cut into non-overlapping W-token
+    * spans, partitioned on span content ONCE — the frequency aggregate
+    * consumes that exchange directly and the join-back reuses the SAME
+    * exchange (ReusedExchange) for its left side, so the stream is
+    * content-shuffled once, not twice. Docs with < W tokens have no
+    * spans and are absent (oracles mirror). */
+  private def spanStream(s: SparkSession, dir: String, W: Int = 3): DataFrame = {
+    val toks = col("toks")
+    val spanArr = when(size(toks) < W, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), (size(toks) / lit(W)).cast("int") - 1),
+        i => concat_ws(" ",
+          (1 to W).map(j => element_at(toks, i * W + j)): _*)))
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(spanArr))
+      .withColumnsRenamed(Map("pos" -> "span_idx", "col" -> "span"))
+      .repartition(col("span"))
+  }
+
   /** Shared-stage cache keyed by (session, dir, stage). `computeIfAbsent`
     * is safe under the parallel Verify pool; the build lambda only
     * constructs a lazy plan (the checkpoint materializes on first action).
@@ -230,22 +250,7 @@ object DedupOps {
     // collect_list(kept struct) → array_sort → join: per-doc memory only.
     // Docs with <3 tokens have no spans and are absent (oracle mirrors).
     "q74_dup_span_removal" -> ((s, dir) => {
-      val W = 3
-      val toks = col("toks")
-      val spanArr = when(size(toks) < W, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0), (size(toks) / lit(W)).cast("int") - 1),
-          i => concat_ws(" ",
-            (1 to W).map(j => element_at(toks, i * W + j)): _*)))
-      // partition the span stream on content ONCE: the frequency aggregate
-      // consumes that exchange directly and the join-back reuses the SAME
-      // exchange (ReusedExchange) for its left side — one content shuffle
-      // of the stream instead of two (agg + join each re-shuffling it)
-      val spans = docs(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), posexplode(spanArr))
-        .withColumnsRenamed(Map("pos" -> "span_idx", "col" -> "span"))
-        .repartition(col("span"))
+      val spans = spanStream(s, dir)
       val freq = spans.groupBy("span").agg(count(lit(1)).as("freq"))
       spans.join(freq, Seq("span"))
         .groupBy("doc_id").agg(
@@ -253,6 +258,34 @@ object DedupOps {
           sum(when(col("freq") >= 2, 1L).otherwise(0L)).as("n_removed"),
           md5(concat_ws(" ", transform(
             array_sort(collect_list(when(col("freq") < 2,
+              struct(col("span_idx"), col("span"))))),
+            x => x.getField("span"))).cast("binary")).as("kept_md5"))
+    }),
+
+    // Duplicate-span removal with CANONICAL RETENTION — Lee et al.
+    // 2022's actual ExactSubstr rule: of all occurrences of a duplicated
+    // span, exactly ONE canonical copy survives. q74 is the "boilerplate:
+    // drop everywhere" flavor; this is the "keep one copy" flavor a
+    // pre-training corpus wants, so repeated content still appears once.
+    // Canonical = lexicographic-min (doc_id, span_idx), computed as a
+    // min over a STRUCT inside the same hash aggregation that counts
+    // frequencies — no window sort of the span stream (a row_number
+    // per span would sort every partition); the freq+canonical table
+    // joins back on the one span-content exchange (q74's shape).
+    "q102_dup_span_canonical" -> ((s, dir) => {
+      val spans = spanStream(s, dir)
+      val canon = spans.groupBy("span").agg(
+        count(lit(1)).as("freq"),
+        min(struct(col("doc_id"), col("span_idx"))).as("canon"))
+      spans.join(canon, Seq("span"))
+        .withColumn("keep", col("freq") < 2 ||
+          (col("canon.doc_id") === col("doc_id") &&
+            col("canon.span_idx") === col("span_idx")))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(when(col("keep"),
               struct(col("span_idx"), col("span"))))),
             x => x.getField("span"))).cast("binary")).as("kept_md5"))
     }),
@@ -685,6 +718,31 @@ object DedupOps {
                   AS kept_md5
          FROM spans JOIN freq USING (span)
          GROUP BY doc_id""",
+    // canonical = the (doc_id, span_idx)-first occurrence: rank 1 of the
+    // per-span window IS the lexicographic-min struct the Spark side
+    // aggregates (the canonical is unique, so the two spellings agree
+    // exactly); keep = unique span OR canonical occurrence
+    "q102_dup_span_canonical" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         idx AS (SELECT doc_id, t, unnest(range(0, len(t) // 3)) AS i
+                 FROM toks),
+         spans AS (SELECT doc_id, i AS span_idx,
+                          t[i*3+1] || ' ' || t[i*3+2] || ' ' || t[i*3+3]
+                            AS span
+                   FROM idx),
+         r AS (SELECT doc_id, span_idx, span,
+                      count(*) OVER (PARTITION BY span) AS freq,
+                      row_number() OVER (PARTITION BY span
+                        ORDER BY doc_id, span_idx) AS rk
+               FROM spans)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN freq >= 2 AND rk > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(
+                  CASE WHEN freq < 2 OR rk = 1 THEN span END,
+                  ' ' ORDER BY span_idx), '')) AS kept_md5
+         FROM r GROUP BY doc_id""",
     // identical LSH banding as q33 generates the candidates; the exact
     // jaccard is then recomputed from the full shingle sets (sh CTE comes
     // from sigSql) — mirrors the Spark LSH-then-verify pipeline 1:1
