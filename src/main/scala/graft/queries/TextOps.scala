@@ -620,6 +620,31 @@ object TextOps {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     }),
 
+    // Unicode NFC normalization (TR15 canonical composition) — the step
+    // a curation pipeline runs BEFORE any content hashing: "é" as one
+    // codepoint and "e"+combining-acute are the same text but different
+    // md5 bytes, so un-normalized corpora under-deduplicate. Runs as a
+    // custom codegen'd Catalyst expression (NfcNormalizeExpr — Spark has
+    // no built-in; a UDF would break WSCG on this per-doc hot path) with
+    // an isNormalized zero-alloc fast path. The synthetic docs are
+    // ASCII, so a deterministic mixed decomposed/composed suffix is
+    // injected (the q75/q78 injection precedent) to make the operator
+    // load-bearing; DuckDB's nfc_normalize implements the same TR15
+    // algorithm, which is what makes the oracle exact.
+    "q103_nfc_normalize" -> ((s, dir) => {
+      // " Cafe"+U+0301 (decomposed) + " d"+é(composed)+"ja"+U+0300+" vu"
+      val raw = concat(col("text"), lit(" Café déjà vu"))
+      docs(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_chars_raw"),
+          org.apache.spark.sql.graft.NfcNormalizeExpr.columnFor(col("raw"))
+            .as("norm"))
+        .select(col("doc_id"), col("n_chars_raw"),
+          length(col("norm")).cast("long").as("n_chars_nfc"),
+          md5(col("norm").cast("binary")).as("norm_md5"))
+    }),
+
     // Multinomial Naive Bayes quality classifier (McCallum & Nigam 1998),
     // trained IN-PLAN on the Gopher gate's rule labels and scoring every
     // doc — the bootstrap-classifier step the GPT-3/CCNet curation
@@ -971,6 +996,17 @@ object TextOps {
          FROM g
          ORDER BY importance + g6 DESC, doc_id
          LIMIT 100""",
+    // same decomposed/composed injection (raw codepoints ride through
+    // the JSON dump as UTF-8); DuckDB's nfc_normalize is the same TR15
+    // canonical composition. length() counts codepoints on both engines
+    "q103_nfc_normalize" ->
+      s"""WITH inj AS (SELECT doc_id,
+             text || ' Café déjà vu' AS raw
+           FROM documents)
+         SELECT doc_id, length(raw) AS n_chars_raw,
+                length(nfc_normalize(raw)) AS n_chars_nfc,
+                md5(nfc_normalize(raw)) AS norm_md5
+         FROM inj""",
     // the NB chain re-derived in pure SQL: q77's keep labels, per-class
     // add-one token counts, 6dp log-odds, exact micro-int score + prior
     "q101_nb_quality_classifier" ->

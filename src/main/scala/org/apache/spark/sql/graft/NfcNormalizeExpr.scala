@@ -1,0 +1,54 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as ONE codegen'd string expression — the
+  * canonical-composition step a text-curation pipeline runs before ANY
+  * content hashing (exact dedup, span dedup, shingling): "é" as one
+  * codepoint and "e"+U+0301 are the same text to a reader but different
+  * bytes to md5, so un-normalized corpora silently under-deduplicate.
+  *
+  * Spark has no built-in normalizer function; a Scala UDF would break
+  * whole-stage codegen on exactly the hot paths (per-token, per-doc)
+  * this runs on. The expression stays inside WSCG and calls
+  * `java.text.Normalizer` (ICU-equivalent NFC per Unicode TR15 — the
+  * same algorithm DuckDB's `nfc_normalize` implements, which is what
+  * makes the oracle comparable) with an `isNormalized` fast path: for
+  * already-composed text (ASCII especially) no allocation happens at
+  * all — the input UTF8String is returned as-is.
+  */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalizeExpr.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.NfcNormalizeExpr.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+object NfcNormalizeExpr {
+  import java.text.Normalizer
+
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
+  def columnFor(c: Column): Column =
+    ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(c)))
+}

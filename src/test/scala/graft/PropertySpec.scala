@@ -119,4 +119,23 @@ class PropertySpec extends AnyFunSuite {
         h == org.apache.spark.sql.graft.Md5Prefix60Expr.hash(s.getBytes("UTF-8"))
     })
   }
+
+  test("NfcNormalize: composes decomposed input, idempotent, ASCII is identity (no copy)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def n(s: String): UTF8String =
+      org.apache.spark.sql.graft.NfcNormalizeExpr.normalize(UTF8String.fromString(s))
+    // e + COMBINING ACUTE (U+0301) composes to U+00E9; idempotent after
+    assert(n("Café").toString === "Café")
+    assert(n("Café").toString === "Café")
+    assert(n(n("Café").toString).toString === n("Café").toString)
+    // a + COMBINING RING (U+030A) -> å; Hangul Jamo compose too
+    assert(n("å").toString === "å")
+    // already-NFC input returns THE SAME UTF8String (zero-alloc fast path)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(org.apache.spark.sql.graft.NfcNormalizeExpr.normalize(ascii) eq ascii)
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      // NFC is the identity on ASCII, for any input
+      n(s).toString == s
+    })
+  }
 }
