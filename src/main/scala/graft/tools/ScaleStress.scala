@@ -113,7 +113,9 @@ object ScaleStress {
     "q47_dedup_clusters",
     "q48_hash_split", "q51_keeper_by_quality", "q52_cluster_safe_split",
     "q58_contamination", "q73_tfidf_topterms", "q74_dup_span_removal",
-    "q79_semantic_dedup", "q81_unigram_lm")
+    "q79_semantic_dedup", "q81_unigram_lm",
+    "q101_nb_quality_classifier", "q102_dup_span_canonical",
+    "q103_nfc_normalize")
 
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val shufRead = new AtomicLong(0L)

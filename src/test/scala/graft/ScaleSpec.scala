@@ -124,6 +124,56 @@ class ScaleSpec extends AnyFunSuite {
     assert(zsy < psy / 2, "zorder at least halves the off-dimension span")
   }
 
+  test("zorder layout prunes parquet row groups: range scan decodes far fewer records") {
+    import java.nio.file.Files
+    val n = 200000L
+    // pseudo-random but deterministic dims over [0, 1024): independent
+    // hashes so the points genuinely fill the 2-D grid (linear-congruence
+    // dims collapse to 1024 collinear points — no z-locality to exploit)
+    val df = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(1024)).as("px"),
+      pmod(xxhash64(col("id"), lit(7)), lit(1024)).as("sy"))
+    val z = df.withColumn("zkey", Layout.zorder2(col("px"), col("sy")))
+    val dir = Files.createTempDirectory("graft_zprune").toString
+    // clustered: range-partitioned + sorted on zkey, small row groups so
+    // parquet min/max stats give sub-file pruning granularity (the K1
+    // export path — rowGroupRows is the same knob remote readers prune on)
+    graft.export.Exporter.parquet(
+      z.repartitionByRange(8, col("zkey")).sortWithinPartitions("zkey"),
+      s"$dir/zorder", rowGroupRows = 4096L)
+    // control: same data, same file/row-group geometry, no clustering
+    graft.export.Exporter.parquet(
+      z.repartition(8), s"$dir/shuffled", rowGroupRows = 4096L)
+    def recordsRead(path: String): Long = {
+      val read = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.read.parquet(path).filter(col("px") < 64).count()
+        var last = -1L
+        var spins = 0
+        while (read.get() != last && spins < 50) {
+          last = read.get(); Thread.sleep(100); spins += 1
+        }
+        read.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val clustered = recordsRead(s"$dir/zorder")
+    val shuffled = recordsRead(s"$dir/shuffled")
+    // px < 64 is 1/16 of the px space; zkey order clusters it into a few
+    // row-group runs whose min/max stats exclude the rest, while every
+    // shuffled row group straddles the predicate and must be decoded
+    assert(shuffled > (n * 9) / 10,
+      s"control should decode ~everything, read=$shuffled")
+    assert(clustered < shuffled / 4,
+      s"zorder layout failed to prune: clustered=$clustered shuffled=$shuffled")
+  }
+
   test("bloomSemiJoin equals exact semi join, bloom filter is pre-join") {
     val big = spark.range(0, 10000).select(col("id").as("k"),
       (col("id") % 7).as("v"))

@@ -182,6 +182,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(merged.filter(col("extra").isNull).count() === base.count())
   }
 
+  test("orc scan pushes filters and prunes columns (same S1 guarantees as parquet)") {
+    val dir = Files.createTempDirectory("graft_orc_push").toString
+    graft.export.Exporter.orc(
+      Tables(spark, "/root/testdata/sf0.001", "orders"), dir)
+    val q = LakeReader.orcGlob(spark, dir)
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(o_totalprice,100000.0)"),
+      s"filter not pushed to the ORC scan:\n$plan")
+    // pruned read schema: exactly the two projected columns reach the scan
+    assert(plan.contains("o_orderkey") && !plan.contains("o_custkey"),
+      s"column pruning failed on the ORC scan:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("csv scan with delimiter + inference") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
