@@ -126,6 +126,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[TopKByScore].getName, "topk_by_score"),
         TopKByScore.fromExprs))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == 1, "nfc_normalize expects exactly 1 argument")
+          NfcNormalizeExpr(exprs.head)
+        }))
     // the as-of join's planner strategy, so extension-configured sessions
     // need no AsOf.ensureStrategy call
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -51,4 +51,16 @@ object NfcNormalizeExpr {
 
   def columnFor(c: Column): Column =
     ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(c)))
+
+  /** Register `nfc_normalize(s)` on the session's SQL-text surface
+    * (temp-view models, `spark.sql`); cluster deployments get it from
+    * [[GraftExtensions]] instead. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      { exprs =>
+        require(exprs.length == 1, "nfc_normalize expects exactly 1 argument")
+        NfcNormalizeExpr(exprs.head)
+      },
+      "built-in")
 }

@@ -294,6 +294,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows === Map(0L -> 99L, 1L -> 97L, 2L -> 98L))
   }
 
+  test("nfc_normalize is callable from the SQL-text surface") {
+    org.apache.spark.sql.graft.NfcNormalizeExpr.register(spark)
+    // 'Cafe' + combining acute (raw codepoint in the literal — Spark's
+    // chr() truncates above 255, so it can't build one) normalizes to
+    // the composed form
+    val got = spark.sql("SELECT nfc_normalize('Café') AS s")
+      .as[String].head()
+    assert(got === "Café")
+    assert(got.length === 4)
+  }
+
   test("edge paths: empty inputs and bad arguments fail fast, not mysteriously") {
     // compact: missing dir → skipped, no crash
     assert(graft.export.Exporter.compact(spark, "/tmp/graft_no_such_dir_x") === -1L)
