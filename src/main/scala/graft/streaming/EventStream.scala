@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.StructType
   * semaphore-file resume (I3), with the checkpoint as the semaphore.
   */
 final case class UserEvent(user_id: Long, event_id: Long, ts_ms: Long)
+final case class TimedUserEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp)
 final case class SessionState(startMs: Long, lastMs: Long, n: Long)
 final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
     n_events: Long)
@@ -141,6 +143,63 @@ object EventStream {
       cur.foreach(session.update)
       closed.iterator
     }
+  }
+
+  /** [[sessionizeTws]] with EVENT-TIME TIMERS: the open session flushes
+    * when the WATERMARK passes its close time — no sentinel events, no
+    * processing-time timeout. This is the live-stream end state the
+    * sentinel machinery in the q95 gate emulates: each key keeps one
+    * armed timer at `last event + gap + 1`; a newer event re-arms it,
+    * and when the global watermark passes it `handleExpiredTimer`
+    * fires, emits the session, and clears the key's state.
+    * Input frame must carry (`user_id`, `event_id`,
+    * `ts` TIMESTAMP); the watermark on `ts` is what drives the timers
+    * (timers and watermark are both epoch-millis — ms in, ms out). */
+  def sessionizeTwsTimers(events: DataFrame, gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as[TimedUserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  private class SessionizeTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedUserEvent, UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var session: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[TimedUserEvent],
+        timers: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq
+        .map(e => UserEvent(uid, e.event_id, e.ts.getTime))
+        .sortBy(e => (e.ts_ms, e.event_id))
+      val init = if (session.exists()) Some(session.get()) else None
+      val (closed, cur) = foldSessions(uid, sorted, init, gapMs)
+      cur.foreach { s =>
+        session.update(s)
+        // ONE live timer per key: drop stale arms, re-arm at close time.
+        // +1 so an event arriving AT exactly lastMs+gap (which would
+        // extend the session) beats the flush.
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[java.lang.Long]))
+        getHandle.registerTimer(s.lastMs + gapMs + 1)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserSession] =
+      if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        Iterator.single(UserSession(uid, s.startMs, s.lastMs, s.n))
+      } else Iterator.empty
   }
 
   /** Stream-stream temporal join (the streaming analog of the batch

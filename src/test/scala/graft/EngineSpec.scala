@@ -239,6 +239,62 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time-timer sessionization: watermark flushes open sessions, == batch gaps-and-islands") {
+    import org.apache.spark.sql.functions.{col, collect_list => _, _}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 1800L * 1000L
+      val slice = Tables(spark, "/root/testdata/sf0.001", "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .localCheckpoint(true)
+      val Array(minMs, maxMs) = slice
+        .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut1 = minMs + (maxMs - minMs) / 3
+      val cut2 = minMs + 2 * (maxMs - minMs) / 3
+      // ONE global watermark-advancing sentinel (user -1) replaces the
+      // per-user sentinel fleet the NoTimeout gates need: the watermark
+      // passing every real session's close time is what fires the timers
+      val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+        lit(999999999L).as("event_id"),
+        timestamp_millis(lit(maxMs + 10 * gapMs)).as("ts"))
+      val in = Files.createTempDirectory("graft_twst_in").toString
+      val out = Files.createTempDirectory("graft_twst_out").toString
+      val ck = Files.createTempDirectory("graft_twst_ck").toString
+      val ms = unix_millis(col("ts"))
+      val batches = Seq(
+        slice.filter(ms < cut1), slice.filter(ms >= cut1 && ms < cut2),
+        slice.filter(ms >= cut2), sentinel)
+      batches.foreach { b =>
+        b.coalesce(1).write.mode("append").parquet(in)
+        val st = spark.readStream
+          .schema("user_id LONG, event_id LONG, ts TIMESTAMP").parquet(in)
+        EventStream.runAvailableNow(
+          EventStream.sessionizeTwsTimers(st, gapMs).toDF(), out, ck)
+      }
+      val got = spark.read.parquet(out).filter(col("user_id") >= 0)
+        .select("user_id", "start_ms", "end_ms", "n_events")
+      // expected: the one-shot batch gaps-and-islands clustering (q53's
+      // oracle-verified operator) over the same slice
+      val want = graft.operators.Sessionize
+        .batch(slice, "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(unix_millis(min(col("ts"))).as("start_ms"),
+          unix_millis(max(col("ts"))).as("end_ms"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "start_ms", "end_ms", "n_events")
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "timer-flushed end state diverged from the batch clustering")
+    } finally {
+      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
   test("stream-stream temporal join equals the batch interval join") {
     val base = Tables(spark, "/root/testdata/sf0.001", "events")
     val inC = Files.createTempDirectory("graft_ssj_c").toString
