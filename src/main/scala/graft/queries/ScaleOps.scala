@@ -261,6 +261,66 @@ object ScaleOps {
       }
     }),
 
+    // EVENT-TIME-TIMER sessionization END-STATE, oracle-gated — q95's
+    // claim on the SUCCESSOR stateful API (transformWithState +
+    // event-time timers): open sessions are flushed by the WATERMARK
+    // passing their close time, so the per-user sentinel fleet q95
+    // needs collapses to ONE global watermark-advancing row. Everything
+    // runs in epoch MILLIS (timers are ms; events' µs components are
+    // floored on BOTH sides — the oracle sessions over epoch_ms(ts)).
+    // RocksDB state store is the API's contract; the session conf is
+    // bracketed (mid-gate flips are safe: a checkpoint pins its
+    // provider in its own metadata). Bounded slice, q95 contract:
+    // eager, no state left behind, fixed cost at any SF.
+    "q104_stream_timer_sessionize_endstate" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val gapMs = 1800L * 1000L
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val ev = Tables(s, dir, "events")
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            unix_millis(col("ts")).as("ts_ms"))
+          .localCheckpoint(eager = true)
+        val bounds = ev.agg(min("ts_ms"), max("ts_ms")).head()
+        if (bounds.isNullAt(0)) {
+          ev.select(col("user_id"), col("ts_ms").as("started_ms"),
+            col("ts_ms").as("ended_ms"), lit(0L).as("n_events")).limit(0)
+        } else {
+          val (minMs, maxMs) = (bounds.getLong(0), bounds.getLong(1))
+          val (cut1, cut2) = terciles(minMs, maxMs)
+          val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+            lit(999999999L).as("event_id"),
+            timestamp_millis(lit(maxMs + 10 * gapMs)).as("ts"))
+          withGateDir("twstgate") { base =>
+            val keep = Seq("user_id", "event_id", "ts")
+            val batches = Seq(
+              ev.filter(col("ts_ms") < cut1),
+              ev.filter(col("ts_ms") >= cut1 && col("ts_ms") < cut2),
+              ev.filter(col("ts_ms") >= cut2))
+              .map(_.select(keep.map(col): _*)) :+ sentinel
+            batches.foreach { b =>
+              b.coalesce(1).write.mode("append").parquet(s"$base/in")
+              val st = s.readStream
+                .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
+                .parquet(s"$base/in")
+              EventStream.runAvailableNow(
+                EventStream.sessionizeTwsTimers(st, gapMs).toDF(),
+                s"$base/out", s"$base/ck")
+              ()
+            }
+            s.read.parquet(s"$base/out").filter(col("user_id") >= 0)
+              .select(col("user_id"), col("start_ms").as("started_ms"),
+                col("end_ms").as("ended_ms"), col("n_events"))
+              .localCheckpoint(eager = true)
+          }
+        }
+      } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    }),
+
     // STREAMING watermarked exact-dedup END-STATE, oracle-gated — the
     // fourth stateful streaming operator under the driver's hash gate
     // (EventStream.dedupWithinWatermark: dropDuplicatesWithinWatermark
@@ -555,6 +615,27 @@ object ScaleOps {
           AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
          WHERE l.event_type IN ('click', 'purchase')
            AND r.event_type IN ('view', 'signup')""",
+    // q95's gaps-and-islands oracle in epoch MILLIS (the timer path's
+    // unit — µs floored identically by epoch_ms and Timestamp.getTime)
+    "q104_stream_timer_sessionize_endstate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms
+                    FROM events WHERE user_id < 30),
+         ord AS (
+           SELECT user_id, event_id, tms,
+                  CASE WHEN lag(tms) OVER w IS NULL
+                         OR tms - lag(tms) OVER w > 1800 * 1000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         sess AS (
+           SELECT user_id, tms,
+                  sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING)
+                    AS session_seq
+           FROM ord)
+         SELECT user_id, min(tms) AS started_ms, max(tms) AS ended_ms,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id, session_seq""",
     // the one-shot batch DISTINCT the streaming watermarked dedup must
     // converge to (no eviction within the gate: delay > slice span)
     "q100_stream_dedup_endstate" ->

@@ -397,6 +397,43 @@ object SimilarityOps {
           (col("pos") + 1).cast("long").as("rnk"))
     }),
 
+    // INT8-quantized brute-force ANN — q35's kernel on q54's SQ8 vectors
+    // (FAISS's SQ8 storage tier: 4× less memory bandwidth per scored
+    // pair, the knob that matters when brute-force rescoring is
+    // memory-bound at corpus scale). Per-vector symmetric quantization
+    // (scale = max|x|/127) then the SAME proven-parity cosine kernel
+    // pair as q35 (CosineSimilarityExpr vs list_cosine_similarity) over
+    // the integral-valued arrays — products and sums are exact in
+    // double (≤127²·dims ≪ 2⁵³), so quantized cosines are
+    // order-independent by construction, stronger than q35's float
+    // parity. Output ranks the quantized scores; comparing them to
+    // q35's fp ranks IS the recall-vs-compression measurement.
+    "q105_ann_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def quantD(c: Column): Column = {
+        val xs = transform(c, x => x.cast("double"))
+        val scale = greatest(
+          array_max(transform(xs, x => abs(x))) / lit(127.0), lit(1e-12))
+        transform(xs, x =>
+          least(greatest(round(x / scale), lit(-127.0)), lit(127.0)))
+      }
+      val q = e.select(col("vec_id").as("qid"),
+          quantD(col("embedding")).as("qe"))
+        .filter(col("qid") < 10)
+      val c = e.select(col("vec_id").as("cid"),
+        quantD(col("embedding")).as("ce"))
+      c.join(broadcast(q), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          cosineSim(col("qe"), col("ce")).as("cosq"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cosq"), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(col("col.score"), 4).as("cosine_q"),
+          (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
     // Embedding near-duplicate pairs above a cosine threshold — UNBOUNDED.
     // Candidate generation is multi-band hyperplane LSH (16 planes = 4
     // bands × 4 planes; a pair is a candidate iff it agrees on all 4 bits
@@ -820,6 +857,26 @@ object SimilarityOps {
            SELECT qid, cid, cos,
                   row_number() OVER (PARTITION BY qid
                                      ORDER BY cos DESC, cid) AS rnk
+           FROM s) WHERE rnk <= 5""",
+    // q54's quantization CTEs + q35's list_cosine_similarity over the
+    // integral arrays — exact-in-double, so ranks can't drift
+    "q105_ann_int8" ->
+      """WITH sc AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,
+                  greatest(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+           FROM embeddings),
+         qq AS (SELECT vec_id, list_transform(xs,
+                  x -> least(greatest(round(x / scale), -127.0), 127.0)) AS qv
+                FROM sc),
+         q AS (SELECT vec_id AS qid, qv AS qe FROM qq WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, qv AS ce FROM qq),
+         s AS (SELECT qid, cid, list_cosine_similarity(qe, ce) AS cosq
+               FROM q JOIN c ON cid != qid)
+         SELECT qid, cid, round(cosq, 4) AS cosine_q, rnk FROM (
+           SELECT qid, cid, cosq,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosq DESC, cid) AS rnk
            FROM s) WHERE rnk <= 5""",
     "q36_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

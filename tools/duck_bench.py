@@ -27,7 +27,8 @@ for name, q in sorted(sql.items()):
                 "q90_image_ingest_endstate", "q91_audio_ingest_endstate",
                 "q92_video_ingest_endstate", "q95_stream_sessionize_endstate",
                 "q96_stream_window_endstate", "q98_stream_join_endstate",
-                "q100_stream_dedup_endstate"):
+                "q100_stream_dedup_endstate",
+                "q104_stream_timer_sessionize_endstate"):
         continue
     t0 = time.time()
     try:
