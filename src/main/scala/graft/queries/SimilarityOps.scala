@@ -434,6 +434,34 @@ object SimilarityOps {
           (col("pos") + 1).cast("long").as("rnk"))
     }),
 
+    // Chunk→document embedding MEAN-POOLING — the aggregation step of a
+    // RAG / long-document pipeline (chunk embeddings pooled into one
+    // doc vector before indexing). Scale shape: groups are
+    // chunk-bounded (a doc has tens of chunks), so the right plan is
+    // ONE hash shuffle on the group id + an in-row array fold — NOT a
+    // 64× posexplode to (group, dim) rows. Determinism: collect_list
+    // order is partition-order-dependent, so the fold is pinned by
+    // sorting the collected (vec_id, v) structs first; both engines
+    // then sum in ascending-vec_id order — identical doubles, so the
+    // 6dp rounding cannot straddle. The leading 0.0 in the fold's zero
+    // vector is an exact identity (adding 0.0 never changes a double).
+    "q106_embed_pool" -> ((s, dir) => {
+      val e = emb(s, dir).select(
+        (col("vec_id") / 8).cast("long").as("gid"),
+        struct(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")).as("c"))
+      e.groupBy("gid").agg(
+          count(lit(1)).as("n_chunks"),
+          array_sort(collect_list(col("c"))).as("cs"))
+        .select(col("gid"), col("n_chunks"),
+          transform(
+            aggregate(col("cs"),
+              transform(element_at(col("cs"), 1).getField("v"),
+                _ => lit(0.0)),
+              (acc, c) => zip_with(acc, c.getField("v"), (a, b) => a + b)),
+            x => round(x / col("n_chunks"), 6)).as("pooled"))
+    }),
+
     // Embedding near-duplicate pairs above a cosine threshold — UNBOUNDED.
     // Candidate generation is multi-band hyperplane LSH (16 planes = 4
     // bands × 4 planes; a pair is a candidate iff it agrees on all 4 bits
@@ -858,6 +886,21 @@ object SimilarityOps {
                   row_number() OVER (PARTITION BY qid
                                      ORDER BY cos DESC, cid) AS rnk
            FROM s) WHERE rnk <= 5""",
+    // list(v ORDER BY vec_id) pins the same summation order the Spark
+    // side gets from array_sort; list_sum folds left like the zip_with
+    // chain
+    "q106_embed_pool" ->
+      """WITH e AS (SELECT CAST(vec_id // 8 AS BIGINT) AS gid, vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         g AS (SELECT gid, count(*) AS n_chunks,
+                      list(v ORDER BY vec_id) AS cs
+               FROM e GROUP BY gid)
+         SELECT gid, n_chunks,
+                list_transform(range(1, len(cs[1]) + 1),
+                  d -> round(list_sum(list_transform(cs, c -> c[d]))
+                             / n_chunks, 6)) AS pooled
+         FROM g""",
     // q54's quantization CTEs + q35's list_cosine_similarity over the
     // integral arrays — exact-in-double, so ranks can't drift
     "q105_ann_int8" ->

@@ -140,10 +140,10 @@ class ScaleSpec extends AnyFunSuite {
     // export path — rowGroupRows is the same knob remote readers prune on)
     graft.export.Exporter.parquet(
       z.repartitionByRange(8, col("zkey")).sortWithinPartitions("zkey"),
-      s"$dir/zorder", rowGroupRows = 4096L)
+      s"$dir/zorder", rowGroupRows = 2048L)
     // control: same data, same file/row-group geometry, no clustering
     graft.export.Exporter.parquet(
-      z.repartition(8), s"$dir/shuffled", rowGroupRows = 4096L)
+      z.repartition(8), s"$dir/shuffled", rowGroupRows = 2048L)
     def recordsRead(path: String): Long = {
       val read = new java.util.concurrent.atomic.AtomicLong(0L)
       val listener = new org.apache.spark.scheduler.SparkListener {
