@@ -730,8 +730,53 @@ object TextOps {
         .groupBy("doc_id").agg(
           count(lit(1)).cast("long").as("n_tokens"),
           mean4of6(col("lp6")).as("mean_logprob"))
-    })
+    }),
+
+    // Positional winnowing fingerprints (Schleimer, Kleinberg & Aiken,
+    // SIGMOD'03 — the MOSS algorithm): hash every K-gram of tokens, slide
+    // a window of W consecutive hashes, and in each window select the
+    // MINIMUM hash (rightmost position on ties). The distinct selected
+    // (position, hash) set is the document's fingerprint, with the paper's
+    // guarantee: any shared token run of length >= W+K-1 between two
+    // documents shares at least one fingerprint — the substring-level
+    // contamination/overlap detector that complements q26's whole-doc
+    // min-shingle. Spark shape: one hash-partition by doc_id + one sort by
+    // position feeds BOTH window passes (lead() for the K-gram, frame-min
+    // for the window — same spec, the sort is computed once); the rightmost
+    // tie-break rides INSIDE the min as a lexicographic key (md5 is
+    // fixed-width 32 hex chars, so appending the zero-padded reversed
+    // position makes string-min == (min hash, max pos)) — no second
+    // ranking pass. The final distinct's exchange is pre-shrunk by partial
+    // aggregation. At 100 TB: per-doc work only — the one exchange is the
+    // doc_id partition, which any per-document operator pays.
+    "q107_winnowing" -> ((s, dir) => winnow(docs(s, dir)))
   )
+
+  /** Winnowing fingerprint selection over a (doc_id, text) frame — the
+    * q107 body, factored so specs can feed synthetic corpora. K/W fixed so
+    * the oracle SQL stays a literal mirror. */
+  private[graft] def winnow(docsDf: DataFrame, K: Int = 3, W: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") >= K + W - 1)
+      .select(col("doc_id"), col("n"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .withColumn("g", concat_ws(" ",
+        (0 until K).map(i => if (i == 0) col("tok") else lead("tok", i).over(byDoc)): _*))
+      .where(col("pos") <= col("n") - K)
+      .withColumn("key", concat(md5(col("g")),
+        lpad((lit(1000000000) - col("pos")).cast("string"), 10, "0")))
+    grams
+      .withColumn("wmin", min("key").over(byDoc.rowsBetween(0, W - 1)))
+      .where(col("pos") <= col("n") - K - W + 1) // complete windows only
+      .select(col("doc_id"),
+        (lit(1000000000) - substring(col("wmin"), 33, 10).cast("int"))
+          .as("fp_pos"),
+        substring(col("wmin"), 1, 32).as("fingerprint"))
+      .distinct()
+  }
 
   private def markersSql(words: Seq[String]): String = {
     val preds = words.map(w => s"t = '$w'").mkString(" OR ")
@@ -1090,6 +1135,29 @@ object TextOps {
                 coalesce(CAST(list_sum(list_transform(p, t ->
                   CAST(floor((length(ltrim(t)) + 3) / 4.0) AS BIGINT)))
                   AS BIGINT), 0) AS est_bpe_tokens
-         FROM pre"""
+         FROM pre""",
+    // same K=3/W=4 geometry; DuckDB lists are 1-indexed so t[pos+1..] is
+    // the 0-based token at pos; range(0, n-2) is 0..n-3 = the valid gram
+    // starts; the frame-min + reversed-position tie key mirror literally
+    "q107_winnowing" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t,
+                              len(string_split(text,' ')) AS n
+                       FROM documents),
+         base AS (SELECT doc_id, t, n FROM toks WHERE n >= 6),
+         g AS (SELECT doc_id, n, t, unnest(range(0, n - 2)) AS pos FROM base),
+         keyed AS (SELECT doc_id, n, pos,
+                          md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3])
+                            || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0')
+                            AS key
+                   FROM g),
+         wm AS (SELECT doc_id, n, pos,
+                       min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW
+                                      AND 3 FOLLOWING) AS wmin
+                FROM keyed)
+         SELECT DISTINCT doc_id,
+                1000000000 - CAST(substr(wmin, 33, 10) AS INT) AS fp_pos,
+                substr(wmin, 1, 32) AS fingerprint
+         FROM wm WHERE pos <= n - 6"""
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.TextOps
+
+/** Properties of q107's winnowing selection (Schleimer, Kleinberg & Aiken,
+  * SIGMOD'03) that the DuckDB oracle replay can't express: the detection
+  * guarantee, the rightmost tie-break, and agreement with an independent
+  * in-memory reimplementation.
+  */
+class WinnowingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val K = 3
+  private val W = 4
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, Set[(Int, String)]] = {
+    import spark.implicits._
+    TextOps.winnow(docs.toDF("doc_id", "text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getInt(1), r.getString(2))).toSet
+      }
+  }
+
+  /** Independent reference: hash every K-gram, slide a W-window, select the
+    * min hash (rightmost on ties), dedupe selections. Written directly from
+    * the paper's definition — no shared code with the Spark operator. */
+  private def reference(text: String): Set[(Int, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text.split(" ", -1)
+    if (toks.length < K + W - 1) return Set.empty
+    val hashes = (0 to toks.length - K)
+      .map(i => i -> md5hex(toks.slice(i, i + K).mkString(" ")))
+    hashes.sliding(W).filter(_.length == W).map { win =>
+      // min hash; rightmost position among ties
+      val minH = win.map(_._2).min
+      win.filter(_._2 == minH).map(_._1).max -> minH
+    }.toSet
+  }
+
+  test("matches the independent reference implementation on varied docs") {
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "x x x x x x x x", // maximal ties: every gram identical
+      3L -> "one two three four five six",
+      4L -> "p q r p q r p q r p q r", // period-3 repetition
+      5L -> "lone short doc here now ok maybe",
+      6L -> "a b c d e" // below K+W-1: no fingerprints
+    )
+    val got = run(docs)
+    for ((id, text) <- docs) {
+      val want = reference(text)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+  }
+
+  test("guarantee: a shared token run of length >= W+K-1 shares a fingerprint") {
+    // the paper's theorem: any common substring of at least W+K-1 tokens
+    // yields at least one common (hash) selection in both documents
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = W+K-1 tokens
+    val docs = Seq(
+      10L -> s"unrelated prefix words here $shared trailing tail tokens",
+      11L -> s"$shared completely different suffix material follows now")
+    val got = run(docs)
+    val h10 = got(10L).map(_._2)
+    val h11 = got(11L).map(_._2)
+    assert((h10 intersect h11).nonEmpty,
+      "documents sharing a >=W+K-1 token run must share a fingerprint hash")
+  }
+
+  test("disjoint-vocabulary documents share no fingerprint hashes") {
+    val docs = Seq(
+      20L -> "aa bb cc dd ee ff gg hh ii",
+      21L -> "zz yy xx ww vv uu tt ss rr")
+    val got = run(docs)
+    assert((got(20L).map(_._2) intersect got(21L).map(_._2)).isEmpty)
+  }
+
+  test("rightmost tie-break: uniform doc selects the last position of each window") {
+    // every gram hashes identically, so each window's min is its rightmost
+    // gram; windows at starts 0..n-K-W+1 select starts W-1..n-K
+    val n = 9
+    val got = run(Seq(30L -> Seq.fill(n)("tok").mkString(" ")))
+    val wantPos = (W - 1 to n - K).toSet
+    assert(got(30L).map(_._1) === wantPos)
+  }
+}
