@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an `Array[Float]` embedding column — the standard
+  * pre-ANN transform (dimensionality reduction / decorrelation before
+  * IVF/PQ indexing, cf. Jégou et al.'s OPQ/PCA preprocessing).
+  *
+  * Shape: ONE aggregation pass computes the first and (upper-triangular)
+  * second moments — d + d(d+1)/2 sums — as exact DECIMAL(30,12) values.
+  * Decimal sums are associative, so the moment matrix is bit-identical
+  * under any partition count / merge order (the mean4of6 discipline from
+  * TextOps applied to linear algebra); everything derived from it — the
+  * covariance, the Jacobi eigenbasis, the projection — is then pure
+  * deterministic driver + per-row arithmetic. The aggregation shuffles ONE
+  * row (partial aggregation map-side); at 100 TB the pass is a narrow scan.
+  *
+  * The eigensolve runs on the driver over the d×d covariance (d=64 here:
+  * 4 KB of state — driver-bounded by construction, like the IVF/PQ
+  * codebooks). Cyclic Jacobi with a fixed sweep order is deterministic;
+  * eigenpairs are sorted by (eigenvalue desc, index asc) and sign-fixed so
+  * the basis is a pure function of the input moments.
+  */
+object Pca {
+
+  /** Fitted basis: mean, top-k row-major components (k × d), all d
+    * eigenvalues (descending), and the covariance trace. */
+  final case class Basis(mu: Array[Double], comps: Array[Array[Double]],
+      eigvals: Array[Double], trace: Double) {
+    def k: Int = comps.length
+    def d: Int = mu.length
+    /** Fraction of total variance captured by the top-k components. */
+    def captured: Double = if (trace <= 0) 0.0 else eigvals.take(k).sum / trace
+  }
+
+  /** One-pass exact-decimal moment aggregation + driver eigensolve.
+    * Runs `1` Spark job (the moment aggregation); everything else is
+    * driver-local on d×d state. */
+  def fit(df: DataFrame, vecCol: String, d: Int, k: Int): Basis = {
+    require(k >= 1 && k <= d, s"k=$k out of range for d=$d")
+    val x: Int => Column = i => col(vecCol).getItem(i).cast("double")
+    val dec = "decimal(30,12)"
+    val sums: Seq[Column] =
+      (0 until d).map(i => sum(x(i).cast(dec)).as(s"s$i")) ++
+        (for (i <- 0 until d; j <- i until d)
+          yield sum((x(i) * x(j)).cast(dec)).as(s"m${i}_$j")) :+
+        count(lit(1)).as("n")
+    val row = df.select(col(vecCol)).agg(sums.head, sums.tail: _*).head()
+    val n = row.getAs[Long]("n")
+    require(n > 1, s"Pca.fit: need at least 2 rows, got $n")
+    val nBd = new java.math.BigDecimal(n)
+    def bd(name: String): java.math.BigDecimal = row.getAs[java.math.BigDecimal](name)
+    // exact decimal / n at scale 12, HALF_UP — one fixed rule, then one
+    // correctly-rounded conversion to double
+    def over(v: java.math.BigDecimal): Double =
+      v.divide(nBd, 12, java.math.RoundingMode.HALF_UP).doubleValue()
+    val mu = Array.tabulate(d)(i => over(bd(s"s$i")))
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = over(bd(s"m${i}_$j")) - mu(i) * mu(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (vals, vecs) = jacobi(cov)
+    // order: eigenvalue desc, original index asc (deterministic ties)
+    val order = vals.indices.sortBy(i => (-vals(i), i))
+    val comps = order.take(k).map { ei =>
+      val v = Array.tabulate(d)(vecs(_)(ei))
+      // sign convention: the largest-|component| entry (first on ties) >= 0
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v.map(-_) else v
+    }.toArray
+    Basis(mu, comps, order.map(vals(_)).toArray, (0 until d).map(i => cov(i)(i)).sum)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Fixed sweep
+    * order (row-major upper triangle) and a fixed sweep budget with an
+    * off-diagonal early-exit — deterministic for a given input. Returns
+    * (eigenvalues, column-eigenvector matrix). */
+  private[graft] def jacobi(aIn: Array[Array[Double]],
+      maxSweeps: Int = 64, tol: Double = 1e-14): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = Array.tabulate(d, d)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    val scale = math.max(frobenius(a), java.lang.Double.MIN_NORMAL)
+    while (sweep < maxSweeps && off > tol * scale) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 0) {
+        // classic 2x2 symmetric Schur rotation (Golub & Van Loan §8.4)
+        val apq = a(p)(q)
+        val tau = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t = math.signum(tau) match {
+          case 0.0 => 1.0
+          case s => s / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+        }
+        val c = 1.0 / math.sqrt(1.0 + t * t)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  private def frobenius(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  /** Projection of `vecCol` onto component `j` as a codegen'd column: a
+    * literal-coefficient linear form over the centered vector (row-local
+    * arithmetic — deterministic regardless of partitioning). */
+  def project(basis: Basis, vecCol: String, j: Int): Column = {
+    val x: Int => Column = i => col(vecCol).getItem(i).cast("double")
+    (0 until basis.d).map { i =>
+      (x(i) - lit(basis.mu(i))) * lit(basis.comps(j)(i))
+    }.reduceLeft(_ + _)
+  }
+
+  /** Squared norm of the centered vector (left-chained sum, fixed order). */
+  def centeredSq(basis: Basis, vecCol: String): Column = {
+    val x: Int => Column = i => col(vecCol).getItem(i).cast("double")
+    (0 until basis.d).map { i =>
+      val c = x(i) - lit(basis.mu(i)); c * c
+    }.reduceLeft(_ + _)
+  }
+}

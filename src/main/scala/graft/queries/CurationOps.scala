@@ -274,6 +274,62 @@ object CurationOps {
         .select(col("doc_id"), col("cluster_id"), bucket.as("bucket"),
           when(bucket < 80, "train").when(bucket < 90, "val")
             .otherwise("test").as("split"))
+    }),
+
+    // Temperature-based domain mixture (α = 0.5, i.e. T = 2): resample so
+    // the domain distribution follows p^α — the multilingual-BERT /
+    // XLM-R-style rebalancing that upweights tail domains without
+    // upsampling (rates are normalized so the most-over-represented-
+    // under-the-target domain keeps rate 1, everything else subsamples).
+    // EXACT integer arithmetic end-to-end: α = ½ makes the weight a
+    // sqrt — correctly rounded in IEEE on both engines — which is
+    // snapped to integer micro-units; the argmax of the rational rate
+    // s6_s/n_s and the per-doc keep test h/10⁶ < rate are then pure
+    // integer-product comparisons in DECIMAL (no float ordering anywhere,
+    // the q88 determinism discipline). Two corpus passes: a count-only
+    // stats scan (domain column only, pruned) + the sampling scan joined
+    // to the broadcast 1-row-per-domain rate table — the q81 two-pass
+    // shape. The synthetic corpus has UNIFORM sources (every rate would
+    // be 1.0), so the gate derives a halving-skew domain binning
+    // (32/16/8/4/2/2 per 64 ids — q103's make-it-load-bearing injection
+    // precedent); real deployments pass their actual domain column.
+    "q109_temperature_mix" -> ((s, dir) => {
+      val dm = col("doc_id") % 64
+      val domainCol = when(dm < 32, "head").when(dm < 48, "mid1")
+        .when(dm < 56, "mid2").when(dm < 60, "mid3")
+        .when(dm < 62, "tail1").otherwise("tail2")
+      def docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), domainCol.as("source"))
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val tot = stats.agg(sum("n_s").as("n_tot"))
+      val s6t = stats.crossJoin(broadcast(tot))
+        .withColumn("s6", round(sqrt(col("n_s").cast("double") /
+          col("n_tot").cast("double")) * 1e6, 0).cast("long"))
+        .select(col("source"), col("n_s"), col("s6"))
+      def dec(c: Column, p: Int): Column = c.cast(s"decimal($p,0)")
+      val b = s6t.select(col("source").as("b_source"),
+        col("n_s").as("b_n"), col("s6").as("b_s6"))
+      // exact argmax of the rational s6/n (pre-normalization rate); ties
+      // break to the lexicographically smallest source
+      val m = s6t.join(b,
+          (dec(col("b_s6"), 7) * dec(col("n_s"), 18) >
+            dec(col("s6"), 7) * dec(col("b_n"), 18)) ||
+          ((dec(col("b_s6"), 7) * dec(col("n_s"), 18) ===
+            dec(col("s6"), 7) * dec(col("b_n"), 18)) &&
+            col("b_source") < col("source")), "left_anti")
+        .select(col("n_s").as("m_n"), col("s6").as("m_s6"))
+      val rates = s6t.crossJoin(broadcast(m))
+      val h = pmod(stableHash(col("doc_id").cast("string")), lit(1000000))
+      val keep = dec(h, 7) * (dec(col("n_s"), 18) * dec(col("m_s6"), 7)) <
+        dec(lit(1000000), 7) * (dec(col("s6"), 7) * dec(col("m_n"), 18))
+      docs
+        .join(broadcast(rates), Seq("source"))
+        .groupBy(col("source").as("domain")).agg(
+          count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          round(max(col("s6")).cast("double") * max(col("m_n")).cast("double") /
+            (max(col("n_s")).cast("double") * max(col("m_s6")).cast("double")), 6)
+            .as("rate6"))
     })
   )
 
@@ -394,6 +450,49 @@ object CurationOps {
          FROM events
          WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
                     AS BIGINT) % 10 = 0
-         GROUP BY event_type"""
+         GROUP BY event_type""",
+    // literal mirror of the exact-integer pipeline: sqrt is correctly
+    // rounded on both engines, everything after the micro-unit snap is
+    // integer arithmetic (HUGEINT here, DECIMAL on the Spark side)
+    "q109_temperature_mix" ->
+      """WITH docs AS (SELECT doc_id,
+                CASE WHEN doc_id % 64 < 32 THEN 'head'
+                     WHEN doc_id % 64 < 48 THEN 'mid1'
+                     WHEN doc_id % 64 < 56 THEN 'mid2'
+                     WHEN doc_id % 64 < 60 THEN 'mid3'
+                     WHEN doc_id % 64 < 62 THEN 'tail1'
+                     ELSE 'tail2' END AS source
+              FROM documents),
+         stats AS (SELECT source, count(*) AS n_s
+                        FROM docs GROUP BY source),
+         tot AS (SELECT sum(n_s) AS n_tot FROM stats),
+         s6t AS (SELECT source, n_s,
+                        CAST(round(sqrt(n_s / CAST(n_tot AS DOUBLE))
+                                   * 1000000, 0) AS BIGINT) AS s6
+                 FROM stats, tot),
+         m AS (SELECT n_s AS m_n, s6 AS m_s6 FROM s6t a
+               WHERE NOT EXISTS (SELECT 1 FROM s6t b
+                 WHERE CAST(b.s6 AS HUGEINT) * a.n_s
+                         > CAST(a.s6 AS HUGEINT) * b.n_s
+                    OR (CAST(b.s6 AS HUGEINT) * a.n_s
+                          = CAST(a.s6 AS HUGEINT) * b.n_s
+                        AND b.source < a.source))),
+         r AS (SELECT s6t.source, s6t.n_s, s6t.s6, m.m_n, m.m_s6
+               FROM s6t, m),
+         d AS (SELECT doc_id, source,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 1000000 AS h
+               FROM docs)
+         SELECT d.source AS domain, count(*) AS n_total,
+                CAST(sum(CASE WHEN CAST(d.h AS HUGEINT)
+                                     * (CAST(r.n_s AS HUGEINT) * r.m_s6)
+                                   < CAST(1000000 AS HUGEINT)
+                                     * (CAST(r.s6 AS HUGEINT) * r.m_n)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(CAST(max(r.s6) AS DOUBLE) * CAST(max(r.m_n) AS DOUBLE)
+                      / (CAST(max(r.n_s) AS DOUBLE)
+                         * CAST(max(r.m_s6) AS DOUBLE)), 6) AS rate6
+         FROM d JOIN r ON d.source = r.source
+         GROUP BY d.source"""
   )
 }

@@ -386,6 +386,41 @@ object Relational {
             col("n_parts") <= 0.05).as("parts_within_5pct"))
     }),
 
+    // Mergeable-sketch store (the q44 sketch taken to its incremental
+    // conclusion): per-day HLL sketches of distinct users — the artifact a
+    // deployment PERSISTS per ingest batch — then hll_union_agg over the
+    // stored sketches reproduces the corpus-wide estimate WITHOUT
+    // rescanning history. At 100 TB this is the difference between a
+    // distinct-count that scans one day and one that scans three years;
+    // register-max merging is order/partitioning-independent, so the
+    // sketch state is stable however the union tree is shaped. The gate
+    // emits the exact counts (oracle parity) plus 5%-band booleans for
+    // the merged estimate, the one-shot estimate, and their agreement
+    // (union may swap the HIP estimator for the composite one, so
+    // merged == direct is a band, not an equality). lgK=12 ≈ 1.6% rsd.
+    "q110_sketch_store" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("m_est"))
+      val direct = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("d_est"))
+      val exact = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      exact.join(merged, "event_type").join(direct, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_users"),
+          (abs(col("m_est") - col("n_users")).cast("double") /
+            col("n_users") <= 0.05).as("merged_within_5pct"),
+          (abs(col("d_est") - col("n_users")).cast("double") /
+            col("n_users") <= 0.05).as("direct_within_5pct"),
+          (abs(col("m_est") - col("d_est")).cast("double") /
+            greatest(col("d_est"), lit(1L)) <= 0.05).as("merge_consistent"))
+    }),
+
     // S3: parquet_metadata() — per-file row counts from footers (the
     // cataloging operator, catalog.py:43-58). Basename projection keeps the
     // result location-independent.
@@ -577,6 +612,16 @@ object Relational {
                 count(DISTINCT l_partkey) AS n_parts,
                 TRUE AS orders_within_5pct,
                 TRUE AS parts_within_5pct
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    // q44's invariant-check pattern: exact counts carry the parity, the
+    // sketch-path booleans are asserted true (estimates are engine-local)
+    "q110_sketch_store" ->
+      """SELECT event_type,
+                count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                count(DISTINCT user_id) AS n_users,
+                TRUE AS merged_within_5pct,
+                TRUE AS direct_within_5pct,
+                TRUE AS merge_consistent
+         FROM events GROUP BY event_type"""
   )
 }

@@ -50,6 +50,7 @@ object SimilarityOps {
     centroidCache.clear()
     baselineCache.clear()
     pqCache.clear()
+    pcaCache.clear()
   }
 
   // identity hash, not the session reference: the key must not keep the
@@ -705,8 +706,48 @@ object SimilarityOps {
         .select(col("vec_id"), col("cell"),
           round(col("cos"), 4).as("cos_centroid"),
           (col("vec_id") === col("keep_id")).as("keep"))
+    }),
+
+    // PCA projection of the embedding corpus (the standard pre-ANN
+    // decorrelation/reduction step — PCA before IVF/PQ, cf. OPQ). The
+    // basis is fitted by graft.operators.Pca: ONE aggregation pass over
+    // exact DECIMAL moments (bit-stable under any partitioning — the
+    // mean4of6 discipline applied to linear algebra) + a deterministic
+    // driver-side Jacobi eigensolve of the 64×64 covariance (4 KB of
+    // state, the IVF-codebook tier), cached per (session, dir) as the
+    // persisted artifact a deployment trains once. The per-row projection
+    // is a literal-coefficient linear form (codegen'd, zero shuffles).
+    // The gate emits invariants that hold by CONSTRUCTION with wide
+    // margins — Bessel's inequality per row (||P(x−μ)||² ≤ ||x−μ||²) and
+    // the sorted-spectrum share (top-k eigenvalues capture ≥ k/d of the
+    // trace) — so the oracle is the verification device (q44 precedent);
+    // the real numerics (orthonormality, spectrum ordering, planted-
+    // direction recovery, reference-eigensolve agreement) live in PcaSpec.
+    "q108_pca_project" -> ((s, dir) => {
+      val k = 16
+      val basis = pcaBasis(s, dir, k)
+      val projSq = (0 until k).map { j =>
+        val p = graft.operators.Pca.project(basis, "embedding", j); p * p
+      }.reduceLeft(_ + _)
+      val cSq = graft.operators.Pca.centeredSq(basis, "embedding")
+      emb(s, dir).select(
+        col("vec_id"), col("label"), lit(k).as("k"),
+        (projSq <= cSq * lit(1.0 + 1e-9) + lit(1e-9)).as("norm_ok"),
+        lit(basis.captured >= k.toDouble / Dim - 1e-12).as("capture_ok"))
     })
   )
+
+  /** Per-(session, dir, k) cache of the fitted PCA basis — see
+    * [[graft.operators.Pca.fit]]; the artifact-persistence shape of
+    * [[lloydCentroids]], with the same bounded-eviction rule. */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), graft.operators.Pca.Basis]()
+
+  private[graft] def pcaBasis(s: SparkSession, dir: String, k: Int): graft.operators.Pca.Basis = {
+    if (pcaCache.size > CacheMax) pcaCache.clear()
+    pcaCache.computeIfAbsent((sessionKey(s), dir, k),
+      _ => graft.operators.Pca.fit(emb(s, dir), "embedding", Dim, k))
+  }
 
   /** DuckDB CTE chain replicating the deterministic Lloyd refinement
     * ([[lloydCentroids]]): assignment = row_number over (distance, cell) —
@@ -964,6 +1005,14 @@ object SimilarityOps {
          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id""",
     "q39_ann_ivf" -> ivfAnnOracleSql(8, 3),
     "q97_ann_ivfpq" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
-    "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3)
+    "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3),
+    // verification-device oracle (q44 precedent): the Spark side emits
+    // by-construction invariants of a correct fit — Bessel per row and the
+    // ≥ k/d sorted-spectrum share — and this side pins the expected shape;
+    // the numeric PCA properties are PcaSpec's job (SQL has no eigensolve)
+    "q108_pca_project" ->
+      """SELECT vec_id, label, 16 AS k,
+                true AS norm_ok, true AS capture_ok
+         FROM embeddings"""
   )
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pca
+
+/** Numeric properties of the PCA operator behind q108 — the parts the
+  * verification-device oracle can't express: eigensolve correctness against
+  * an independent method, basis orthonormality, spectrum ordering, planted-
+  * direction recovery, and determinism of the fit across partitionings.
+  */
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  /** Independent eigen check: power iteration with deflation (no code
+    * shared with Pca.jacobi). */
+  private def powerTop(a: Array[Array[Double]], k: Int): Seq[(Double, Array[Double])] = {
+    val d = a.length
+    val work = a.map(_.clone())
+    (0 until k).map { _ =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      for (_ <- 0 until 500) {
+        val w = Array.tabulate(d)(i => (0 until d).map(j => work(i)(j) * v(j)).sum)
+        val n = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / n)
+      }
+      val lam = (0 until d).map(i => v(i) * (0 until d).map(j => work(i)(j) * v(j)).sum).sum
+      for (i <- 0 until d; j <- 0 until d) work(i)(j) -= lam * v(i) * v(j)
+      (lam, v)
+    }
+  }
+
+  test("jacobi agrees with power iteration on a random symmetric matrix") {
+    val d = 12
+    val r = rng(7)
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val v = r.nextGaussian(); m(i)(j) = v; m(j)(i) = v
+    }
+    // make it PSD-ish so the top spectrum is well separated from noise
+    val a = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(t => m(i)(t) * m(j)(t)).sum)
+    val (jVals, jVecs) = Pca.jacobi(a)
+    val order = jVals.indices.sortBy(i => -jVals(i))
+    val vals: Seq[Double] = order.map(jVals(_))
+    val vecs: Seq[Array[Double]] = order.map(ei => Array.tabulate(d)(jVecs(_)(ei)))
+    val ref = powerTop(a, 3)
+    for (((lamRef, vRef), idx) <- ref.zipWithIndex) {
+      assert(math.abs(vals(idx) - lamRef) / math.abs(lamRef) < 1e-8,
+        s"eigenvalue $idx: jacobi=${vals(idx)} power=$lamRef")
+      val cos = math.abs(vecs(idx).zip(vRef).map { case (x, y) => x * y }.sum)
+      assert(cos > 1 - 1e-6, s"eigenvector $idx misaligned: |cos|=$cos")
+    }
+  }
+
+  private def fitOn(rows: Seq[(Long, Array[Float])], d: Int, k: Int): Pca.Basis = {
+    import spark.implicits._
+    Pca.fit(rows.toDF("vec_id", "embedding"), "embedding", d, k)
+  }
+
+  test("basis is orthonormal and the spectrum is sorted descending") {
+    val d = 16; val k = 6
+    val r = rng(11)
+    val rows = (0L until 300L).map(i =>
+      i -> Array.fill(d)(r.nextGaussian().toFloat))
+    val b = fitOn(rows, d, k)
+    for (i <- 0 until k; j <- 0 until k) {
+      val dot = (0 until d).map(t => b.comps(i)(t) * b.comps(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"Q^T Q [$i][$j] = $dot")
+    }
+    assert(b.eigvals.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      s"spectrum not sorted: ${b.eigvals.toSeq}")
+    assert(b.captured >= k.toDouble / d, "sorted top-k must beat uniform share")
+  }
+
+  test("planted dominant direction is recovered by the first component") {
+    val d = 16
+    val r = rng(23)
+    val dir0 = Array.tabulate(d)(i => math.sin(i + 1.0))
+    val n0 = math.sqrt(dir0.map(x => x * x).sum)
+    val u = dir0.map(_ / n0)
+    val rows = (0L until 400L).map { i =>
+      val t = r.nextGaussian() * 5.0 // dominant variance along u
+      i -> Array.tabulate(d)(j => (t * u(j) + r.nextGaussian() * 0.1).toFloat)
+    }
+    val b = fitOn(rows, d, 2)
+    val cos = math.abs((0 until d).map(j => b.comps(0)(j) * u(j)).sum)
+    assert(cos > 0.99, s"planted direction not recovered: |cos|=$cos")
+    assert(b.eigvals(0) > 10 * b.eigvals(1), "planted variance must dominate")
+  }
+
+  test("fit is bit-identical across partition counts (decimal moments)") {
+    import spark.implicits._
+    val d = 8; val r = rng(31)
+    val rows = (0L until 257L).map(i => i -> Array.fill(d)(r.nextGaussian().toFloat))
+    val fits = Seq(1, 3, 17).map { parts =>
+      Pca.fit(rows.toDF("vec_id", "embedding").repartition(parts),
+        "embedding", d, 4)
+    }
+    for (f <- fits.tail) {
+      assert(f.mu.toSeq == fits.head.mu.toSeq)
+      assert(f.comps.map(_.toSeq).toSeq == fits.head.comps.map(_.toSeq).toSeq)
+      assert(f.eigvals.toSeq == fits.head.eigvals.toSeq)
+    }
+  }
+
+  test("q108 invariants hold on the real corpus and projection reduces energy") {
+    val dir = "/root/testdata/sf0.001"
+    val gate = SparkEntry.queries("q108_pca_project")(spark, dir)
+    val bad = gate.filter(!col("norm_ok") || !col("capture_ok")).count()
+    assert(bad === 0)
+    // reconstruction-error identity: ||x-mu||^2 - ||P(x-mu)||^2 >= 0 and the
+    // corpus-level captured energy matches the spectrum's account of it
+    val b = graft.queries.SimilarityOps.pcaBasis(spark, dir, 16)
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+    val projSq = (0 until 16).map { j =>
+      val p = Pca.project(b, "embedding", j); p * p
+    }.reduceLeft(_ + _)
+    val agg = e.select(
+      sum(projSq).as("cap"),
+      sum(Pca.centeredSq(b, "embedding")).as("tot")).head()
+    val fromRows = agg.getDouble(0) / agg.getDouble(1)
+    assert(math.abs(fromRows - b.captured) < 1e-6,
+      s"spectrum says ${b.captured}, rows say $fromRows")
+  }
+}
