@@ -330,6 +330,28 @@ object CurationOps {
           round(max(col("s6")).cast("double") * max(col("m_n")).cast("double") /
             (max(col("n_s")).cast("double") * max(col("m_s6")).cast("double")), 6)
             .as("rate6"))
+    }),
+
+    // Epoch-seeded deterministic shuffle + sharding — the dataloader's
+    // training-order operator: a reproducible pseudo-random permutation of
+    // the corpus per epoch (hash of epoch‖doc_id IS the permutation key),
+    // written as S independent shards each sorted by the key. Scale shape:
+    // a GLOBAL row_number would funnel the corpus through one task; the
+    // shard-partitioned window sorts each shard independently, so S scales
+    // with the cluster and each shard is one dataloader file. Same epoch →
+    // same order, next epoch → statistically independent order, no RNG
+    // state anywhere (the q48/q50 hash-sampling discipline).
+    "q111_epoch_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val epoch = 7; val nShards = 8
+      val h = stableHash(concat(lit(s"e$epoch:"), col("doc_id").cast("string")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
     })
   )
 
@@ -493,6 +515,15 @@ object CurationOps {
                       / (CAST(max(r.n_s) AS DOUBLE)
                          * CAST(max(r.m_s6) AS DOUBLE)), 6) AS rate6
          FROM d JOIN r ON d.source = r.source
-         GROUP BY d.source"""
+         GROUP BY d.source""",
+    "q111_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+                CAST('0x' || substr(md5('e7:' || CAST(doc_id AS VARCHAR)),
+                     1, 15) AS BIGINT) AS h
+              FROM documents)
+         SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+                row_number() OVER (PARTITION BY h % 8
+                                   ORDER BY h, doc_id) AS pos
+         FROM h"""
   )
 }

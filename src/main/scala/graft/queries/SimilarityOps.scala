@@ -734,6 +734,41 @@ object SimilarityOps {
         col("vec_id"), col("label"), lit(k).as("k"),
         (projSq <= cSq * lit(1.0 + 1e-9) + lit(1e-9)).as("norm_ok"),
         lit(basis.captured >= k.toDouble / Dim - 1e-12).as("capture_ok"))
+    }),
+
+    // Incremental PCA — the moment store (q108's artifact made
+    // incremental, the signature-store pattern applied to linear
+    // algebra): per-batch exact-DECIMAL sufficient statistics merge
+    // associatively, so refreshing the basis after an ingest batch needs
+    // ONE pass over the new batch plus a 35 KB driver merge — never a
+    // rescan of history — and the merged fit is BIT-IDENTICAL to a full
+    // recompute (decimal adds are exact; asserted here, not argued: the
+    // gate computes both and compares every mean/eigenvalue/component
+    // bitwise). Batches are vec_id mod 3 slices of one lake here; a
+    // deployment persists each batch's Moments beside its parquet. The
+    // builder runs 4 bounded moment aggregations (the lifecycle under
+    // test — q89 precedent); the emitted frame is one tiny group-by.
+    "q112_pca_incremental" -> ((s, dir) => {
+      import graft.operators.Pca
+      val k = 16
+      val e = emb(s, dir)
+      val batchMoments = (0 until 3).map { b =>
+        Pca.moments(e.filter(pmod(col("vec_id"), lit(3)) === b), "embedding", Dim)
+      }
+      val merged = batchMoments.reduce(Pca.merge)
+      val full = Pca.moments(e, "embedding", Dim)
+      val momEq = merged.n == full.n &&
+        merged.s.zip(full.s).forall { case (a, b) => a.compareTo(b) == 0 } &&
+        merged.m.zip(full.m).forall { case (a, b) => a.compareTo(b) == 0 }
+      val bm = Pca.basisFrom(merged, k)
+      val bf = Pca.basisFrom(full, k)
+      val basisEq = bm.mu.sameElements(bf.mu) &&
+        bm.eigvals.sameElements(bf.eigvals) &&
+        bm.comps.zip(bf.comps).forall { case (x, y) => x.sameElements(y) }
+      e.groupBy(pmod(col("vec_id"), lit(3)).cast("int").as("batch"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("moments_mergeable", lit(momEq))
+        .withColumn("basis_identical", lit(basisEq))
     })
   )
 
@@ -1013,6 +1048,12 @@ object SimilarityOps {
     "q108_pca_project" ->
       """SELECT vec_id, label, 16 AS k,
                 true AS norm_ok, true AS capture_ok
-         FROM embeddings"""
+         FROM embeddings""",
+    // exact counts carry parity; the bitwise merged-vs-full equality is
+    // computed (not assumed) on the Spark side and asserted true here
+    "q112_pca_incremental" ->
+      """SELECT CAST(vec_id % 3 AS INT) AS batch, count(*) AS n_rows,
+                true AS moments_mergeable, true AS basis_identical
+         FROM embeddings GROUP BY 1"""
   )
 }

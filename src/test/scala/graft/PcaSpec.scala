@@ -107,6 +107,24 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("moment merge is bit-identical to a full recompute (incremental fit)") {
+    import spark.implicits._
+    val d = 8; val r = rng(41)
+    val rows = (0L until 301L).map(i => i -> Array.fill(d)(r.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val full = Pca.moments(df, "embedding", d)
+    val parts = (0 until 3).map(b =>
+      Pca.moments(df.filter(pmod(col("vec_id"), lit(3)) === b), "embedding", d))
+    val merged = parts.reduce(Pca.merge)
+    assert(merged.n === full.n)
+    assert(merged.s.zip(full.s).forall { case (a, b) => a.compareTo(b) == 0 })
+    assert(merged.m.zip(full.m).forall { case (a, b) => a.compareTo(b) == 0 })
+    val bm = Pca.basisFrom(merged, 4); val bf = Pca.basisFrom(full, 4)
+    assert(bm.mu.toSeq === bf.mu.toSeq)
+    assert(bm.eigvals.toSeq === bf.eigvals.toSeq)
+    assert(bm.comps.map(_.toSeq).toSeq === bf.comps.map(_.toSeq).toSeq)
+  }
+
   test("q108 invariants hold on the real corpus and projection reduces energy") {
     val dir = "/root/testdata/sf0.001"
     val gate = SparkEntry.queries("q108_pca_project")(spark, dir)
