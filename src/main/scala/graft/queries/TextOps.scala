@@ -749,7 +749,30 @@ object TextOps {
     // ranking pass. The final distinct's exchange is pre-shrunk by partial
     // aggregation. At 100 TB: per-doc work only — the one exchange is the
     // doc_id partition, which any per-document operator pays.
-    "q107_winnowing" -> ((s, dir) => winnow(docs(s, dir)))
+    "q107_winnowing" -> ((s, dir) => winnow(docs(s, dir))),
+
+    // Vocabulary-truncation coverage (the OOV-rate report behind every
+    // tokenizer-size decision): take the top-N vocabulary by (freq desc,
+    // tok asc) — a unique total order, so the cut is deterministic — and
+    // measure per-source what fraction of token INSTANCES it covers.
+    // Scale shape: the vocab aggregate is one hash exchange of ~|vocab|
+    // rows; the top-N cut is a TakeOrdered (driver state bounded by N);
+    // the coverage pass joins the BROADCAST cut and aggregates per
+    // source — two narrow corpus passes, no sort of the token stream.
+    "q113_vocab_coverage" -> ((s, dir) => {
+      val N = 500
+      val toks = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("tok")).limit(N)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(top), Seq("tok"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+        .withColumn("cov6",
+          round(col("n_covered").cast("double") / col("n_tokens"), 6))
+    })
   )
 
   /** Winnowing fingerprint selection over a (doc_id, text) frame — the
@@ -1158,6 +1181,18 @@ object TextOps {
          SELECT DISTINCT doc_id,
                 1000000000 - CAST(substr(wmin, 33, 10) AS INT) AS fp_pos,
                 substr(wmin, 1, 32) AS fingerprint
-         FROM wm WHERE pos <= n - 6"""
+         FROM wm WHERE pos <= n - 6""",
+    "q113_vocab_coverage" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+         v AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok),
+         top AS (SELECT tok FROM v ORDER BY freq DESC, tok LIMIT 500),
+         c AS (SELECT source, count(*) AS n_tokens,
+                      CAST(sum(CASE WHEN tok IN (SELECT tok FROM top)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+               FROM tk GROUP BY source)
+         SELECT source, n_tokens, n_covered,
+                round(CAST(n_covered AS DOUBLE) / n_tokens, 6) AS cov6
+         FROM c"""
   )
 }

@@ -115,7 +115,9 @@ object ScaleStress {
     "q58_contamination", "q73_tfidf_topterms", "q74_dup_span_removal",
     "q79_semantic_dedup", "q81_unigram_lm",
     "q101_nb_quality_classifier", "q102_dup_span_canonical",
-    "q103_nfc_normalize")
+    "q103_nfc_normalize",
+    "q107_winnowing", "q108_pca_project", "q109_temperature_mix",
+    "q111_epoch_shuffle", "q112_pca_incremental", "q113_vocab_coverage")
 
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val shufRead = new AtomicLong(0L)

@@ -125,6 +125,43 @@ class PcaSpec extends AnyFunSuite {
     assert(bm.comps.map(_.toSeq).toSeq === bf.comps.map(_.toSeq).toSeq)
   }
 
+  test("PCA-space neighbor search: high recall on low-intrinsic-dim data") {
+    // PCA is the right ANN accelerator exactly when the corpus has low
+    // intrinsic dimension (measured on the near-isotropic synthetic
+    // corpus, PCA-16-of-64 recall@5 is only ~0.2 — which is why q108 is a
+    // projection operator, not a search shortcut, there). Planted: 400
+    // vectors on a 4-d subspace of 32-d + small noise; top-8 PCA space
+    // must preserve cosine top-5 neighbors almost exactly.
+    val d = 32; val sub = 4; val r = rng(53)
+    val basisPlant = Array.fill(sub)(Array.fill(d)(r.nextGaussian()))
+    val rows = (0L until 400L).map { i =>
+      val coef = Array.fill(sub)(r.nextGaussian() * 3.0)
+      i -> Array.tabulate(d) { j =>
+        ((0 until sub).map(s => coef(s) * basisPlant(s)(j)).sum +
+          r.nextGaussian() * 0.05).toFloat
+      }
+    }
+    val b = fitOn(rows, d, 8)
+    val x = rows.map(_._2.map(_.toDouble))
+    def cosTop5(vecs: Seq[Array[Double]]): Seq[Set[Int]] = {
+      val norms = vecs.map(v => math.sqrt(v.map(t => t * t).sum))
+      vecs.indices.map { i =>
+        vecs.indices.filter(_ != i)
+          .sortBy(j => (-vecs(i).zip(vecs(j)).map { case (p, q) => p * q }.sum
+            / (norms(i) * norms(j)), j))
+          .take(5).toSet
+      }
+    }
+    val proj = x.map { v =>
+      Array.tabulate(8)(j =>
+        (0 until d).map(t => (v(t) - b.mu(t)) * b.comps(j)(t)).sum)
+    }
+    val gt = cosTop5(x)
+    val pr = cosTop5(proj.map(_.toArray))
+    val recall = gt.indices.map(i => (gt(i) intersect pr(i)).size / 5.0).sum / gt.size
+    assert(recall > 0.9, s"planted-subspace recall@5 = $recall")
+  }
+
   test("q108 invariants hold on the real corpus and projection reduces energy") {
     val dir = "/root/testdata/sf0.001"
     val gate = SparkEntry.queries("q108_pca_project")(spark, dir)
