@@ -341,19 +341,52 @@ object CurationOps {
     // with the cluster and each shard is one dataloader file. Same epoch →
     // same order, next epoch → statistically independent order, no RNG
     // state anywhere (the q48/q50 hash-sampling discipline).
-    "q111_epoch_shuffle" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val epoch = 7; val nShards = 8
-      val h = stableHash(concat(lit(s"e$epoch:"), col("doc_id").cast("string")))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), h.as("h"))
-        .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
-        .withColumn("pos", row_number().over(
-          Window.partitionBy("shard").orderBy(col("h"), col("doc_id")))
-          .cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"))
+    "q111_epoch_shuffle" -> ((s, dir) => epochPerm(s, dir, 7, 8)),
+
+    // Deterministic in-batch negative sampling (the contrastive-training
+    // dataloader step: each anchor needs K negatives drawn uniformly but
+    // REPRODUCIBLY — resumable training must re-derive the same pairs): the
+    // epoch permutation IS the sampler. Negative j of an anchor at shuffled
+    // position p is the document at position ((p−1+j) mod n_shard)+1 in the
+    // SAME shard — positions are pseudo-random in doc order, so offsets
+    // 1..K are K independent uniform picks, with no RNG state anywhere (the
+    // q48/q111 hash discipline). Scale shape: per-shard sizes are an
+    // S-row broadcast; the negative lookup is an equi-join keyed
+    // (shard, pos) — each shard joins only against itself, K output rows
+    // per anchor, never a cross join; the window sort is per-shard (q111's
+    // scaling argument).
+    "q115_negative_samples" -> ((s, dir) => {
+      val (epoch, nShards, kNeg) = (7, 8, 4)
+      val perm = epochPerm(s, dir, epoch, nShards)
+      val sizes = perm.groupBy("shard").agg(count(lit(1)).as("n_shard"))
+      val neg = perm.select(col("shard"), col("pos").as("neg_pos"),
+        col("doc_id").as("neg_id"))
+      perm.join(broadcast(sizes), Seq("shard"))
+        .select(col("doc_id").as("anchor_id"), col("shard"), col("pos"),
+          col("n_shard"),
+          explode(array((1 to kNeg).map(lit): _*)).as("j"))
+        .withColumn("neg_pos", pmod(col("pos") - 1 + col("j"),
+          col("n_shard")) + 1)
+        .join(neg, Seq("shard", "neg_pos"))
+        .select(col("anchor_id"), col("j"), col("neg_id"), col("shard"))
     })
   )
+
+  /** q111's epoch-seeded permutation (doc_id, shard, pos): hash(epoch ‖
+    * doc_id) is the shuffle key, row_number within each shard — the
+    * dataloader ordering artifact q115's negative sampler indexes into. */
+  private def epochPerm(s: SparkSession, dir: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = stableHash(concat(lit(s"e$epoch:"), col("doc_id").cast("string")))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 
   private val splitBucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
@@ -524,6 +557,25 @@ object CurationOps {
          SELECT doc_id, CAST(h % 8 AS INT) AS shard,
                 row_number() OVER (PARTITION BY h % 8
                                    ORDER BY h, doc_id) AS pos
-         FROM h"""
+         FROM h""",
+    // q115: same permutation CTE; the negative lookup is pure integer
+    // arithmetic over it — (pos−1+j) is non-negative, so % ≡ pmod
+    "q115_negative_samples" ->
+      """WITH h AS (SELECT doc_id,
+                CAST('0x' || substr(md5('e7:' || CAST(doc_id AS VARCHAR)),
+                     1, 15) AS BIGINT) AS h
+              FROM documents),
+         p AS (SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+                      row_number() OVER (PARTITION BY h % 8
+                                         ORDER BY h, doc_id) AS pos
+               FROM h),
+         n AS (SELECT shard, count(*) AS n_shard FROM p GROUP BY shard),
+         e AS (SELECT a.doc_id AS anchor_id, a.shard, a.pos, n.n_shard,
+                      CAST(t.j AS INT) AS j
+               FROM p a JOIN n USING (shard) CROSS JOIN range(1, 5) t(j))
+         SELECT e.anchor_id, e.j, b.doc_id AS neg_id, e.shard
+         FROM e JOIN p b
+           ON b.shard = e.shard
+          AND b.pos = ((e.pos - 1 + e.j) % e.n_shard) + 1"""
   )
 }

@@ -670,30 +670,11 @@ object SimilarityOps {
     // centroid side is array<double>); selection compares the 6-decimal
     // rounding so libm ulp drift can't flip keepers across engines.
     "q79_semantic_dedup" -> ((s, dir) => {
-      val k = 8
-      val iters = 3
-      val cents = lloydCentroids(s, dir, k, iters)
-      import scala.jdk.CollectionConverters._
-      val centDf = s.createDataFrame(
-        cents.zipWithIndex.map { case (c, i) =>
-          org.apache.spark.sql.Row(i, c)
-        }.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("cent",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType), nullable = false))))
       // cos is rounded ONCE per use site — round(round(x, 6), 4) would park
       // values exactly on the round-4 half boundary, where Spark's decimal
       // HALF_UP and DuckDB's scaled-FP rounding disagree (measured: vec 75,
       // cos6 = 0.29205 → 0.2921 vs 0.292)
-      val scored = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          NearestCentroid.cell(col("embedding"), cents).as("cell"))
-        .join(broadcast(centDf), Seq("cell"))
-        .select(col("vec_id"), col("cell"),
-          cosineSim(col("embedding"), col("cent")).as("cos"))
+      val scored = centroidCosines(s, dir, 8, 3)
       // `+ 0.0` normalizes a negated zero: Spark's total double ordering has
       // -0.0 < 0.0 while the DuckDB oracle's ORDER BY treats them equal, so
       // a cell whose max rounded cosine straddles ±0.0 could otherwise pick
@@ -769,8 +750,68 @@ object SimilarityOps {
         .agg(count(lit(1)).as("n_rows"))
         .withColumn("moments_mergeable", lit(momEq))
         .withColumn("basis_identical", lit(basisEq))
+    }),
+
+    // Cluster-balanced subset selection (the topic-balancing curation
+    // step: cap any one semantic region's share of a training subset —
+    // cf. cluster-based selection in SemDeDup-adjacent pipelines). Rank
+    // vectors WITHIN each coarse cell by centrality (round(cos,6) desc,
+    // ties to the lower vec_id — q79's keeper discipline; `+ 0.0`
+    // normalizes a negated zero so Spark's total double order and the
+    // oracle's ORDER BY agree at ±0.0), then interleave cells
+    // round-robin — global pick order = (rank−1)·C + cell — and keep the
+    // first B. Per-cell ranking is the k-bounded TopKByScore heap: the
+    // shuffle carries ≤ ceil(B/C) entries per cell, NEVER a window sort
+    // of the cell population (the low-cardinality-partition scale-killer
+    // q79's keeper rule also avoids); the final cut is a TakeOrdered of
+    // ≤ C·ceil(B/C) rows — driver state bounded by the budget, at any
+    // corpus size. The interleave is load-bearing: 8·13 = 104 candidates
+    // > B = 100, so the last picks are decided by round-robin order, not
+    // by the per-cell cut alone.
+    "q114_balanced_select" -> ((s, dir) => {
+      val (k, iters) = (8, 3)
+      val budget = 100
+      val perCell = (budget + k - 1) / k // 13
+      centroidCosines(s, dir, k, iters)
+        .groupBy("cell")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(round(col("cos"), 6) + lit(0.0), col("vec_id"),
+            perCell).as("top"))
+        .select(col("cell"), posexplode(col("top")))
+        .select(col("col.payload").as("vec_id"), col("cell"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          ((col("pos").cast("long")) * k + col("cell")).as("pick_order"),
+          col("col.score").as("cos6"))
+        .orderBy("pick_order").limit(budget)
     })
   )
+
+  /** (vec_id, cell, cos) — every vector with its coarse cell and its
+    * full-double cosine to that cell's final centroid: the shared frame
+    * behind q79's keeper rule and q114's balanced selection. One narrow
+    * codegen'd assignment pass + a broadcast join against the k-row
+    * centroid table (driver state k × dim doubles at any corpus size). */
+  private def centroidCosines(s: SparkSession, dir: String, k: Int,
+      iters: Int): DataFrame = {
+    val cents = lloydCentroids(s, dir, k, iters)
+    import scala.jdk.CollectionConverters._
+    val centDf = s.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+    emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        NearestCentroid.cell(col("embedding"), cents).as("cell"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        cosineSim(col("embedding"), col("cent")).as("cos"))
+  }
 
   /** Per-(session, dir, k) cache of the fitted PCA basis — see
     * [[graft.operators.Pca.fit]]; the artifact-persistence shape of
@@ -1041,6 +1082,23 @@ object SimilarityOps {
     "q39_ann_ivf" -> ivfAnnOracleSql(8, 3),
     "q97_ann_ivfpq" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
     "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3),
+    // q114: same Lloyd chain; rank = row_number over (cos6 desc, vec_id)
+    // per cell ≡ the TopKByScore heap's (score desc, payload asc) order;
+    // the round-robin pick order and budget cut are pure integer
+    // arithmetic — identical by construction once the ranks agree
+    "q114_balanced_select" ->
+      s"""${ivfPrefixSql(8, 3)},
+         |sc AS (SELECT a.vec_id, a.cell,
+         |              round(list_cosine_similarity(a.v, c.cent), 6) + 0.0
+         |                AS cos6
+         |       FROM af a JOIN c3 c USING (cell)),
+         |rk AS (SELECT vec_id, cell, cos6,
+         |              row_number() OVER (PARTITION BY cell
+         |                                 ORDER BY cos6 DESC, vec_id) AS rnk
+         |       FROM sc)
+         |SELECT vec_id, cell, rnk, (rnk - 1) * 8 + cell AS pick_order, cos6
+         |FROM rk WHERE rnk <= 13
+         |ORDER BY pick_order LIMIT 100""".stripMargin,
     // verification-device oracle (q44 precedent): the Spark side emits
     // by-construction invariants of a correct fit — Bessel per row and the
     // ≥ k/d sorted-spectrum share — and this side pins the expected shape;

@@ -289,4 +289,29 @@ class AnnRecallSpec extends AnyFunSuite {
       f"followup drift ${followup.driftRatio}%.3f after retrain")
     SimilarityOps.clearCache() // don't leak the retrained quantizer to other specs
   }
+
+  test("q114 balanced selection: round-robin balance, rank-prefix per cell, budget respected") {
+    val sel = SparkEntry.queries("q114_balanced_select")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byCell = sel.groupBy(_._2)
+    // cell populations (to distinguish "ran out of members" from imbalance)
+    val pop = SparkEntry.queries("q79_semantic_dedup")(spark, dir).collect()
+      .groupBy(_.getInt(1)).map { case (c, rs) => c -> rs.length }
+    val expected = math.min(100, pop.values.map(math.min(_, 13)).sum)
+    assert(sel.length === expected)
+    assert(sel.map(_._1).distinct.length === expected, "a vector selected twice")
+    byCell.foreach { case (cell, rows) =>
+      val ranks = rows.map(_._3).sorted
+      assert(ranks === (1L to ranks.length).toArray.toSeq,
+        s"cell $cell selection is not a rank prefix: ${ranks.toSeq}")
+    }
+    // round-robin ⇒ any two cells that both still had members left differ
+    // by at most 1 in selected count
+    val counts = byCell.map { case (c, rs) => c -> rs.length }
+    for ((c1, n1) <- counts; (c2, n2) <- counts
+         if n1 < pop(c1) && n2 < pop(c2)) {
+      assert(math.abs(n1 - n2) <= 1,
+        s"cells $c1/$c2 selected $n1/$n2 with members to spare")
+    }
+  }
 }

@@ -226,4 +226,28 @@ class TrainingPrepSpec extends AnyFunSuite {
     val enc = BpeTrainer.encodeWord("sparkly", m1)
     assert(enc.mkString == "sparkly</w>")
   }
+
+  test("q115 negatives: K distinct per anchor, same shard, never the anchor, epoch-stable") {
+    val rows = SparkEntry.queries("q115_negative_samples")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val perm = SparkEntry.queries("q111_epoch_shuffle")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.keySet === perm.keySet, "every document is an anchor")
+    byAnchor.foreach { case (a, ns) =>
+      assert(ns.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4),
+        s"anchor $a offsets ${ns.map(_._2).toSeq}")
+      assert(ns.map(_._3).distinct.length === 4,
+        s"anchor $a drew a duplicate negative")
+      assert(!ns.map(_._3).contains(a), s"anchor $a drew itself")
+      ns.foreach { case (_, _, neg, shard) =>
+        assert(perm(neg) === shard, "negative outside the anchor's shard")
+      }
+    }
+    // reproducibility: the draw is a pure function of (epoch, corpus)
+    val again = SparkEntry.queries("q115_negative_samples")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(rows.sortBy(t => (t._1, t._2)).toSeq ===
+      again.sortBy(t => (t._1, t._2)).toSeq)
+  }
 }
