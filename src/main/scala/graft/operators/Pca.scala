@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * IVF/PQ indexing, cf. Jégou et al.'s OPQ/PCA preprocessing).
   *
   * Shape: ONE aggregation pass computes the first and (upper-triangular)
-  * second moments — d + d(d+1)/2 sums — as exact DECIMAL(30,12) values.
+  * second moments — d + d(d+1)/2 sums — as exact scale-12 decimals.
   * Decimal sums are associative, so the moment matrix is bit-identical
   * under any partition count / merge order (the mean4of6 discipline from
   * TextOps applied to linear algebra); everything derived from it — the
@@ -45,22 +45,20 @@ object Pca {
       m: Array[java.math.BigDecimal])
 
   /** One aggregation pass → exact sufficient statistics (the only Spark
-    * job in a fit; partial aggregation shuffles a single row). */
+    * job in a fit; partial aggregation shuffles a single row). The
+    * d + d(d+1)/2 decimal sums run inside ONE imperative aggregate
+    * ([[org.apache.spark.sql.graft.PcaMomentsAgg]]) — the declarative
+    * 2 145-column spelling planned in O(columns²) and fell out of
+    * codegen; the arithmetic (round each term once to scale 12, exact
+    * associative adds) is unchanged. */
   def moments(df: DataFrame, vecCol: String, d: Int): Moments = {
-    val x: Int => Column = i => col(vecCol).getItem(i).cast("double")
-    val dec = "decimal(30,12)"
-    val sums: Seq[Column] =
-      (0 until d).map(i => sum(x(i).cast(dec)).as(s"s$i")) ++
-        (for (i <- 0 until d; j <- i until d)
-          yield sum((x(i) * x(j)).cast(dec)).as(s"m${i}_$j")) :+
-        count(lit(1)).as("n")
-    val row = df.select(col(vecCol)).agg(sums.head, sums.tail: _*).head()
-    val zero = java.math.BigDecimal.ZERO
-    def bd(name: String): java.math.BigDecimal =
-      Option(row.getAs[java.math.BigDecimal](name)).getOrElse(zero)
-    Moments(row.getAs[Long]("n"),
-      Array.tabulate(d)(i => bd(s"s$i")),
-      (for (i <- 0 until d; j <- i until d) yield bd(s"m${i}_$j")).toArray)
+    val row = df.select(
+      org.apache.spark.sql.graft.PcaMomentsAgg
+        .columnFor(col(vecCol), d).as("mom")).head()
+    val mom = row.getStruct(0)
+    val n = mom.getLong(0)
+    val acc = mom.getSeq[String](1).map(new java.math.BigDecimal(_)).toArray
+    Moments(n, acc.take(d), acc.drop(d))
   }
 
   /** Exact merge of two moment states (batch ⊎ corpus ≡ full recompute). */

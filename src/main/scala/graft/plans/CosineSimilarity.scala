@@ -36,4 +36,9 @@ object NearestCentroid {
     * centroid, ties to the lowest index; one codegen'd loop. */
   def cell(v: Column, cents: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.graft.NearestCentroidExpr.columnFor(v, cents)
+
+  /** `minDist($"embedding", centroids)` — squared L2 to the nearest
+    * centroid (the FPS scoring pass); one codegen'd loop. */
+  def minDist(v: Column, cents: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.MinCentroidDistExpr.columnFor(v, cents)
 }

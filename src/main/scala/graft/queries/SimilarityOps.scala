@@ -51,6 +51,7 @@ object SimilarityOps {
     baselineCache.clear()
     pqCache.clear()
     pcaCache.clear()
+    fpsCache.clear()
   }
 
   // identity hash, not the session reference: the key must not keep the
@@ -783,8 +784,62 @@ object SimilarityOps {
           ((col("pos").cast("long")) * k + col("cell")).as("pick_order"),
           col("col.score").as("cos6"))
         .orderBy("pick_order").limit(budget)
+    }),
+
+    // Farthest-point-sampling coreset (greedy k-center, Gonzalez 1985 —
+    // the 2-approximation behind diversity-pruning and active-learning
+    // coresets, cf. Sener & Savarese ICLR 2018): grow the center set by
+    // repeatedly taking the vector FARTHEST from it (max over the corpus
+    // of min squared-L2 to the centers so far; ties to the lower vec_id).
+    // Each round is ONE narrow pass — the fused MinCentroidDistExpr
+    // codegen loop over the centers-so-far literal matrix — feeding a
+    // TakeOrdered(1): k bounded driver jobs of one row each (the BPE/CC
+    // driver-loop tier; centers are k × dim doubles of driver state,
+    // cached per session like the Lloyd quantizer). The emitted frame is
+    // the corpus coverage report: every vector's nearest center (ties to
+    // the EARLIER pick — NearestCentroidExpr's strict-< rule over centers
+    // in pick order) and its squared distance; max(d4) is the k-center
+    // covering radius. Distances accumulate in ascending element order on
+    // both engines (the q39 bitwise-portability precedent).
+    "q116_fps_coreset" -> ((s, dir) => {
+      val kC = 8
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val centers = fpsCenters(s, dir, kC)
+      val cents = centers.map(_._2)
+      val ids = centers.map(_._1)
+      val cell = NearestCentroid.cell(col("embedding"), cents)
+      e.select(col("vec_id"),
+        (cell + 1).as("center_ord"),
+        element_at(array(ids.map(lit): _*), cell + 1).as("center_id"),
+        round(NearestCentroid.minDist(col("embedding"), cents), 4).as("d4"))
     })
   )
+
+  /** Per-(session, dir, k) cache of the FPS center chain: (vec_id, vector)
+    * in pick order — the greedy loop runs once per session, like
+    * [[lloydCentroids]]. */
+  private val fpsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Seq[(Long, Seq[Double])]]()
+
+  private[graft] def fpsCenters(s: SparkSession, dir: String,
+      k: Int): Seq[(Long, Seq[Double])] = {
+    if (fpsCache.size > CacheMax) fpsCache.clear()
+    fpsCache.computeIfAbsent((sessionKey(s), dir, k), { _ =>
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val first = e.orderBy("vec_id").limit(1).collect()(0)
+      var centers = Vector(
+        (first.getLong(0), first.getSeq[Float](1).map(_.toDouble): Seq[Double]))
+      for (_ <- 2 to k) {
+        val next = e.select(col("vec_id"), col("embedding"),
+          NearestCentroid.minDist(col("embedding"),
+            centers.map(_._2)).as("dm"))
+          .orderBy(desc("dm"), asc("vec_id")).limit(1).collect()(0)
+        centers = centers :+
+          ((next.getLong(0), next.getSeq[Float](1).map(_.toDouble): Seq[Double]))
+      }
+      centers
+    })
+  }
 
   /** (vec_id, cell, cos) — every vector with its coarse cell and its
     * full-double cosine to that cell's final centroid: the shared frame
@@ -991,7 +1046,35 @@ object SimilarityOps {
        |       sc.vec_id = kp.keep_id AS keep
        |FROM sc JOIN kp USING (cell)""".stripMargin
 
+  /** DuckDB mirror of the FPS chain: k−1 unrolled (score → argmax →
+    * accumulate) steps, then the coverage assignment — row_number over
+    * (d, ord) rank 1 ≡ NearestCentroidExpr's strict-< earliest-pick rule. */
+  private def fpsOracleSql(k: Int): String = {
+    def dSql(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) FOR i IN range(1, ${Dim + 1})])"
+    val steps = (2 to k).map { i =>
+      s"""d${i - 1} AS (SELECT e.vec_id, e.v, min(${dSql("e.v", "c.v")}) AS dm
+         |  FROM e, c${i - 1} c GROUP BY e.vec_id, e.v),
+         |p$i AS (SELECT vec_id, v FROM d${i - 1}
+         |        ORDER BY dm DESC, vec_id LIMIT 1),
+         |c$i AS (SELECT * FROM c${i - 1}
+         |        UNION ALL SELECT vec_id, v, $i FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c1 AS (SELECT vec_id, v, 1 AS ord FROM e ORDER BY vec_id LIMIT 1),
+       |$steps,
+       |a AS (SELECT e.vec_id, c.ord, c.vec_id AS cid,
+       |             ${dSql("e.v", "c.v")} AS d,
+       |             row_number() OVER (PARTITION BY e.vec_id
+       |               ORDER BY ${dSql("e.v", "c.v")}, c.ord) AS rn
+       |      FROM e, c$k c)
+       |SELECT vec_id, CAST(ord AS INT) AS center_ord, cid AS center_id,
+       |       round(d, 4) AS d4
+       |FROM a WHERE rn = 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q116_fps_coreset" -> fpsOracleSql(8),
     "q35_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

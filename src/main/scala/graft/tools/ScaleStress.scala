@@ -117,7 +117,8 @@ object ScaleStress {
     "q101_nb_quality_classifier", "q102_dup_span_canonical",
     "q103_nfc_normalize",
     "q107_winnowing", "q108_pca_project", "q109_temperature_mix",
-    "q111_epoch_shuffle", "q112_pca_incremental", "q113_vocab_coverage")
+    "q111_epoch_shuffle", "q112_pca_incremental", "q113_vocab_coverage",
+    "q114_balanced_select", "q115_negative_samples")
 
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val shufRead = new AtomicLong(0L)

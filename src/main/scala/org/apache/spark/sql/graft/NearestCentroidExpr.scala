@@ -87,3 +87,77 @@ object NearestCentroidExpr {
     ExpressionUtils.column(
       NearestCentroidExpr(ExpressionUtils.expression(v), cents))
 }
+
+/** Sibling of [[NearestCentroidExpr]] returning the squared-L2 DISTANCE to
+  * the nearest centroid instead of its index — the per-round scoring pass
+  * of farthest-point sampling (q116): one fused codegen loop, same
+  * ascending-j accumulation order as the oracle's list_sum comprehension,
+  * so the doubles are bitwise portable (the q39 precedent). */
+case class MinCentroidDistExpr(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty, "at least one centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "min_centroid_dist"
+
+  private lazy val flat: Array[Double] = cents.flatten.toArray
+  private lazy val dim: Int = cents.head.size
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.size) {
+      var d = 0.0
+      var j = 0
+      val off = c * dim
+      while (j < n) {
+        val x = v.getFloat(j).toDouble - flat(off + j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    bestD
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centMat", flat, "double[]")
+    val k = cents.size
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val off = ctx.freshName("off")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $d = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $x = (double) $a.getFloat($j) - $matRef[$off + $j];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD) $bestD = $d;
+         |}
+         |${ev.value} = $bestD;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinCentroidDistExpr =
+    copy(child = newChild)
+}
+
+object MinCentroidDistExpr {
+  def columnFor(v: Column, cents: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(
+      MinCentroidDistExpr(ExpressionUtils.expression(v), cents))
+}

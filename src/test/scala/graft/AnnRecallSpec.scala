@@ -290,6 +290,32 @@ class AnnRecallSpec extends AnyFunSuite {
     SimilarityOps.clearCache() // don't leak the retrained quantizer to other specs
   }
 
+  test("q116 FPS coreset: greedy-max invariant, center self-distance 0, coverage radius") {
+    import graft.queries.SimilarityOps
+    val rows = SparkEntry.queries("q116_fps_coreset")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val centers = SimilarityOps.fpsCenters(spark, dir, 8)
+    assert(centers.map(_._1).distinct.length === 8, "a center picked twice")
+    // every center is assigned to itself at distance 0
+    val byId = rows.map(r => r._1 -> r).toMap
+    centers.zipWithIndex.foreach { case ((cid, _), i) =>
+      val r = byId(cid)
+      assert(r._2 === i + 1 && r._3 === cid && r._4 === 0.0,
+        s"center $cid (ord ${i + 1}) not self-assigned: $r")
+    }
+    // the greedy-max (Gonzalez) invariant: every center, at its pick time,
+    // was at least as far from the earlier centers as the final covering
+    // radius (max over the corpus of min distance to all k centers)
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val radius = rows.map(_._4).max
+    for (i <- 1 until centers.length) {
+      val dAtPick = (0 until i).map(j => sq(centers(i)._2, centers(j)._2)).min
+      assert(dAtPick + 1e-3 >= radius, // 1e-3: radius is the 4dp-rounded d4
+        s"center ${i + 1} picked at $dAtPick < covering radius $radius")
+    }
+  }
+
   test("q114 balanced selection: round-robin balance, rank-prefix per cell, budget respected") {
     val sel = SparkEntry.queries("q114_balanced_select")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
