@@ -21,7 +21,13 @@ object Verify {
     // queries write distinct dirs and any temp views are per-query-named.
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q117,q118 — iterate on a subset locally;
+    // unset (the driver's mode) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Sketch-algebra operators over the `documents` corpus: K-minimum-values
+  * (theta) sketches supporting distinct-count, UNION and — unlike HLL —
+  * INTERSECTION cardinality estimates across partitions of the corpus.
+  *
+  * Algorithm: KMV / theta sketch (Bar-Yossef et al. RANDOM 2002; Beyer et
+  * al. SIGMOD 2007 — the unbiased (k−1)/U_(k) estimator; Dasgupta et al.'s
+  * theta-sketch set algebra). A group's sketch is the k smallest 60-bit
+  * stable hashes of its distinct members; because every group uses the SAME
+  * hash, sketches compose: the k smallest of a union of sketches is the
+  * union's sketch, and the fraction of those union-mins present in both
+  * input sketches estimates Jaccard (Broder's min-wise argument), giving
+  * intersection ≈ ρ · D̂(union). Sketch state is k longs per group at ANY
+  * corpus size — the bounded-memory form of a distinct-set comparison whose
+  * exact spelling (`q117`'s verification side) needs the full vocabulary.
+  *
+  * Determinism: everything derives from the md5-based 60-bit [[stableHash]]
+  * (mirrored literally in DuckDB) via integer arithmetic, monotone
+  * long→double casts, exact power-of-two divisions and `floor` — no
+  * cross-row float accumulation anywhere, so results are bit-identical
+  * under any partition count (the mean4of6 discipline).
+  *
+  * Scale shape: ONE narrow tokenize→shingle pass feeds a (lang, shingle)
+  * distinct (vocab-bounded shuffle with map-side combine), then the per-lang
+  * sketch aggregation ships ≤ k+1 rows per group per task (the
+  * [[org.apache.spark.sql.graft.TopKByScore]] k-bounded heap — partial
+  * aggregation merges like any combiner, because min-k IS the sketch
+  * merge). The pairwise algebra runs on L sketch rows (L = #groups), driver
+  * state L·k longs. The exact distinct/intersection columns are the
+  * verification device (q99/q67 precedent): at 100 TB only the sketch path
+  * runs; the gate recomputes the exact side at test SF to hold the
+  * estimator to its published error bound.
+  */
+object SketchOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Sketch size: error ~ 1/√(k−2) ≈ 8.9% at k=128; 3σ ≈ 26.7%. k/2^7
+    * fractions also terminate in ≤ 7 decimal digits, so `matches/128.0` is
+    * an exact double on both engines — no rounding step to disagree on. */
+  private val K = 128
+
+  /** 2^60 — the stableHash range bound; a power of two, exact as a double. */
+  private val HashRange = 1152921504606846976L
+
+  /** 3σ relative bound for the (k−1)/U_(k) estimator at k=128 (RSE
+    * ≈ 1/√(k−2) = 0.0891): |est − exact| ≤ ceil(0.27·exact) + 1. The +1
+    * absorbs the estimator's floor. Mirrored literally in the oracle. */
+  private val RelBound = 0.27
+
+  /** Distinct (lang, h) over 3-token shingles — one narrow pass, one
+    * vocab-bounded exchange. The SAME hash for every group is what makes
+    * the sketches intersectable. */
+  private def langHashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      .select(col("lang"), stableHash(col("sh")).as("h"))
+      .distinct()
+
+  /** (k−1)·2^60 / kth, floored — the unbiased KMV estimator in the one
+    * IEEE-deterministic spelling both engines share: 127·2^60 is exact in
+    * a double (7 significant bits), the long→double cast of `kth` is
+    * correctly rounded, one division, one floor. */
+  private def kmvEst(sz: Column, kth: Column): Column =
+    when(sz < K, sz.cast("long")).otherwise(
+      floor(lit((K - 1).toDouble) * lit(HashRange.toDouble) /
+        kth.cast("double")).cast("long"))
+
+  private def boundOk(est: Column, exact: Column): Column =
+    abs(est - exact) <= ceil(lit(RelBound) * exact).cast("long") + 1
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // KMV/theta sketch set algebra across the language partitions of the
+    // corpus: per-lang distinct-shingle sketches (k smallest hashes via the
+    // k-bounded TopKByScore heap — min-k IS the sketch merge, so partial
+    // aggregation ships ≤ k rows per group per task), then pairwise
+    // union/Jaccard/intersection estimates from sketch arrays alone.
+    // `-h` as the heap score is exact: long→double is monotone, and a
+    // double-equal score tie breaks toward the LOWER payload = lower h —
+    // ascending-h order preserved even past 2^53. Exact distinct /
+    // intersection columns are the verification side (never run at scale);
+    // est_jaccard = matches/128.0 is an exact double (7-bit denominator)
+    // emitted UNROUNDED — both engines produce the identical bits from
+    // identical integers, and no decimal rounding step exists to sit on a
+    // half boundary (the r7 q88 lesson applied in reverse).
+    "q117_kmv_theta" -> ((s, dir) => {
+      val lh = langHashes(s, dir)
+      val sk = lh.groupBy("lang").agg(
+        count(lit(1)).as("nd"),
+        org.apache.spark.sql.graft.TopKByScore.columnFor(
+          -col("h").cast("double"), col("h"), K).as("top"))
+        .select(col("lang"), col("nd"),
+          transform(col("top"), x => x.getField("payload")).as("sk"))
+        .withColumn("est_nd",
+          kmvEst(col("nd"), element_at(col("sk"), least(lit(K), size(col("sk"))))))
+      val a = sk.select(col("lang").as("lang_a"), col("nd").as("exact_a"),
+        col("sk").as("ska"), col("est_nd").as("est_a"))
+      val b = sk.select(col("lang").as("lang_b"), col("nd").as("exact_b"),
+        col("sk").as("skb"), col("est_nd").as("est_b"))
+      // exact intersection: the verification side — vocab-bounded self-join
+      // on the shared hash (60-bit: collision-free at any realistic vocab,
+      // and identical on both engines regardless).
+      val xa = lh.select(col("lang").as("lang_a"), col("h"))
+      val xb = lh.select(col("lang").as("lang_b"), col("h"))
+      val exactInter = xa.join(xb, "h")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("exact_inter"))
+      val merged = slice(array_sort(array_union(col("ska"), col("skb"))), 1, K)
+      a.join(b, col("lang_a") < col("lang_b"))
+        .join(exactInter, Seq("lang_a", "lang_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .withColumn("merged", merged)
+        .withColumn("matches",
+          size(array_intersect(array_intersect(col("merged"), col("ska")),
+            col("skb"))).cast("long"))
+        .withColumn("est_union",
+          kmvEst(size(col("merged")),
+            element_at(col("merged"), least(lit(K), size(col("merged"))))))
+        .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
+        .withColumn("est_inter",
+          floor(col("matches").cast("double") * col("est_union") /
+            lit(K.toDouble)).cast("long"))
+        .withColumn("exact_union",
+          col("exact_a") + col("exact_b") - col("exact_inter"))
+        .select(col("lang_a"), col("lang_b"),
+          col("exact_a"), col("exact_b"), col("exact_inter"), col("exact_union"),
+          col("est_a"), col("est_b"), col("est_union"),
+          col("matches"), col("est_jaccard"), col("est_inter"),
+          boundOk(col("est_a"), col("exact_a")).as("ok_a"),
+          boundOk(col("est_b"), col("exact_b")).as("ok_b"),
+          boundOk(col("est_union"), col("exact_union")).as("ok_u"))
+    })
+  )
+
+  /** DuckDB mirror of [[stableHash]] over an expression. */
+  private def h60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    // Relational spelling of the same algebra: min-k per group via
+    // row_number over the shared hash order; union sketch = min-k of the
+    // two sketches' hash union; identical integer/floor arithmetic.
+    "q117_kmv_theta" ->
+      s"""WITH toks AS (SELECT lang, doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+         idx AS (SELECT lang, doc_id, t,
+                        unnest(range(1, greatest(len(t)-1, 1))) AS i
+                 FROM toks WHERE len(t) >= 3),
+         sh0 AS (SELECT DISTINCT lang,
+                        t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+                 FROM idx),
+         dh AS (SELECT DISTINCT lang, ${h60("sh")} AS h FROM sh0),
+         nd AS (SELECT lang, count(*) AS nd FROM dh GROUP BY 1),
+         rk AS (SELECT lang, h,
+                       row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+                FROM dh),
+         sk AS (SELECT lang, h FROM rk WHERE rn <= $K),
+         kth AS (SELECT lang, max(h) AS kth, count(*) AS sz FROM sk GROUP BY 1),
+         est AS (SELECT n.lang, n.nd,
+                        CASE WHEN n.nd < $K THEN n.nd
+                             ELSE CAST(floor(CAST(${K - 1} AS DOUBLE) *
+                                CAST($HashRange AS DOUBLE) / k.kth) AS BIGINT)
+                        END AS est_nd
+                 FROM nd n JOIN kth k ON n.lang = k.lang),
+         pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+                   FROM (SELECT DISTINCT lang FROM dh) a,
+                        (SELECT DISTINCT lang FROM dh) b
+                   WHERE a.lang < b.lang),
+         uh AS (SELECT p.lang_a, p.lang_b, s.h
+                FROM pairs p JOIN sk s ON s.lang IN (p.lang_a, p.lang_b)
+                GROUP BY 1, 2, 3),
+         urk AS (SELECT lang_a, lang_b, h,
+                        row_number() OVER (PARTITION BY lang_a, lang_b
+                                           ORDER BY h) AS rn
+                 FROM uh),
+         mk AS (SELECT lang_a, lang_b, h FROM urk WHERE rn <= $K),
+         mstat AS (SELECT lang_a, lang_b, max(h) AS kth, count(*) AS sz
+                   FROM mk GROUP BY 1, 2),
+         mtch AS (SELECT m.lang_a, m.lang_b, count(*) AS matches
+                  FROM mk m
+                  JOIN sk sa ON sa.lang = m.lang_a AND sa.h = m.h
+                  JOIN sk sb ON sb.lang = m.lang_b AND sb.h = m.h
+                  GROUP BY 1, 2),
+         xin AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                        count(*) AS exact_inter
+                 FROM dh a JOIN dh b ON a.h = b.h AND a.lang < b.lang
+                 GROUP BY 1, 2)
+         SELECT p.lang_a, p.lang_b,
+                na.nd AS exact_a, nb.nd AS exact_b,
+                COALESCE(x.exact_inter, 0) AS exact_inter,
+                na.nd + nb.nd - COALESCE(x.exact_inter, 0) AS exact_union,
+                ea.est_nd AS est_a, eb.est_nd AS est_b,
+                CASE WHEN ms.sz < $K THEN ms.sz
+                     ELSE CAST(floor(CAST(${K - 1} AS DOUBLE) *
+                        CAST($HashRange AS DOUBLE) / ms.kth) AS BIGINT)
+                END AS est_union,
+                COALESCE(mt.matches, 0) AS matches,
+                COALESCE(mt.matches, 0) / CAST($K AS DOUBLE) AS est_jaccard,
+                CAST(floor(COALESCE(mt.matches, 0) *
+                  (CASE WHEN ms.sz < $K THEN ms.sz
+                        ELSE CAST(floor(CAST(${K - 1} AS DOUBLE) *
+                           CAST($HashRange AS DOUBLE) / ms.kth) AS BIGINT)
+                   END) / CAST($K AS DOUBLE)) AS BIGINT) AS est_inter,
+                abs(ea.est_nd - na.nd) <=
+                  CAST(ceil($RelBound * na.nd) AS BIGINT) + 1 AS ok_a,
+                abs(eb.est_nd - nb.nd) <=
+                  CAST(ceil($RelBound * nb.nd) AS BIGINT) + 1 AS ok_b,
+                abs((CASE WHEN ms.sz < $K THEN ms.sz
+                          ELSE CAST(floor(CAST(${K - 1} AS DOUBLE) *
+                             CAST($HashRange AS DOUBLE) / ms.kth) AS BIGINT)
+                     END) - (na.nd + nb.nd - COALESCE(x.exact_inter, 0))) <=
+                  CAST(ceil($RelBound *
+                    (na.nd + nb.nd - COALESCE(x.exact_inter, 0))) AS BIGINT) + 1
+                  AS ok_u
+         FROM pairs p
+         JOIN nd na ON na.lang = p.lang_a
+         JOIN nd nb ON nb.lang = p.lang_b
+         JOIN est ea ON ea.lang = p.lang_a
+         JOIN est eb ON eb.lang = p.lang_b
+         JOIN mstat ms ON ms.lang_a = p.lang_a AND ms.lang_b = p.lang_b
+         LEFT JOIN mtch mt ON mt.lang_a = p.lang_a AND mt.lang_b = p.lang_b
+         LEFT JOIN xin x ON x.lang_a = p.lang_a AND x.lang_b = p.lang_b"""
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.queries.SketchOps
+
+/** KMV/theta sketch algebra (q117): estimator bounds hold on the real
+  * corpus at two SFs, the intersection estimate stays within its composed
+  * error bound, and the defining merge property — the k smallest of a
+  * union of sketches IS the union's sketch — holds exactly. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val K = 128
+
+  private def docs(dir: String) =
+    graft.sources.Tables(spark, dir, "documents")
+
+  /** Distinct (lang, h) — the test's own spelling of the sketch universe. */
+  private def langHashes(dir: String) =
+    docs(dir)
+      .select(col("lang"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      .select(col("lang"), stableHash(col("sh")).as("h"))
+      .distinct()
+
+  test("q117: distinct/union bounds hold and intersection error is within its composed bound at two SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SketchOps.queries("q117_kmv_theta")(spark, dir).collect()
+      assert(rows.length === 10) // 5 langs → 10 unordered pairs
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("ok_a") && r.getAs[Boolean]("ok_b") &&
+          r.getAs[Boolean]("ok_u"),
+          s"KMV 3σ bound violated at $dir: $r")
+        // intersection: ρ's binomial 3σ (≤ 3·√(0.25/K) of the union) plus
+        // the union estimator's own 27% — composed, not assumed tight
+        val exactI = r.getAs[Long]("exact_inter")
+        val estI = r.getAs[Long]("est_inter")
+        val exactU = r.getAs[Long]("exact_union")
+        val bound = 3 * math.sqrt(0.25 / K) * exactU + 0.27 * exactI + 2
+        assert(math.abs(estI - exactI) <= bound,
+          s"intersection estimate outside bound at $dir: est=$estI exact=$exactI bound=$bound")
+      }
+    }
+  }
+
+  test("q117: k smallest of a union of sketches equals the union's sketch (exact merge property)") {
+    val dir = "/root/testdata/sf0.01"
+    val lh = langHashes(dir).cache()
+    // per-lang sketches, merged driver-side (5 × 128 longs)
+    val perLang = lh.groupBy("lang").agg(
+      org.apache.spark.sql.graft.TopKByScore.columnFor(
+        -col("h").cast("double"), col("h"), K).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.payload").as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted.take(K).toSeq
+    // ground truth: k smallest distinct hashes of the whole corpus
+    val direct = lh.select(col("h")).distinct()
+      .orderBy("h").limit(K).collect().map(_.getLong(0)).toSeq
+    assert(perLang === direct)
+    lh.unpersist()
+  }
+}
