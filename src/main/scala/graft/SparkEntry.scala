@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationOps, DedupOps, MediaOps, Relational, ScaleOps, SimilarityOps, SketchOps, TemporalOps, TextOps}
+import graft.queries.{CurationOps, DedupOps, IndexOps, MediaOps, Relational, ScaleOps, SimilarityOps, SketchOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ TemporalOps.queries ++ CurationOps.queries ++
-      ScaleOps.queries ++ MediaOps.queries ++ SketchOps.queries
+      ScaleOps.queries ++ MediaOps.queries ++ SketchOps.queries ++ IndexOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ TemporalOps.oracle ++ CurationOps.oracle ++
-      ScaleOps.oracle ++ MediaOps.oracle ++ SketchOps.oracle
+      ScaleOps.oracle ++ MediaOps.oracle ++ SketchOps.oracle ++ IndexOps.oracle
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Inverted-index build and BM25 ranked retrieval over `documents` — the
+  * textual counterpart of the ANN family: q118 materializes the index
+  * (token → document-frequency, collection-frequency, bounded postings),
+  * q119 answers ranked queries THROUGH it (candidates come from posting
+  * intersection-by-union, never a corpus scan per query).
+  *
+  * Scale shape (q118): one tokenize pass → (tok, doc) partial-aggregated
+  * counts → a vocab-bounded per-token aggregate. The postings sample rides
+  * the k-bounded [[org.apache.spark.sql.graft.TopKByScore]] heap (≤ P rows
+  * per token cross the shuffle) — a head token's full posting list is
+  * df-sized and belongs in the sharded index files this row describes, not
+  * in one aggregation buffer. df/cf are plain associative counts.
+  *
+  * Scale shape (q119): per-query cost ∝ the posting lengths of the query's
+  * terms (the tf relation joined against a broadcast term set), never
+  * O(corpus) per query; per-candidate scoring is row-local; the final cut
+  * is a per-probe k-bounded heap. Corpus scalars (N, avgdl) ride in as a
+  * broadcast 1-row cross join — no eager driver jobs (JobCountSpec
+  * discipline).
+  *
+  * Determinism: BM25 (Robertson et al., TREC-3; the +1 idf variant) runs
+  * on IEEE-identical inputs in both engines; the only libm call (ln) is
+  * rounded once to 6dp (the q73 idf precedent), each per-term contribution
+  * is rounded once to 6dp and recovered as exact integer micro-units, and
+  * per-doc totals are LONG sums — associative, partition-order-free (the
+  * mean4of6 discipline). Ranking ties break to the lower doc_id in both
+  * engines.
+  */
+object IndexOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Postings-sample bound per token (the heap's k). */
+  private val P = 16
+  /** BM25 hyperparameters (the standard Robertson defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+  /** Probe construction: this many lowest-id docs of ≥ MinLen tokens,
+    * each querying its TopTerms highest-tf·idf terms. */
+  private val Probes = 5
+  private val MinLen = 40
+  private val TopTerms = 4
+  /** Result depth per probe. */
+  private val TopK = 10
+
+  /** (doc_id, tok, tf) — one tokenize pass, partial-aggregated. */
+  private def tf(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Inverted index: token → df, cf, and the P lowest-doc_id postings via
+    // the k-bounded heap (`-doc_id` as score: long→double is monotone and
+    // exact below 2^53; a score tie breaks to the lower payload — ascending
+    // doc order preserved). df = distinct docs (count over the tf relation,
+    // which is already per-(doc, tok)); cf = Σ tf.
+    "q118_inverted_index" -> ((s, dir) => {
+      tf(s, dir).groupBy("tok").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        org.apache.spark.sql.graft.TopKByScore.columnFor(
+          -col("doc_id").cast("double"), col("doc_id"), P).as("top"))
+        .select(col("tok"), col("df"), col("cf"),
+          transform(col("top"), x => x.getField("payload")).as("postings"))
+    }),
+
+    // BM25 ranked retrieval through the index: Probes lowest-id docs of
+    // ≥ MinLen tokens each query their TopTerms best tf·idf terms;
+    // candidates = docs sharing ≥ 1 term (tf ⋈ broadcast term set — the
+    // posting access path); score = Σ_t idf6(t) · tf·(k1+1) /
+    // (tf + k1·(1−b+b·len/avgdl)), carried as exact micro-units.
+    "q119_bm25_topk" -> ((s, dir) => {
+      val t = tf(s, dir)
+      val lens = docs(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+      // corpus scalars as a broadcast 1-row frame: N docs, Σ len
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val dft = t.groupBy("tok").agg(count(lit(1)).as("df"))
+      val probes = lens.filter(col("dl") >= MinLen)
+        .select(col("doc_id").as("probe_doc"))
+        .orderBy("probe_doc").limit(Probes)
+      // probe query terms: top TopTerms by (tf·idf6 desc, tok asc) — the
+      // q73 tf-idf rank semantics; the heap keeps the per-probe cut bounded
+      val probeTf = t.join(broadcast(probes),
+        t("doc_id") === probes("probe_doc")).select(col("probe_doc"),
+        col("tok"), col("tf"))
+      val qterms = probeTf
+        .join(dft, "tok")
+        .crossJoin(broadcast(stats.select("n_docs")))
+        .withColumn("idf6", round(log(col("n_docs").cast("double") /
+          col("df").cast("double")), 6))
+        .groupBy("probe_doc").agg(
+          org.apache.spark.sql.graft.TopKByScore.columnFor(
+            col("tf").cast("double") * col("idf6"), col("tok"), TopTerms)
+            .as("top"))
+        .select(col("probe_doc"), explode(col("top")).as("e"))
+        .select(col("probe_doc"), col("e.payload").as("tok"))
+      // candidates through the postings of the query terms; per-term BM25
+      // contribution rounded ONCE to 6dp → exact micro-units
+      val idfb = dft.crossJoin(broadcast(stats.select("n_docs")))
+        .withColumn("idfb6", round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 6))
+        .select(col("tok"), col("idfb6"))
+      // dl rides inside the tf relation (max over a per-doc constant — no
+      // extra shuffle) so scoring needs no corpus-wide doc-length join
+      val tl = docs(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val cand = tl.join(broadcast(qterms), "tok")
+        .join(broadcast(idfb), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib6", round(col("idfb6") *
+          (col("tf").cast("double") * lit(K1 + 1.0)) /
+          (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) +
+            lit(B) * col("dl").cast("double") *
+              col("n_docs").cast("double") / col("sum_dl").cast("double"))), 6))
+        .groupBy("probe_doc", "doc_id")
+        .agg(sum(round(col("contrib6") * lit(1e6)).cast("long"))
+          .as("bm25_micro"))
+      cand.groupBy("probe_doc").agg(
+        org.apache.spark.sql.graft.TopKByScore.columnFor(
+          col("bm25_micro").cast("double"), col("doc_id"), TopK).as("top"))
+        .select(col("probe_doc"), posexplode(col("top")))
+        .select(col("probe_doc"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.payload").as("doc_id"),
+          col("col.score").cast("long").as("bm25_micro"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q118_inverted_index" ->
+      """WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM d GROUP BY 1, 2)
+         SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+                (list(doc_id ORDER BY doc_id))[1:16] AS postings
+         FROM tf GROUP BY tok""",
+    "q119_bm25_topk" ->
+      s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM d GROUP BY 1, 2),
+         lens AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+         stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+                   FROM lens),
+         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         probes AS (SELECT doc_id AS probe_doc FROM lens
+                    WHERE dl >= $MinLen ORDER BY doc_id LIMIT $Probes),
+         ptf AS (SELECT p.probe_doc, t.tok, t.tf,
+                        round(ln(CAST(s.n_docs AS DOUBLE) /
+                          CAST(f.df AS DOUBLE)), 6) AS idf6
+                 FROM probes p
+                 JOIN tf t ON t.doc_id = p.probe_doc
+                 JOIN dft f ON f.tok = t.tok
+                 CROSS JOIN stats s),
+         qt AS (SELECT probe_doc, tok FROM (
+                  SELECT probe_doc, tok,
+                         row_number() OVER (PARTITION BY probe_doc
+                           ORDER BY tf * idf6 DESC, tok) AS rn
+                  FROM ptf) WHERE rn <= $TopTerms),
+         idfb AS (SELECT f.tok,
+                         round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5)
+                           + 1.0), 6) AS idfb6
+                  FROM dft f CROSS JOIN stats s),
+         cand AS (SELECT q.probe_doc, t.doc_id,
+                         CAST(sum(CAST(round(
+                           i.idfb6 * (CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
+                           (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} +
+                             $B * CAST(l.dl AS DOUBLE) *
+                               CAST(s.n_docs AS DOUBLE) /
+                               CAST(s.sum_dl AS DOUBLE))) * 1e6)
+                           AS BIGINT)) AS BIGINT) AS bm25_micro
+                  FROM qt q
+                  JOIN tf t ON t.tok = q.tok
+                  JOIN idfb i ON i.tok = q.tok
+                  JOIN lens l ON l.doc_id = t.doc_id
+                  CROSS JOIN stats s
+                  GROUP BY 1, 2),
+         r AS (SELECT probe_doc, doc_id, bm25_micro,
+                      row_number() OVER (PARTITION BY probe_doc
+                        ORDER BY bm25_micro DESC, doc_id) AS rnk
+               FROM cand)
+         SELECT probe_doc, CAST(rnk AS BIGINT) AS rnk, doc_id, bm25_micro
+         FROM r WHERE rnk <= $TopK"""
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.IndexOps
+
+/** Inverted index (q118) + BM25 retrieval (q119): postings are exact
+  * ascending prefixes of the true posting lists, df/cf reconcile with the
+  * corpus, and ranked retrieval is self-consistent (a probe's own document
+  * is its top hit; ranks follow the (score desc, doc asc) order). */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q118: postings are the P lowest doc_ids of each token's true posting list; df/cf reconcile") {
+    val idx = IndexOps.queries("q118_inverted_index")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3))).toSeq
+    // reference posting lists straight from the corpus
+    val ref = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(sort_array(collect_set(col("doc_id"))).as("all"),
+        count(lit(1)).as("cf"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(idx.nonEmpty && idx.size === ref.size)
+    idx.foreach { case (tok, df, cf, postings) =>
+      val (all, refCf) = ref(tok)
+      assert(df === all.size, s"df mismatch for $tok")
+      assert(cf === refCf, s"cf mismatch for $tok")
+      assert(postings === all.take(16), s"postings not the ascending prefix for $tok")
+    }
+  }
+
+  test("q119: every probe retrieves itself near the top and ranks follow (score desc, doc asc)") {
+    val rows = IndexOps.queries("q119_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.size === 5)
+    byProbe.foreach { case (probe, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // self-retrieval: the probe's own document must place in the top 3 —
+      // not necessarily rank 1, because BM25's length normalization can
+      // prefer a shorter doc that is denser in the query terms (observed:
+      // probe 5 at rank 2 behind doc 359 at sf0.01)
+      val selfRank = sorted.indexWhere(_._3 == probe)
+      assert(selfRank >= 0 && selfRank < 3,
+        s"probe $probe self-rank $selfRank outside top 3")
+      // (score desc, doc asc) strictly ordered down the ranks
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, d1, s1), (_, _, d2, s2)) =>
+          assert(s1 > s2 || (s1 == s2 && d1 < d2),
+            s"rank order violated for probe $probe: ($d1,$s1) before ($d2,$s2)")
+        case _ =>
+      }
+      assert(rs.length === 10)
+    }
+  }
+}
