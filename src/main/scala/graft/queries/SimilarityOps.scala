@@ -812,6 +812,56 @@ object SimilarityOps {
         (cell + 1).as("center_ord"),
         element_at(array(ids.map(lit): _*), cell + 1).as("center_id"),
         round(NearestCentroid.minDist(col("embedding"), cents), 4).as("d4"))
+    }),
+
+    // Robust per-dimension outlier scoring (the embedding-space data-quality
+    // filter: corrupt/degenerate vectors before they poison ANN indexes or
+    // dedup thresholds — cf. Iglewicz & Hoaglin's robust outlier labeling).
+    // Each element is quantized ONCE to exact integer micro-units, per-dim
+    // median and IQR come from exact interpolated percentiles over those
+    // integers — quartile interpolation over ≤2^51 integers is EXACT double
+    // arithmetic, so the stats are bit-identical on both engines regardless
+    // of quantile formula spelling — and the per-row score
+    // Σ_d ((m6_d − med_d)/IQR_d)² carries each dim's term as 6dp-exact
+    // micro-units summed as LONGs (associative, partition-order-free: the
+    // mean4of6 discipline). Squares are spelled d·d, never pow(d, 2) —
+    // libm pow is not correctly-rounded-guaranteed across engines. Scale
+    // shape: one narrow quantize pass → a 64-group percentile aggregate
+    // (exact counts-map here; approx_percentile is the documented 100 TB
+    // path, the q49/q67 split), stats broadcast as one row, scoring is
+    // row-local, and the final cut is the k-bounded global TopKByScore
+    // heap — ≤ 32 rows cross the last shuffle.
+    "q120_embed_outliers" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val m6 = transform(col("embedding"),
+        x => round(x.cast("double") * lit(1e6)).cast("long"))
+      val exploded = e.select(col("vec_id"), posexplode(m6).as(Seq("dim", "m6")))
+      val stats = exploded.groupBy("dim").agg(
+        percentile(col("m6"), lit(0.5)).as("med"),
+        (percentile(col("m6"), lit(0.75)) -
+          percentile(col("m6"), lit(0.25))).as("iqr"))
+        .withColumn("sc", when(col("iqr") === 0.0, lit(1.0)).otherwise(col("iqr")))
+      val statsArr = stats.agg(
+        sort_array(collect_list(struct(col("dim"), col("med"), col("sc"))))
+          .as("st"))
+        .select(transform(col("st"), t => t.getField("med")).as("meds"),
+          transform(col("st"), t => t.getField("sc")).as("scs"))
+      val scored = e.crossJoin(broadcast(statsArr))
+        .withColumn("terms",
+          zip_with(
+            zip_with(m6, col("meds"), (x, m) => x.cast("double") - m),
+            col("scs"), (c, s0) => {
+              val d = c / s0
+              round(d * d * lit(1e6)).cast("long")
+            }))
+        .select(col("vec_id"),
+          aggregate(col("terms"), lit(0L), (acc, t) => acc + t).as("score_micro"))
+      scored.agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
+        col("score_micro").cast("double"), col("vec_id"), 32).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rnk"),
+          col("col.payload").as("vec_id"),
+          col("col.score").cast("long").as("score_micro"))
     })
   )
 
@@ -1195,6 +1245,33 @@ object SimilarityOps {
     "q112_pca_incremental" ->
       """SELECT CAST(vec_id % 3 AS INT) AS batch, count(*) AS n_rows,
                 true AS moments_mergeable, true AS basis_identical
-         FROM embeddings GROUP BY 1"""
+         FROM embeddings GROUP BY 1""",
+    // same micro-unit quantization, exact integer quartile interpolation,
+    // d·d spelling (never pow), and LONG term sums as the Spark side
+    "q120_embed_outliers" ->
+      s"""WITH m AS (SELECT vec_id, i AS dim,
+                CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT)
+                  AS m6
+              FROM embeddings, range(0, $Dim) t(i)),
+         st AS (SELECT dim, quantile_cont(m6, 0.5) AS med,
+                       quantile_cont(m6, 0.75) - quantile_cont(m6, 0.25)
+                         AS iqr
+                FROM m GROUP BY 1),
+         st2 AS (SELECT dim, med,
+                        CASE WHEN iqr = 0 THEN 1.0 ELSE iqr END AS sc
+                 FROM st),
+         terms AS (SELECT m.vec_id,
+                CAST(round(((CAST(m.m6 AS DOUBLE) - s.med) / s.sc) *
+                           ((CAST(m.m6 AS DOUBLE) - s.med) / s.sc) * 1e6)
+                  AS BIGINT) AS t
+                FROM m JOIN st2 s ON s.dim = m.dim),
+         sc AS (SELECT vec_id, CAST(sum(t) AS BIGINT) AS score_micro
+                FROM terms GROUP BY 1),
+         r AS (SELECT vec_id, score_micro,
+                      row_number() OVER (ORDER BY score_micro DESC, vec_id)
+                        AS rnk
+               FROM sc)
+         SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, score_micro
+         FROM r WHERE rnk <= 32"""
   )
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.SimilarityOps
+
+/** Robust embedding outlier scoring (q120): a planted corrupted vector —
+  * every element scaled far outside the corpus distribution — must rank
+  * first, and clean corpus vectors must score orders of magnitude lower.
+  * Uses a doctored copy of the sf0.001 embeddings table so the planted row
+  * flows through the real dir-based query path. */
+class OutlierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("q120: a planted corrupted vector ranks first by a wide margin") {
+    val src = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("outlier").toString
+    // corrupt copy of vec 0: every element ×25 — far outside per-dim IQRs
+    val planted = src.orderBy("vec_id").limit(1)
+      .select(lit(999999L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(25.0f)).as("embedding"),
+        col("label"))
+    src.select("vec_id", "embedding", "label").unionByName(planted)
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = SimilarityOps.queries("q120_embed_outliers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val top = rows.minBy(_._1)
+    assert(top._2 === 999999L, s"planted outlier not rank 1: $top")
+    // margin: the planted score dominates the best clean score ≥ 50×
+    val bestClean = rows.filter(_._2 != 999999L).map(_._3).max
+    assert(top._3 > 50L * bestClean,
+      s"planted score ${top._3} not ≫ clean max $bestClean")
+  }
+}
