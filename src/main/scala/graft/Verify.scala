@@ -22,17 +22,26 @@ object Verify {
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     // SPARK_GRAFT_VERIFY_ONLY=q117,q118 — iterate on a subset locally;
-    // unset (the driver's mode) runs everything.
+    // unset (the driver's mode) runs everything. A token matches the
+    // exact query name or a prefix up to '_' (so "q11" selects
+    // q11_running_sum, NOT q110–q119 — r9 ADVICE).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith)) }
+      only.forall(_.exists(p => name == p || name.startsWith(p + "_"))) }
     val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            val df = fn(spark, sfDir)
+            // gate-shape contract: scalar top-level columns only (the
+            // driver's pandas canonicalizer cannot hash array cells) —
+            // fail THIS query loudly, with the column named.
+            val bad = graft.core.GateShape.badColumns(df)
+            if (bad.nonEmpty) throw new IllegalStateException(
+              s"gate-shape violation: non-scalar column(s) ${bad.mkString("; ")}")
+            df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })

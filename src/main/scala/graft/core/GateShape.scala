@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+/** Driver-gate output-shape contract (r9 verdict item 2).
+  *
+  * The driver's correctness harness canonicalizes each query result with
+  * pandas `sort_values` over every column before hashing; an ARRAY/MAP/
+  * STRUCT cell is unhashable there, so a query emitting one dies with a
+  * harness ERR instead of a value comparison (r9: q106 `pooled`, q118
+  * `postings`). Every gated query must therefore emit scalar top-level
+  * columns only — vectors cross the gate comma-joined
+  * (`array_join`/`array_to_string`) or exploded to rows.
+  *
+  * [[graft.Verify]] enforces this per query before writing (a violation
+  * fails that query loudly with the column and type named), and
+  * `EngineSpec` sweeps the whole suite so the next array-output slip is a
+  * local test failure, not a driver-round ERR — the Determinism-gate
+  * precedent.
+  */
+object GateShape {
+
+  /** Can the driver's pandas canonicalizer sort/hash a column of this
+    * type? Scalars yes; any nested type no. */
+  def scalar(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  /** Offending columns of one result, as "name: type" strings. */
+  def badColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.toSeq.collect {
+      case f if !scalar(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+    }
+
+  /** Sweep a query suite: every violation as "query(column: type)".
+    * Constructing each DataFrame runs analysis only for the lazy
+    * majority; the few queries with eager driver-state setup (PQ
+    * training, streaming end-states) do that work once here — the same
+    * cost one Verify pass pays. */
+  def violations(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame]): Seq[String] =
+    queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      badColumns(fn(spark, sfDir)).map(c => s"$name($c)")
+    }
+}

@@ -63,7 +63,10 @@ object IndexOps {
     // the k-bounded heap (`-doc_id` as score: long→double is monotone and
     // exact below 2^53; a score tie breaks to the lower payload — ascending
     // doc order preserved). df = distinct docs (count over the tf relation,
-    // which is already per-(doc, tok)); cf = Σ tf.
+    // which is already per-(doc, tok)); cf = Σ tf. The posting list
+    // crosses the gate comma-joined (r9 verdict: the driver's pandas
+    // canonicalizer cannot sort top-level array cells; longs stringify
+    // identically in both engines).
     "q118_inverted_index" -> ((s, dir) => {
       tf(s, dir).groupBy("tok").agg(
         count(lit(1)).as("df"),
@@ -71,7 +74,8 @@ object IndexOps {
         org.apache.spark.sql.graft.TopKByScore.columnFor(
           -col("doc_id").cast("double"), col("doc_id"), P).as("top"))
         .select(col("tok"), col("df"), col("cf"),
-          transform(col("top"), x => x.getField("payload")).as("postings"))
+          array_join(transform(col("top"),
+            x => x.getField("payload").cast("string")), ",").as("postings"))
     }),
 
     // BM25 ranked retrieval through the index: Probes lowest-id docs of
@@ -145,7 +149,8 @@ object IndexOps {
                     FROM documents),
          tf AS (SELECT doc_id, tok, count(*) AS tf FROM d GROUP BY 1, 2)
          SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
-                (list(doc_id ORDER BY doc_id))[1:16] AS postings
+                array_to_string((list(doc_id ORDER BY doc_id))[1:16], ',')
+                  AS postings
          FROM tf GROUP BY tok""",
     "q119_bm25_topk" ->
       s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -175,20 +180,22 @@ object IndexOps {
                          round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5)
                            + 1.0), 6) AS idfb6
                   FROM dft f CROSS JOIN stats s),
-         cand AS (SELECT q.probe_doc, t.doc_id,
-                         CAST(sum(CAST(round(
-                           i.idfb6 * (CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
-                           (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} +
-                             $B * CAST(l.dl AS DOUBLE) *
-                               CAST(s.n_docs AS DOUBLE) /
-                               CAST(s.sum_dl AS DOUBLE))) * 1e6)
-                           AS BIGINT)) AS BIGINT) AS bm25_micro
-                  FROM qt q
-                  JOIN tf t ON t.tok = q.tok
-                  JOIN idfb i ON i.tok = q.tok
-                  JOIN lens l ON l.doc_id = t.doc_id
-                  CROSS JOIN stats s
-                  GROUP BY 1, 2),
+         candc AS (SELECT q.probe_doc, t.doc_id,
+                          round(
+                            i.idfb6 * (CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
+                            (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} +
+                              $B * CAST(l.dl AS DOUBLE) *
+                                CAST(s.n_docs AS DOUBLE) /
+                                CAST(s.sum_dl AS DOUBLE))), 6) AS contrib6
+                   FROM qt q
+                   JOIN tf t ON t.tok = q.tok
+                   JOIN idfb i ON i.tok = q.tok
+                   JOIN lens l ON l.doc_id = t.doc_id
+                   CROSS JOIN stats s),
+         cand AS (SELECT probe_doc, doc_id,
+                         CAST(sum(CAST(round(contrib6 * 1e6) AS BIGINT))
+                           AS BIGINT) AS bm25_micro
+                  FROM candc GROUP BY 1, 2),
          r AS (SELECT probe_doc, doc_id, bm25_micro,
                       row_number() OVER (PARTITION BY probe_doc
                         ORDER BY bm25_micro DESC, doc_id) AS rnk

@@ -447,6 +447,11 @@ object SimilarityOps {
     // then sum in ascending-vec_id order — identical doubles, so the
     // 6dp rounding cannot straddle. The leading 0.0 in the fold's zero
     // vector is an exact identity (adding 0.0 never changes a double).
+    // Output shape (r9 verdict): the pooled vector crosses the gate as
+    // ONE scalar string of exact integer micro-units (round to 6dp,
+    // ×1e6, long, comma-join) — the driver's pandas canonicalizer
+    // cannot sort top-level array cells, and micro-unit longs stringify
+    // identically in both engines (no double formatting in play).
     "q106_embed_pool" -> ((s, dir) => {
       val e = emb(s, dir).select(
         (col("vec_id") / 8).cast("long").as("gid"),
@@ -456,12 +461,13 @@ object SimilarityOps {
           count(lit(1)).as("n_chunks"),
           array_sort(collect_list(col("c"))).as("cs"))
         .select(col("gid"), col("n_chunks"),
-          transform(
+          array_join(transform(
             aggregate(col("cs"),
               transform(element_at(col("cs"), 1).getField("v"),
                 _ => lit(0.0)),
               (acc, c) => zip_with(acc, c.getField("v"), (a, b) => a + b)),
-            x => round(x / col("n_chunks"), 6)).as("pooled"))
+            x => round(round(x / col("n_chunks"), 6) * lit(1e6))
+              .cast("long").cast("string")), ",").as("pooled_micro"))
     }),
 
     // Embedding near-duplicate pairs above a cosine threshold — UNBOUNDED.
@@ -1138,7 +1144,9 @@ object SimilarityOps {
            FROM s) WHERE rnk <= 5""",
     // list(v ORDER BY vec_id) pins the same summation order the Spark
     // side gets from array_sort; list_sum folds left like the zip_with
-    // chain
+    // chain. Micro-unit spelling mirrors Spark exactly: round 6dp →
+    // ×1e6 → round → BIGINT → VARCHAR → comma-join (scalar output for
+    // the driver gate).
     "q106_embed_pool" ->
       """WITH e AS (SELECT CAST(vec_id // 8 AS BIGINT) AS gid, vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1147,9 +1155,11 @@ object SimilarityOps {
                       list(v ORDER BY vec_id) AS cs
                FROM e GROUP BY gid)
          SELECT gid, n_chunks,
-                list_transform(range(1, len(cs[1]) + 1),
-                  d -> round(list_sum(list_transform(cs, c -> c[d]))
-                             / n_chunks, 6)) AS pooled
+                array_to_string(list_transform(range(1, len(cs[1]) + 1),
+                  d -> CAST(CAST(round(round(
+                         list_sum(list_transform(cs, c -> c[d]))
+                         / n_chunks, 6) * 1e6) AS BIGINT) AS VARCHAR)),
+                  ',') AS pooled_micro
          FROM g""",
     // q54's quantization CTEs + q35's list_cosine_similarity over the
     // integral arrays — exact-in-double, so ranks can't drift

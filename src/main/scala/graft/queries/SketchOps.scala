@@ -88,9 +88,9 @@ object SketchOps {
     // double-equal score tie breaks toward the LOWER payload = lower h —
     // ascending-h order preserved even past 2^53. Exact distinct /
     // intersection columns are the verification side (never run at scale);
-    // est_jaccard = matches/128.0 is an exact double (7-bit denominator)
-    // emitted UNROUNDED — both engines produce the identical bits from
-    // identical integers, and no decimal rounding step exists to sit on a
+    // est_jaccard = matches/size(merged-sketch) emitted UNROUNDED — an
+    // integer÷integer double both engines compute bit-identically from
+    // identical inputs, and no decimal rounding step exists to sit on a
     // half boundary (the r7 q88 lesson applied in reverse).
     "q117_kmv_theta" -> ((s, dir) => {
       val lh = langHashes(s, dir)
@@ -125,10 +125,17 @@ object SketchOps {
         .withColumn("est_union",
           kmvEst(size(col("merged")),
             element_at(col("merged"), least(lit(K), size(col("merged"))))))
-        .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
+        // denominator = the union sketch's ACTUAL size, not the constant
+        // K: when the merged vocab holds fewer than K hashes, every hash
+        // is retained and matches IS the exact intersection — dividing by
+        // K would understate Jaccard by size(merged)/K (r9 ADVICE). The
+        // same sz<K special-case kmvEst already applies to cardinality.
+        .withColumn("msz",
+          least(lit(K), size(col("merged"))).cast("double"))
+        .withColumn("est_jaccard", col("matches") / col("msz"))
         .withColumn("est_inter",
           floor(col("matches").cast("double") * col("est_union") /
-            lit(K.toDouble)).cast("long"))
+            col("msz")).cast("long"))
         .withColumn("exact_union",
           col("exact_a") + col("exact_b") - col("exact_inter"))
         .select(col("lang_a"), col("lang_b"),
@@ -204,12 +211,14 @@ object SketchOps {
                         CAST($HashRange AS DOUBLE) / ms.kth) AS BIGINT)
                 END AS est_union,
                 COALESCE(mt.matches, 0) AS matches,
-                COALESCE(mt.matches, 0) / CAST($K AS DOUBLE) AS est_jaccard,
+                COALESCE(mt.matches, 0) /
+                  CAST(least($K, ms.sz) AS DOUBLE) AS est_jaccard,
                 CAST(floor(COALESCE(mt.matches, 0) *
                   (CASE WHEN ms.sz < $K THEN ms.sz
                         ELSE CAST(floor(CAST(${K - 1} AS DOUBLE) *
                            CAST($HashRange AS DOUBLE) / ms.kth) AS BIGINT)
-                   END) / CAST($K AS DOUBLE)) AS BIGINT) AS est_inter,
+                   END) / CAST(least($K, ms.sz) AS DOUBLE)) AS BIGINT)
+                  AS est_inter,
                 abs(ea.est_nd - na.nd) <=
                   CAST(ceil($RelBound * na.nd) AS BIGINT) + 1 AS ok_a,
                 abs(eb.est_nd - nb.nd) <=

@@ -847,7 +847,12 @@ class EngineSpec extends AnyFunSuite {
   test("all SparkEntry queries run at sf0.001 and entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, "/root/testdata/sf0.001").count()
+      val df = fn(spark, "/root/testdata/sf0.001")
+      // gate-shape contract (r9 verdict): scalar top-level columns only —
+      // the driver's pandas canonicalizer cannot hash array/map/struct
+      // cells, so a violation here would ERR in the driver's gate.
+      withClue(name)(assert(graft.core.GateShape.badColumns(df).isEmpty))
+      val n = df.count()
       withClue(name)(assert(n >= 0))
     }
     // every oracle key corresponds to a query

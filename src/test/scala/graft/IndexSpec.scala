@@ -18,7 +18,7 @@ class IndexSpec extends AnyFunSuite {
   test("q118: postings are the P lowest doc_ids of each token's true posting list; df/cf reconcile") {
     val idx = IndexOps.queries("q118_inverted_index")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getSeq[Long](3))).toSeq
+        r.getString(3).split(",").map(_.toLong).toSeq)).toSeq
     // reference posting lists straight from the corpus
     val ref = graft.sources.Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
