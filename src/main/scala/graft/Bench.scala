@@ -61,7 +61,8 @@ object Bench {
       "q90_image_ingest_endstate", "q91_audio_ingest_endstate",
       "q92_video_ingest_endstate", "q95_stream_sessionize_endstate",
       "q96_stream_window_endstate", "q98_stream_join_endstate",
-      "q100_stream_dedup_endstate", "q104_stream_timer_sessionize_endstate")
+      "q100_stream_dedup_endstate", "q104_stream_timer_sessionize_endstate",
+      "q121_index_ingest_endstate")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

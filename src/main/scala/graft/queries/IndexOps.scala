@@ -57,6 +57,153 @@ object IndexOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
+  // ---- Persisted-index artifacts + incremental maintenance (r9 verdict
+  // item 4: the index was the one persisted artifact without an ingest
+  // twin — MinHash signatures, IVF assignments, and PQ codes all have
+  // batch-append paths; postings/df/cf now do too).
+
+  /** The POSTING-FILE relation of an explicit (doc_id, text) batch:
+    * (tok, doc_id, tf, dl) — the sharded forward+inverted payload a real
+    * index persists (tf for scoring, dl for BM25 length normalization).
+    * Cost ∝ batch: one tokenize pass, partial-aggregated on (doc_id, tok).
+    * dl rides as max() over a per-doc constant — no extra shuffle. */
+  def postingsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** TERM-INDEX rows (the q118 store format: tok, df, cf,
+    * postings array<long> = the P lowest doc_ids) from a postings
+    * relation. Vocab-bounded; the sample rides the k-bounded heap. */
+  def termIndexOf(postings: DataFrame): DataFrame =
+    postings.groupBy("tok").agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).as("cf"),
+      org.apache.spark.sql.graft.TopKByScore.columnFor(
+        -col("doc_id").cast("double"), col("doc_id"), P).as("top"))
+      .select(col("tok"), col("df"), col("cf"),
+        transform(col("top"), x => x.getField("payload")).as("postings"))
+
+  /** Fold a batch's term-index rows into the standing store:
+    * df/cf are associative sums; the bounded posting sample merges as the
+    * P lowest of the two sides' samples — exact, because the P lowest of
+    * a union can only come from the P lowest of each side (doc_ids are
+    * disjoint across batches by the ingest contract, the
+    * [[graft.queries.DedupOps.lshPairsIncremental]] precedent). One
+    * vocab-keyed full-outer join — cost ∝ vocab, never ∝ corpus;
+    * `batch ⊎ store ≡ full rebuild` is proved in IndexSpec and gated
+    * end-to-end by q121. */
+  def termIndexAppend(store: DataFrame, batch: DataFrame): DataFrame = {
+    val emptyP = array().cast("array<bigint>")
+    store.select(col("tok"), col("df").as("df_s"), col("cf").as("cf_s"),
+        col("postings").as("p_s"))
+      .join(batch.select(col("tok"), col("df").as("df_b"),
+        col("cf").as("cf_b"), col("postings").as("p_b")), Seq("tok"),
+        "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df_s"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+          .as("df"),
+        (coalesce(col("cf_s"), lit(0L)) + coalesce(col("cf_b"), lit(0L)))
+          .as("cf"),
+        slice(array_sort(concat(coalesce(col("p_s"), emptyP),
+          coalesce(col("p_b"), emptyP))), 1, P).as("postings"))
+  }
+
+  /** BM25 ranked retrieval THROUGH the index artifacts alone — no corpus
+    * access: df comes from the term-index rows, tf/dl from the postings
+    * relation, corpus scalars (N, Σdl) from the doc-length (norms) table.
+    * Identical math/rounding to q119 (probe selection, idf6 term ranking,
+    * 6dp-once contributions, long micro-unit sums, k-bounded heaps), so
+    * retrieval over an incrementally built index is gate-comparable
+    * against the one-shot oracle (q122).
+    *
+    * @param lens (doc_id, dl) — the norms file. Callers with corpus
+    *             access derive it as a narrow scan (q119: no shuffle);
+    *             index-only callers recover it from the postings' forward
+    *             info (`groupBy(doc_id).max(dl)` — q122). */
+  def bm25ThroughIndex(index: DataFrame, postings: DataFrame,
+      lens: DataFrame): DataFrame = {
+    val docLens = lens
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val dft = index.select(col("tok"), col("df"))
+    val probes = docLens.filter(col("dl") >= MinLen)
+      .select(col("doc_id").as("probe_doc"))
+      .orderBy("probe_doc").limit(Probes)
+    val probeTf = postings.join(broadcast(probes),
+      postings("doc_id") === probes("probe_doc")).select(col("probe_doc"),
+      col("tok"), col("tf"))
+    val qterms = probeTf
+      .join(dft, "tok")
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .withColumn("idf6", round(log(col("n_docs").cast("double") /
+        col("df").cast("double")), 6))
+      .groupBy("probe_doc").agg(
+        org.apache.spark.sql.graft.TopKByScore.columnFor(
+          col("tf").cast("double") * col("idf6"), col("tok"), TopTerms)
+          .as("top"))
+      .select(col("probe_doc"), explode(col("top")).as("e"))
+      .select(col("probe_doc"), col("e.payload").as("tok"))
+    val idfb = dft.crossJoin(broadcast(stats.select("n_docs")))
+      .withColumn("idfb6", round(log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)), 6))
+      .select(col("tok"), col("idfb6"))
+    val cand = postings.join(broadcast(qterms), "tok")
+      .join(broadcast(idfb), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib6", round(col("idfb6") *
+        (col("tf").cast("double") * lit(K1 + 1.0)) /
+        (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) +
+          lit(B) * col("dl").cast("double") *
+            col("n_docs").cast("double") / col("sum_dl").cast("double"))), 6))
+      .groupBy("probe_doc", "doc_id")
+      .agg(sum(round(col("contrib6") * lit(1e6)).cast("long"))
+        .as("bm25_micro"))
+    cand.groupBy("probe_doc").agg(
+      org.apache.spark.sql.graft.TopKByScore.columnFor(
+        col("bm25_micro").cast("double"), col("doc_id"), TopK).as("top"))
+      .select(col("probe_doc"), posexplode(col("top")))
+      .select(col("probe_doc"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.payload").as("doc_id"),
+        col("col.score").cast("long").as("bm25_micro"))
+  }
+
+  /** q121/q122 bound their lifecycles to this doc_id slice (the q86
+    * precedent): the machinery under test — batch postings, store merge,
+    * index-only retrieval — is scale-invariant, and the slice keeps the
+    * gate's cost flat at any SF. */
+  private val Slice = 600L
+
+  /** q121 builder: 3 disjoint doc_id batches, each folded into a PARQUET
+    * store (write → re-read → append — the artifact round-trips through
+    * storage every step, like the q86 dedup-ingest loop), then the final
+    * store read back with postings comma-joined for the gate. Eager by
+    * the documented q86/q73 lifecycle-builder contract; temp dirs removed
+    * before returning (the checkpoint keeps the result servable). */
+  private def indexIngestEndState(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("q121_index").toString
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < Slice)
+    var store: Option[DataFrame] = None
+    Seq((0L, 200L), (200L, 400L), (400L, Slice)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        val batch = termIndexOf(postingsOf(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi)))
+        val merged = store.fold(batch)(st => termIndexAppend(st, batch))
+        val path = s"$base/store$i"
+        merged.write.mode("overwrite").parquet(path)
+        store = Some(s.read.parquet(path))
+    }
+    val out = store.get
+      .select(col("tok"), col("df"), col("cf"),
+        array_join(transform(col("postings"), x => x.cast("string")), ",")
+          .as("postings"))
+      .localCheckpoint(eager = true)
+    graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Inverted index: token → df, cf, and the P lowest-doc_id postings via
@@ -80,85 +227,83 @@ object IndexOps {
 
     // BM25 ranked retrieval through the index: Probes lowest-id docs of
     // ≥ MinLen tokens each query their TopTerms best tf·idf terms;
-    // candidates = docs sharing ≥ 1 term (tf ⋈ broadcast term set — the
-    // posting access path); score = Σ_t idf6(t) · tf·(k1+1) /
-    // (tf + k1·(1−b+b·len/avgdl)), carried as exact micro-units.
+    // candidates = docs sharing ≥ 1 term (postings ⋈ broadcast term set —
+    // the posting access path); score = Σ_t idf6(t) · tf·(k1+1) /
+    // (tf + k1·(1−b+b·len/avgdl)), carried as exact micro-units. All four
+    // consumers (doc lengths, df, probe terms, candidate scoring) read
+    // ONE materialized postings relation (lazy localCheckpoint — the
+    // DedupOps batch-signature precedent): the r9 spelling built three
+    // separate tokenize subtrees and paid three corpus passes, and
+    // relying on exchange reuse instead re-pays the pass per consumer
+    // (measured 4 scans, no ReusedExchange — AQE does not fuse them).
     "q119_bm25_topk" -> ((s, dir) => {
-      val t = tf(s, dir)
+      val post = postingsOf(docs(s, dir).select(col("doc_id"), col("text")))
+        .localCheckpoint(eager = false)
       val lens = docs(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
-      // corpus scalars as a broadcast 1-row frame: N docs, Σ len
-      val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val dft = t.groupBy("tok").agg(count(lit(1)).as("df"))
-      val probes = lens.filter(col("dl") >= MinLen)
-        .select(col("doc_id").as("probe_doc"))
-        .orderBy("probe_doc").limit(Probes)
-      // probe query terms: top TopTerms by (tf·idf6 desc, tok asc) — the
-      // q73 tf-idf rank semantics; the heap keeps the per-probe cut bounded
-      val probeTf = t.join(broadcast(probes),
-        t("doc_id") === probes("probe_doc")).select(col("probe_doc"),
-        col("tok"), col("tf"))
-      val qterms = probeTf
-        .join(dft, "tok")
-        .crossJoin(broadcast(stats.select("n_docs")))
-        .withColumn("idf6", round(log(col("n_docs").cast("double") /
-          col("df").cast("double")), 6))
-        .groupBy("probe_doc").agg(
-          org.apache.spark.sql.graft.TopKByScore.columnFor(
-            col("tf").cast("double") * col("idf6"), col("tok"), TopTerms)
-            .as("top"))
-        .select(col("probe_doc"), explode(col("top")).as("e"))
-        .select(col("probe_doc"), col("e.payload").as("tok"))
-      // candidates through the postings of the query terms; per-term BM25
-      // contribution rounded ONCE to 6dp → exact micro-units
-      val idfb = dft.crossJoin(broadcast(stats.select("n_docs")))
-        .withColumn("idfb6", round(log((col("n_docs") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)), 6))
-        .select(col("tok"), col("idfb6"))
-      // dl rides inside the tf relation (max over a per-doc constant — no
-      // extra shuffle) so scoring needs no corpus-wide doc-length join
-      val tl = docs(s, dir)
-        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
-          explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      val cand = tl.join(broadcast(qterms), "tok")
-        .join(broadcast(idfb), "tok")
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib6", round(col("idfb6") *
-          (col("tf").cast("double") * lit(K1 + 1.0)) /
-          (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) +
-            lit(B) * col("dl").cast("double") *
-              col("n_docs").cast("double") / col("sum_dl").cast("double"))), 6))
-        .groupBy("probe_doc", "doc_id")
-        .agg(sum(round(col("contrib6") * lit(1e6)).cast("long"))
-          .as("bm25_micro"))
-      cand.groupBy("probe_doc").agg(
-        org.apache.spark.sql.graft.TopKByScore.columnFor(
-          col("bm25_micro").cast("double"), col("doc_id"), TopK).as("top"))
-        .select(col("probe_doc"), posexplode(col("top")))
-        .select(col("probe_doc"), (col("pos") + 1).cast("long").as("rnk"),
-          col("col.payload").as("doc_id"),
-          col("col.score").cast("long").as("bm25_micro"))
+      bm25ThroughIndex(post.groupBy("tok").agg(count(lit(1)).as("df")), post,
+        lens)
+    }),
+
+    // INCREMENTAL index ingest end-state, oracle-gated: three disjoint
+    // doc batches each fold into a persisted parquet store
+    // ([[termIndexAppend]]; write → re-read → merge, the q86 lifecycle
+    // recipe); the gate proves batch-by-batch maintenance converges to
+    // exactly the one-shot q118 build over the same slice. Per-batch cost
+    // ∝ batch tokenization + one vocab-keyed merge join — never a corpus
+    // re-scan.
+    "q121_index_ingest_endstate" -> ((s, dir) => indexIngestEndState(s, dir)),
+
+    // BM25 retrieval THROUGH a compositionally-built index (r9 verdict
+    // item 5): term stats come from three batch indexes folded with
+    // [[termIndexAppend]], postings from the three batch posting
+    // relations unioned — retrieval never touches the corpus. The oracle
+    // is the one-shot q119 SQL over the same slice: answers over
+    // store ⊎ batches must equal answers over a full rebuild.
+    "q122_bm25_index_compose" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < Slice)
+      // thirds by pmod: deterministic, corpus-covering, no driver job;
+      // each batch's postings materialize once (lazy checkpoint) and feed
+      // both its index rows and the unioned scoring relation
+      val posts = (0 until 3).map(i =>
+        postingsOf(d.filter(pmod(col("doc_id"), lit(3)) === i))
+          .localCheckpoint(eager = false))
+      val idx = posts.map(termIndexOf).reduce(termIndexAppend)
+      val post = posts.reduce(_ unionByName _)
+      bm25ThroughIndex(idx, post,
+        post.groupBy("doc_id").agg(max(col("dl")).as("dl")))
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "q118_inverted_index" ->
-      """WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                    FROM documents),
+  /** One-shot index-build SQL — shared verbatim by q118 (full corpus,
+    * empty filter) and q121 (sliced): the incremental lifecycle's ground
+    * truth IS the one-shot build. */
+  private def indexOracleSql(where: String): String =
+    s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents $where),
          tf AS (SELECT doc_id, tok, count(*) AS tf FROM d GROUP BY 1, 2)
          SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
                 array_to_string((list(doc_id ORDER BY doc_id))[1:16], ',')
                   AS postings
-         FROM tf GROUP BY tok""",
-    "q119_bm25_topk" ->
+         FROM tf GROUP BY tok"""
+
+  val oracle: Map[String, String] = Map(
+    "q118_inverted_index" -> indexOracleSql(""),
+    "q121_index_ingest_endstate" -> indexOracleSql(s"WHERE doc_id < $Slice"),
+    "q122_bm25_index_compose" -> bm25OracleSql(s"WHERE doc_id < $Slice"),
+    "q119_bm25_topk" -> bm25OracleSql(""))
+
+  /** One-shot BM25 SQL — shared verbatim by q119 (full corpus) and q122
+    * (sliced, answered on the Spark side through the incrementally
+    * composed index: equality proves the composition changes nothing). */
+  private def bm25OracleSql(where: String): String =
       s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                     FROM documents),
+                     FROM documents $where),
          tf AS (SELECT doc_id, tok, count(*) AS tf FROM d GROUP BY 1, 2),
          lens AS (SELECT doc_id,
                          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                  FROM documents),
+                  FROM documents $where),
          stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
                    FROM lens),
          dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
@@ -202,5 +347,4 @@ object IndexOps {
                FROM cand)
          SELECT probe_doc, CAST(rnk AS BIGINT) AS rnk, doc_id, bm25_micro
          FROM r WHERE rnk <= $TopK"""
-  )
 }

@@ -60,4 +60,35 @@ class IndexSpec extends AnyFunSuite {
       assert(rs.length === 10)
     }
   }
+
+  test("incremental index: batch ⊎ store ≡ full rebuild (df/cf/postings exact)") {
+    val d = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 900)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList)).sortBy(_._1).toSeq
+    // three disjoint batches folded pairwise vs the one-shot build
+    val batches = Seq((0L, 300L), (300L, 600L), (600L, 900L)).map {
+      case (lo, hi) => IndexOps.termIndexOf(IndexOps.postingsOf(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi)))
+    }
+    val inc = batches.reduce(IndexOps.termIndexAppend)
+    val full = IndexOps.termIndexOf(IndexOps.postingsOf(d))
+    assert(canon(inc) === canon(full))
+  }
+
+  test("bm25ThroughIndex over composed artifacts ≡ q119 over the same slice") {
+    val d = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 600)
+    val post = IndexOps.postingsOf(d)
+    val viaIndex = IndexOps.bm25ThroughIndex(IndexOps.termIndexOf(post), post,
+        post.groupBy("doc_id").agg(max(col("dl")).as("dl")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    // the gated q122 builds the same answers through 3-way composition
+    val composed = IndexOps.queries("q122_bm25_index_compose")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(viaIndex === composed && viaIndex.nonEmpty)
+  }
 }
