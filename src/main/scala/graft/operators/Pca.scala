@@ -52,7 +52,17 @@ object Pca {
     * codegen; the arithmetic (round each term once to scale 12, exact
     * associative adds) is unchanged. */
   def moments(df: DataFrame, vecCol: String, d: Int): Moments = {
-    val row = df.select(
+    // A small corpus arrives as ONE file = ONE partition, serializing the
+    // d(d+3)/2 exact-decimal row terms on a single core (measured 2.2 s
+    // at sf0.1 — the r9 "~1 s claim" gap). Spread small inputs across the
+    // cluster first — the shuffle is tiny by definition of "small" — and
+    // leave large inputs alone: they are already parallel, and the sums
+    // are exactly associative/commutative, so partitioning never changes
+    // the result (the Moments mergeability contract).
+    val pre = df.select(col(vecCol))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (pre.rdd.getNumPartitions < par) pre.repartition(par) else pre
+    val row = src.select(
       org.apache.spark.sql.graft.PcaMomentsAgg
         .columnFor(col(vecCol), d).as("mom")).head()
     val mom = row.getStruct(0)
@@ -179,4 +189,13 @@ object Pca {
       val c = x(i) - lit(basis.mu(i)); c * c
     }.reduceLeft(_ + _)
   }
+
+  /** All k projections + ||x−μ||² fused into ONE codegen'd expression —
+    * `array<double>` of `[p_0 … p_{k-1}, cSq]`, bit-identical to the
+    * [[project]]/[[centeredSq]] literal trees but basis-independent in
+    * the generated source (no per-fit recompile; see
+    * [[org.apache.spark.sql.graft.PcaProjectExpr]]). */
+  def projectAll(basis: Basis, vecCol: String): Column =
+    org.apache.spark.sql.graft.PcaProjectExpr
+      .columnFor(col(vecCol), basis.mu.toSeq, basis.comps.map(_.toSeq).toSeq)
 }

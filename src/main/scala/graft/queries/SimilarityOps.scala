@@ -714,13 +714,16 @@ object SimilarityOps {
     "q108_pca_project" -> ((s, dir) => {
       val k = 16
       val basis = pcaBasis(s, dir, k)
-      val projSq = (0 until k).map { j =>
-        val p = graft.operators.Pca.project(basis, "embedding", j); p * p
-      }.reduceLeft(_ + _)
-      val cSq = graft.operators.Pca.centeredSq(basis, "embedding")
-      emb(s, dir).select(
+      // one fused pass: [p_0..p_{k-1}, cSq] per row (PcaProjectExpr; the
+      // literal-tree spelling recompiled ~2100 codegen nodes per fit —
+      // r9 verdict item 3's measured gap); values are bit-identical
+      val pc = emb(s, dir).select(col("vec_id"), col("label"),
+        graft.operators.Pca.projectAll(basis, "embedding").as("pc"))
+      val projSq = (0 until k).map(j => col("pc")(j) * col("pc")(j))
+        .reduceLeft(_ + _)
+      pc.select(
         col("vec_id"), col("label"), lit(k).as("k"),
-        (projSq <= cSq * lit(1.0 + 1e-9) + lit(1e-9)).as("norm_ok"),
+        (projSq <= col("pc")(k) * lit(1.0 + 1e-9) + lit(1e-9)).as("norm_ok"),
         lit(basis.captured >= k.toDouble / Dim - 1e-12).as("capture_ok"))
     }),
 

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc decomposition of the PCA gate cost: times the moment
+  * aggregation, the eigensolve, and the projection query separately
+  * (the q108/q112 "~1 s" claim vs the r9 judge's 3.9/5.4 s readings). */
+object PcaProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    e.count() // warm the scan
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pca-probe] $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+    // three repetitions to separate JIT/codegen warmup from steady state
+    var mom: graft.operators.Pca.Moments = null
+    for (i <- 1 to 3) mom = t(s"moments pass $i") {
+      graft.operators.Pca.moments(e, "embedding", 64)
+    }
+    val basis = t("basisFrom (eigensolve)") {
+      graft.operators.Pca.basisFrom(mom, 16)
+    }
+    for (i <- 1 to 3) t(s"projection query $i") {
+      val projSq = (0 until 16).map { j =>
+        val p = graft.operators.Pca.project(basis, "embedding", j); p * p
+      }.reduceLeft(_ + _)
+      val cSq = graft.operators.Pca.centeredSq(basis, "embedding")
+      e.select(col("vec_id"),
+        (projSq <= cSq * lit(1.0 + 1e-9) + lit(1e-9)).as("norm_ok"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

@@ -25,9 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregate: one expression, one buffer, linear row work).
   *
   * Exactness contract (what makes moments MERGEABLE bit-identically):
-  * each per-row term is rounded ONCE to scale 12 (HALF_UP over the
-  * canonical decimal rendering of the double — a pure per-value function,
-  * no accumulated state), then accumulated with exact BigInteger adds —
+  * each per-row term is rounded ONCE to scale 12 — round-half-up of
+  * v·1e12 computed in double (the exact BigDecimal HALF_UP path for the
+  * rare |v·1e12| beyond the long range) — a pure per-value function with
+  * no accumulated state, then accumulated with exact integer adds (long
+  * fast lane + BigInteger overflow lane, see [[PcaMomentsAgg.Buf]]) —
   * associative and commutative, so any partition count / merge order
   * yields the same unscaled integers. float×float is exact in double
   * (24-bit mantissas), so the x_i·x_j terms lose nothing before rounding.
@@ -72,18 +74,20 @@ case class PcaMomentsAgg(
 
   override def eval(buf: PcaMomentsAgg.Buf): Any =
     InternalRow(buf.n, new GenericArrayData(
-      buf.acc.map(bi => UTF8String.fromString(
-        new JBigDecimal(bi, 12).toPlainString): Any)))
+      Array.tabulate(buf.len)(i => UTF8String.fromString(
+        new JBigDecimal(buf.total(i), 12).toPlainString): Any)))
 
   override def serialize(buf: PcaMomentsAgg.Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(buf.n)
-    out.writeInt(buf.acc.length)
-    buf.acc.foreach { bi =>
-      val b = bi.toByteArray
+    out.writeInt(buf.len)
+    var i = 0
+    while (i < buf.len) {
+      val b = buf.total(i).toByteArray
       out.writeInt(b.length)
       out.write(b)
+      i += 1
     }
     out.flush()
     bos.toByteArray
@@ -94,12 +98,13 @@ case class PcaMomentsAgg(
     val buf = new PcaMomentsAgg.Buf(d)
     buf.n = in.readLong()
     val len = in.readInt()
-    require(len == buf.acc.length, s"moment buffer length drift: $len")
+    require(len == buf.len, s"moment buffer length drift: $len")
+    buf.accB = new Array[BigInteger](len)
     var i = 0
     while (i < len) {
       val b = new Array[Byte](in.readInt())
       in.readFully(b)
-      buf.acc(i) = new BigInteger(b)
+      buf.accB(i) = new BigInteger(b) // accL stays 0: total = accB
       i += 1
     }
     buf
@@ -121,22 +126,54 @@ object PcaMomentsAgg {
     ExpressionUtils.column(PcaMomentsAgg(
       ExpressionUtils.expression(vec), d).toAggregateExpression())
 
-  /** Unscaled accumulator at fixed scale 12: n + BigInteger sums for s[d]
-    * then m[i][j], i ≤ j, row-major upper triangle. */
+  /** Unscaled accumulator at fixed scale 12: n + sums for s[d] then
+    * m[i][j], i ≤ j, row-major upper triangle.
+    *
+    * Two lanes per cell: a LONG fast lane (the hot path — one scaled
+    * round + one add per term, no allocation) and a lazily-allocated
+    * BigInteger overflow lane a cell spills into when the long sum would
+    * wrap or a term is too large to scale in double. Totals are always
+    * fastLane + overflowLane — exact integer arithmetic end-to-end, so
+    * the mergeability/partition-invariance contract is unchanged. The
+    * all-BigInteger spelling this replaces cost ~0.5 µs per term
+    * (Double.toString inside BigDecimal.valueOf + per-term allocation):
+    * 2.2 s single-core for one sf0.1 moment pass — the r9 "~1 s" gap. */
   final class Buf(val d: Int) {
+    val len: Int = d + d * (d + 1) / 2
     var n: Long = 0L
-    val acc: Array[BigInteger] =
-      Array.fill(d + d * (d + 1) / 2)(BigInteger.ZERO)
+    val accL: Array[Long] = new Array[Long](len)
+    var accB: Array[BigInteger] = _ // null until first spill
 
-    /** Round once to scale 12 (HALF_UP on the canonical decimal rendering
-      * of the double — `BigDecimal.valueOf`), return the unscaled value.
+    private def spill(i: Int, u: BigInteger): Unit = {
+      if (accB == null) accB = new Array[BigInteger](len)
+      accB(i) = if (accB(i) == null) u else accB(i).add(u)
+    }
+
+    /** Scaled-long bound: |v·1e12| beyond this goes through the exact
+      * BigDecimal path (also leaves headroom under 2^63). */
+    private val MaxScaled = 4.6e18
+
+    /** Accumulate one term, rounded ONCE to scale 12 — a pure per-value
+      * function (round-half-up of v·1e12 in double on the fast path; the
+      * equivalent BigDecimal HALF_UP beyond the long range), so any
+      * partition count / merge order yields the same unscaled integers.
       * Non-finite terms contribute nothing (the declarative spelling's
       * null-skip behavior). */
-    private def r12(v: Double): BigInteger =
-      if (java.lang.Double.isFinite(v))
-        JBigDecimal.valueOf(v).setScale(12, RoundingMode.HALF_UP)
-          .unscaledValue()
-      else BigInteger.ZERO
+    private def addTerm(i: Int, v: Double): Unit = {
+      if (java.lang.Double.isFinite(v)) {
+        val scaled = v * 1e12
+        if (scaled > -MaxScaled && scaled < MaxScaled) {
+          val u = Math.round(scaled)
+          val a = accL(i)
+          val s = a + u
+          // two's-complement overflow test (Math.addExact sans throw)
+          if (((a ^ s) & (u ^ s)) < 0L) {
+            spill(i, BigInteger.valueOf(a)); accL(i) = u
+          } else accL(i) = s
+        } else spill(i, JBigDecimal.valueOf(v)
+          .setScale(12, RoundingMode.HALF_UP).unscaledValue())
+      }
+    }
 
     def add(v: ArrayData): Unit = {
       val m = math.min(d, v.numElements())
@@ -144,13 +181,13 @@ object PcaMomentsAgg {
       var i = 0
       while (i < m) { x(i) = v.getFloat(i).toDouble; i += 1 }
       i = 0
-      while (i < d) { acc(i) = acc(i).add(r12(x(i))); i += 1 }
+      while (i < d) { addTerm(i, x(i)); i += 1 }
       var idx = d
       i = 0
       while (i < d) {
         var j = i
         while (j < d) {
-          acc(idx) = acc(idx).add(r12(x(i) * x(j)))
+          addTerm(idx, x(i) * x(j))
           idx += 1; j += 1
         }
         i += 1
@@ -158,10 +195,25 @@ object PcaMomentsAgg {
       n += 1
     }
 
+    /** Exact total of one cell (fast lane + overflow lane). */
+    def total(i: Int): BigInteger = {
+      val l = BigInteger.valueOf(accL(i))
+      if (accB != null && accB(i) != null) accB(i).add(l) else l
+    }
+
     def mergeIn(o: Buf): Unit = {
       require(o.d == d, "moment dimensionality mismatch")
       var i = 0
-      while (i < acc.length) { acc(i) = acc(i).add(o.acc(i)); i += 1 }
+      while (i < len) {
+        val u = o.accL(i)
+        val a = accL(i)
+        val s = a + u
+        if (((a ^ s) & (u ^ s)) < 0L) {
+          spill(i, BigInteger.valueOf(a)); accL(i) = u
+        } else accL(i) = s
+        if (o.accB != null && o.accB(i) != null) spill(i, o.accB(i))
+        i += 1
+      }
       n += o.n
     }
   }
