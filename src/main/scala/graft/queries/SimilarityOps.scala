@@ -606,62 +606,52 @@ object SimilarityOps {
     // aggregation, no 64-dim arithmetic on the hot path. Codebooks are
     // per-subspace deterministic Lloyd (identical seed/round rules to
     // q39's quantizer) so DuckDB re-derives them exactly.
-    "q97_ann_ivfpq" -> ((s, dir) => {
-      val (k, iters) = (8, 3)
-      val coarse = lloydCentroids(s, dir, k, iters)
-      val pq = pqCodebooks(s, dir, PqM, PqK, PqIters)
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      // left-fold squared L2 — same element order / association as the
-      // oracle's list_sum comprehension
-      def sqL2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)
-      // one fused pq_encode loop per row (M separate NearestCentroid
-      // columns pushed the projection past the JVM method limit — the
-      // whole stage dropped out of codegen and ran interpreted)
-      val enc = e.select(col("vec_id"),
-        NearestCentroid.cell(col("embedding"), coarse).as("cell"),
-        org.apache.spark.sql.graft.PqExpr
-          .encode(col("embedding"), pq).as("codes"))
-      // nprobe=2: each probe searches its TWO nearest coarse cells — the
-      // standard IVF recall knob (single-cell probing caps recall at the
-      // cell boundary; a second cell roughly doubles the candidate set at
-      // unchanged per-pair cost). Cell ranking is a narrow sorted-struct
-      // expression over the k literal centroids; ties (d, then cell)
-      // match the oracle's row_number ordering, and rank 1 reproduces
-      // NearestCentroid's strict-< lowest-index rule exactly.
-      val nprobe = 2
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .select(col("qid"), col("qe"),
-          explode(slice(array_sort(array((0 until k).map(c =>
-            struct(sqL2(col("qe"), array(coarse(c).map(lit): _*)).as("d"),
-              lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
-        .select(col("qid"), col("qe"), col("cc.cell").as("cell"))
-      // the ADC lookup table: lut[m][c] = ||q_sub_m - codebook_m[c]||²,
-      // computed once per probe on the (nprobe × 10-row) broadcast side
-      val lut = probes.select(col("qid"), col("cell"),
-        array((0 until PqM).map { m =>
-          array(pq(m).indices.map { c =>
-            sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
-              array(pq(m)(c).map(lit): _*))
-          }: _*)
-        }: _*).as("lut"))
-      // one generated index-order loop (≡ the oracle's left-to-right
-      // l0.d + l1.d + … association)
-      val adc = org.apache.spark.sql.graft.PqExpr
-        .adc(col("codes"), col("lut"))
-      // `+ 0.0` drops a negated zero (q79 precedent): adc 0.0 would
-      // otherwise become score -0.0, whose sign survives the round-trip
-      enc.join(broadcast(lut), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"), adc.as("adc"))
+    "q97_ann_ivfpq" -> ((s, dir) =>
+      ivfPqAdcCandidates(s, dir, nprobe = 2)
         .groupBy("qid")
         .agg(org.apache.spark.sql.graft.TopKByScore
           .columnFor(negate(col("adc")) + lit(0.0), col("cid"), 5).as("top"))
         .select(col("qid"), posexplode(col("top")))
         .select(col("qid"), col("col.payload").as("cid"),
           round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
+          (col("pos") + 1).cast("long").as("rnk"))),
+
+    // IVF-PQ with an exact RE-RANK tail (r9 verdict item 8 — the
+    // standard production shape: ADC is a cheap, lossy filter whose
+    // top-R survivors are re-scored against the RAW vectors, recovering
+    // near-exact top-k at R·d instead of n·d exact work per probe). The
+    // candidate cut rides the k-bounded heap (≤ R rows per probe cross
+    // the shuffle); the re-score joins the R·|probes| broadcast
+    // candidate list back to the corpus — ONE narrow pass, no n² —
+    // then a second heap takes the exact-cosine top-5. Recall vs brute
+    // force is the measured property (AnnRecallSpec: ≥ 0.9 floor, vs
+    // 0.42–0.52 for raw ADC@5) — approximation quality is not
+    // SQL-checkable without replaying the whole PQ chain, so this entry
+    // carries no DuckDB oracle (q35 is the exact baseline; the driver
+    // records the weaker rows-check, the AnnRecallSpec floor is the gate).
+    "q123_ann_ivfpq_rerank" -> ((s, dir) => {
+      val rerankR = 64
+      val cand = ivfPqAdcCandidates(s, dir, nprobe = 4)
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(negate(col("adc")) + lit(0.0), col("cid"), rerankR)
+          .as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.payload").as("cid"))
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val probeVecs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      e.join(broadcast(cand), e("vec_id") === cand("cid"))
+        .join(broadcast(probeVecs), "qid")
+        .select(col("qid"), col("cid"),
+          cosineSim(col("qe"), col("embedding")).as("cos"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(round(col("cos"), 6) + lit(0.0), col("cid"), 5)
+          .as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(col("col.score"), 4).as("cosine"),
           (col("pos") + 1).cast("long").as("rnk"))
     }),
 
@@ -925,6 +915,64 @@ object SimilarityOps {
       .join(broadcast(centDf), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         cosineSim(col("embedding"), col("cent")).as("cos"))
+  }
+
+  /** IVF-PQ candidate scoring (Jégou et al. 2011's IVFADC, by_residual
+    * disabled), shared by q97 (top-5 by ADC) and q123 (exact re-rank):
+    * coarse IVF restricts candidates to each probe's `nprobe` nearest
+    * cells; within them candidates are scored from their PQ codes alone
+    * via asymmetric distance. Each vector encodes ONCE as M=16 4-bit
+    * codes (one fused codegen loop — M separate NearestCentroid columns
+    * blew the JVM method limit and fell out of codegen); each probe
+    * precomputes its M×K LUT of subspace distances on the broadcast side
+    * (never per pair); per-pair work is 16 lookups + 15 adds in fixed
+    * association order. Codebooks are per-subspace deterministic Lloyd
+    * (identical seed/round rules to q39) so DuckDB re-derives them
+    * exactly for the q97 gate. Returns (qid, cid, adc). */
+  private def ivfPqAdcCandidates(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val (k, iters) = (8, 3)
+    val coarse = lloydCentroids(s, dir, k, iters)
+    val pq = pqCodebooks(s, dir, PqM, PqK, PqIters)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    // left-fold squared L2 — same element order / association as the
+    // oracle's list_sum comprehension
+    def sqL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+    val enc = e.select(col("vec_id"),
+      NearestCentroid.cell(col("embedding"), coarse).as("cell"),
+      org.apache.spark.sql.graft.PqExpr
+        .encode(col("embedding"), pq).as("codes"))
+    // nprobe nearest coarse cells per probe — the standard IVF recall
+    // knob. Cell ranking is a narrow sorted-struct expression over the k
+    // literal centroids; ties (d, then cell) match the oracle's
+    // row_number ordering, and rank 1 reproduces NearestCentroid's
+    // strict-< lowest-index rule exactly.
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        explode(slice(array_sort(array((0 until k).map(c =>
+          struct(sqL2(col("qe"), array(coarse(c).map(lit): _*)).as("d"),
+            lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+      .select(col("qid"), col("qe"), col("cc.cell").as("cell"))
+    // the ADC lookup table: lut[m][c] = ||q_sub_m - codebook_m[c]||²,
+    // computed once per probe on the (nprobe × 10-row) broadcast side
+    val lut = probes.select(col("qid"), col("cell"),
+      array((0 until PqM).map { m =>
+        array(pq(m).indices.map { c =>
+          sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
+            array(pq(m)(c).map(lit): _*))
+        }: _*)
+      }: _*).as("lut"))
+    // one generated index-order loop (≡ the oracle's left-to-right
+    // l0.d + l1.d + … association); `+ 0.0` at the consumers drops a
+    // negated zero (q79 precedent)
+    val adc = org.apache.spark.sql.graft.PqExpr
+      .adc(col("codes"), col("lut"))
+    enc.join(broadcast(lut), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), adc.as("adc"))
   }
 
   /** Per-(session, dir, k) cache of the fitted PCA basis — see

@@ -29,6 +29,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.6, f"mean IVF recall $mean%.2f")
   }
 
+  test("IVF-PQ + exact re-rank: top-5 recall vs brute force >= 90% on the probe set") {
+    // the production-shape gate (r9 verdict item 8): ADC alone measures
+    // 0.42–0.52 recall@5 here; nprobe=4 + exact re-rank of the ADC top-64
+    // must lift the floor to >= 0.9
+    val brute = top5("q35_ann_brute")
+    val rr = top5("q123_ann_ivfpq_rerank")
+    val recalls = brute.map { case (q, truth) =>
+      rr.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"mean re-ranked IVF-PQ recall $mean%.2f")
+  }
+
   test("IVF-PQ: ADC output is exactly reproducible from codes + codebooks") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps
