@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.util.concurrent.atomic.AtomicLong
@@ -100,6 +100,35 @@ object ScaleStress {
       .select("vec_id", "embedding", "label")
     embeddings.repartition(math.max(2, mult))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Deterministic N× EVENT stream for the stateful-operator stage:
+    * 20 000·m events over 100·m users in a FIXED 30-day span (murmur3 of
+    * the id, no RNG state). Scaling users with m while pinning the span
+    * makes each operator's state curve observable: dedup keys and session
+    * state grow ∝ m, join buffers grow ∝ m, while the windowed aggregate's
+    * state stays bounded by (windows × event types) — the property that
+    * makes it safe at any scale. */
+  def synthesizeEvents(spark: SparkSession, dir: String, mult: Int): Unit = {
+    val nEv = 20000L * mult
+    val nUsers = 100L * mult
+    val baseUs = 1700000000L * 1000000L
+    val types = array(Seq("view", "click", "purchase", "signup").map(lit): _*)
+    spark.range(nEv).toDF("event_id")
+      .withColumn("user_id", pmod(hash(col("event_id"), lit(-7)), lit(nUsers))
+        .cast("long"))
+      .withColumn("ts", timestamp_micros(lit(baseUs) +
+        pmod(hash(col("event_id"), lit(-8)), lit(30)).cast("long") *
+          lit(86400L * 1000000L) +
+        pmod(hash(col("event_id"), lit(-9)), lit(86400000)).cast("long") *
+          lit(1000L)))
+      .withColumn("event_type",
+        element_at(types, pmod(hash(col("event_id"), lit(-10)), lit(4)) + 1))
+      .withColumn("value",
+        pmod(hash(col("event_id"), lit(-11)), lit(10000)).cast("double") / 100.0)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(math.max(2, mult))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
   /** The documents/embeddings pipeline suite: the judge-named dedup + ANN +
@@ -256,6 +285,129 @@ object ScaleStress {
     (hpSec, hpPairs, found.toDouble / math.max(nPlanted, 1L), spSec, spPairs)
   }
 
+  final case class StreamStat(name: String, batchSec: Seq[Double],
+      stateBytes: Seq[Long], recoverySec: Double, outRows: Long) {
+    def json: String =
+      s""""$name":{"batch_sec":[${batchSec.map(s => f"$s%.3f").mkString(",")}],""" +
+        s""""state_bytes":[${stateBytes.mkString(",")}],""" +
+        f""""recovery_sec":$recoverySec%.3f,"rows":$outRows}"""
+  }
+
+  private def dirBytes(p: java.nio.file.Path): Long =
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+
+  /** The four oracle-gated stateful streaming operators run as measured
+    * catch-up LIFECYCLES at scale (r9 verdict item 7): three event-time-
+    * tercile batches land one at a time, each processed by an AvailableNow
+    * run on a shared checkpoint — per-batch wall + checkpoint state size
+    * after every batch, then a RECOVERY run (restart with no new data:
+    * times checkpoint replay + state reload alone). Semantics are the
+    * sf0.01 driver gates' job (q96/q98/q100/q104); this stage measures the
+    * cost curves those gates fix at one size: dedup keys / session state /
+    * join buffers grow ∝ users·m, the windowed aggregate's state stays
+    * bounded by (windows × types) at any m. */
+  def streamingStage(spark: SparkSession, dir: String): Seq[StreamStat] = {
+    import graft.streaming.EventStream
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .localCheckpoint(eager = true)
+    val b = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (minUs, maxUs) = (b.getLong(0), b.getLong(1))
+    val third = (maxUs - minUs) / 3
+    val (cut1, cut2) = (minUs + third, minUs + 2 * third)
+    val cuts = Seq(col("ts_us") < cut1,
+      col("ts_us") >= cut1 && col("ts_us") < cut2, col("ts_us") >= cut2)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_scale")
+      .toString
+    val evSchema =
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    def timed(thunk: => Unit): Double = {
+      val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
+    }
+    /** One operator lifecycle: per-batch writers land files, `run` does one
+      * catch-up pass over everything available. */
+    def lifecycle(name: String, land: (Column, Int) => Unit,
+        run: () => Unit): StreamStat = {
+      val ck = s"$base/$name/ck"
+      val stats = cuts.zipWithIndex.map { case (c, i) =>
+        land(c, i)
+        val sec = timed(run())
+        (sec, dirBytes(java.nio.file.Paths.get(ck, "state")))
+      }
+      val recovery = timed(run()) // no new data: replay + state reload
+      val rows = spark.read.parquet(s"$base/$name/out").count()
+      StreamStat(name, stats.map(_._1), stats.map(_._2), recovery, rows)
+    }
+    def landEvents(sub: String)(c: Column, i: Int): Unit =
+      ev.filter(c).select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .coalesce(2).write.mode("append").parquet(s"$base/$sub/in")
+    def readIn(sub: String) =
+      spark.readStream.schema(evSchema).parquet(s"$base/$sub/in")
+
+    val win = lifecycle("window", landEvents("window"), () =>
+      EventStream.runAvailableNow(
+        EventStream.windowedCounts(readIn("window"), "ts", "6 hours", "1 hour"),
+        s"$base/window/out", s"$base/window/ck"))
+
+    val ded = lifecycle("dedup", landEvents("dedup"), () =>
+      EventStream.runAvailableNow(
+        EventStream.dedupWithinWatermark(readIn("dedup"),
+          Seq("user_id", "event_type"), "ts", "3650 days"),
+        s"$base/dedup/out", s"$base/dedup/ck"))
+
+    val joi = lifecycle("temporal_join",
+      (c, i) => {
+        ev.filter(c && col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("ts"), col("user_id"))
+          .coalesce(2).write.mode("append").parquet(s"$base/temporal_join/l")
+        ev.filter(c && col("event_type").isin("view", "signup"))
+          .select(col("event_id"), col("ts"), col("user_id"))
+          .coalesce(2).write.mode("append").parquet(s"$base/temporal_join/r")
+      },
+      () => {
+        val schema = "event_id LONG, ts TIMESTAMP, user_id LONG"
+        EventStream.runAvailableNow(
+          EventStream.streamTemporalJoin(
+            spark.readStream.schema(schema).parquet(s"$base/temporal_join/l"),
+            spark.readStream.schema(schema).parquet(s"$base/temporal_join/r"),
+            "6 hours", "12 hours"),
+          s"$base/temporal_join/out", s"$base/temporal_join/ck")
+        ()
+      })
+
+    // transformWithState requires the RocksDB provider (q104 contract);
+    // bracketed so the batch stages keep the default provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val ses =
+      try lifecycle("tws_sessionize",
+        (c, i) => ev.filter(c)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .coalesce(2).write.mode("append").parquet(s"$base/tws_sessionize/in"),
+        () => {
+          val st = spark.readStream
+            .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
+            .parquet(s"$base/tws_sessionize/in")
+          EventStream.runAvailableNow(
+            EventStream.sessionizeTwsTimers(st, 1800L * 1000L).toDF(),
+            s"$base/tws_sessionize/out", s"$base/tws_sessionize/ck")
+          ()
+        })
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+
+    graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    Seq(win, ded, joi, ses)
+  }
+
   /** Forced-distributed CC over the real q33 pair pipeline (driverMax = 0 ⇒
     * the label-propagation loop runs even though the edge set fits on the
     * driver), checked for exact agreement with the driver union-find path. */
@@ -298,11 +450,12 @@ object ScaleStress {
     // warm-up at the smallest scale: JIT + codegen compile once, unbilled
     val warmDir = s"$outRoot/x${mults.min}"
     synthesize(spark, warmDir, mults.min)
+    synthesizeEvents(spark, warmDir, mults.min)
     runSuite(spark, warmDir, meter)
 
     val perScale = mults.map { m =>
       val dir = s"$outRoot/x$m"
-      if (m != mults.min) synthesize(spark, dir, m)
+      if (m != mults.min) { synthesize(spark, dir, m); synthesizeEvents(spark, dir, m) }
       // min-of-2 passes: this host shows ±30% noise windows on the minutes
       // timescale (PERF.md protocol); a single pass can misattribute a
       // stall to a query. Shuffle bytes / rows are deterministic — taken
@@ -319,6 +472,13 @@ object ScaleStress {
       val enumRuns = Seq(enumTunedStage(spark, dir), enumTunedStage(spark, dir))
       val (hpSec, hpPairs, hpRecall, spSec, spPairs) =
         enumRuns.minBy(r => r._1 + r._4)
+      val streamStats = streamingStage(spark, dir)
+      streamStats.foreach { st =>
+        System.err.println(f"[scale x$m] stream ${st.name}%-15s " +
+          f"batches=${st.batchSec.map(s => f"$s%.2f").mkString("/")} s  " +
+          f"state=${st.stateBytes.last / 1024.0}%.0f KB  " +
+          f"recovery=${st.recoverySec}%.2f s  rows=${st.outRows}%d")
+      }
       val total = stats.map(_.sec).sum
       System.err.println(f"[scale x$m] total=$total%.2f s  ccDistributed=$ccSec%.2f s" +
         f"  lshTuned=$lshSec%.2f s ($lshPairs pairs, recall=$lshRecall%.4f)")
@@ -339,6 +499,7 @@ object ScaleStress {
         s""""hp_tuned_sec":$hpSec,"hp_tuned_pairs":$hpPairs,""" +
         s""""hp_tuned_recall":$hpRecall,""" +
         s""""simhash_tuned_sec":$spSec,"simhash_tuned_pairs":$spPairs,""" +
+        s""""streaming":${streamStats.map(_.json).mkString("{", ",", "}")},""" +
         s""""queries":$qJson}""")
       m -> (total, stats)
     }
