@@ -47,6 +47,36 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q117: below-K vocab degenerates to EXACT set algebra (r9 ADVICE: denominator = sketch size, not K)") {
+    // a corpus whose per-lang shingle vocab is far below K: every hash is
+    // retained, so the "estimates" must be exactly the true values —
+    // est_jaccard = exact_inter / exact_union and est_inter = exact_inter.
+    // (Dividing matches by the constant K — the pre-r10 spelling — would
+    // understate both by size(merged)/K here.)
+    val base = java.nio.file.Files.createTempDirectory("q117small").toString
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en"),
+      (1L, "beta gamma delta epsilon zeta eta", "en"),
+      (2L, "alpha beta gamma delta theta iota", "de"),
+      (3L, "kappa lambda mu nu xi omicron", "de"),
+      (4L, "alpha beta gamma pi rho sigma", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("srcT"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val rows = SketchOps.queries("q117_kmv_theta")(spark, base).collect()
+    assert(rows.length === 3) // 3 langs → 3 pairs
+    rows.foreach { r =>
+      val exactI = r.getAs[Long]("exact_inter")
+      val exactU = r.getAs[Long]("exact_union")
+      assert(r.getAs[Long]("est_inter") === exactI, s"est_inter not exact: $r")
+      assert(r.getAs[Double]("est_jaccard") ===
+        exactI.toDouble / exactU.toDouble, s"est_jaccard not exact: $r")
+      assert(r.getAs[Long]("est_union") === exactU, s"est_union not exact: $r")
+    }
+    graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   test("q117: k smallest of a union of sketches equals the union's sketch (exact merge property)") {
     val dir = "/root/testdata/sf0.01"
     val lh = langHashes(dir).cache()
