@@ -751,6 +751,46 @@ object TextOps {
     // doc_id partition, which any per-document operator pays.
     "q107_winnowing" -> ((s, dir) => winnow(docs(s, dir))),
 
+    // Substring-level train→test CONTAMINATION via winnowing fingerprints
+    // (the MOSS overlap detector pointed at eval leakage — complements
+    // q58's whole-shingle containment with the SIGMOD'03 positional
+    // guarantee: any shared run of ≥ W+K−1 tokens shares a fingerprint,
+    // so a leaked PASSAGE is caught even when whole-doc similarity is
+    // negligible). Splits are q48's stable hash rule (train <80 /
+    // test ≥90 — recomputation-stable, no stored assignment); fingerprints
+    // with train document-frequency > MaxDf are dropped before the join
+    // (boilerplate spans — the q74 rationale — and the join-fanout cap:
+    // the (fingerprint)-keyed join then fans out ≤ MaxDf per test row,
+    // never the head-fingerprint n²); a (test,train) pair reports when it
+    // shares ≥ MinShared fingerprints. All counts are distinct-fingerprint
+    // counts (both sides pre-distinct per doc); frac6 = shared/test-size,
+    // an int ratio rounded once — identical doubles in both engines.
+    "q124_winnow_contamination" -> ((s, dir) => {
+      val (maxDf, minShared) = (64L, 2L)
+      val bucket = pmod(stableHash(col("doc_id").cast("string")), lit(100))
+      val fps = winnow(docs(s, dir))
+        .select(col("doc_id"), col("fingerprint")).distinct()
+        .withColumn("b", bucket)
+      val train = fps.filter(col("b") < 80)
+        .select(col("doc_id").as("train_doc"), col("fingerprint"))
+      val test = fps.filter(col("b") >= 90)
+        .select(col("doc_id").as("test_doc"), col("fingerprint"))
+      val rare = train.groupBy("fingerprint")
+        .agg(count(lit(1)).as("fdf"))
+        .filter(col("fdf") <= maxDf).select("fingerprint")
+      val testSize = test.groupBy("test_doc").agg(count(lit(1)).as("test_fp"))
+      test.join(rare, Seq("fingerprint"))
+        .join(train, Seq("fingerprint"))
+        .groupBy("test_doc", "train_doc")
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= minShared)
+        .join(testSize, Seq("test_doc"))
+        .select(col("test_doc"), col("train_doc"), col("shared_fp"),
+          col("test_fp"),
+          round(col("shared_fp").cast("double") / col("test_fp"), 6)
+            .as("frac6"))
+    }),
+
     // Vocabulary-truncation coverage (the OOV-rate report behind every
     // tokenizer-size decision): take the top-N vocabulary by (freq desc,
     // tok asc) — a unique total order, so the cut is deterministic — and
@@ -800,6 +840,31 @@ object TextOps {
         substring(col("wmin"), 1, 32).as("fingerprint"))
       .distinct()
   }
+
+  /** The q107 winnowing chain as a reusable WITH-body ending in `fp107`
+    * (doc_id, fp_pos, fingerprint) — shared verbatim by the q107 and q124
+    * oracles, so the contamination gate provably runs over the exact
+    * fingerprints the fingerprint gate pins. */
+  private lazy val winnowSqlChain: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t,
+                              len(string_split(text,' ')) AS n
+                       FROM documents),
+         base AS (SELECT doc_id, t, n FROM toks WHERE n >= 6),
+         g AS (SELECT doc_id, n, t, unnest(range(0, n - 2)) AS pos FROM base),
+         keyed AS (SELECT doc_id, n, pos,
+                          md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3])
+                            || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0')
+                            AS key
+                   FROM g),
+         wm AS (SELECT doc_id, n, pos,
+                       min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW
+                                      AND 3 FOLLOWING) AS wmin
+                FROM keyed),
+         fp107 AS (SELECT DISTINCT doc_id,
+                1000000000 - CAST(substr(wmin, 33, 10) AS INT) AS fp_pos,
+                substr(wmin, 1, 32) AS fingerprint
+         FROM wm WHERE pos <= n - 6)"""
 
   private def markersSql(words: Seq[String]): String = {
     val preds = words.map(w => s"t = '$w'").mkString(" OR ")
@@ -1163,25 +1228,33 @@ object TextOps {
     // the 0-based token at pos; range(0, n-2) is 0..n-3 = the valid gram
     // starts; the frame-min + reversed-position tie key mirror literally
     "q107_winnowing" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t,
-                              len(string_split(text,' ')) AS n
-                       FROM documents),
-         base AS (SELECT doc_id, t, n FROM toks WHERE n >= 6),
-         g AS (SELECT doc_id, n, t, unnest(range(0, n - 2)) AS pos FROM base),
-         keyed AS (SELECT doc_id, n, pos,
-                          md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3])
-                            || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0')
-                            AS key
-                   FROM g),
-         wm AS (SELECT doc_id, n, pos,
-                       min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                                      ROWS BETWEEN CURRENT ROW
-                                      AND 3 FOLLOWING) AS wmin
-                FROM keyed)
-         SELECT DISTINCT doc_id,
-                1000000000 - CAST(substr(wmin, 33, 10) AS INT) AS fp_pos,
-                substr(wmin, 1, 32) AS fingerprint
-         FROM wm WHERE pos <= n - 6""",
+      s"""WITH $winnowSqlChain
+         SELECT doc_id, fp_pos, fingerprint FROM fp107""",
+    // the q107 chain verbatim + q48's split hash + the MaxDf boilerplate
+    // cut + the shared-fingerprint pair aggregation
+    "q124_winnow_contamination" ->
+      s"""WITH $winnowSqlChain,
+         fps AS (SELECT DISTINCT doc_id, fingerprint FROM fp107),
+         sp AS (SELECT doc_id, fingerprint,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 100 AS b
+                FROM fps),
+         train AS (SELECT doc_id AS train_doc, fingerprint FROM sp
+                   WHERE b < 80),
+         test AS (SELECT doc_id AS test_doc, fingerprint FROM sp
+                  WHERE b >= 90),
+         rare AS (SELECT fingerprint FROM train GROUP BY fingerprint
+                  HAVING count(*) <= 64),
+         tsz AS (SELECT test_doc, count(*) AS test_fp FROM test GROUP BY 1),
+         pairs AS (SELECT t.test_doc, tr.train_doc, count(*) AS shared_fp
+                   FROM test t
+                   JOIN rare r ON r.fingerprint = t.fingerprint
+                   JOIN train tr ON tr.fingerprint = t.fingerprint
+                   GROUP BY 1, 2
+                   HAVING count(*) >= 2)
+         SELECT p.test_doc, p.train_doc, p.shared_fp, z.test_fp,
+                round(CAST(p.shared_fp AS DOUBLE) / z.test_fp, 6) AS frac6
+         FROM pairs p JOIN tsz z ON z.test_doc = p.test_doc""",
     "q113_vocab_coverage" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
                      FROM documents),
