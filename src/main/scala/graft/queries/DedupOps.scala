@@ -401,7 +401,12 @@ object DedupOps {
     // driver's hash gate, not just ScalaTest.
     "q89_hamming_ingest_endstate" -> ((s, dir) => {
       import graft.operators.{ConnectedComponents, HammingPairs}
+      // materialize the slice's simhashes ONCE (lazy checkpoint): store
+      // pairing, incremental pairing, and the vertex set all read this
+      // relation, and sibling subtrees re-execute otherwise (the q119
+      // lesson — exchange reuse does not fire across consumers)
       val sliced = simhashDf(docs(s, dir).filter(col("doc_id") < 600))
+        .localCheckpoint(eager = false)
       val store = sliced.filter(col("doc_id") < 300)
       val batch = sliced.filter(col("doc_id") >= 300)
       val assign0 = ConnectedComponents.hashMin(
