@@ -93,7 +93,11 @@ object SketchOps {
     // identical inputs, and no decimal rounding step exists to sit on a
     // half boundary (the r7 q88 lesson applied in reverse).
     "q117_kmv_theta" -> ((s, dir) => {
-      val lh = langHashes(s, dir)
+      // materialized ONCE (lazy checkpoint): the sketch build and both
+      // sides of the exact-intersection verification join read this
+      // relation, and sibling subtrees re-execute the shingle+hash corpus
+      // pass otherwise (the q119/q89 lesson)
+      val lh = langHashes(s, dir).localCheckpoint(eager = false)
       val sk = lh.groupBy("lang").agg(
         count(lit(1)).as("nd"),
         org.apache.spark.sql.graft.TopKByScore.columnFor(
