@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
 
-/** Inverted-index build and BM25 ranked retrieval over `documents` — the
-  * textual counterpart of the ANN family: q118 materializes the index
-  * (token → document-frequency, collection-frequency, bounded postings),
-  * q119 answers ranked queries THROUGH it (candidates come from posting
-  * intersection-by-union, never a corpus scan per query).
+/** Inverted-index build, incremental maintenance, and BM25 ranked
+  * retrieval over `documents` — the textual counterpart of the ANN
+  * family: q118 materializes the index (token → document-frequency,
+  * collection-frequency, bounded postings), q121 proves its per-batch
+  * ingest twin ([[termIndexAppend]]: batch ⊎ store ≡ full rebuild,
+  * parquet-round-tripped), and q119/q122 answer ranked queries THROUGH
+  * the artifacts ([[bm25ThroughIndex]] — candidates from posting
+  * intersection-by-union, never a corpus scan per query; q122 over a
+  * compositionally-built index against the one-shot oracle).
   *
   * Scale shape (q118): one tokenize pass → (tok, doc) partial-aggregated
   * counts → a vocab-bounded per-token aggregate. The postings sample rides

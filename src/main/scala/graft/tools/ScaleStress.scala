@@ -147,7 +147,13 @@ object ScaleStress {
     "q103_nfc_normalize",
     "q107_winnowing", "q108_pca_project", "q109_temperature_mix",
     "q111_epoch_shuffle", "q112_pca_incremental", "q113_vocab_coverage",
-    "q114_balanced_select", "q115_negative_samples")
+    "q114_balanced_select", "q115_negative_samples",
+    // round 9/10 index + sketch + re-rank family (the q119 one-pass
+    // postings claim is validated here: wall must grow ~linearly, never
+    // with the consumer count)
+    "q117_kmv_theta", "q118_inverted_index", "q119_bm25_topk",
+    "q122_bm25_index_compose", "q123_ann_ivfpq_rerank",
+    "q124_winnow_contamination")
 
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val shufRead = new AtomicLong(0L)
