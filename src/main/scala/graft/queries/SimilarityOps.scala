@@ -624,14 +624,15 @@ object SimilarityOps {
     // the shuffle); the re-score joins the R·|probes| broadcast
     // candidate list back to the corpus — ONE narrow pass, no n² —
     // then a second heap takes the exact-cosine top-5. Recall vs brute
-    // force is the measured property (AnnRecallSpec: ≥ 0.9 floor, vs
-    // 0.42–0.52 for raw ADC@5) — approximation quality is not
+    // force is the measured property (AnnRecallSpec: ≥ 0.9 floor;
+    // measured 0.96 at sf0.001 AND sf0.01 at nprobe=6, vs 0.34–0.42 for
+    // raw ADC@5 — tools/RecallProbe) — approximation quality is not
     // SQL-checkable without replaying the whole PQ chain, so this entry
     // carries no DuckDB oracle (q35 is the exact baseline; the driver
     // records the weaker rows-check, the AnnRecallSpec floor is the gate).
     "q123_ann_ivfpq_rerank" -> ((s, dir) => {
       val rerankR = 64
-      val cand = ivfPqAdcCandidates(s, dir, nprobe = 4)
+      val cand = ivfPqAdcCandidates(s, dir, nprobe = 6)
         .groupBy("qid")
         .agg(org.apache.spark.sql.graft.TopKByScore
           .columnFor(negate(col("adc")) + lit(0.0), col("cid"), rerankR)

@@ -1,0 +1,20 @@
+package graft.tools
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def top5(name: String): Map[Long, Set[Long]] =
+        graft.SparkEntry.queries(name)(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val brute = top5("q35_ann_brute")
+      for (n <- Seq("q97_ann_ivfpq", "q123_ann_ivfpq_rerank")) {
+        val got = top5(n)
+        val rs = brute.map { case (q, t) => got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+        println(f"[recall] $dir $n mean=${rs.sum / rs.size}%.3f")
+      }
+    }
+    spark.stop()
+  }
+}
