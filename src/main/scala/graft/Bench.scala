@@ -73,6 +73,7 @@ object Bench {
     graft.queries.CurationOps.clearCache()
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
+    graft.queries.IndexOps.clearCache()
     names.foreach(exec)
     // settle the JVM between warm-up and the timed passes so GC debt from
     // warm-up isn't billed to the first timed queries
@@ -90,6 +91,7 @@ object Bench {
       graft.queries.CurationOps.clearCache()
       graft.queries.DedupOps.clearCache()
       graft.queries.SimilarityOps.clearCache()
+    graft.queries.IndexOps.clearCache()
       names.map { name =>
         val t0 = System.nanoTime()
         exec(name)

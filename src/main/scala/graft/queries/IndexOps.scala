@@ -42,6 +42,27 @@ object IndexOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Per-(session, dir) cache of the corpus POSTINGS artifact — the
+    * persisted relation a deployment builds once per ingest (q121's
+    * store table): q118 derives the term-index rows from it and q119
+    * retrieves through it, so one pass over the suite pays ONE corpus
+    * tokenize for the whole index family (the DedupOps shingle-artifact
+    * pattern, same bounded-eviction and unpersist rules). */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clearCache(): Unit = {
+    postingsCache.values().forEach(StageCacheSupport.unpersistCheckpoint)
+    postingsCache.clear()
+  }
+
+  private def corpusPostings(s: SparkSession, dir: String): DataFrame = {
+    if (postingsCache.size > 64) postingsCache.clear()
+    postingsCache.computeIfAbsent((s, dir),
+      _ => postingsOf(docs(s, dir).select(col("doc_id"), col("text")))
+        .localCheckpoint(eager = false))
+  }
+
   /** Postings-sample bound per token (the heap's k). */
   private val P = 16
   /** BM25 hyperparameters (the standard Robertson defaults). */
@@ -54,12 +75,6 @@ object IndexOps {
   private val TopTerms = 4
   /** Result depth per probe. */
   private val TopK = 10
-
-  /** (doc_id, tok, tf) — one tokenize pass, partial-aggregated. */
-  private def tf(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
   // ---- Persisted-index artifacts + incremental maintenance (r9 verdict
   // item 4: the index was the one persisted artifact without an ingest
@@ -218,16 +233,11 @@ object IndexOps {
     // crosses the gate comma-joined (r9 verdict: the driver's pandas
     // canonicalizer cannot sort top-level array cells; longs stringify
     // identically in both engines).
-    "q118_inverted_index" -> ((s, dir) => {
-      tf(s, dir).groupBy("tok").agg(
-        count(lit(1)).as("df"),
-        sum(col("tf")).as("cf"),
-        org.apache.spark.sql.graft.TopKByScore.columnFor(
-          -col("doc_id").cast("double"), col("doc_id"), P).as("top"))
+    "q118_inverted_index" -> ((s, dir) =>
+      termIndexOf(corpusPostings(s, dir))
         .select(col("tok"), col("df"), col("cf"),
-          array_join(transform(col("top"),
-            x => x.getField("payload").cast("string")), ",").as("postings"))
-    }),
+          array_join(transform(col("postings"), x => x.cast("string")), ",")
+            .as("postings"))),
 
     // BM25 ranked retrieval through the index: Probes lowest-id docs of
     // ≥ MinLen tokens each query their TopTerms best tf·idf terms;
@@ -241,8 +251,7 @@ object IndexOps {
     // relying on exchange reuse instead re-pays the pass per consumer
     // (measured 4 scans, no ReusedExchange — AQE does not fuse them).
     "q119_bm25_topk" -> ((s, dir) => {
-      val post = postingsOf(docs(s, dir).select(col("doc_id"), col("text")))
-        .localCheckpoint(eager = false)
+      val post = corpusPostings(s, dir)
       val lens = docs(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
       bm25ThroughIndex(post.groupBy("tok").agg(count(lit(1)).as("df")), post,

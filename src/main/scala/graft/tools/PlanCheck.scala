@@ -73,6 +73,7 @@ object PlanCheck {
     graft.queries.CurationOps.clearCache() // signatures assume a cold cache
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
+    graft.queries.IndexOps.clearCache()
     withStaticPlans(spark) {
       names.foreach { name =>
         try {

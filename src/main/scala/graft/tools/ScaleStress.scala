@@ -184,6 +184,7 @@ object ScaleStress {
     graft.queries.CurationOps.clearCache()
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
+    graft.queries.IndexOps.clearCache()
   }
 
   final case class QStat(name: String, sec: Double, shufReadB: Long,

@@ -34,6 +34,7 @@ class PlanBaselineSpec extends AnyFunSuite {
     graft.queries.CurationOps.clearCache()
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
+    graft.queries.IndexOps.clearCache()
     val diffs = PlanCheck.withStaticPlans(spark) {
       baseline.toSeq.sortBy(_._1).flatMap { case (name, want) =>
         val got = PlanCheck.signature(spark, dir, name)
