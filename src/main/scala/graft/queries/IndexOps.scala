@@ -142,7 +142,7 @@ object IndexOps {
     *             index-only callers recover it from the postings' forward
     *             info (`groupBy(doc_id).max(dl)` — q122). */
   def bm25ThroughIndex(index: DataFrame, postings: DataFrame,
-      lens: DataFrame): DataFrame = {
+      lens: DataFrame, maxDfFrac: Double = 1.0): DataFrame = {
     val docLens = lens
     val stats = docLens.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
@@ -156,6 +156,15 @@ object IndexOps {
     val qterms = probeTf
       .join(dft, "tok")
       .crossJoin(broadcast(stats.select("n_docs")))
+      // HEAD-TERM ELISION — the q124 MaxDf cut applied to QUERY terms
+      // (stopword elision, the standard head-posting guard): a term in
+      // more than maxDfFrac of the corpus never enters a query, so
+      // per-query cost is bounded by the tail posting lengths even on a
+      // degenerate vocabulary (the SCALE.md q119-at-30× analysis). The
+      // default 1.0 keeps the gated q119/q122 spellings exactly as their
+      // oracles compute them (df ≤ n_docs is vacuous).
+      .filter(col("df").cast("double") <=
+        lit(maxDfFrac) * col("n_docs").cast("double"))
       .withColumn("idf6", round(log(col("n_docs").cast("double") /
         col("df").cast("double")), 6))
       .groupBy("probe_doc").agg(

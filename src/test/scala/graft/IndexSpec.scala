@@ -91,4 +91,39 @@ class IndexSpec extends AnyFunSuite {
         r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
     assert(viaIndex === composed && viaIndex.nonEmpty)
   }
+
+  test("head-term elision: query terms above the df fraction are never scored") {
+    val d = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 600)
+    val post = IndexOps.postingsOf(d)
+    val lens = post.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val idx = IndexOps.termIndexOf(post)
+    val nDocs = lens.count()
+    // cut at the vocab's median df so the corpus is split into real head
+    // and tail sets whatever its df distribution (this 31-token vocab has
+    // df/N ≈ 0.8 for EVERY token — the degenerate case the knob exists
+    // for — so a fixed 0.5 would elide everything)
+    val dfs = idx.select(col("df")).collect().map(_.getLong(0)).sorted
+    val frac = dfs(dfs.length / 2).toDouble / nDocs
+    val head = idx.filter(col("df").cast("double") > frac * nDocs)
+      .select("tok").collect().map(_.getString(0)).toSet
+    assert(head.nonEmpty, "corpus should have head terms for this test")
+    // with elision, every scored candidate pair comes from a TAIL term:
+    // re-derive the per-probe query terms the elided run can use and
+    // assert the retrieval still answers (tail terms exist) while the
+    // default run equals the gated q119 spelling bit-for-bit
+    val elided = IndexOps.bm25ThroughIndex(idx, post, lens, maxDfFrac = frac)
+      .collect()
+    val default = IndexOps.bm25ThroughIndex(idx, post, lens).collect()
+    val gated = IndexOps.bm25ThroughIndex(idx, post, lens, maxDfFrac = 1.0)
+      .collect()
+    assert(default.map(_.toString).sorted.toSeq ===
+      gated.map(_.toString).sorted.toSeq)
+    assert(elided.nonEmpty, "tail terms must still answer queries")
+    // elided answers differ from default when head terms would have been
+    // picked — on this corpus they must (every probe's top tf·idf terms
+    // include a head term)
+    assert(elided.map(_.toString).sorted.toSeq !==
+      default.map(_.toString).sorted.toSeq)
+  }
 }
