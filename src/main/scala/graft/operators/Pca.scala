@@ -115,6 +115,51 @@ object Pca {
   def fit(df: DataFrame, vecCol: String, d: Int, k: Int): Basis =
     basisFrom(moments(df, vecCol, d), k)
 
+  /** Result of an incremental moment-store append: the merged store, the
+    * serving basis (refit on drift, untouched otherwise), the measured
+    * drift ratio, and whether the hook refit. */
+  final case class BatchFit(moments: Moments, basis: Basis,
+      driftRatio: Double, refit: Boolean)
+
+  /** Share of a corpus's centered energy OUTSIDE a basis's k-dim
+    * subspace: 1 − Σ‖P(x−μ)‖² / Σ‖x−μ‖² — one narrow aggregation over
+    * the fused projection expression (k+1 doubles per row, no shuffle
+    * beyond the single partial-agg row). */
+  def residualRatio(df: DataFrame, vecCol: String, basis: Basis): Double = {
+    val k = basis.k
+    val projSq = (0 until k).map(j => col("pc")(j) * col("pc")(j))
+      .reduceLeft(_ + _)
+    val r = df.select(projectAll(basis, vecCol).as("pc"))
+      .select(projSq.as("p2"), col("pc")(k).as("c2"))
+      .agg(sum(col("c2")), sum(col("p2"))).head()
+    if (r.isNullAt(0) || r.getDouble(0) <= 0.0) 0.0
+    else math.max(0.0, 1.0 - r.getDouble(1) / r.getDouble(0))
+  }
+
+  /** Fold one ingest batch into the moment store and refit the basis ONLY
+    * when the batch has drifted off the fitted subspace — the PCA twin of
+    * the IVF retrain hook (`SimilarityOps.assignIncremental`; r10 verdict
+    * item 6: the moment store appended but nothing decided when the
+    * 35 KB-cheap-but-eigensolve-churning refit was due).
+    *
+    * The moments ALWAYS merge ([[merge]] is exact, so a later refit — here
+    * or on a deployment's cadence — is bit-identical to a full fit over
+    * everything ever appended: proved in PcaSpec). Drift = the batch's
+    * measured residual ratio over the store fit's own residual ratio
+    * (1 − captured, floored to dodge a ÷0 on an exactly-captured corpus);
+    * a batch drawn from the fitted distribution scores ≈ 1, `driftFactor`
+    * (default 2×, the assignIncremental convention) is the refit trigger.
+    * Per-batch cost: one moment pass + one residual aggregation. */
+  def appendIncremental(store: Moments, basis: Basis, batch: DataFrame,
+      vecCol: String, driftFactor: Double = 2.0): BatchFit = {
+    val merged = merge(store, moments(batch, vecCol, basis.d))
+    val storeResid = math.max(1.0 - basis.captured, 1e-12)
+    val ratio = residualRatio(batch, vecCol, basis) / storeResid
+    if (ratio > driftFactor)
+      BatchFit(merged, basisFrom(merged, basis.k), ratio, refit = true)
+    else BatchFit(merged, basis, ratio, refit = false)
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Fixed sweep
     * order (row-major upper triangle) and a fixed sweep budget with an
     * off-diagonal early-exit — deterministic for a given input. Returns

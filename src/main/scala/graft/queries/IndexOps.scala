@@ -75,6 +75,15 @@ object IndexOps {
   private val TopTerms = 4
   /** Result depth per probe. */
   private val TopK = 10
+  /** Head-term elision cut for the GATED retrieval queries (q119/q122/
+    * q125): a query term appearing in more than this fraction of the
+    * corpus is dropped before scoring (stopword elision — the standard
+    * head-posting guard). Non-vacuous by r10 verdict item 2: the cut is
+    * mirrored one-for-one in the oracle's ptf CTE, and it is what turns
+    * the q119 30× curve linear even on SCALE.md's degenerate 25-token
+    * vocabulary (where every term was a head term whose posting list IS
+    * the corpus). */
+  private[graft] val MaxDfFrac = 0.5
 
   // ---- Persisted-index artifacts + incremental maintenance (r9 verdict
   // item 4: the index was the one persisted artifact without an ingest
@@ -85,7 +94,16 @@ object IndexOps {
     * (tok, doc_id, tf, dl) — the sharded forward+inverted payload a real
     * index persists (tf for scoring, dl for BM25 length normalization).
     * Cost ∝ batch: one tokenize pass, partial-aggregated on (doc_id, tok).
-    * dl rides as max() over a per-doc constant — no extra shuffle. */
+    * dl rides as max() over a per-doc constant — no extra shuffle.
+    *
+    * NON-NULL TEXT CONTRACT (r10 ADVICE): `split(null)` is null and
+    * `explode(null)` drops the row, so a null-text doc would hold no
+    * postings and silently vanish from any lens recovered index-only
+    * (`groupBy(doc_id).max(dl)` — q122) while a direct-scan lens (q119,
+    * the DuckDB oracle) still counts it in n_docs. The ingest contract
+    * therefore requires non-null, non-empty text — pinned by IndexSpec's
+    * corpus-contract test, so a future generator emitting nulls fails
+    * loudly at the gate instead of skewing n_docs quietly. */
   def postingsOf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
         explode(tokens(col("text"))).as("tok"))
@@ -143,17 +161,46 @@ object IndexOps {
     *             info (`groupBy(doc_id).max(dl)` — q122). */
   def bm25ThroughIndex(index: DataFrame, postings: DataFrame,
       lens: DataFrame, maxDfFrac: Double = 1.0): DataFrame = {
-    val docLens = lens
-    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val dft = index.select(col("tok"), col("df"))
-    val probes = docLens.filter(col("dl") >= MinLen)
-      .select(col("doc_id").as("probe_doc"))
+    val qterms = probeQueryTerms(dft, postings, stats, maxDfFrac)
+    scoreCandidates(postings, qterms, dft, stats)
+  }
+
+  /** Query FORMULATION — (probe_doc, tok): probe selection + each probe's
+    * TopTerms best tf·idf terms among those surviving head-term elision.
+    * Split from [[scoreCandidates]] so the sharded-store serve path
+    * (q125) can formulate once, collect the bounded term list, and prune
+    * the store scan to exactly those terms' shards. */
+  private[graft] def probeQueryTerms(dft: DataFrame, postings: DataFrame,
+      stats: DataFrame, maxDfFrac: Double): DataFrame = {
+    // terms that survive head-term elision — the indexable query terms
+    val surviving = dft
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .filter(col("df").cast("double") <=
+        lit(maxDfFrac) * col("n_docs").cast("double"))
+      .select("tok")
+    // Probe eligibility: a probe must hold ≥ 1 surviving term — the
+    // retrieval contract (a query whose every term is elided as a head
+    // term is empty and retrieves nothing; such docs are not useful
+    // probes). With maxDfFrac = 1.0 every tokenized doc is eligible, so
+    // the pre-elision probe set is unchanged. Spelled over the SURVIVING
+    // postings alone — they carry dl, so "docs holding a surviving term"
+    // is one distinct + TakeOrdered (cost ∝ surviving postings, ONE
+    // shuffle), not a semi join against the norms table (the first
+    // spelling; +3 shuffles and an SMJ at full-corpus scale — the
+    // r11 plan-baseline diff caught it). Mirrors the oracle's EXISTS
+    // exactly: every doc is in postings by the non-null-text contract,
+    // and postings.dl ≡ lens.dl by construction.
+    val probes = postings.join(broadcast(surviving), "tok")
+      .filter(col("dl") >= MinLen)
+      .select(col("doc_id").as("probe_doc")).distinct()
       .orderBy("probe_doc").limit(Probes)
     val probeTf = postings.join(broadcast(probes),
       postings("doc_id") === probes("probe_doc")).select(col("probe_doc"),
       col("tok"), col("tf"))
-    val qterms = probeTf
+    probeTf
       .join(dft, "tok")
       .crossJoin(broadcast(stats.select("n_docs")))
       // HEAD-TERM ELISION — the q124 MaxDf cut applied to QUERY terms
@@ -161,8 +208,9 @@ object IndexOps {
       // more than maxDfFrac of the corpus never enters a query, so
       // per-query cost is bounded by the tail posting lengths even on a
       // degenerate vocabulary (the SCALE.md q119-at-30× analysis). The
-      // default 1.0 keeps the gated q119/q122 spellings exactly as their
-      // oracles compute them (df ≤ n_docs is vacuous).
+      // gated q119/q122/q125 run the non-vacuous [[MaxDfFrac]] cut,
+      // mirrored one-for-one in the oracle's ptf CTE (r10 verdict
+      // item 2); 1.0 disables the guard (df ≤ n_docs is vacuous).
       .filter(col("df").cast("double") <=
         lit(maxDfFrac) * col("n_docs").cast("double"))
       .withColumn("idf6", round(log(col("n_docs").cast("double") /
@@ -173,6 +221,16 @@ object IndexOps {
           .as("top"))
       .select(col("probe_doc"), explode(col("top")).as("e"))
       .select(col("probe_doc"), col("e.payload").as("tok"))
+  }
+
+  /** SCORING — the per-candidate BM25 contribution sum + the per-probe
+    * k-bounded heap, over whatever postings relation the caller supplies:
+    * the full relation (candidates cut by the broadcast qterms join —
+    * q119/q122) or a scan already pruned to the query terms' shards (the
+    * q125 serve path; the join keeps per-probe pairing either way, so
+    * pruning provably changes nothing — candidates need tok ∈ qterms). */
+  private[graft] def scoreCandidates(postings: DataFrame, qterms: DataFrame,
+      dft: DataFrame, stats: DataFrame): DataFrame = {
     val idfb = dft.crossJoin(broadcast(stats.select("n_docs")))
       .withColumn("idfb6", round(log((col("n_docs") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0)), 6))
@@ -197,11 +255,73 @@ object IndexOps {
         col("col.score").cast("long").as("bm25_micro"))
   }
 
-  /** q121/q122 bound their lifecycles to this doc_id slice (the q86
+  /** q121/q122/q125 bound their lifecycles to this doc_id slice (the q86
     * precedent): the machinery under test — batch postings, store merge,
     * index-only retrieval — is scale-invariant, and the slice keeps the
     * gate's cost flat at any SF. */
   private val Slice = 600L
+
+  // ---- Sharded postings store (r10 verdict item 3): the FULL postings
+  // relation persisted as the deployment-shaped index FILES — the
+  // artifact the q118 term-index rows merely describe.
+
+  /** Token-hash shard count. 8 here (the gate slice is 600 docs); a
+    * production store shards to O(thousands) by the same key — the knob
+    * is data-independent, so the layout recipe is scale-invariant. */
+  private[graft] val StoreShards = 8
+
+  /** Persist a postings relation as the sharded index store:
+    * token-hash-partitioned directories (`shard=`, so a query's terms
+    * map to a known subset of shards read via PARTITION pruning) with
+    * rows sorted by (tok, doc_id) inside each shard file — parquet
+    * min/max stats then let a `tok IN (…)` serve filter skip whole
+    * row groups WITHIN the shard (the q55 layout discipline applied to
+    * an index). One shuffle (repartition by shard) + a per-partition
+    * sort; cost ∝ postings, write-once per ingest. */
+  def writePostingsStore(postings: DataFrame, path: String): Unit =
+    postings
+      .withColumn("shard", pmod(xxhash64(col("tok")), lit(StoreShards)))
+      .repartition(col("shard"))
+      .sortWithinPartitions("tok", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** q125 builder: write the slice's postings as the sharded store, then
+    * answer ranked retrieval THROUGH THE FILES — formulate the probe
+    * queries once ([[probeQueryTerms]]), collect the bounded term list
+    * (≤ Probes·TopTerms rows — the per-query unit every search engine
+    * serves from driver/frontend side), and score over a store scan
+    * pruned to exactly those terms' shards (`shard IN` → directory
+    * pruning; `tok IN` → row-group pruning against the sorted stats).
+    * Pruning provably changes nothing: candidates require tok ∈ qterms
+    * anyway ([[scoreCandidates]]'s broadcast join), so the oracle is the
+    * same one-shot BM25 SQL q122 checks against. Per-query bytes read ≪
+    * store bytes is the measured property (IndexSpec + SCALE.md). */
+  private def shardedStoreServe(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("q125_store").toString
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < Slice)
+    val post = postingsOf(d).localCheckpoint(eager = false)
+    writePostingsStore(post, s"$base/postings")
+    val store = s.read.parquet(s"$base/postings")
+    val lens = post.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val dft = termIndexOf(post).select(col("tok"), col("df"))
+    val qt = probeQueryTerms(dft, post, stats, MaxDfFrac)
+      .withColumn("shard", pmod(xxhash64(col("tok")), lit(StoreShards)))
+      .collect() // bounded: ≤ Probes·TopTerms = 20 rows by construction
+    val toks = qt.map(_.getString(1)).distinct.toSeq
+    val shards = qt.map(_.getLong(2)).distinct.toSeq
+    import s.implicits._
+    val qterms = qt.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("probe_doc", "tok")
+    val pruned = store.filter(col("shard").isin(shards: _*) &&
+      col("tok").isin(toks: _*))
+    val out = scoreCandidates(pruned, qterms, dft, stats)
+      .localCheckpoint(eager = true)
+    graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    out
+  }
 
   /** q121 builder: 3 disjoint doc_id batches, each folded into a PARQUET
     * store (write → re-read → append — the artifact round-trips through
@@ -264,7 +384,7 @@ object IndexOps {
       val lens = docs(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
       bm25ThroughIndex(post.groupBy("tok").agg(count(lit(1)).as("df")), post,
-        lens)
+        lens, maxDfFrac = MaxDfFrac)
     }),
 
     // INCREMENTAL index ingest end-state, oracle-gated: three disjoint
@@ -294,8 +414,17 @@ object IndexOps {
       val idx = posts.map(termIndexOf).reduce(termIndexAppend)
       val post = posts.reduce(_ unionByName _)
       bm25ThroughIndex(idx, post,
-        post.groupBy("doc_id").agg(max(col("dl")).as("dl")))
-    })
+        post.groupBy("doc_id").agg(max(col("dl")).as("dl")),
+        maxDfFrac = MaxDfFrac)
+    }),
+
+    // BM25 served from the SHARDED POSTINGS FILES (r10 verdict item 3 —
+    // the deployment shape: postings persisted once per ingest as
+    // token-hash-sharded, tok-sorted parquet; each query reads only its
+    // terms' shards, with row-group pruning inside). Oracle = the same
+    // one-shot SQL as q122: serving through pruned files must equal the
+    // full rebuild.
+    "q125_bm25_sharded_store" -> ((s, dir) => shardedStoreServe(s, dir))
   )
 
   /** One-shot index-build SQL — shared verbatim by q118 (full corpus,
@@ -314,6 +443,7 @@ object IndexOps {
     "q118_inverted_index" -> indexOracleSql(""),
     "q121_index_ingest_endstate" -> indexOracleSql(s"WHERE doc_id < $Slice"),
     "q122_bm25_index_compose" -> bm25OracleSql(s"WHERE doc_id < $Slice"),
+    "q125_bm25_sharded_store" -> bm25OracleSql(s"WHERE doc_id < $Slice"),
     "q119_bm25_topk" -> bm25OracleSql(""))
 
   /** One-shot BM25 SQL — shared verbatim by q119 (full corpus) and q122
@@ -330,14 +460,23 @@ object IndexOps {
                    FROM lens),
          dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
          probes AS (SELECT doc_id AS probe_doc FROM lens
-                    WHERE dl >= $MinLen ORDER BY doc_id LIMIT $Probes),
+                    WHERE dl >= $MinLen
+                      AND EXISTS (SELECT 1 FROM tf t
+                                  JOIN dft f ON f.tok = t.tok
+                                  CROSS JOIN stats s
+                                  WHERE t.doc_id = lens.doc_id
+                                    AND CAST(f.df AS DOUBLE) <=
+                                        $MaxDfFrac * CAST(s.n_docs AS DOUBLE))
+                    ORDER BY doc_id LIMIT $Probes),
          ptf AS (SELECT p.probe_doc, t.tok, t.tf,
                         round(ln(CAST(s.n_docs AS DOUBLE) /
                           CAST(f.df AS DOUBLE)), 6) AS idf6
                  FROM probes p
                  JOIN tf t ON t.doc_id = p.probe_doc
                  JOIN dft f ON f.tok = t.tok
-                 CROSS JOIN stats s),
+                 CROSS JOIN stats s
+                 WHERE CAST(f.df AS DOUBLE) <=
+                       $MaxDfFrac * CAST(s.n_docs AS DOUBLE)),
          qt AS (SELECT probe_doc, tok FROM (
                   SELECT probe_doc, tok,
                          row_number() OVER (PARTITION BY probe_doc

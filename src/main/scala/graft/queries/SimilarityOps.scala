@@ -626,10 +626,16 @@ object SimilarityOps {
     // then a second heap takes the exact-cosine top-5. Recall vs brute
     // force is the measured property (AnnRecallSpec: ≥ 0.9 floor;
     // measured 0.96 at sf0.001 AND sf0.01 at nprobe=6, vs 0.34–0.42 for
-    // raw ADC@5 — tools/RecallProbe) — approximation quality is not
-    // SQL-checkable without replaying the whole PQ chain, so this entry
-    // carries no DuckDB oracle (q35 is the exact baseline; the driver
-    // records the weaker rows-check, the AnnRecallSpec floor is the gate).
+    // raw ADC@5 — tools/RecallProbe). The OUTPUT is nonetheless fully
+    // deterministic given the chain, so it IS oracle-gated (r10 verdict
+    // item 1): the DuckDB side replays the whole chain — q97's
+    // codebook/ADC CTEs at nprobe=6, the adc-asc/cid top-64 cut, then
+    // the exact-cosine top-5 over the raw vectors
+    // ([[ivfPqRerankOracleSql]]). The re-rank heap scores RAW cosine
+    // (the q35 spelling — CosineSimilarityExpr ≡ list_cosine_similarity
+    // is the proven kernel pair) rounded ONCE at emission; round-6 into
+    // the heap then round-4 out would park values on the round-4 half
+    // boundary where the engines' rounding disagrees (the q79 lesson).
     "q123_ann_ivfpq_rerank" -> ((s, dir) => {
       val rerankR = 64
       val cand = ivfPqAdcCandidates(s, dir, nprobe = 6)
@@ -648,8 +654,7 @@ object SimilarityOps {
           cosineSim(col("qe"), col("embedding")).as("cos"))
         .groupBy("qid")
         .agg(org.apache.spark.sql.graft.TopKByScore
-          .columnFor(round(col("cos"), 6) + lit(0.0), col("cid"), 5)
-          .as("top"))
+          .columnFor(col("cos"), col("cid"), 5).as("top"))
         .select(col("qid"), posexplode(col("top")))
         .select(col("qid"), col("col.payload").as("cid"),
           round(col("col.score"), 4).as("cosine"),
@@ -1079,8 +1084,8 @@ object SimilarityOps {
     * fixed-order ADC sum `l0.d + l1.d + … + l15.d` mirror the Spark
     * plan's association order literally, so candidates sharing a code
     * word tie EXACTLY in both engines (tie → lower cid). */
-  private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
-      pqIters: Int, nprobe: Int = 2): String = {
+  private def ivfPqSadcSql(k: Int, iters: Int, m: Int, pk: Int,
+      pqIters: Int, nprobe: Int): String = {
     val sub = Dim / m
     val codeCols = (0 until m).map(i =>
       s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n         ")
@@ -1114,13 +1119,42 @@ object SimilarityOps {
        |       JOIN codes cd ON cd.cid = a.vec_id),
        |sadc AS (SELECT sc.qid, sc.cid, $adcSum AS adc
        |         FROM sc
-       |         $lutJoins)
+       |         $lutJoins)""".stripMargin
+  }
+
+  private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
+      pqIters: Int, nprobe: Int = 2): String =
+    s"""${ivfPqSadcSql(k, iters, m, pk, pqIters, nprobe)}
        |SELECT qid, cid, round(adc, 4) AS adc_dist, rnk FROM (
        |  SELECT qid, cid, adc,
        |         row_number() OVER (PARTITION BY qid
        |                            ORDER BY adc, cid) AS rnk
        |  FROM sadc) WHERE rnk <= 5""".stripMargin
-  }
+
+  /** q123: the full PQ-chain replay ([[ivfPqSadcSql]] at nprobe=6), the
+    * ADC top-`rerankR` cut per probe (adc asc, cid tiebreak ≡ the Spark
+    * heap's score-desc/payload-asc on −adc), then the exact re-rank:
+    * raw-vector cosine (list_cosine_similarity — the q35-proven kernel
+    * twin of CosineSimilarityExpr), top-5 by (cos desc, cid). Both
+    * engines compute the identical deterministic chain, so the r10
+    * verdict's "approximation quality is not SQL-checkable" ends at
+    * recall — the OUTPUT is replayable and now gated. */
+  private def ivfPqRerankOracleSql(k: Int, iters: Int, m: Int, pk: Int,
+      pqIters: Int, nprobe: Int, rerankR: Int): String =
+    s"""${ivfPqSadcSql(k, iters, m, pk, pqIters, nprobe)},
+       |radc AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adc, cid) AS rn
+       |  FROM sadc) WHERE rn <= $rerankR),
+       |rex AS (SELECT r.qid, r.cid, list_cosine_similarity(q.v, c.v) AS cos
+       |        FROM radc r JOIN pr0 q ON q.qid = r.qid
+       |        JOIN e c ON c.vec_id = r.cid)
+       |SELECT qid, cid, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rnk
+       |  FROM rex) WHERE rnk <= 5""".stripMargin
 
   private def ivfAnnOracleSql(k: Int, iters: Int): String =
     s"""${ivfPrefixSql(k, iters)},
@@ -1276,6 +1310,8 @@ object SimilarityOps {
          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id""",
     "q39_ann_ivf" -> ivfAnnOracleSql(8, 3),
     "q97_ann_ivfpq" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
+    "q123_ann_ivfpq_rerank" ->
+      ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3),
     // q114: same Lloyd chain; rank = row_number over (cos6 desc, vec_id)
     // per cell ≡ the TopKByScore heap's (score desc, payload asc) order;

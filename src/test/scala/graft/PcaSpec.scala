@@ -181,4 +181,47 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(fromRows - b.captured) < 1e-6,
       s"spectrum says ${b.captured}, rows say $fromRows")
   }
+
+  test("moment-store drift trigger: in-distribution appends keep the basis; a drifted batch refits ≡ full fit") {
+    // the PCA twin of AnnRecallSpec's IVF drifted-batch test (r10 verdict
+    // item 6), on a controlled corpus: signal lives in the first 4 coords
+    // (unit gaussians), coords 4..7 are 0.05-amplitude noise — so a k=4
+    // fit captures almost everything and the residual ratio is a sharp
+    // instrument
+    import spark.implicits._
+    val d = 8
+    def corpus(seed: Long, n: Long, signalHi: Boolean) = {
+      val r = rng(seed)
+      (0L until n).map { i =>
+        i -> Array.tabulate(d) { j =>
+          val live = if (signalHi) j >= 4 else j < 4
+          (if (live) r.nextGaussian() else r.nextGaussian() * 0.05).toFloat
+        }
+      }.toDF("vec_id", "embedding")
+    }
+    val store = Pca.moments(corpus(7L, 400L, signalHi = false), "embedding", d)
+    val basis = Pca.basisFrom(store, 4)
+    // in-distribution batch (fresh seed): moments merge, basis untouched
+    val same = Pca.appendIncremental(store, basis,
+      corpus(11L, 150L, signalHi = false), "embedding")
+    assert(!same.refit, f"in-distribution batch refit at ${same.driftRatio}%.3f")
+    assert(same.driftRatio < 2.0 && same.basis.eq(basis))
+    assert(same.moments.n === 550L)
+    // drifted batch — the signal subspace MOVED (energy now in coords
+    // 4..7, exactly what the old top-4 basis cannot represent): the hook
+    // must refit, and the refit basis must be BIT-IDENTICAL to a full fit
+    // over everything ever appended (exact-decimal merge)
+    val drifted = corpus(13L, 150L, signalHi = true)
+    val res = Pca.appendIncremental(same.moments, basis, drifted, "embedding")
+    assert(res.refit, f"drifted batch did not refit (ratio ${res.driftRatio}%.3f)")
+    assert(res.driftRatio > 2.0)
+    val fullDf = corpus(7L, 400L, signalHi = false)
+      .union(corpus(11L, 150L, signalHi = false)
+        .select((col("vec_id") + 400L).as("vec_id"), col("embedding")))
+      .union(drifted.select((col("vec_id") + 550L).as("vec_id"), col("embedding")))
+    val full = Pca.fit(fullDf, "embedding", d, 4)
+    assert(res.basis.mu.toSeq === full.mu.toSeq)
+    assert(res.basis.eigvals.toSeq === full.eigvals.toSeq)
+    assert(res.basis.comps.map(_.toSeq).toSeq === full.comps.map(_.toSeq).toSeq)
+  }
 }
