@@ -62,7 +62,13 @@ object Bench {
       "q92_video_ingest_endstate", "q95_stream_sessionize_endstate",
       "q96_stream_window_endstate", "q98_stream_join_endstate",
       "q100_stream_dedup_endstate", "q104_stream_timer_sessionize_endstate",
-      "q121_index_ingest_endstate")
+      "q121_index_ingest_endstate",
+      // q125: writes + re-reads the sharded postings store in a temp dir
+      // (the q121 lifecycle recipe) while its oracle is a one-shot SELECT —
+      // the same asymmetry that excludes the other ingest lifecycles; the
+      // store's at-scale cost curves are measured by ScaleStress's
+      // indexStoreStage instead
+      "q125_bm25_sharded_store")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -16,6 +16,21 @@ final case class RunResult(
     rows: Long,
     error: Option[String])
 
+/** One per-operator streaming-state observation (→ `meta.stream_state`):
+  * the run-metrics shape (`meta.model_runs`, `WAREHOUSE.md:244-274`)
+  * extended to stateful streaming — state rows/bytes per operator per
+  * micro-batch, so a deployment watches the one axis that grows silently
+  * until an executor OOMs (the stream-stream join buffer: bounded only by
+  * the watermark horizon × arrival rate). */
+final case class StreamStateMetric(
+    run: String,
+    batchId: Long,
+    operator: String,
+    numRowsTotal: Long,
+    memoryUsedBytes: Long,
+    numRowsUpdated: Long,
+    recordedAtMs: Long)
+
 /** Model catalog + dependency-DAG executor: the reference's warehouse
   * orchestration engine (`warehouse_cli.py` run/plan commands,
   * `WAREHOUSE_SUMMARY.md:124-139`) rebuilt on Spark.
@@ -160,6 +175,43 @@ final class MetaStore(spark: SparkSession, dir: String) {
   }
 
   def runs: DataFrame = spark.read.parquet(s"$dir/meta/model_runs")
+
+  /** Append one streaming run's per-operator state metrics
+    * ([[StreamStateMetric]]; r10 verdict item 7). Reads the query's
+    * retained progress history — one row per (micro-batch, stateful
+    * operator) — so consecutive AvailableNow catch-up runs against one
+    * checkpoint accumulate the state GROWTH CURVE, not just a last
+    * sample. No-op for a stateless query (no rows, no table). */
+  def recordStreamState(run: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val rows = q.recentProgress.toSeq.flatMap { p =>
+      p.stateOperators.toSeq.map(so => StreamStateMetric(run, p.batchId,
+        so.operatorName, so.numRowsTotal, so.memoryUsedBytes,
+        so.numRowsUpdated, System.currentTimeMillis()))
+    }
+    if (rows.nonEmpty) rows.toDF().write.mode("append")
+      .parquet(s"$dir/meta/stream_state")
+  }
+
+  /** The streaming-state metrics table (empty frame if never recorded). */
+  def streamState: DataFrame =
+    try spark.read.parquet(s"$dir/meta/stream_state")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      Seq.empty[StreamStateMetric].toDF() }
+
+  /** Operators whose LATEST observed state breaches the byte threshold —
+    * the pre-OOM alarm view a deployment pages on (the join buffer is
+    * the expected tenant; its knob is the watermark horizon). */
+  def streamStateAlarms(thresholdBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("run", "operator")
+      .orderBy(col("batchId").desc, col("recordedAtMs").desc)
+    streamState
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1 &&
+        col("memoryUsedBytes") >= thresholdBytes)
+      .drop("rn")
+  }
 
   /** Model documentation table (`WAREHOUSE.md:266-274`). */
   def docs: DataFrame = spark.read.parquet(s"$dir/meta/model_docs")

@@ -71,6 +71,29 @@ object Pca {
     Moments(n, acc.take(d), acc.drop(d))
   }
 
+  /** GROUPED moment pass: per-group exact moments in ONE aggregation job —
+    * the q112 batch builders fused (3 dispatches → 1, the q88
+    * fused-aggregation precedent; r10 verdict item 5: the fixed per-job
+    * dispatch floor dominates these tiny scans, so batching builders
+    * shaves wall without touching any arithmetic — each group's Moments
+    * are the same per-value-rounded decimal sums the ungrouped pass
+    * produces, bit for bit). */
+  def momentsBy(df: DataFrame, vecCol: String, d: Int,
+      groupExpr: Column): Map[Int, Moments] = {
+    val pre = df.select(groupExpr.cast("int").as("g"), col(vecCol))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (pre.rdd.getNumPartitions < par) pre.repartition(par) else pre
+    src.groupBy("g").agg(
+        org.apache.spark.sql.graft.PcaMomentsAgg
+          .columnFor(col(vecCol), d).as("mom"))
+      .collect().map { r =>
+        val mom = r.getStruct(1)
+        val acc = mom.getSeq[String](1)
+          .map(new java.math.BigDecimal(_)).toArray
+        r.getInt(0) -> Moments(mom.getLong(0), acc.take(d), acc.drop(d))
+      }.toMap
+  }
+
   /** Exact merge of two moment states (batch ⊎ corpus ≡ full recompute). */
   def merge(a: Moments, b: Moments): Moments = {
     require(a.s.length == b.s.length, "moment dimensionality mismatch")

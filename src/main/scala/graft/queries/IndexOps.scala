@@ -176,8 +176,11 @@ object IndexOps {
   private[graft] def probeQueryTerms(dft: DataFrame, postings: DataFrame,
       stats: DataFrame, maxDfFrac: Double): DataFrame = {
     // terms that survive head-term elision — the indexable query terms
+    // broadcast the FULL stats row in both formulation consumers: the two
+    // subtrees are then canonically identical and Spark reuses ONE
+    // broadcast exchange instead of building two (dispatch floor, item 5)
     val surviving = dft
-      .crossJoin(broadcast(stats.select("n_docs")))
+      .crossJoin(broadcast(stats))
       .filter(col("df").cast("double") <=
         lit(maxDfFrac) * col("n_docs").cast("double"))
       .select("tok")
@@ -202,7 +205,7 @@ object IndexOps {
       col("tok"), col("tf"))
     probeTf
       .join(dft, "tok")
-      .crossJoin(broadcast(stats.select("n_docs")))
+      .crossJoin(broadcast(stats))
       // HEAD-TERM ELISION — the q124 MaxDf cut applied to QUERY terms
       // (stopword elision, the standard head-posting guard): a term in
       // more than maxDfFrac of the corpus never enters a query, so
@@ -231,13 +234,24 @@ object IndexOps {
     * pruning provably changes nothing — candidates need tok ∈ qterms). */
   private[graft] def scoreCandidates(postings: DataFrame, qterms: DataFrame,
       dft: DataFrame, stats: DataFrame): DataFrame = {
-    val idfb = dft.crossJoin(broadcast(stats.select("n_docs")))
+    // ONE broadcast on the hot path (r10 verdict item 5 — the dispatch
+    // floor): the r10 spelling joined three broadcast relations in
+    // sequence (qterms, per-token idfb, the 1-row stats), each a separate
+    // broadcast-build job per query — per-job cost dominates these tiny
+    // subtrees. The per-term BM25 idf and the corpus scalars are all
+    // FUNCTIONS of the ≤ Probes·TopTerms query-term rows, so they fold
+    // into the query-term relation BEFORE it broadcasts: the postings
+    // side then joins one enriched broadcast and computes the row-local
+    // contribution — same arithmetic, same 6dp-once rounding, one job and
+    // one join where there were three.
+    val enriched = qterms
+      .join(dft, "tok")
+      .crossJoin(stats)
       .withColumn("idfb6", round(log((col("n_docs") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0)), 6))
-      .select(col("tok"), col("idfb6"))
-    val cand = postings.join(broadcast(qterms), "tok")
-      .join(broadcast(idfb), "tok")
-      .crossJoin(broadcast(stats))
+      .select(col("probe_doc"), col("tok"), col("idfb6"),
+        col("n_docs"), col("sum_dl"))
+    val cand = postings.join(broadcast(enriched), "tok")
       .withColumn("contrib6", round(col("idfb6") *
         (col("tf").cast("double") * lit(K1 + 1.0)) /
         (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) +
@@ -405,12 +419,18 @@ object IndexOps {
     "q122_bm25_index_compose" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
         .filter(col("doc_id") < Slice)
-      // thirds by pmod: deterministic, corpus-covering, no driver job;
-      // each batch's postings materialize once (lazy checkpoint) and feed
-      // both its index rows and the unioned scoring relation
+      // thirds by pmod: deterministic, corpus-covering, no driver job.
+      // ONE tokenize pass materializes the slice's postings; the three
+      // batch relations are FILTERS of it (r11: the r10 spelling
+      // checkpointed three separate tokenize subtrees — 3 corpus-slice
+      // passes and 3 materialization jobs where one suffices; the
+      // composition under test — per-batch termIndexOf + pairwise
+      // termIndexAppend — is untouched, and a filter of the postings
+      // relation is exactly what a batch's postings ARE, since postings
+      // rows are per-(doc, tok) and batches partition docs)
+      val post0 = postingsOf(d).localCheckpoint(eager = false)
       val posts = (0 until 3).map(i =>
-        postingsOf(d.filter(pmod(col("doc_id"), lit(3)) === i))
-          .localCheckpoint(eager = false))
+        post0.filter(pmod(col("doc_id"), lit(3)) === i))
       val idx = posts.map(termIndexOf).reduce(termIndexAppend)
       val post = posts.reduce(_ unionByName _)
       bm25ThroughIndex(idx, post,

@@ -739,9 +739,14 @@ object SimilarityOps {
       import graft.operators.Pca
       val k = 16
       val e = emb(s, dir)
-      val batchMoments = (0 until 3).map { b =>
-        Pca.moments(e.filter(pmod(col("vec_id"), lit(3)) === b), "embedding", Dim)
-      }
+      // all 3 batch moment states from ONE grouped aggregation (was 3
+      // separate scans; the dispatch floor dominated them — r10 verdict
+      // item 5). The artifacts are unchanged: groupBy(pmod 3) partitions
+      // the corpus into exactly the batch slices, and per-group decimal
+      // sums are the same per-value-rounded adds, bit for bit.
+      val byBatch = Pca.momentsBy(e, "embedding", Dim,
+        pmod(col("vec_id"), lit(3)))
+      val batchMoments = (0 until 3).map(byBatch)
       val merged = batchMoments.reduce(Pca.merge)
       val full = Pca.moments(e, "embedding", Dim)
       val momEq = merged.n == full.n &&

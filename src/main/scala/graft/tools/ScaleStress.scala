@@ -73,6 +73,15 @@ object ScaleStress {
             element_at(vocabCol,
               pmod(hash(col("doc_id"), lit(-2)), lit(Vocab.size)) + 1)))
           .otherwise(col("base_text")))
+      // planted TAIL term (r11): every real corpus has rare terms; the
+      // flat 25-token salad had none, so head-term elision (the gated
+      // q119 MaxDfFrac cut) would leave retrieval nothing to serve at
+      // scale. Keyed on ck — both members of an exact- or near-dup pair
+      // share ck, so the planted duplicate structure (and the one-word
+      // near-dup distance) is untouched; df/N ≈ 1/41 at every scale.
+      .withColumn("text",
+        when(pmod(col("ck"), lit(41)) === 3,
+          concat(col("text"), lit(" tailkey"))).otherwise(col("text")))
       .withColumn("lang", element_at(
         array(Seq("en", "en", "en", "zh", "de", "fr").map(lit): _*),
         pmod(hash(col("doc_id"), lit(-3)), lit(6)) + 1))
@@ -159,6 +168,7 @@ object ScaleStress {
     val shufRead = new AtomicLong(0L)
     val shufWrite = new AtomicLong(0L)
     val recordsRead = new AtomicLong(0L)
+    val bytesRead = new AtomicLong(0L)
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
@@ -166,13 +176,14 @@ object ScaleStress {
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         recordsRead.addAndGet(m.inputMetrics.recordsRead)
+        bytesRead.addAndGet(m.inputMetrics.bytesRead)
       }
     }
-    def snapshot(): (Long, Long, Long) =
-      (shufRead.get(), shufWrite.get(), recordsRead.get())
+    def snapshot(): (Long, Long, Long, Long) =
+      (shufRead.get(), shufWrite.get(), recordsRead.get(), bytesRead.get())
     /** Listener bus is async: poll until counters stop moving. */
     def settle(): Unit = {
-      var last = (-1L, -1L, -1L)
+      var last = (-1L, -1L, -1L, -1L)
       var spins = 0
       while (snapshot() != last && spins < 40) {
         last = snapshot(); Thread.sleep(50); spins += 1
@@ -201,13 +212,13 @@ object ScaleStress {
     clearCaches()
     SuiteQueries.map { name =>
       meter.settle()
-      val (r0, w0, _) = meter.snapshot()
+      val (r0, w0, _, _) = meter.snapshot()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       meter.settle()
-      val (r1, w1, _) = meter.snapshot()
+      val (r1, w1, _, _) = meter.snapshot()
       QStat(name, sec, r1 - r0, w1 - w0, rows.getOrElse(name, -1L))
     }
   }
@@ -337,17 +348,31 @@ object ScaleStress {
     def timed(thunk: => Unit): Double = {
       val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
     }
+    // r10 verdict item 7: every catch-up run's per-operator state metrics
+    // flow into the MetaStore run-metrics path (meta.stream_state), so
+    // the growth curve below is what a deployment's dashboard reads — not
+    // a harness-only measurement
+    val meta = new graft.core.MetaStore(spark, s"$base/wh")
     /** One operator lifecycle: per-batch writers land files, `run` does one
       * catch-up pass over everything available. */
     def lifecycle(name: String, land: (Column, Int) => Unit,
-        run: () => Unit): StreamStat = {
+        run: () => Any): StreamStat = {
       val ck = s"$base/$name/ck"
+      def recorded(): Any = {
+        val r = run()
+        r match {
+          case q: org.apache.spark.sql.streaming.StreamingQuery =>
+            meta.recordStreamState(name, q)
+          case _ =>
+        }
+        r
+      }
       val stats = cuts.zipWithIndex.map { case (c, i) =>
         land(c, i)
-        val sec = timed(run())
+        val sec = timed(recorded())
         (sec, dirBytes(java.nio.file.Paths.get(ck, "state")))
       }
-      val recovery = timed(run()) // no new data: replay + state reload
+      val recovery = timed(recorded()) // no new data: replay + state reload
       val rows = spark.read.parquet(s"$base/$name/out").count()
       StreamStat(name, stats.map(_._1), stats.map(_._2), recovery, rows)
     }
@@ -386,7 +411,6 @@ object ScaleStress {
             spark.readStream.schema(schema).parquet(s"$base/temporal_join/r"),
             "6 hours", "12 hours"),
           s"$base/temporal_join/out", s"$base/temporal_join/ck")
-        ()
       })
 
     // transformWithState requires the RocksDB provider (q104 contract);
@@ -407,12 +431,91 @@ object ScaleStress {
           EventStream.runAvailableNow(
             EventStream.sessionizeTwsTimers(st, 1800L * 1000L).toDF(),
             s"$base/tws_sessionize/out", s"$base/tws_sessionize/ck")
-          ()
         })
       finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
 
+    // the metrics table must carry every stateful operator's curve; the
+    // join buffer (the unbounded-by-default axis) must be visible and the
+    // alarm view must flag it at a deliberately low demo threshold
+    val ss = meta.streamState.localCheckpoint(true)
+    val opRuns = ss.select("run").distinct().collect().map(_.getString(0)).toSet
+    require(Set("window", "dedup", "temporal_join", "tws_sessionize")
+      .subsetOf(opRuns), s"stream_state missing operators: $opRuns")
+    ss.groupBy("run", "operator").agg(max("batchId").as("last_batch"),
+        max("numRowsTotal").as("max_rows"), max("memoryUsedBytes").as("max_bytes"))
+      .orderBy("run").collect().foreach { r =>
+        System.err.println(s"[scale] stream_state ${r.getString(0)} " +
+          s"op=${r.getString(1).take(40)} batches<=${r.getLong(2)} " +
+          s"rows=${r.getLong(3)} bytes=${r.getLong(4)}")
+      }
+    val alarms = meta.streamStateAlarms(64L * 1024).select("run").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(alarms.contains("temporal_join"),
+      s"join buffer should breach the 64 KB demo alarm, flagged: $alarms")
     graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     Seq(win, ded, joi, ses)
+  }
+
+  final case class IndexStoreStat(buildSec: Double, serveSec: Double,
+      storeBytes: Long, servedBytes: Long, outRows: Long)
+
+  /** The sharded postings store at FULL corpus scale (the q125 recipe,
+    * un-sliced — r10 verdict item 3's deployment evidence): build the
+    * corpus postings once, persist them token-hash-sharded + tok-sorted
+    * ([[graft.queries.IndexOps.writePostingsStore]]), then SERVE one
+    * elided retrieval THROUGH the files, measuring the bytes the serve
+    * jobs actually read vs the store's size on disk. Query formulation
+    * (term stats, probe terms) runs ingest-side first and is collected —
+    * vocab-bounded / ≤ Probes·TopTerms rows — and re-enters the serve
+    * plan as local relations, so the measured scan is ONLY the pruned
+    * store read: per-query bytes ≪ store is the property that makes a
+    * 100 TB index answerable without touching the corpus. */
+  def indexStoreStage(spark: SparkSession, dir: String,
+      meter: ShuffleMeter): IndexStoreStat = {
+    import graft.queries.IndexOps
+    clearCaches()
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_store")
+    val d = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    val post = IndexOps.postingsOf(d).localCheckpoint(eager = true)
+    IndexOps.writePostingsStore(post, s"$base/p")
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val storeBytes = dirBytes(java.nio.file.Paths.get(s"$base/p"))
+    // ingest-side formulation, collected small: vocab-bounded term stats
+    // (the q118 index rows' df), 1-row corpus scalars, ≤ 20 query terms
+    val statsRow = post.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+    val dftRows = post.groupBy("tok").agg(count(lit(1)).as("df")).collect()
+    import spark.implicits._
+    val dftL = dftRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("tok", "df")
+    val statsL = Seq((statsRow.getLong(0), statsRow.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+    val qtRows = IndexOps.probeQueryTerms(dftL, post, statsL,
+        IndexOps.MaxDfFrac)
+      .withColumn("shard", pmod(xxhash64(col("tok")),
+        lit(IndexOps.StoreShards)))
+      .collect()
+    require(qtRows.nonEmpty, "no surviving query terms — tailkey missing?")
+    val toks = qtRows.map(_.getString(1)).distinct.toSeq
+    val shards = qtRows.map(_.getLong(2)).distinct.toSeq
+    val qtermsL = qtRows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("probe_doc", "tok")
+    val store = spark.read.parquet(s"$base/p")
+    val pruned = store.filter(col("shard").isin(shards: _*) &&
+      col("tok").isin(toks: _*))
+    meter.settle()
+    val (_, _, _, b0) = meter.snapshot()
+    val t1 = System.nanoTime()
+    val served = IndexOps.scoreCandidates(pruned, qtermsL, dftL, statsL)
+      .localCheckpoint(eager = true)
+    val serveSec = (System.nanoTime() - t1) / 1e9
+    meter.settle()
+    val (_, _, _, b1) = meter.snapshot()
+    val rows = served.count()
+    graft.export.Exporter.deleteRecursively(base)
+    IndexStoreStat(buildSec, serveSec, storeBytes, b1 - b0, rows)
   }
 
   /** Forced-distributed CC over the real q33 pair pipeline (driverMax = 0 ⇒
@@ -486,6 +589,14 @@ object ScaleStress {
           f"state=${st.stateBytes.last / 1024.0}%.0f KB  " +
           f"recovery=${st.recoverySec}%.2f s  rows=${st.outRows}%d")
       }
+      val idx = Seq(indexStoreStage(spark, dir, meter),
+        indexStoreStage(spark, dir, meter)).minBy(_.serveSec)
+      System.err.println(f"[scale x$m] idxStore build=${idx.buildSec}%.2f s  " +
+        f"store=${idx.storeBytes / 1024.0 / 1024.0}%.2f MB  " +
+        f"serve=${idx.serveSec}%.3f s reading " +
+        f"${idx.servedBytes / 1024.0 / 1024.0}%.2f MB " +
+        f"(${100.0 * idx.servedBytes / math.max(idx.storeBytes, 1L)}%.1f%%)" +
+        f"  rows=${idx.outRows}%d")
       val total = stats.map(_.sec).sum
       System.err.println(f"[scale x$m] total=$total%.2f s  ccDistributed=$ccSec%.2f s" +
         f"  lshTuned=$lshSec%.2f s ($lshPairs pairs, recall=$lshRecall%.4f)")
@@ -507,6 +618,9 @@ object ScaleStress {
         s""""hp_tuned_recall":$hpRecall,""" +
         s""""simhash_tuned_sec":$spSec,"simhash_tuned_pairs":$spPairs,""" +
         s""""streaming":${streamStats.map(_.json).mkString("{", ",", "}")},""" +
+        s""""index_store":{"build_sec":${idx.buildSec},""" +
+        s""""serve_sec":${idx.serveSec},"store_bytes":${idx.storeBytes},""" +
+        s""""served_bytes":${idx.servedBytes},"rows":${idx.outRows}},""" +
         s""""queries":$qJson}""")
       m -> (total, stats)
     }

@@ -265,4 +265,61 @@ class WarehouseSpec extends AnyFunSuite {
     val res = new DagRunner(spark, cfg, Seq(bad)).run()
     assert(res.head.status === "audit_failed")
   }
+
+  test("streaming state metrics flow into meta.stream_state; alarm view breaches on threshold") {
+    // r10 verdict item 7: the stream-stream join buffer grows silently
+    // (∝ watermark horizon × arrival rate) until an executor OOMs; state
+    // metrics must reach the deployment-facing run-metrics path — the
+    // meta.model_runs shape — not just a harness counter. Two catch-up
+    // runs against one checkpoint: the recorded batchIds must show the
+    // growth CURVE, and the alarm view must flag on a low threshold and
+    // stay silent on an absurd one.
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    val base = Files.createTempDirectory("graft_ss").toString
+    Files.createDirectory(java.nio.file.Paths.get(s"$base/in"))
+    val meta = new MetaStore(spark, s"$base/wh")
+    def land(offsetH: Int, n: Int): Unit =
+      spark.range(n).select(
+          (col("id") + offsetH * 1000).as("event_id"),
+          to_timestamp(lit("2024-01-01 00:00:00")).cast("timestamp")
+            .as("base"),
+          (col("id") % 7).as("user_id"),
+          lit("view").as("event_type"), lit(1.0).as("value"))
+        .select(col("event_id"),
+          (unix_timestamp(col("base")) + lit(offsetH * 3600) + col("event_id") % 60)
+            .cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    def run(): Unit = {
+      val st = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(s"$base/in")
+      val q = EventStream.runAvailableNow(
+        EventStream.windowedCounts(st, "ts", "1 hour", "1 hour"),
+        s"$base/out", s"$base/ck")
+      meta.recordStreamState("winagg", q)
+    }
+    land(0, 50); run()
+    land(1, 50); run()
+    val ss = meta.streamState
+    assert(ss.filter(col("run") === "winagg").count() > 0L)
+    // two catch-up runs on one checkpoint → at least two distinct batch
+    // ids recorded: the growth curve, not a single sample
+    val batches = ss.filter(col("run") === "winagg")
+      .select("batchId").distinct().count()
+    assert(batches >= 2L, s"expected >=2 recorded batches, got $batches")
+    val cols = ss.columns.toSet
+    assert(Set("run", "batchId", "operator", "numRowsTotal",
+      "memoryUsedBytes", "numRowsUpdated").subsetOf(cols))
+    assert(ss.filter(col("numRowsTotal") > 0L).count() > 0L,
+      "state rows should be visible for the windowed aggregate")
+    // alarm view: 1-byte threshold flags the operator; an absurd
+    // threshold flags nothing
+    val low = meta.streamStateAlarms(1L).select("run").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(low.contains("winagg"), s"low-threshold alarm missed: $low")
+    assert(meta.streamStateAlarms(Long.MaxValue).count() === 0L)
+    graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+  }
 }

@@ -29,7 +29,8 @@ for name, q in sorted(sql.items()):
                 "q96_stream_window_endstate", "q98_stream_join_endstate",
                 "q100_stream_dedup_endstate",
                 "q104_stream_timer_sessionize_endstate",
-                "q121_index_ingest_endstate"):
+                "q121_index_ingest_endstate",
+                "q125_bm25_sharded_store"):
         continue
     t0 = time.time()
     try:
