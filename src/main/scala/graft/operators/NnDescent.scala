@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.CosineSimilarity.cosineSim
+
+/** Approximate k-NN GRAPH construction by NN-Descent (Dong, Moses & Li,
+  * "Efficient k-nearest neighbor graph construction for generic
+  * similarity measures", WWW 2011) — the graph-index tier the r10
+  * verdict's stretch item names: the base layer every graph-ANN family
+  * (HNSW/NSG/Vamana) searches is a k-NN graph, and NN-Descent is the
+  * standard DISTRIBUTED way to build one (the paper's local join is
+  * literally a self-join — MapReduce-shaped, so Spark-native).
+  *
+  * Shape per iteration (everything shuffle-bounded, no driver state):
+  *  - adjacency = forward edges (exactly k per node) ∪ a REVERSE sample
+  *    capped at k per node (the paper's ρ-sampling; uncapped reverse
+  *    in-degree is the skew hazard — a hub pulled in by many nodes would
+  *    otherwise make the local join Θ(in-deg²)) — so deg ≤ 2k;
+  *  - local join: every pair meeting at a shared neighbor is a candidate
+  *    — Σ_u deg(u)² ≤ 4k²n pairs, deduped before scoring;
+  *  - score candidates with ONE cosine kernel pass (embeddings joined
+  *    twice — the q35-proven [[cosineSim]]), union the standing graph,
+  *    keep the k best per node on the bounded
+  *    [[org.apache.spark.sql.graft.TopKByScore]] heap.
+  * Total build cost Θ(iters · n · k²) comparisons — the n·log n-ish
+  * budget of the graph-index literature, never all-pairs.
+  *
+  * Determinism (gate-grade, both engines): the init neighbors and the
+  * reverse-sample order come from an LCG-style integer mix
+  * (`pmod(id·1103515245 + it·12345, 2³¹−1)` — products < 2⁵², exact in
+  * the LONG/BIGINT arithmetic of BOTH engines; no float, no library
+  * hash), cosines are the proven kernel pair (CosineSimilarityExpr ≡
+  * `list_cosine_similarity` on the same doubles), every rank ties to the
+  * lower neighbor id, and each iteration's output is a pure function of
+  * the previous — so the whole chain unrolls into DuckDB CTEs
+  * (`SimilarityOps.nnDescentOracleSql`) exactly like the q97 PQ chain.
+  */
+object NnDescent {
+
+  /** LCG multiplier/increment (Knuth/glibc constants) and a Mersenne
+    * prime modulus: an integer mixing key both engines compute exactly. */
+  private val MulA = 1103515245L
+  private val AddC = 12345L
+  private val Mod = 2147483647L
+
+  private[graft] def mixKey(id: org.apache.spark.sql.Column, round: Int) =
+    pmod(id * lit(MulA) + lit(round * AddC), lit(Mod))
+
+  /** (vec_id, nid, cos) for each candidate pair — one kernel pass. Pairs
+    * whose nid doesn't exist in `e` drop at the join (tolerates sparse
+    * id spaces; a node can then start with < k neighbors, which the
+    * iterations repair). */
+  private def score(pairs: DataFrame, e: DataFrame): DataFrame =
+    pairs
+      .join(e.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("eb")),
+        "nid")
+      .select(col("vec_id"), col("nid"),
+        cosineSim(col("ea"), col("eb")).as("cos"))
+
+  /** Build the approximate k-NN graph: (vec_id, nid, cos), k rows per
+    * node (fewer while the id space is sparse). Eager lifecycle builder —
+    * each iteration localCheckpoints (the q47 iterative-chain recipe:
+    * bounded lineage, `iters` cuts total). */
+  def knnGraph(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = emb.sparkSession
+    // Spark 4.1's Union constraint rewrite throws AttributeMap
+    // key-not-found when a union child's inferred constraints reference
+    // an attribute its projection pruned — the iterate-union-checkpoint
+    // shape here trips it. The builder is EAGER (each round
+    // localCheckpoints), so disabling constraint propagation for the
+    // build's own planning is self-contained: the returned frame is a
+    // checkpointed LogicalRDD, planned trivially under normal settings.
+    // Constraint inference buys nothing in this loop (joins are explicit
+    // equi-joins on non-null ids).
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = s.conf.getOption(cpKey)
+    s.conf.set(cpKey, "false")
+    try knnGraphImpl(emb, k, iters)
+    finally cpPrev.fold(s.conf.unset(cpKey))(v => s.conf.set(cpKey, v))
+  }
+
+  private def knnGraphImpl(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false)
+    // n rides in as a broadcast 1-row cross join (no eager driver job;
+    // the JobCountSpec discipline) — init neighbor j of node v is
+    // mix(v·k + j) mod n: k deterministic pseudo-random ids per node
+    val nDf = e.agg((max(col("vec_id")) + 1).as("n"))
+    val init = e.select(col("vec_id"))
+      .crossJoin(broadcast(nDf))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"), col("n"))
+      .select(col("vec_id"),
+        pmod(mixKey(col("vec_id") * k + col("j"), 0), col("n")).as("nid"))
+      .filter(col("nid") =!= col("vec_id"))
+      .distinct()
+    var b = topK(score(init, e), k).localCheckpoint(eager = true)
+    for (it <- 1 to iters) {
+      val fwd = b.select(col("vec_id").as("src"), col("nid").as("dst"))
+      // reverse sample: ≤ k incoming edges per node, LCG-key order with
+      // ties to the lower source id (heap: score desc on −key, payload
+      // asc) — mirrored as row_number ORDER BY key, vec_id in the oracle
+      val rev = b.groupBy(col("nid").as("src"))
+        .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
+          -mixKey(col("vec_id"), it).cast("double"), col("vec_id"), k)
+          .as("top"))
+        .select(col("src"), explode(col("top")).as("e"))
+        .select(col("src"), col("e.payload").as("dst"))
+      val genl = fwd.unionByName(rev).distinct()
+      // local join emitting BOTH directions directly (`<>`, not `<` plus
+      // a swapped-column union: the swap select under a self-union trips
+      // Catalyst's Union constraint rewrite — AttributeMap key-not-found
+      // at planning; the symmetric join is also what the oracle spells)
+      val cand = genl.as("a")
+        .join(genl.as("b"), col("a.src") === col("b.src") &&
+          col("a.dst") =!= col("b.dst"))
+        .select(col("a.dst").as("vec_id"), col("b.dst").as("nid"))
+        .distinct()
+      b = topK(score(cand, e).unionByName(b), k)
+        .localCheckpoint(eager = true)
+    }
+    b
+  }
+
+  /** Dedupe by (node, neighbor) — duplicate candidates carry identical
+    * cosines, max() is exact — then the k-bounded heap per node. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("vec_id", "nid").agg(max(col("cos")).as("cos"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
+        col("cos"), col("nid"), k).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("e"))
+      .select(col("vec_id"), col("e.payload").as("nid"),
+        col("e.score").as("cos"))
+}

@@ -31,6 +31,18 @@ object SimilarityOps {
     Tables(s, dir, "embeddings")
 
   private val Dim = 64 // embedding dimensionality of the corpus
+  /** q126 NN-Descent geometry: emitted graph degree, BUILD degree, and
+    * refinement rounds. The build runs at an over-provisioned degree
+    * (the standard graph-ANN trick — a wider working adjacency explores
+    * more of the neighborhood per local join) and the emitted graph is
+    * the top-NnK cut; near-uniform 64-dim data is NN-Descent's hard
+    * case (no cluster structure to exploit), and 16/4 lifts measured
+    * mean recall@8 past the AnnRecallSpec floor where 8/3 reads 0.63.
+    * All three knobs are mirrored literally into the unrolled oracle
+    * CTEs. */
+  private val NnK = 8
+  private val NnBuildK = 16
+  private val NnIters = 4
 
   /** Per-(sessionUUID, dir, k, iters) cache of the deterministic-Lloyd
     * coarse quantizer (k × dim doubles of driver state). In deployment the
@@ -661,6 +673,30 @@ object SimilarityOps {
           (col("pos") + 1).cast("long").as("rnk"))
     }),
 
+    // Approximate k-NN GRAPH via NN-Descent (Dong et al. WWW'11 — the
+    // r10 stretch item's graph-index tier: the base layer every
+    // HNSW/NSG-family search walks IS a k-NN graph, and NN-Descent is
+    // its standard distributed construction — the paper's local join is
+    // a self-join, MapReduce-shaped). Slice-bounded gate (the q121
+    // precedent): the machinery — LCG-deterministic init, capped reverse
+    // sampling, local-join candidates, kernel scoring, k-heap — is
+    // scale-invariant; build cost Θ(iters·n·k²), never all-pairs. The
+    // whole 3-iteration chain is a pure integer+IEEE function, so the
+    // oracle unrolls it into DuckDB CTEs (the q97 PQ-chain recipe);
+    // graph QUALITY (recall of true neighbors) is AnnRecallSpec's gate.
+    "q126_knn_graph_nndescent" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 600)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.NnDescent.knnGraph(e, k = NnBuildK, iters = NnIters)
+        .groupBy("vec_id")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cos"), col("nid"), NnK).as("top"))
+        .select(col("vec_id"), posexplode(col("top")))
+        .select(col("vec_id"), col("col.payload").as("nid"),
+          round(col("col.score"), 4).as("cosine"),
+          (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     // space with the IVF coarse quantizer, then within each cluster keep
     // only the vector closest to its centroid (max cosine, ties to the
@@ -1161,6 +1197,68 @@ object SimilarityOps {
        |                            ORDER BY cos DESC, cid) AS rnk
        |  FROM rex) WHERE rnk <= 5""".stripMargin
 
+  /** q126: the NN-Descent chain unrolled (the q97 PQ-chain recipe).
+    * Every construct is engine-exact: the LCG init/sample keys are pure
+    * BIGINT arithmetic (products < 2⁵², both engines 64-bit; all operands
+    * non-negative so `%` ≡ pmod), cosines are the proven kernel pair,
+    * and every per-node cut is `row_number` over (cos DESC, nid) ≡ the
+    * heap's (score desc, payload asc). The reverse sample orders by
+    * (key, vec_id) ≡ the heap on −key with payload tie-break. */
+  private def nnDescentOracleSql(k: Int, buildK: Int, iters: Int,
+      slice: Long): String = {
+    val A = 1103515245L; val C = 12345L; val M = 2147483647L
+    val iterCtes = (1 to iters).map { it =>
+      val p = s"b${it - 1}"
+      s"""rev$it AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT nid AS src, vec_id AS dst,
+         |           row_number() OVER (PARTITION BY nid
+         |             ORDER BY (vec_id*$A + ${it * C}) % $M, vec_id) AS rn
+         |    FROM $p) WHERE rn <= $buildK),
+         |genl$it AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, nid AS dst FROM $p
+         |    UNION ALL SELECT src, dst FROM rev$it)),
+         |cand$it AS MATERIALIZED (SELECT DISTINCT a.dst AS vec_id, b.dst AS nid
+         |            FROM genl$it a JOIN genl$it b
+         |              ON a.src = b.src AND a.dst <> b.dst),
+         |sc$it AS MATERIALIZED (SELECT p.vec_id, p.nid,
+         |                 list_cosine_similarity(x.emb, y.emb) AS cos
+         |          FROM cand$it p
+         |          JOIN e x ON x.vec_id = p.vec_id
+         |          JOIN e y ON y.vec_id = p.nid),
+         |b$it AS MATERIALIZED (SELECT vec_id, nid, cos FROM (
+         |    SELECT vec_id, nid, cos,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos DESC, nid) AS rn
+         |    FROM (SELECT vec_id, nid, max(cos) AS cos FROM
+         |          (SELECT * FROM sc$it UNION ALL SELECT * FROM $p)
+         |          GROUP BY 1, 2)) WHERE rn <= $buildK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |           FROM embeddings WHERE vec_id < $slice),
+       |n AS (SELECT max(vec_id) + 1 AS n FROM e),
+       |js AS (SELECT unnest(generate_series(0, ${buildK - 1})) AS j),
+       |init AS (SELECT DISTINCT v.vec_id,
+       |                ((v.vec_id*$buildK + js.j)*$A % $M) % n.n AS nid
+       |         FROM e v CROSS JOIN n CROSS JOIN js
+       |         WHERE ((v.vec_id*$buildK + js.j)*$A % $M) % n.n <> v.vec_id),
+       |b0 AS MATERIALIZED (SELECT vec_id, nid, cos FROM (
+       |    SELECT vec_id, nid, cos,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY cos DESC, nid) AS rn
+       |    FROM (SELECT i.vec_id, i.nid, max(list_cosine_similarity(
+       |                 x.emb, y.emb)) AS cos
+       |          FROM init i JOIN e x ON x.vec_id = i.vec_id
+       |          JOIN e y ON y.vec_id = i.nid
+       |          GROUP BY 1, 2)) WHERE rn <= $buildK),
+       |$iterCtes
+       |SELECT vec_id, nid, round(cos, 4) AS cosine,
+       |       CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT vec_id, nid, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, nid) AS rnk
+       |  FROM b$iters) WHERE rnk <= $k""".stripMargin
+  }
+
   private def ivfAnnOracleSql(k: Int, iters: Int): String =
     s"""${ivfPrefixSql(k, iters)},
        |p AS (SELECT vec_id AS qid, v AS qe, cell FROM af WHERE vec_id < 10),
@@ -1317,6 +1415,8 @@ object SimilarityOps {
     "q97_ann_ivfpq" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
+    "q126_knn_graph_nndescent" ->
+      nnDescentOracleSql(NnK, NnBuildK, NnIters, 600L),
     "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3),
     // q114: same Lloyd chain; rank = row_number over (cos6 desc, vec_id)
     // per cell ≡ the TopKByScore heap's (score desc, payload asc) order;

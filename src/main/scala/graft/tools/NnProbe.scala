@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Full-corpus NN-Descent build cost across scales (q126's gate is
+  * slice-bounded; this measures the operator's real curve — build cost
+  * should track Θ(iters · n · k²) comparisons, i.e. ~linear in n at
+  * fixed geometry). Usage: runMain graft.tools.NnProbe <dir> [k] [iters]
+  * — point it at the ScaleStress corpora (x1/x10/x30). */
+object NnProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale_r11f/x1")
+    val k = args.lift(1).map(_.toInt).getOrElse(16)
+    val iters = args.lift(2).map(_.toInt).getOrElse(4)
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val g = graft.operators.NnDescent.knnGraph(e, k, iters)
+      val rows = g.count()
+      println(f"[nn-probe] pass $pass n=$n%d k=$k iters=$iters " +
+        f"build=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows%d")
+    }
+    spark.stop()
+  }
+}

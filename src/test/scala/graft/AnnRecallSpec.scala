@@ -304,6 +304,44 @@ class AnnRecallSpec extends AnyFunSuite {
     SimilarityOps.clearCache() // don't leak the retrained quantizer to other specs
   }
 
+  test("q126 NN-Descent graph: mean neighbor recall vs brute-force k-NN >= 0.85; degree bounded") {
+    // graph QUALITY — the property the oracle replay can't express (it
+    // confirms both engines build the SAME graph; this confirms the
+    // graph is a good one): for every node, what fraction of its true
+    // 8 nearest neighbors (brute force over the corpus) appear in its
+    // NN-Descent adjacency after 3 refinement rounds. The floor guards
+    // a broken local join / reverse sample; the exact value is
+    // data-dependent (measured ~0.9+ on this near-uniform fixture —
+    // uniform data is NN-Descent's HARD case, no cluster structure to
+    // exploit, so a floor met here holds a fortiori on clustered data).
+    import org.apache.spark.sql.functions._
+    import graft.plans.CosineSimilarity.cosineSim
+    val k = 8
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val graph = SparkEntry.queries("q126_knn_graph_nndescent")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (v, rs) => v -> rs.map(_._2).toSet }
+    // brute-force ground truth: all-pairs cosine, top-k per node
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val truth = a.join(b, col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), cosineSim(col("ea"), col("eb")).as("cos"))
+      .groupBy("va")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("cos"), col("vb"), k).as("top"))
+      .select(col("va"), explode(col("top")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getLong(1)))
+      .groupBy(_._1).map { case (v, rs) => v -> rs.map(_._2).toSet }
+    val recalls = truth.map { case (v, t) =>
+      graph.getOrElse(v, Set.empty).intersect(t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, f"mean NN-Descent graph recall $mean%.3f")
+    // degree bound: the heap caps every adjacency at k
+    assert(graph.values.forall(_.size <= k))
+    assert(graph.size === truth.size, "every node must have an adjacency")
+  }
+
   test("q116 FPS coreset: greedy-max invariant, center self-distance 0, coverage radius") {
     import graft.queries.SimilarityOps
     val rows = SparkEntry.queries("q116_fps_coreset")(spark, dir).collect()
