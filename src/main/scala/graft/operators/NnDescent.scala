@@ -64,23 +64,28 @@ object NnDescent {
     * node (fewer while the id space is sparse). Eager lifecycle builder —
     * each iteration localCheckpoints (the q47 iterative-chain recipe:
     * bounded lineage, `iters` cuts total). */
-  def knnGraph(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val s = emb.sparkSession
-    // Spark 4.1's Union constraint rewrite throws AttributeMap
-    // key-not-found when a union child's inferred constraints reference
-    // an attribute its projection pruned — the iterate-union-checkpoint
-    // shape here trips it. The builder is EAGER (each round
-    // localCheckpoints), so disabling constraint propagation for the
-    // build's own planning is self-contained: the returned frame is a
-    // checkpointed LogicalRDD, planned trivially under normal settings.
-    // Constraint inference buys nothing in this loop (joins are explicit
-    // equi-joins on non-null ids).
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = s.conf.getOption(cpKey)
-    s.conf.set(cpKey, "false")
-    try knnGraphImpl(emb, k, iters)
-    finally cpPrev.fold(s.conf.unset(cpKey))(v => s.conf.set(cpKey, v))
+  /** Spark 4.1's Union constraint rewrite throws AttributeMap
+    * key-not-found when a union child's inferred constraints reference
+    * an attribute its projection pruned — the iterate-union-checkpoint
+    * shape of both the build loop and the beam-search loop trips it.
+    * Both loops are EAGER (every round localCheckpoints), so disabling
+    * constraint propagation for their own planning is self-contained:
+    * the returned frame is a checkpointed LogicalRDD, planned trivially
+    * under normal settings. Constraint inference buys nothing in these
+    * loops (explicit equi-joins on non-null ids). */
+  private def withoutConstraintPropagation[A](
+      s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
   }
+
+  def knnGraph(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    withoutConstraintPropagation(emb.sparkSession) {
+      knnGraphImpl(emb, k, iters)
+    }
 
   private def knnGraphImpl(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
@@ -123,6 +128,68 @@ object NnDescent {
         .localCheckpoint(eager = true)
     }
     b
+  }
+
+  /** Greedy BEAM SEARCH over a built k-NN graph — the serving tier the
+    * graph exists for (HNSW/NSG-style navigation, spelled as bounded
+    * breadth-first expansion so it stays declarative): start every query
+    * at a fixed seed set, expand the current beam's adjacency each hop,
+    * score candidates against the query vector, keep the best `beam`
+    * per query, emit the top-`topk` after `hops` rounds. Per-QUERY cost
+    * Θ(hops · beam · degree) — independent of corpus size; that is the
+    * graph-search contract (brute force pays n·d per query). Exactly
+    * `hops` bounded rounds of broadcast-join + heap — deterministic,
+    * oracle-unrollable like the build chain.
+    *
+    * @param graph  (vec_id, nid, …) adjacency — [[knnGraph]] output
+    * @param e      (vec_id, embedding) the vector store
+    * @param queries (qid, qe) query vectors (small, broadcast) */
+  def graphSearch(graph: DataFrame, e: DataFrame, queries: DataFrame,
+      beam: Int, hops: Int, seeds: Int, topk: Int): DataFrame =
+    withoutConstraintPropagation(e.sparkSession) {
+      graphSearchImpl(graph, e, queries, beam, hops, seeds, topk)
+    }
+
+  private def graphSearchImpl(graph: DataFrame, e: DataFrame,
+      queries: DataFrame, beam: Int, hops: Int, seeds: Int,
+      topk: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("qe"))
+    def scoreQ(pairs: DataFrame): DataFrame =
+      pairs.join(broadcast(q), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+          "nid")
+        .select(col("qid"), col("nid"), cosineSim(col("qe"), col("ne"))
+          .as("cos"))
+    def topW(scored: DataFrame, w: Int): DataFrame =
+      scored.groupBy("qid", "nid").agg(max(col("cos")).as("cos"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
+          col("cos"), col("nid"), w).as("top"))
+        .select(col("qid"), explode(col("top")).as("e"))
+        .select(col("qid"), col("e.payload").as("nid"),
+          col("e.score").as("cos"))
+    // fixed deterministic entry points: the `seeds` lowest vector ids
+    val seedIds = e.select(col("vec_id").as("nid"))
+      .orderBy("nid").limit(seeds)
+    var bm = topW(scoreQ(q.select(col("qid"))
+      .crossJoin(broadcast(seedIds))), beam)
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to hops) {
+      val expand = bm.select(col("qid"), col("nid"))
+        .join(graph.select(col("vec_id").as("nid"), col("nid").as("cand")),
+          "nid")
+        .select(col("qid"), col("cand").as("nid")).distinct()
+      bm = topW(scoreQ(expand).unionByName(bm), beam)
+        .localCheckpoint(eager = true)
+    }
+    bm.filter(col("nid") =!= col("qid"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
+        col("cos"), col("nid"), topk).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("nid"),
+        round(col("col.score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Dedupe by (node, neighbor) — duplicate candidates carry identical

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Beam-geometry sweep for q127: recall@5 vs brute force across
+  * (beam, hops, seeds) on a given dir — picks the gated knobs with
+  * margin instead of sitting on a knife edge (the q123 nprobe lesson).
+  * Usage: runMain graft.tools.GraphSearchProbe [dir] */
+object GraphSearchProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.plans.CosineSimilarity.cosineSim
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 600)
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // brute truth
+    val truth = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(qs), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosineSim(col("qe"), col("ce")).as("cos"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("cos"), col("cid"), 5).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val g = graft.operators.NnDescent.knnGraph(e, k = 16, iters = 4)
+      .localCheckpoint(eager = true)
+    for ((beam, hops, seeds) <- Seq((16, 3, 4), (24, 3, 4), (16, 4, 4),
+        (32, 3, 4), (24, 4, 4), (16, 3, 8))) {
+      val got = graft.operators.NnDescent
+        .graphSearch(g, e, qs, beam, hops, seeds, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val rec = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      println(f"[gs-probe] beam=$beam%2d hops=$hops seeds=$seeds " +
+        f"recall@5=${rec.sum / rec.size}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -342,6 +342,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(graph.size === truth.size, "every node must have an adjacency")
   }
 
+  test("q127 graph search: top-5 recall vs brute force >= 90% on the probe set") {
+    // the serving-tier gate: beam search over the NN-Descent graph must
+    // find (almost) the same top-5 the O(n·d)-per-query brute force
+    // finds, at Θ(hops·beam·degree) per query — same probes as q35, so
+    // the comparison is direct
+    val brute = top5("q35_ann_brute")
+    val gs = top5("q127_graph_ann_search")
+    val recalls = brute.map { case (q, truth) =>
+      gs.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"mean graph-search recall $mean%.3f")
+  }
+
   test("q116 FPS coreset: greedy-max invariant, center self-distance 0, coverage radius") {
     import graft.queries.SimilarityOps
     val rows = SparkEntry.queries("q116_fps_coreset")(spark, dir).collect()
