@@ -17,12 +17,27 @@ object NnProbe {
     val e = graft.sources.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val n = e.count()
+    var graph: org.apache.spark.sql.DataFrame = null
     for (pass <- 1 to 2) {
       val t0 = System.nanoTime()
-      val g = graft.operators.NnDescent.knnGraph(e, k, iters)
-      val rows = g.count()
+      graph = graft.operators.NnDescent.knnGraph(e, k, iters)
+      val rows = graph.count()
       println(f"[nn-probe] pass $pass n=$n%d k=$k iters=$iters " +
         f"build=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows%d")
+    }
+    // the SEARCH tier: 10 probes through the built graph — per-query
+    // comparisons are Θ(hops·beam·degree) regardless of n; the batch
+    // spelling's per-hop adjacency scan (n·k rows, columnar, shared by
+    // the whole probe batch) is what this timing bounds
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val out = graft.operators.NnDescent
+        .graphSearch(graph, e, qs, beam = 16, hops = 4, seeds = 4, topk = 5)
+      val rows = out.count()
+      println(f"[nn-probe] pass $pass n=$n%d search(10 probes)=" +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows%d")
     }
     spark.stop()
   }
