@@ -704,6 +704,72 @@ object TextOps {
         (sc > 0).as("pred_keep"))
     }),
 
+    // Batch perceptron quality classifier (Rosenblatt 1958, batch update;
+    // the trained-by-ITERATION counterpart of q101's closed-form Naive
+    // Bayes — together they cover both halves of the bootstrap-classifier
+    // curation step: NB generalizes rule labels in one pass, the
+    // perceptron is the minimal example of the fit-loop every
+    // fastText-grade quality filter runs). Features = raw token counts,
+    // labels y = ±1 from the q77 Gopher rules, E epochs of
+    // w += Σ_misclassified y·tf, b += Σ y — ALL INTEGER, so both engines
+    // agree bit-for-bit with zero rounding discipline needed. The gate
+    // checks the whole TRAJECTORY (per-epoch weights, bias, and
+    // misclassification count), not just the final model. Scale shape:
+    // the (doc, tok, tf) design matrix materializes ONCE (partitioned by
+    // doc_id; per-epoch margins aggregate without a re-shuffle and the
+    // miss join is co-partitioned); per-epoch weights are VOCAB-BOUNDED
+    // driver state broadcast into the margin join (the BpeTrainer
+    // size-gated-loop contract — model state never scales with the
+    // corpus), and each epoch is ONE collect of |vocab|+2 rows. E is a
+    // fixed hyperparameter: cost = E linear passes, independent of n².
+    "q129_perceptron_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val dtf = docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          when(gopherKeep, 1L).otherwise(-1L).as("y"),
+          explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "y", "tok").agg(count(lit(1)).as("tf"))
+        .repartition(col("doc_id"))
+        .localCheckpoint(eager = false)
+      // model state: vocab-keyed integer weights on the driver (bounded
+      // by |vocab|, the same bound the broadcast join needs anyway)
+      val vocab = dtf.select("tok").distinct().collect()
+        .map(_.getString(0)).sorted
+      var wmap = vocab.map(_ -> 0L).toMap
+      var bias = 0L
+      val traj = Seq.newBuilder[(Long, String, Long)]
+      (1 to PerceptronEpochs).foreach { e =>
+        val wdf = broadcast(wmap.toSeq.toDF("tok", "w"))
+        val miss = dtf.join(wdf, Seq("tok"))
+          .groupBy("doc_id", "y")
+          .agg((sum(col("tf") * col("w")) + lit(bias)).as("margin"))
+          .filter(col("y") * col("margin") <= 0)
+          .select(col("doc_id"), col("y").as("my"))
+        // one action per epoch: per-token updates ⊎ bias delta ⊎ miss
+        // count (a union of three aggregates over the same miss subtree —
+        // each is tiny, and the epoch's real cost is the one dtf pass)
+        val upd = dtf.join(miss, Seq("doc_id"))
+          .groupBy("tok").agg(sum(col("my") * col("tf")).as("v"))
+          .unionByName(miss.agg(coalesce(sum(col("my")), lit(0L)).as("v"))
+            .select(lit("__bias__").as("tok"), col("v")))
+          .unionByName(miss.agg(count(lit(1)).cast("long").as("v"))
+            .select(lit("__nmiss__").as("tok"), col("v")))
+          .collect()
+        upd.foreach { r =>
+          val v = r.getLong(1)
+          r.getString(0) match {
+            case "__bias__"  => bias += v
+            case "__nmiss__" => traj += ((e.toLong, "__nmiss__", v))
+            case t           => wmap = wmap.updated(t, wmap(t) + v)
+          }
+        }
+        wmap.foreach { case (t, w) => traj += ((e.toLong, t, w)) }
+        traj += ((e.toLong, "__bias__", bias))
+      }
+      traj.result().toDF("epoch", "feat", "wgt")
+    }),
+
     // Unigram LM scoring (the CCNet-style perplexity-lite quality signal):
     // train a unigram model on the corpus (token → log p, vocab-bounded →
     // broadcast), score each doc by its mean token log-prob. Rare-token /
