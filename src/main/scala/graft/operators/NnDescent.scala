@@ -82,10 +82,115 @@ object NnDescent {
     finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
   }
 
-  def knnGraph(emb: DataFrame, k: Int, iters: Int): DataFrame =
+  /** Size gate for the driver-local tier (the BpeTrainer/
+    * ConnectedComponents `driverMax` contract): a corpus of ≤ this many
+    * vectors runs the IDENTICAL algorithm in local Scala — the
+    * distributed loop's `iters` eager-checkpoint rounds are pure
+    * dispatch floor at slice scale (r12 verdict: 9 rounds ≈ 3.46 s on a
+    * 600-vector gate slice), while past the gate the shuffle-bounded
+    * loop takes over untouched. The probe doubles as the branch:
+    * `take(max+1)` returning ≤ max rows proves the corpus fits. Local ≡
+    * distributed is asserted by AnnRecallSpec (exact set equality,
+    * bit-identical cosines — same kernel arithmetic, same LCG keys,
+    * same (score desc, id asc) cuts). */
+  val DriverMaxVectors: Long = 1024L
+
+  def knnGraph(emb: DataFrame, k: Int, iters: Int,
+      driverMax: Long = DriverMaxVectors): DataFrame = {
+    val src = emb.select(col("vec_id"), col("embedding"))
+    if (driverMax > 0) {
+      val probe = src.take(driverMax.toInt + 1)
+      if (probe.length <= driverMax)
+        return knnGraphLocal(emb.sparkSession, probe, k, iters)
+    }
     withoutConstraintPropagation(emb.sparkSession) {
       knnGraphImpl(emb, k, iters)
     }
+  }
+
+  // ---- driver-local tier: the same chain in plain Scala ----
+
+  /** [[CosineSimilarityExpr]]'s exact arithmetic (index-order double
+    * accumulation over float-widened elements) — local ≡ distributed
+    * requires bit-identical doubles, not approximate ones. */
+  private def cosLocal(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** [[mixKey]] in Long arithmetic (pmod semantics). */
+  private def mixLocal(id: Long, round: Int): Long = {
+    val m = (id * MulA + round.toLong * AddC) % Mod
+    if (m < 0) m + Mod else m
+  }
+
+  /** [[topK]]'s local twin: dedupe (node, neighbor) — duplicates carry
+    * identical cosines — then the k best per node by (cos desc, nid
+    * asc), the heap's exact order. */
+  /** The heap's exact order: `java.lang.Double.compare` on score DESC
+    * (so −0.0 < 0.0, same as TopKAggregate), lower id wins ties. */
+  private def heapOrder(p: (Long, Double), q: (Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(p._2, q._2)
+    if (c != 0) c > 0 else p._1 < q._1
+  }
+
+  private def topKLocal(pairs: Iterable[(Long, Long, Double)],
+      k: Int): Map[Long, IndexedSeq[(Long, Double)]] =
+    pairs.groupBy(_._1).map { case (v, ps) =>
+      v -> ps.map(p => (p._2, p._3)).toSet.toIndexedSeq
+        .sortWith(heapOrder).take(k)
+    }
+
+  private def knnGraphLocal(s: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row], k: Int,
+      iters: Int): DataFrame = {
+    import s.implicits._
+    if (rows.isEmpty) return Seq.empty[(Long, Long, Double)]
+      .toDF("vec_id", "nid", "cos")
+    val embMap: Map[Long, IndexedSeq[Float]] =
+      rows.iterator.map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toIndexedSeq).toMap
+    val ids = embMap.keySet
+    val n = ids.max + 1
+    def score(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] =
+      pairs.collect { case (v, nid) if embMap.contains(nid) &&
+          embMap.contains(v) =>
+        (v, nid, cosLocal(embMap(v), embMap(nid)))
+      }
+    val init = (for {
+      v <- ids.iterator
+      j <- (0 until k).iterator
+      nid = mixLocal(v * k + j, 0) % n
+      if nid != v
+    } yield (v, nid)).toSet
+    var b = topKLocal(score(init), k)
+    def edges = b.iterator.flatMap { case (v, ns) => ns.map(p => (v, p._1)) }
+    for (it <- 1 to iters) {
+      val fwd = edges.toSet
+      val rev = fwd.groupBy(_._2).iterator.flatMap { case (dst, inc) =>
+        inc.toIndexedSeq.map(_._1)
+          .sortBy((src: Long) => (mixLocal(src, it), src)).take(k)
+          .map(src => (dst, src))
+      }.toSet
+      val genl = fwd ++ rev
+      val bySrc = genl.groupBy(_._1)
+      val cand = bySrc.valuesIterator.flatMap { g =>
+        val ds = g.map(_._2)
+        for (a <- ds.iterator; c <- ds.iterator if a != c) yield (a, c)
+      }.toSet
+      val standing = b.iterator.flatMap { case (v, ns) =>
+        ns.map(p => (v, p._1, p._2)) }.toIndexedSeq
+      b = topKLocal(score(cand) ++ standing, k)
+    }
+    b.iterator.flatMap { case (v, ns) =>
+      ns.map(p => (v, p._1, p._2)) }.toIndexedSeq
+      .toDF("vec_id", "nid", "cos")
+  }
 
   private def knnGraphImpl(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
@@ -145,10 +250,76 @@ object NnDescent {
     * @param e      (vec_id, embedding) the vector store
     * @param queries (qid, qe) query vectors (small, broadcast) */
   def graphSearch(graph: DataFrame, e: DataFrame, queries: DataFrame,
-      beam: Int, hops: Int, seeds: Int, topk: Int): DataFrame =
+      beam: Int, hops: Int, seeds: Int, topk: Int,
+      driverMax: Long = DriverMaxVectors): DataFrame = {
+    if (driverMax > 0) {
+      val probe = e.select(col("vec_id"), col("embedding"))
+        .take(driverMax.toInt + 1)
+      if (probe.length <= driverMax)
+        return graphSearchLocal(e.sparkSession, graph, probe, queries,
+          beam, hops, seeds, topk)
+    }
     withoutConstraintPropagation(e.sparkSession) {
       graphSearchImpl(graph, e, queries, beam, hops, seeds, topk)
     }
+  }
+
+  /** Driver-local beam search (vector store ≤ [[DriverMaxVectors]]: the
+    * graph is ≤ n·k edges and the query set is small by the
+    * [[graphSearch]] contract, so everything fits beside the store).
+    * The distributed loop pays `hops` eager-checkpoint rounds of
+    * dispatch floor at slice scale; this is the same chain in plain
+    * Scala, bit-identical by the [[knnGraphLocal]] argument — only the
+    * final round(…, 4) runs as a Spark expression so the rounding mode
+    * is literally the same code path. */
+  private def graphSearchLocal(s: org.apache.spark.sql.SparkSession,
+      graph: DataFrame, eRows: Array[org.apache.spark.sql.Row],
+      queries: DataFrame, beam: Int, hops: Int, seeds: Int,
+      topk: Int): DataFrame = {
+    import s.implicits._
+    val embMap: Map[Long, IndexedSeq[Float]] =
+      eRows.iterator.map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toIndexedSeq).toMap
+    val adj: Map[Long, Iterable[Long]] = graph
+      .select(col("vec_id"), col("nid")).collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) =>
+        v -> rs.map(_.getLong(1)).toIndexedSeq }
+    val qs: IndexedSeq[(Long, IndexedSeq[Float])] = queries
+      .select(col("qid"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .toIndexedSeq
+    val seedIds = embMap.keySet.toIndexedSeq.sorted.take(seeds)
+    def topW(scored: Iterable[(Long, Long, Double)],
+        w: Int): Map[Long, IndexedSeq[(Long, Double)]] =
+      scored.groupBy(_._1).map { case (q, ps) =>
+        q -> ps.map(p => (p._2, p._3)).toSet.toIndexedSeq
+          .sortWith(heapOrder).take(w)
+      }
+    def scoreQ(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] = {
+      val qe = qs.toMap
+      pairs.collect { case (q, nid) if embMap.contains(nid) =>
+        (q, nid, cosLocal(qe(q), embMap(nid)))
+      }
+    }
+    var bm = topW(scoreQ(for (q <- qs; sd <- seedIds) yield (q._1, sd)), beam)
+    for (_ <- 1 to hops) {
+      val expand = bm.iterator.flatMap { case (q, ns) =>
+        ns.iterator.flatMap(p =>
+          adj.getOrElse(p._1, Nil).map(c => (q, c)))
+      }.toSet
+      val standing = bm.iterator.flatMap { case (q, ns) =>
+        ns.map(p => (q, p._1, p._2)) }.toIndexedSeq
+      bm = topW(scoreQ(expand) ++ standing, beam)
+    }
+    val out = bm.iterator.flatMap { case (q, ns) =>
+      ns.filter(_._1 != q).sortWith(heapOrder).take(topk)
+        .zipWithIndex.map { case ((nid, cos), i) =>
+          (q, nid, cos, (i + 1).toLong) }
+    }.toIndexedSeq
+    out.toDF("qid", "nid", "cos", "rnk")
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cosine"),
+        col("rnk"))
+  }
 
   private def graphSearchImpl(graph: DataFrame, e: DataFrame,
       queries: DataFrame, beam: Int, hops: Int, seeds: Int,

@@ -199,12 +199,17 @@ object DedupOps {
 
   /** THE weighted forward/inverted index for q128 — (doc_id, sh, df, w)
     * with w = tf · idf6, idf6 = round(ln(n/df), 6): one shingle-tf pass,
-    * df via a window over the same (sh)-exchange (no self-join), the
-    * 1-row doc count riding in as a broadcast cross join (no eager driver
-    * job). Materialized once per (session, dir): the norms aggregate, the
-    * rare-anchor candidate join, and BOTH dot-product sides read it — the
-    * same persisted-artifact shape a production similarity pipeline keeps
-    * (weights are computed at ingest, not per query). */
+    * df via a partial-aggregating `groupBy(sh)` joined back on the same
+    * (sh)-exchange — NOT a `Window.partitionBy(sh)`, which would funnel
+    * every occurrence of a head shingle (boilerplate: df ≈ n) through one
+    * task's buffer. Map-side combine collapses hot keys before the
+    * shuffle, and the sort-merge join back streams — no per-key buffering
+    * anywhere. The 1-row doc count rides in as a broadcast cross join (no
+    * eager driver job). Materialized once per (session, dir): the norms
+    * aggregate, the rare-anchor candidate join, and BOTH dot-product
+    * sides read it — the same persisted-artifact shape a production
+    * similarity pipeline keeps (weights are computed at ingest, not per
+    * query). */
   private def shingleTfIdfCached(s: SparkSession, dir: String): DataFrame =
     cachedStage(s, dir, "shingleTfIdf") {
       val stf = docs(s, dir)
@@ -215,9 +220,9 @@ object DedupOps {
         .select(tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .agg(count(lit(1)).as("n_docs"))
+      val dfBySh = stf.groupBy("sh").agg(count(lit(1)).as("df"))
       stf
-        .withColumn("df", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .join(dfBySh, Seq("sh"))
         .crossJoin(broadcast(n))
         .withColumn("w", col("tf").cast("double") *
           round(log(col("n_docs").cast("double") / col("df").cast("double")),

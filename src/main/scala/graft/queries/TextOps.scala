@@ -119,6 +119,12 @@ object TextOps {
       gopherSymRatio <= 0.1 && gopherAlphaFrac >= 0.8 &&
       gopherStopCount >= 2
 
+  /** q129 epoch count E. The DuckDB oracle unrolls exactly this many
+    * epochs as chained CTEs (both sides are generated from THIS constant,
+    * so they can never drift apart). Kept small: each epoch is ~3 Spark
+    * jobs, and 3 epochs already exercise a changing trajectory. */
+  private[queries] val PerceptronEpochs = 3
+
   /** The Gopher gate as a reusable transform over any frame with `doc_id`
     * and `text` columns — BATCH OR STREAMING (all signals are narrow
     * column expressions, so the same gate drops low-quality docs inside a
@@ -720,8 +726,11 @@ object TextOps {
     // miss join is co-partitioned); per-epoch weights are VOCAB-BOUNDED
     // driver state broadcast into the margin join (the BpeTrainer
     // size-gated-loop contract — model state never scales with the
-    // corpus), and each epoch is ONE collect of |vocab|+2 rows. E is a
-    // fixed hyperparameter: cost = E linear passes, independent of n².
+    // corpus). Each epoch: the miss set materializes ONCE
+    // (localCheckpoint — three consumers, one compute), then two tiny
+    // collects (the |vocab|-bounded token updates and the 1-row
+    // bias/nmiss aggregate). E is a fixed hyperparameter: cost = E·2
+    // passes over the checkpointed design matrix, independent of n².
     "q129_perceptron_classifier" -> ((s, dir) => {
       import s.implicits._
       val dtf = docs(s, dir)
@@ -746,24 +755,20 @@ object TextOps {
           .agg((sum(col("tf") * col("w")) + lit(bias)).as("margin"))
           .filter(col("y") * col("margin") <= 0)
           .select(col("doc_id"), col("y").as("my"))
-        // one action per epoch: per-token updates ⊎ bias delta ⊎ miss
-        // count (a union of three aggregates over the same miss subtree —
-        // each is tiny, and the epoch's real cost is the one dtf pass)
-        val upd = dtf.join(miss, Seq("doc_id"))
+          .localCheckpoint() // eager: 1 compute, 3 consumers below
+        // bias delta + miss count ride in ONE 1-row aggregate over the
+        // checkpointed miss set (no recompute, no in-band sentinel rows
+        // — a doc literally containing "__bias__" can't corrupt the
+        // model, which the old union-with-sentinel-tok spelling risked)
+        val bm = miss.agg(coalesce(sum(col("my")), lit(0L)).as("bd"),
+          count(lit(1)).cast("long").as("nm")).head()
+        bias += bm.getLong(0)
+        traj += ((e.toLong, "__nmiss__", bm.getLong(1)))
+        dtf.join(miss, Seq("doc_id"))
           .groupBy("tok").agg(sum(col("my") * col("tf")).as("v"))
-          .unionByName(miss.agg(coalesce(sum(col("my")), lit(0L)).as("v"))
-            .select(lit("__bias__").as("tok"), col("v")))
-          .unionByName(miss.agg(count(lit(1)).cast("long").as("v"))
-            .select(lit("__nmiss__").as("tok"), col("v")))
           .collect()
-        upd.foreach { r =>
-          val v = r.getLong(1)
-          r.getString(0) match {
-            case "__bias__"  => bias += v
-            case "__nmiss__" => traj += ((e.toLong, "__nmiss__", v))
-            case t           => wmap = wmap.updated(t, wmap(t) + v)
-          }
-        }
+          .foreach(r => wmap =
+            wmap.updated(r.getString(0), wmap(r.getString(0)) + r.getLong(1)))
         wmap.foreach { case (t, w) => traj += ((e.toLong, t, w)) }
         traj += ((e.toLong, "__bias__", bias))
       }
@@ -1240,6 +1245,51 @@ object TextOps {
                   AS score,
                 (m + pk) > 0 AS pred_keep
          FROM sc CROSS JOIN pri""",
+    // the q129 trajectory re-derived in pure SQL: the E epochs are
+    // UNROLLED as chained CTEs (marg→miss→upd→w/b/nm per epoch), each
+    // generated from the SAME PerceptronEpochs constant the Spark loop
+    // iterates — the two sides cannot drift. All-integer arithmetic, so
+    // the per-epoch weights/bias/miss-count match bit-for-bit.
+    "q129_perceptron_classifier" -> {
+      val epochCtes = (1 to PerceptronEpochs).map { e =>
+        val pw = if (e == 1) "w0" else s"w${e - 1}"
+        val pb = if (e == 1) "b0" else s"b${e - 1}"
+        s"""marg$e AS (SELECT d.doc_id, d.y,
+                CAST(sum(d.tf * w.w) AS BIGINT) AS m0
+              FROM dtf d JOIN $pw w USING (tok)
+              GROUP BY d.doc_id, d.y),
+           miss$e AS (SELECT doc_id, y FROM marg$e CROSS JOIN $pb
+                      WHERE y * (m0 + b) <= 0),
+           upd$e AS (SELECT tok, CAST(sum(d.y * d.tf) AS BIGINT) AS v
+                     FROM dtf d JOIN miss$e m USING (doc_id)
+                     GROUP BY tok),
+           w$e AS (SELECT w.tok AS tok, w.w + coalesce(u.v, 0) AS w
+                   FROM $pw w LEFT JOIN upd$e u USING (tok)),
+           b$e AS (SELECT b + (SELECT CAST(coalesce(sum(y), 0) AS BIGINT)
+                               FROM miss$e) AS b FROM $pb),
+           nm$e AS (SELECT count(*) AS nm FROM miss$e)"""
+      }.mkString(",\n")
+      val trajOut = (1 to PerceptronEpochs).map { e =>
+        s"""SELECT $e AS epoch, tok AS feat, w AS wgt FROM w$e
+            UNION ALL SELECT $e, '__bias__', b FROM b$e
+            UNION ALL SELECT $e, '__nmiss__', nm FROM nm$e"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH keepq AS (SELECT doc_id, keep FROM ($oracle77ForReuse) k77),
+         dtf AS (SELECT t.doc_id,
+                   CAST(CASE WHEN k.keep THEN 1 ELSE -1 END AS BIGINT) AS y,
+                   tok, count(*) AS tf
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents) t
+                 JOIN keepq k USING (doc_id)
+                 GROUP BY t.doc_id, y, tok),
+         vocab AS (SELECT DISTINCT tok FROM dtf),
+         w0 AS (SELECT tok, CAST(0 AS BIGINT) AS w FROM vocab),
+         b0 AS (SELECT CAST(0 AS BIGINT) AS b),
+         $epochCtes
+         SELECT CAST(epoch AS BIGINT) AS epoch, feat,
+                CAST(wgt AS BIGINT) AS wgt
+         FROM ($trajOut)""" },
     "q81_unigram_lm" ->
       s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),

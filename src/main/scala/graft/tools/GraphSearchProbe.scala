@@ -28,12 +28,13 @@ object GraphSearchProbe {
       .select(col("qid"), explode(col("top")).as("e"))
       .collect().map(r => (r.getLong(0), r.getStruct(1).getLong(1)))
       .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-    val g = graft.operators.NnDescent.knnGraph(e, k = 16, iters = 4)
+    val g = graft.operators.NnDescent.knnGraph(e, k = 16, iters = 4,
+      driverMax = 0L)
       .localCheckpoint(eager = true)
     for ((beam, hops, seeds) <- Seq((16, 3, 4), (24, 3, 4), (16, 4, 4),
         (32, 3, 4), (24, 4, 4), (16, 3, 8))) {
       val got = graft.operators.NnDescent
-        .graphSearch(g, e, qs, beam, hops, seeds, 5)
+        .graphSearch(g, e, qs, beam, hops, seeds, 5, driverMax = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
       val rec = truth.map { case (q, t) =>

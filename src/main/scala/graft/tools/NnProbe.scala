@@ -20,7 +20,7 @@ object NnProbe {
     var graph: org.apache.spark.sql.DataFrame = null
     for (pass <- 1 to 2) {
       val t0 = System.nanoTime()
-      graph = graft.operators.NnDescent.knnGraph(e, k, iters)
+      graph = graft.operators.NnDescent.knnGraph(e, k, iters, driverMax = 0L)
       val rows = graph.count()
       println(f"[nn-probe] pass $pass n=$n%d k=$k iters=$iters " +
         f"build=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows%d")
@@ -34,7 +34,8 @@ object NnProbe {
     for (pass <- 1 to 2) {
       val t0 = System.nanoTime()
       val out = graft.operators.NnDescent
-        .graphSearch(graph, e, qs, beam = 16, hops = 4, seeds = 4, topk = 5)
+        .graphSearch(graph, e, qs, beam = 16, hops = 4, seeds = 4, topk = 5,
+          driverMax = 0L)
       val rows = out.count()
       println(f"[nn-probe] pass $pass n=$n%d search(10 probes)=" +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows%d")

@@ -16,8 +16,9 @@ object PqProbe {
     graft.queries.SimilarityOps.clearCache()
     t("coarse lloyd (8,3)") { graft.queries.SimilarityOps.lloydCentroids(spark, dir, 8, 3) }
     t("pq codebooks fused (16,16,3)") { graft.queries.SimilarityOps.pqCodebooks(spark, dir, 16, 16, 3) }
-    t("full q97 (warm caches)") { graft.SparkEntry.queries("q97_ann_ivfpq")(spark, dir).write.format("noop").mode("overwrite").save() }
-    t("full q97 again") { graft.SparkEntry.queries("q97_ann_ivfpq")(spark, dir).write.format("noop").mode("overwrite").save() }
+    // unsliced path (the gate query slice-bounds; scaling is probed here)
+    t("full q97 (warm caches)") { graft.queries.SimilarityOps.ivfPqTop5(spark, dir).write.format("noop").mode("overwrite").save() }
+    t("full q97 again") { graft.queries.SimilarityOps.ivfPqTop5(spark, dir).write.format("noop").mode("overwrite").save() }
     spark.stop()
   }
 }

@@ -207,6 +207,21 @@ object ScaleStress {
     * let Catalyst prune output expressions and time bare row counts.
     * Returns per-query wall seconds + shuffle bytes; output rows (from
     * `rows`, counted untimed once per scale) ride along for reporting. */
+  /** The gated q97/q123 are slice-bounded (gate cost must stay flat at
+    * any SF); HERE the point is the opposite — measure the UNSLICED
+    * path, so the scale curve reflects real full-corpus train/encode/
+    * probe cost. */
+  private val FullPathOverrides:
+      Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "q97_ann_ivfpq" ->
+        ((s, d) => graft.queries.SimilarityOps.ivfPqTop5(s, d)),
+      "q123_ann_ivfpq_rerank" ->
+        ((s, d) => graft.queries.SimilarityOps.ivfPqRerank(s, d)))
+
+  private def queryFn(name: String) =
+    FullPathOverrides.getOrElse(name, graft.SparkEntry.queries(name))
+
   def runSuite(spark: SparkSession, dir: String, meter: ShuffleMeter,
       rows: Map[String, Long] = Map.empty): Seq[QStat] = {
     clearCaches()
@@ -214,7 +229,7 @@ object ScaleStress {
       meter.settle()
       val (r0, w0, _, _) = meter.snapshot()
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir)
+      queryFn(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       meter.settle()
@@ -227,7 +242,7 @@ object ScaleStress {
   def countRows(spark: SparkSession, dir: String): Map[String, Long] = {
     clearCaches()
     SuiteQueries.map(n =>
-      n -> graft.SparkEntry.queries(n)(spark, dir).count()).toMap
+      n -> queryFn(n)(spark, dir).count()).toMap
   }
 
   /** The tuned scale-path LSH (64 hashes, 8-row bands, bucket cap) vs the

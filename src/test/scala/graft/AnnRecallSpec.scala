@@ -342,6 +342,35 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(graph.size === truth.size, "every node must have an adjacency")
   }
 
+  test("NN-Descent + beam search: driver-local tier == distributed loop, bit-exact") {
+    // the size-gated driver tier (dispatch-floor fix) must be a pure
+    // re-spelling: same LCG keys, same kernel arithmetic, same heap
+    // order. Exact set equality INCLUDING the cosine doubles — any
+    // divergence in summation order or tie-breaking fails here before
+    // it can fail the oracle gate.
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val local = graft.operators.NnDescent.knnGraph(e, k = 16, iters = 4)
+    val dist = graft.operators.NnDescent.knnGraph(e, k = 16, iters = 4,
+      driverMax = 0L)
+    assert(rows(local) === rows(dist), "knnGraph local != distributed")
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def srows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val sl = graft.operators.NnDescent.graphSearch(local, e, qs,
+      beam = 16, hops = 4, seeds = 4, topk = 5)
+    val sd = graft.operators.NnDescent.graphSearch(dist, e, qs,
+      beam = 16, hops = 4, seeds = 4, topk = 5, driverMax = 0L)
+    assert(srows(sl) === srows(sd), "graphSearch local != distributed")
+  }
+
   test("q127 graph search: top-5 recall vs brute force >= 90% on the probe set") {
     // the serving-tier gate: beam search over the NN-Descent graph must
     // find (almost) the same top-5 the O(n·d)-per-query brute force
