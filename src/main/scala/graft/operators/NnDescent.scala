@@ -113,7 +113,7 @@ object NnDescent {
   /** [[CosineSimilarityExpr]]'s exact arithmetic (index-order double
     * accumulation over float-widened elements) — local ≡ distributed
     * requires bit-identical doubles, not approximate ones. */
-  private def cosLocal(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
@@ -152,9 +152,9 @@ object NnDescent {
     import s.implicits._
     if (rows.isEmpty) return Seq.empty[(Long, Long, Double)]
       .toDF("vec_id", "nid", "cos")
-    val embMap: Map[Long, IndexedSeq[Float]] =
+    val embMap: Map[Long, Array[Float]] =
       rows.iterator.map(r => r.getLong(0) ->
-        r.getSeq[Float](1).toIndexedSeq).toMap
+        r.getSeq[Float](1).toArray).toMap
     val ids = embMap.keySet
     val n = ids.max + 1
     def score(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] =
@@ -277,16 +277,16 @@ object NnDescent {
       queries: DataFrame, beam: Int, hops: Int, seeds: Int,
       topk: Int): DataFrame = {
     import s.implicits._
-    val embMap: Map[Long, IndexedSeq[Float]] =
+    val embMap: Map[Long, Array[Float]] =
       eRows.iterator.map(r => r.getLong(0) ->
-        r.getSeq[Float](1).toIndexedSeq).toMap
+        r.getSeq[Float](1).toArray).toMap
     val adj: Map[Long, Iterable[Long]] = graph
       .select(col("vec_id"), col("nid")).collect()
       .groupBy(_.getLong(0)).map { case (v, rs) =>
         v -> rs.map(_.getLong(1)).toIndexedSeq }
-    val qs: IndexedSeq[(Long, IndexedSeq[Float])] = queries
+    val qs: IndexedSeq[(Long, Array[Float])] = queries
       .select(col("qid"), col("qe")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toIndexedSeq
     val seedIds = embMap.keySet.toIndexedSeq.sorted.take(seeds)
     def topW(scored: Iterable[(Long, Long, Double)],

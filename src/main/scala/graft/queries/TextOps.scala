@@ -735,9 +735,13 @@ object TextOps {
       import s.implicits._
       val dtf = docs(s, dir)
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        // y is computed in its own projection BELOW the explode: the
+        // Gopher label runs its regexps once per DOC. Fused into the
+        // explode's projection it would re-evaluate per TOKEN — measured
+        // 3× the whole query's wall at sf0.1 (PerceptronProbe).
         .select(col("doc_id"),
-          when(gopherKeep, 1L).otherwise(-1L).as("y"),
-          explode(col("toks")).as("tok"))
+          when(gopherKeep, 1L).otherwise(-1L).as("y"), col("toks"))
+        .select(col("doc_id"), col("y"), explode(col("toks")).as("tok"))
         .groupBy("doc_id", "y", "tok").agg(count(lit(1)).as("tf"))
         .repartition(col("doc_id"))
         .localCheckpoint(eager = false)

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** q129 cost decomposition probe — times the design-matrix build, vocab
+  * collect, and each epoch's miss/aggregate/update jobs in isolation
+  * (the PqProbe recipe). Found the r13 fused-explode regression: a
+  * per-doc label computed in the explode's projection re-evaluates per
+  * token. Usage: `sbt "runMain graft.tools.PerceptronProbe [sfDir]"`. */
+object PerceptronProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[pp] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val dtf = t("dtf build+checkpoint") {
+      val d = docs
+        .select(col("doc_id"), col("text"), toks.as("toks"))
+        .select(col("doc_id"), lit(1L).as("y"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "y", "tok").agg(count(lit(1)).as("tf"))
+        .repartition(col("doc_id"))
+        .localCheckpoint(eager = true)
+      d
+    }
+    val vocab = t("vocab collect") { dtf.select("tok").distinct().collect().map(_.getString(0)).sorted }
+    System.err.println(s"[pp] vocab=${vocab.length} dtf rows=${dtf.count()}")
+    var wmap = vocab.map(_ -> 0L).toMap
+    for (e <- 1 to 3) {
+      val wdf = broadcast(wmap.toSeq.toDF("tok", "w"))
+      val miss = t(s"e$e miss checkpoint") {
+        dtf.join(wdf, Seq("tok"))
+          .groupBy("doc_id", "y")
+          .agg((sum(col("tf") * col("w")) + lit(0L)).as("margin"))
+          .filter(col("y") * col("margin") <= 0)
+          .select(col("doc_id"), col("y").as("my"))
+          .localCheckpoint()
+      }
+      t(s"e$e bm agg") { miss.agg(coalesce(sum(col("my")), lit(0L)), count(lit(1))).head() }
+      t(s"e$e upd collect") {
+        dtf.join(miss, Seq("doc_id")).groupBy("tok")
+          .agg(sum(col("my") * col("tf")).as("v")).collect()
+      }
+    }
+    spark.stop()
+  }
+}
