@@ -146,50 +146,142 @@ object NnDescent {
         .sortWith(heapOrder).take(k)
     }
 
+  /** The local build compresses ids to dense indices and runs over
+    * primitive arrays — same chain, zero boxed collections on the hot
+    * path (the first spelling spent more time in tuple Sets than in the
+    * 2.4M cosine kernels at the 600-node gate slice). Candidate dedup is
+    * one n² BitSet (128 KB at the 1024-vector gate cap), per-node top-k
+    * is bounded insertion with the heap's exact (Double.compare desc,
+    * id asc) order. AnnRecallSpec asserts bit-exact ≡ the distributed
+    * loop. */
   private def knnGraphLocal(s: org.apache.spark.sql.SparkSession,
       rows: Array[org.apache.spark.sql.Row], k: Int,
       iters: Int): DataFrame = {
     import s.implicits._
     if (rows.isEmpty) return Seq.empty[(Long, Long, Double)]
       .toDF("vec_id", "nid", "cos")
-    val embMap: Map[Long, Array[Float]] =
-      rows.iterator.map(r => r.getLong(0) ->
-        r.getSeq[Float](1).toArray).toMap
-    val ids = embMap.keySet
-    val n = ids.max + 1
-    def score(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] =
-      pairs.collect { case (v, nid) if embMap.contains(nid) &&
-          embMap.contains(v) =>
-        (v, nid, cosLocal(embMap(v), embMap(nid)))
-      }
-    val init = (for {
-      v <- ids.iterator
-      j <- (0 until k).iterator
-      nid = mixLocal(v * k + j, 0) % n
-      if nid != v
-    } yield (v, nid)).toSet
-    var b = topKLocal(score(init), k)
-    def edges = b.iterator.flatMap { case (v, ns) => ns.map(p => (v, p._1)) }
-    for (it <- 1 to iters) {
-      val fwd = edges.toSet
-      val rev = fwd.groupBy(_._2).iterator.flatMap { case (dst, inc) =>
-        inc.toIndexedSeq.map(_._1)
-          .sortBy((src: Long) => (mixLocal(src, it), src)).take(k)
-          .map(src => (dst, src))
-      }.toSet
-      val genl = fwd ++ rev
-      val bySrc = genl.groupBy(_._1)
-      val cand = bySrc.valuesIterator.flatMap { g =>
-        val ds = g.map(_._2)
-        for (a <- ds.iterator; c <- ds.iterator if a != c) yield (a, c)
-      }.toSet
-      val standing = b.iterator.flatMap { case (v, ns) =>
-        ns.map(p => (v, p._1, p._2)) }.toIndexedSeq
-      b = topKLocal(score(cand) ++ standing, k)
+    val nLoc = rows.length
+    val ids = new Array[Long](nLoc)
+    val vecs = new Array[Array[Float]](nLoc)
+    var i = 0
+    while (i < nLoc) {
+      ids(i) = rows(i).getLong(0)
+      vecs(i) = rows(i).getSeq[Float](1).toArray
+      i += 1
     }
-    b.iterator.flatMap { case (v, ns) =>
-      ns.map(p => (v, p._1, p._2)) }.toIndexedSeq
-      .toDF("vec_id", "nid", "cos")
+    val idx = new java.util.HashMap[java.lang.Long, Integer](nLoc * 2)
+    i = 0; while (i < nLoc) { idx.put(ids(i), i); i += 1 }
+    var maxId = Long.MinValue
+    ids.foreach(v => if (v > maxId) maxId = v)
+    val n = maxId + 1
+
+    /** ≤ k best (cos, neighbor-idx) per node, ordered best-first by the
+      * heap's exact (Double.compare desc, id asc); same neighbor always
+      * re-offers the same cos, so a linear contains() is the dedupe. */
+    final class BestK {
+      val cs = new Array[Double](k); val js = new Array[Int](k)
+      var len = 0
+      private def better(c1: Double, j1: Int, c2: Double, j2: Int) = {
+        val c = java.lang.Double.compare(c1, c2)
+        if (c != 0) c > 0 else ids(j1) < ids(j2)
+      }
+      def offer(c: Double, j: Int): Unit = {
+        var t = 0
+        while (t < len) { if (js(t) == j) return; t += 1 }
+        if (len == k && !better(c, j, cs(len - 1), js(len - 1))) return
+        var p = if (len < k) len else k - 1
+        while (p > 0 && better(c, j, cs(p - 1), js(p - 1))) {
+          cs(p) = cs(p - 1); js(p) = js(p - 1); p -= 1
+        }
+        cs(p) = c; js(p) = j
+        if (len < k) len += 1
+      }
+    }
+
+    var cur = Array.fill(nLoc)(new BestK)
+    i = 0
+    while (i < nLoc) {
+      val v = ids(i)
+      var j = 0
+      while (j < k) {
+        val nid = mixLocal(v * k + j, 0) % n
+        if (nid != v) {
+          val t = idx.get(nid)
+          if (t != null) cur(i).offer(cosLocal(vecs(i), vecs(t)), t)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val candBits = new java.util.BitSet(nLoc * nLoc)
+    for (it <- 1 to iters) {
+      // incoming edge lists of the standing graph
+      val inSrcs = Array.fill(nLoc)(
+        new scala.collection.mutable.ArrayBuffer[Int](k * 2))
+      i = 0
+      while (i < nLoc) {
+        val bk = cur(i); var t = 0
+        while (t < bk.len) { inSrcs(bk.js(t)) += i; t += 1 }
+        i += 1
+      }
+      // genl adjacency: forward neighbors ∪ the capped reverse sample
+      // ((LCG key, id) ascending — ≡ the heap on −key, payload asc)
+      val adj = new Array[Array[Int]](nLoc)
+      val seen = new java.util.BitSet(nLoc)
+      i = 0
+      while (i < nLoc) {
+        seen.clear()
+        val buf = new scala.collection.mutable.ArrayBuffer[Int](k * 2)
+        val bk = cur(i); var t = 0
+        while (t < bk.len) {
+          if (!seen.get(bk.js(t))) { seen.set(bk.js(t)); buf += bk.js(t) }
+          t += 1
+        }
+        inSrcs(i).sortBy(sj => (mixLocal(ids(sj), it), ids(sj))).take(k)
+          .foreach(sj =>
+            if (!seen.get(sj)) { seen.set(sj); buf += sj })
+        adj(i) = buf.toArray
+        i += 1
+      }
+      // local join: every ordered pair meeting at a shared neighbor
+      candBits.clear()
+      i = 0
+      while (i < nLoc) {
+        val a = adj(i); var x = 0
+        while (x < a.length) {
+          var y = 0
+          while (y < a.length) {
+            if (x != y) candBits.set(a(x) * nLoc + a(y))
+            y += 1
+          }
+          x += 1
+        }
+        i += 1
+      }
+      // next graph = k best of (scored candidates ∪ standing edges)
+      val next = Array.fill(nLoc)(new BestK)
+      i = 0
+      while (i < nLoc) {
+        val base = i * nLoc
+        var bit = candBits.nextSetBit(base)
+        while (bit >= 0 && bit < base + nLoc) {
+          next(i).offer(cosLocal(vecs(i), vecs(bit - base)), bit - base)
+          bit = candBits.nextSetBit(bit + 1)
+        }
+        val bk = cur(i); var t = 0
+        while (t < bk.len) { next(i).offer(bk.cs(t), bk.js(t)); t += 1 }
+        i += 1
+      }
+      cur = next
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    i = 0
+    while (i < nLoc) {
+      val bk = cur(i); var t = 0
+      while (t < bk.len) { out += ((ids(i), ids(bk.js(t)), bk.cs(t))); t += 1 }
+      i += 1
+    }
+    out.toSeq.toDF("vec_id", "nid", "cos")
   }
 
   private def knnGraphImpl(emb: DataFrame, k: Int, iters: Int): DataFrame = {
