@@ -760,19 +760,32 @@ object TextOps {
           .filter(col("y") * col("margin") <= 0)
           .select(col("doc_id"), col("y").as("my"))
           .localCheckpoint() // eager: 1 compute, 3 consumers below
-        // bias delta + miss count ride in ONE 1-row aggregate over the
-        // checkpointed miss set (no recompute, no in-band sentinel rows
-        // — a doc literally containing "__bias__" can't corrupt the
-        // model, which the old union-with-sentinel-tok spelling risked)
-        val bm = miss.agg(coalesce(sum(col("my")), lit(0L)).as("bd"),
-          count(lit(1)).cast("long").as("nm")).head()
-        bias += bm.getLong(0)
-        traj += ((e.toLong, "__nmiss__", bm.getLong(1)))
+        // ONE collect per epoch: token updates ⊎ bias delta ⊎ miss count,
+        // routed by an explicit `kind` column — never by matching the tok
+        // value itself (a doc literally containing \"__bias__\" must not be
+        // able to corrupt the model). All three branches read the tiny
+        // CHECKPOINTED miss set, so nothing recomputes.
+        val bn = miss.agg(coalesce(sum(col("my")), lit(0L)).as("bd"),
+          count(lit(1)).cast("long").as("nm"))
+        val nullTok = lit(null).cast("string").as("tok")
         dtf.join(miss, Seq("doc_id"))
           .groupBy("tok").agg(sum(col("my") * col("tf")).as("v"))
+          .select(lit("w").as("kind"), col("tok"), col("v"))
+          .unionByName(bn.select(lit("b").as("kind"), nullTok,
+            col("bd").as("v")))
+          .unionByName(bn.select(lit("n").as("kind"), nullTok,
+            col("nm").as("v")))
           .collect()
-          .foreach(r => wmap =
-            wmap.updated(r.getString(0), wmap(r.getString(0)) + r.getLong(1)))
+          .foreach { r =>
+            val v = r.getLong(2)
+            r.getString(0) match {
+              case "b" => bias += v
+              case "n" => traj += ((e.toLong, "__nmiss__", v))
+              case _ =>
+                val t = r.getString(1)
+                wmap = wmap.updated(t, wmap(t) + v)
+            }
+          }
         wmap.foreach { case (t, w) => traj += ((e.toLong, t, w)) }
         traj += ((e.toLong, "__bias__", bias))
       }
