@@ -48,6 +48,15 @@ object NnDescent {
   private[graft] def mixKey(id: org.apache.spark.sql.Column, round: Int) =
     pmod(id * lit(MulA) + lit(round * AddC), lit(Mod))
 
+  /** HNSW-style deterministic level assignment (Malkov & Yashunin 2016
+    * §4 draws levels from a geometric distribution; here the draw is the
+    * LCG key so BOTH engines compute it exactly): node id is on layer
+    * ≥ ℓ iff mix(id, [[LevelRound]]) ≡ 0 (mod 4^ℓ) — p = 1/4 per level,
+    * nested by construction (16 | k ⇒ 4 | k). */
+  private[graft] val LevelRound = 7
+  def levelGate(id: org.apache.spark.sql.Column, lvl: Int) =
+    pmod(mixKey(id, LevelRound), lit(1L << (2 * lvl))) === 0
+
   /** (vec_id, nid, cos) for each candidate pair — one kernel pass. Pairs
     * whose nid doesn't exist in `e` drop at the join (tolerates sparse
     * id spaces; a node can then start with < k neighbors, which the
@@ -349,10 +358,31 @@ object NnDescent {
         .take(driverMax.toInt + 1)
       if (probe.length <= driverMax)
         return graphSearchLocal(e.sparkSession, graph, probe, queries,
-          beam, hops, seeds, topk)
+          beam, hops, Left(seeds), topk)
     }
     withoutConstraintPropagation(e.sparkSession) {
-      graphSearchImpl(graph, e, queries, beam, hops, seeds, topk)
+      graphSearchImpl(graph, e, queries, beam, hops, Left(seeds), topk)
+    }
+  }
+
+  /** [[graphSearch]] with EXPLICIT per-query entry points — the
+    * layered-descent primitive (HNSW-style): an upper layer's result
+    * frame seeds the next layer's beam instead of the fixed
+    * lowest-id set. `seedPairs` is a small (qid, nid) frame (broadcast
+    * on the distributed path, collected on the local one). */
+  def graphSearchFrom(graph: DataFrame, e: DataFrame, queries: DataFrame,
+      seedPairs: DataFrame, beam: Int, hops: Int, topk: Int,
+      driverMax: Long = DriverMaxVectors): DataFrame = {
+    val sp = seedPairs.select(col("qid"), col("nid"))
+    if (driverMax > 0) {
+      val probe = e.select(col("vec_id"), col("embedding"))
+        .take(driverMax.toInt + 1)
+      if (probe.length <= driverMax)
+        return graphSearchLocal(e.sparkSession, graph, probe, queries,
+          beam, hops, Right(sp), topk)
+    }
+    withoutConstraintPropagation(e.sparkSession) {
+      graphSearchImpl(graph, e, queries, beam, hops, Right(sp), topk)
     }
   }
 
@@ -366,8 +396,8 @@ object NnDescent {
     * is literally the same code path. */
   private def graphSearchLocal(s: org.apache.spark.sql.SparkSession,
       graph: DataFrame, eRows: Array[org.apache.spark.sql.Row],
-      queries: DataFrame, beam: Int, hops: Int, seeds: Int,
-      topk: Int): DataFrame = {
+      queries: DataFrame, beam: Int, hops: Int,
+      entry: Either[Int, DataFrame], topk: Int): DataFrame = {
     import s.implicits._
     val embMap: Map[Long, Array[Float]] =
       eRows.iterator.map(r => r.getLong(0) ->
@@ -380,20 +410,26 @@ object NnDescent {
       .select(col("qid"), col("qe")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toIndexedSeq
-    val seedIds = embMap.keySet.toIndexedSeq.sorted.take(seeds)
+    val seedPairs: Iterable[(Long, Long)] = entry match {
+      case Left(seeds) =>
+        val seedIds = embMap.keySet.toIndexedSeq.sorted.take(seeds)
+        for (q <- qs; sd <- seedIds) yield (q._1, sd)
+      case Right(sp) =>
+        sp.collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    }
     def topW(scored: Iterable[(Long, Long, Double)],
         w: Int): Map[Long, IndexedSeq[(Long, Double)]] =
       scored.groupBy(_._1).map { case (q, ps) =>
         q -> ps.map(p => (p._2, p._3)).toSet.toIndexedSeq
           .sortWith(heapOrder).take(w)
       }
-    def scoreQ(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] = {
-      val qe = qs.toMap
-      pairs.collect { case (q, nid) if embMap.contains(nid) =>
+    val qe = qs.toMap
+    def scoreQ(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] =
+      pairs.collect { case (q, nid)
+          if embMap.contains(nid) && qe.contains(q) =>
         (q, nid, cosLocal(qe(q), embMap(nid)))
       }
-    }
-    var bm = topW(scoreQ(for (q <- qs; sd <- seedIds) yield (q._1, sd)), beam)
+    var bm = topW(scoreQ(seedPairs), beam)
     for (_ <- 1 to hops) {
       val expand = bm.iterator.flatMap { case (q, ns) =>
         ns.iterator.flatMap(p =>
@@ -414,8 +450,8 @@ object NnDescent {
   }
 
   private def graphSearchImpl(graph: DataFrame, e: DataFrame,
-      queries: DataFrame, beam: Int, hops: Int, seeds: Int,
-      topk: Int): DataFrame = {
+      queries: DataFrame, beam: Int, hops: Int,
+      entry: Either[Int, DataFrame], topk: Int): DataFrame = {
     val q = queries.select(col("qid"), col("qe"))
     def scoreQ(pairs: DataFrame): DataFrame =
       pairs.join(broadcast(q), "qid")
@@ -431,11 +467,16 @@ object NnDescent {
         .select(col("qid"), explode(col("top")).as("e"))
         .select(col("qid"), col("e.payload").as("nid"),
           col("e.score").as("cos"))
-    // fixed deterministic entry points: the `seeds` lowest vector ids
-    val seedIds = e.select(col("vec_id").as("nid"))
-      .orderBy("nid").limit(seeds)
-    var bm = topW(scoreQ(q.select(col("qid"))
-      .crossJoin(broadcast(seedIds))), beam)
+    // entry points: the `seeds` lowest vector ids (fixed, per the q127
+    // contract) or the caller's explicit (qid, nid) seed frame
+    val seedPairs = entry match {
+      case Left(seeds) =>
+        val seedIds = e.select(col("vec_id").as("nid"))
+          .orderBy("nid").limit(seeds)
+        q.select(col("qid")).crossJoin(broadcast(seedIds))
+      case Right(sp) => sp
+    }
+    var bm = topW(scoreQ(seedPairs), beam)
       .localCheckpoint(eager = true)
     for (_ <- 1 to hops) {
       val expand = bm.select(col("qid"), col("nid"))

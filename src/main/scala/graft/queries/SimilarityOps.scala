@@ -52,6 +52,23 @@ object SimilarityOps {
   private val NnHops = 4
   private val NnSeeds = 4
 
+  /** q130 HNSW-style layered-search geometry (Malkov & Yashunin 2016):
+    * levels are the deterministic LCG draw ([[graft.operators.NnDescent
+    * .levelGate]], p = 1/4 per level, nested), each upper layer carries
+    * its own NN-Descent graph at a lean degree, and search descends —
+    * top-layer entry → 2 exits per layer → layer-0 beam. The descent
+    * replaces q127's blind lowest-id seeds with QUERY-AWARE entry
+    * points, which is what lets the layer-0 walk run ONE hop shorter at
+    * equal (measured 1.000) recall — the log-layered entry is the
+    * mechanism that keeps hop counts bounded as n grows. */
+  private val HnswMaxLevel = 2
+  private val HnswUpperK = 8
+  private val HnswUpperIters = 3
+  private val HnswUpperBeam = 4
+  private val HnswUpperHops = 2
+  private val HnswUpperExits = 2
+  private val HnswL0Hops = 3
+
   /** Per-(sessionUUID, dir, k, iters) cache of the deterministic-Lloyd
     * coarse quantizer (k × dim doubles of driver state). In deployment the
     * quantizer is a persisted artifact trained once and reused by every
@@ -73,6 +90,7 @@ object SimilarityOps {
     pcaCache.clear()
     fpsCache.clear()
     nnGraphCache.clear()
+    hnswLayerCache.clear()
   }
 
   /** Per-(session, dir) cache of the NN-Descent graph artifact — a
@@ -92,6 +110,24 @@ object SimilarityOps {
         emb(s, dir).filter(col("vec_id") < 600)
           .select(col("vec_id"), col("embedding")),
         k = NnBuildK, iters = NnIters))
+  }
+
+  /** Per-(session, dir) cache of the q130 upper-layer graphs — like the
+    * layer-0 [[cachedNnGraph]], these are build-once serve-many
+    * artifacts (an HNSW deployment persists every layer's adjacency
+    * beside the vectors). Key includes the level. */
+  private val hnswLayerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  private def cachedHnswLayer(s: SparkSession, dir: String,
+      lvl: Int): DataFrame = {
+    if (hnswLayerCache.size > 64) hnswLayerCache.clear()
+    hnswLayerCache.computeIfAbsent((sessionKey(s), dir, lvl), _ =>
+      graft.operators.NnDescent.knnGraph(
+        emb(s, dir).filter(col("vec_id") < 600)
+          .filter(graft.operators.NnDescent.levelGate(col("vec_id"), lvl))
+          .select(col("vec_id"), col("embedding")),
+        k = HnswUpperK, iters = HnswUpperIters))
   }
 
   // identity hash, not the session reference: the key must not keep the
@@ -735,6 +771,46 @@ object SimilarityOps {
         beam = NnBeam, hops = NnHops, seeds = NnSeeds, topk = 5)
     }),
 
+    // HNSW-style LAYERED graph search (Malkov & Yashunin 2016 — the
+    // full hierarchy over q126/q127's flat tier): deterministic LCG
+    // level draw (p = 1/4, nested), a lean NN-Descent graph per upper
+    // layer (build-once artifacts like the layer-0 graph), search
+    // descends top layer → exits seed the next layer → layer-0 beam.
+    // The WIN over q127: entry points are query-aware, so the layer-0
+    // walk runs one hop SHORTER (3 vs 4) at the same measured 1.000
+    // recall@5 — and the hop count a big corpus needs stays bounded by
+    // the log-depth hierarchy instead of growing with graph diameter.
+    // Every stage is the proven deterministic machinery (LCG keys,
+    // kernel cosines, (cos desc, id asc) cuts), so the WHOLE descent
+    // unrolls into DuckDB CTEs ([[hnswOracleSql]]) — three prefixed
+    // build chains + three beam descents, the q127 recipe iterated.
+    "q130_hnsw_layered_search" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 600)
+        .select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val e1 = e.filter(graft.operators.NnDescent.levelGate(col("vec_id"), 1))
+      val e2 = e.filter(graft.operators.NnDescent.levelGate(col("vec_id"), 2))
+      // global entry: every query starts at the top layer's lowest id
+      val entry = qs.select(col("qid"))
+        .crossJoin(broadcast(e2.agg(min(col("vec_id")).as("nid"))))
+        .filter(col("nid").isNotNull)
+      val r2 = graft.operators.NnDescent.graphSearchFrom(
+        cachedHnswLayer(s, dir, 2), e2, qs, entry,
+        HnswUpperBeam, HnswUpperHops, HnswUpperExits)
+      val r1 = graft.operators.NnDescent.graphSearchFrom(
+        cachedHnswLayer(s, dir, 1), e1, qs,
+        r2.select(col("qid"), col("nid")),
+        HnswUpperBeam, HnswUpperHops, HnswUpperExits)
+      // layer-0 seeds: the layer-1 exits ∪ the global lowest id (the
+      // deterministic non-empty fallback if the upper layers are empty)
+      val fallback = qs.select(col("qid"))
+        .crossJoin(broadcast(e.agg(min(col("vec_id")).as("nid"))))
+      val seeds0 = r1.select(col("qid"), col("nid")).unionByName(fallback)
+      graft.operators.NnDescent.graphSearchFrom(
+        cachedNnGraph(s, dir), e, qs, seeds0, NnBeam, HnswL0Hops, 5)
+    }),
+
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     // space with the IVF coarse quantizer, then within each cluster keep
     // only the vector closest to its centroid (max cosine, ties to the
@@ -1299,60 +1375,62 @@ object SimilarityOps {
     * and every per-node cut is `row_number` over (cos DESC, nid) ≡ the
     * heap's (score desc, payload asc). The reverse sample orders by
     * (key, vec_id) ≡ the heap on −key with payload tie-break. */
-  /** The WITH-body of the NN-Descent build chain through `b{iters}` —
-    * shared verbatim by the q126 (graph) and q127 (search) oracles. */
+  /** The CTE-list (no leading WITH) of the NN-Descent build chain
+    * through `{p}b{iters}` — shared by the q126 (graph) and q127
+    * (search) oracles at prefix "", and instantiated once per layer
+    * (prefixes "l1"/"l2", level-gated `where`) by the q130 hierarchy. */
   private def nnDescentChainSql(buildK: Int, iters: Int,
-      slice: Long): String = {
+      where: String, p: String = ""): String = {
     val A = 1103515245L; val C = 12345L; val M = 2147483647L
     val iterCtes = (1 to iters).map { it =>
-      val p = s"b${it - 1}"
-      s"""rev$it AS MATERIALIZED (SELECT src, dst FROM (
+      val prev = s"${p}b${it - 1}"
+      s"""${p}rev$it AS MATERIALIZED (SELECT src, dst FROM (
          |    SELECT nid AS src, vec_id AS dst,
          |           row_number() OVER (PARTITION BY nid
          |             ORDER BY (vec_id*$A + ${it * C}) % $M, vec_id) AS rn
-         |    FROM $p) WHERE rn <= $buildK),
-         |genl$it AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |    SELECT vec_id AS src, nid AS dst FROM $p
-         |    UNION ALL SELECT src, dst FROM rev$it)),
-         |cand$it AS MATERIALIZED (SELECT DISTINCT a.dst AS vec_id, b.dst AS nid
-         |            FROM genl$it a JOIN genl$it b
+         |    FROM $prev) WHERE rn <= $buildK),
+         |${p}genl$it AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, nid AS dst FROM $prev
+         |    UNION ALL SELECT src, dst FROM ${p}rev$it)),
+         |${p}cand$it AS MATERIALIZED (SELECT DISTINCT a.dst AS vec_id, b.dst AS nid
+         |            FROM ${p}genl$it a JOIN ${p}genl$it b
          |              ON a.src = b.src AND a.dst <> b.dst),
-         |sc$it AS MATERIALIZED (SELECT p.vec_id, p.nid,
+         |${p}sc$it AS MATERIALIZED (SELECT p.vec_id, p.nid,
          |                 list_cosine_similarity(x.emb, y.emb) AS cos
-         |          FROM cand$it p
-         |          JOIN e x ON x.vec_id = p.vec_id
-         |          JOIN e y ON y.vec_id = p.nid),
-         |b$it AS MATERIALIZED (SELECT vec_id, nid, cos FROM (
+         |          FROM ${p}cand$it p
+         |          JOIN ${p}e x ON x.vec_id = p.vec_id
+         |          JOIN ${p}e y ON y.vec_id = p.nid),
+         |${p}b$it AS MATERIALIZED (SELECT vec_id, nid, cos FROM (
          |    SELECT vec_id, nid, cos,
          |           row_number() OVER (PARTITION BY vec_id
          |             ORDER BY cos DESC, nid) AS rn
          |    FROM (SELECT vec_id, nid, max(cos) AS cos FROM
-         |          (SELECT * FROM sc$it UNION ALL SELECT * FROM $p)
+         |          (SELECT * FROM ${p}sc$it UNION ALL SELECT * FROM $prev)
          |          GROUP BY 1, 2)) WHERE rn <= $buildK)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |           FROM embeddings WHERE vec_id < $slice),
-       |n AS (SELECT max(vec_id) + 1 AS n FROM e),
-       |js AS (SELECT unnest(generate_series(0, ${buildK - 1})) AS j),
-       |init AS (SELECT DISTINCT v.vec_id,
+    s"""${p}e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |           FROM embeddings WHERE $where),
+       |${p}n AS (SELECT max(vec_id) + 1 AS n FROM ${p}e),
+       |${p}js AS (SELECT unnest(generate_series(0, ${buildK - 1})) AS j),
+       |${p}init AS (SELECT DISTINCT v.vec_id,
        |                ((v.vec_id*$buildK + js.j)*$A % $M) % n.n AS nid
-       |         FROM e v CROSS JOIN n CROSS JOIN js
+       |         FROM ${p}e v CROSS JOIN ${p}n n CROSS JOIN ${p}js js
        |         WHERE ((v.vec_id*$buildK + js.j)*$A % $M) % n.n <> v.vec_id),
-       |b0 AS MATERIALIZED (SELECT vec_id, nid, cos FROM (
+       |${p}b0 AS MATERIALIZED (SELECT vec_id, nid, cos FROM (
        |    SELECT vec_id, nid, cos,
        |           row_number() OVER (PARTITION BY vec_id
        |             ORDER BY cos DESC, nid) AS rn
        |    FROM (SELECT i.vec_id, i.nid, max(list_cosine_similarity(
        |                 x.emb, y.emb)) AS cos
-       |          FROM init i JOIN e x ON x.vec_id = i.vec_id
-       |          JOIN e y ON y.vec_id = i.nid
+       |          FROM ${p}init i JOIN ${p}e x ON x.vec_id = i.vec_id
+       |          JOIN ${p}e y ON y.vec_id = i.nid
        |          GROUP BY 1, 2)) WHERE rn <= $buildK),
        |$iterCtes""".stripMargin
   }
 
   private def nnDescentOracleSql(k: Int, buildK: Int, iters: Int,
       slice: Long): String =
-    s"""${nnDescentChainSql(buildK, iters, slice)}
+    s"""WITH ${nnDescentChainSql(buildK, iters, s"vec_id < $slice")}
        |SELECT vec_id, nid, round(cos, 4) AS cosine,
        |       CAST(rnk AS BIGINT) AS rnk FROM (
        |  SELECT vec_id, nid, cos,
@@ -1384,7 +1462,7 @@ object SimilarityOps {
          |bm$h AS MATERIALIZED ${topW(
         s"(SELECT * FROM sx$h UNION ALL SELECT * FROM $p)", beam)}""".stripMargin
     }.mkString(",\n")
-    s"""${nnDescentChainSql(buildK, iters, slice)},
+    s"""WITH ${nnDescentChainSql(buildK, iters, s"vec_id < $slice")},
        |qs AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
        |sd AS (SELECT vec_id AS nid FROM e ORDER BY vec_id LIMIT $seeds),
        |s0 AS (SELECT q.qid, s.nid, list_cosine_similarity(q.qe, v.emb) AS cos
@@ -1397,6 +1475,80 @@ object SimilarityOps {
        |         row_number() OVER (PARTITION BY qid
        |           ORDER BY cos DESC, nid) AS rnk
        |  FROM bm$hops WHERE nid <> qid) WHERE rnk <= $topk""".stripMargin
+  }
+
+  /** Beam-descent CTEs over a built chain: (qid, nid) seeds from
+    * `$seedCte`, `hops` expand/score/cut rounds against graph
+    * `$graphCte` and vectors `$eCte`; emits `${q}bm$hops`. Factored so
+    * the q130 hierarchy instantiates it once per layer. */
+  private def beamCtesSql(q: String, graphCte: String, eCte: String,
+      seedCte: String, beam: Int, hops: Int): String = {
+    def topW(src: String, w: Int): String =
+      s"""(SELECT qid, nid, cos FROM (
+         |   SELECT qid, nid, cos,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY cos DESC, nid) AS rn
+         |   FROM (SELECT qid, nid, max(cos) AS cos FROM $src
+         |         GROUP BY 1, 2)) WHERE rn <= $w)""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      val prev = s"${q}bm${h - 1}"
+      s"""${q}ex$h AS MATERIALIZED (SELECT DISTINCT b.qid, g.nid AS nid
+         |        FROM $prev b JOIN $graphCte g ON g.vec_id = b.nid),
+         |${q}sx$h AS MATERIALIZED (SELECT x.qid, x.nid,
+         |          list_cosine_similarity(qq.qe, v.emb) AS cos
+         |        FROM ${q}ex$h x JOIN qs qq ON qq.qid = x.qid
+         |        JOIN $eCte v ON v.vec_id = x.nid),
+         |${q}bm$h AS MATERIALIZED ${topW(
+        s"(SELECT * FROM ${q}sx$h UNION ALL SELECT * FROM $prev)", beam)}""".stripMargin
+    }.mkString(",\n")
+    s"""${q}s0 AS (SELECT s.qid, s.nid,
+       |          list_cosine_similarity(qq.qe, v.emb) AS cos
+       |        FROM $seedCte s JOIN qs qq ON qq.qid = s.qid
+       |        JOIN $eCte v ON v.vec_id = s.nid),
+       |${q}bm0 AS MATERIALIZED ${topW(s"${q}s0", beam)},
+       |$hopCtes""".stripMargin
+  }
+
+  /** q130: the full HNSW-style descent unrolled — three NN-Descent
+    * build chains (layer 0 ≡ q126/q127's, upper layers level-gated by
+    * the LCG draw), then three beam descents where each layer's exits
+    * (nid ≠ qid, (cos desc, nid) top-N) seed the next. The layer-0
+    * fallback seed (global min id) is unioned exactly as the Spark
+    * side does. */
+  private def hnswOracleSql(slice: Long): String = {
+    val A = 1103515245L; val C = 12345L; val M = 2147483647L
+    val lvlKey =
+      s"(vec_id*$A + ${graft.operators.NnDescent.LevelRound * C}) % $M"
+    def lvlWhere(l: Int) =
+      s"vec_id < $slice AND ($lvlKey) % ${1L << (2 * l)} = 0"
+    def exits(q: String, hops: Int, topn: Int): String =
+      s"""(SELECT qid, nid FROM (
+         |   SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, nid) AS rn
+         |   FROM ${q}bm$hops WHERE nid <> qid) WHERE rn <= $topn)""".stripMargin
+    s"""WITH ${nnDescentChainSql(NnBuildK, NnIters, s"vec_id < $slice")},
+       |${nnDescentChainSql(HnswUpperK, HnswUpperIters, lvlWhere(1), "l1")},
+       |${nnDescentChainSql(HnswUpperK, HnswUpperIters, lvlWhere(2), "l2")},
+       |qs AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+       |l2sd AS (SELECT q.qid, (SELECT min(vec_id) FROM l2e) AS nid
+       |         FROM qs q),
+       |${beamCtesSql("u2", s"l2b$HnswUpperIters", "l2e", "l2sd",
+          HnswUpperBeam, HnswUpperHops)},
+       |l1sd AS ${exits("u2", HnswUpperHops, HnswUpperExits)},
+       |${beamCtesSql("u1", s"l1b$HnswUpperIters", "l1e", "l1sd",
+          HnswUpperBeam, HnswUpperHops)},
+       |l0sd AS (SELECT qid, nid
+       |         FROM ${exits("u1", HnswUpperHops, HnswUpperExits)} x
+       |         UNION ALL
+       |         SELECT q.qid, (SELECT min(vec_id) FROM e) AS nid
+       |         FROM qs q),
+       |${beamCtesSql("z", s"b$NnIters", "e", "l0sd", NnBeam, HnswL0Hops)}
+       |SELECT qid, nid, round(cos, 4) AS cosine,
+       |       CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, nid) AS rnk
+       |  FROM zbm$HnswL0Hops WHERE nid <> qid) WHERE rnk <= 5""".stripMargin
   }
 
   private def ivfAnnOracleSql(k: Int, iters: Int): String =
@@ -1557,6 +1709,7 @@ object SimilarityOps {
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->
       nnDescentOracleSql(NnK, NnBuildK, NnIters, 600L),
+    "q130_hnsw_layered_search" -> hnswOracleSql(600L),
     "q127_graph_ann_search" -> graphSearchOracleSql(NnBuildK, NnIters,
       600L, NnBeam, NnHops, NnSeeds, 5),
     "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3),

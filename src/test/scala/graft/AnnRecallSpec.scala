@@ -385,6 +385,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.9, f"mean graph-search recall $mean%.3f")
   }
 
+  test("q130 layered search: top-5 recall vs brute force >= 90% with ONE FEWER layer-0 hop than q127") {
+    // the hierarchy's value proposition: query-aware entry points from
+    // the upper-layer descent let the layer-0 walk run hops=3 (q127
+    // needs 4 from its blind lowest-id seeds) at the same recall floor
+    val brute = top5("q35_ann_brute")
+    val hnsw = top5("q130_hnsw_layered_search")
+    val recalls = brute.map { case (q, truth) =>
+      hnsw.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"mean layered-search recall $mean%.3f")
+  }
+
   test("q116 FPS coreset: greedy-max invariant, center self-distance 0, coverage radius") {
     import graft.queries.SimilarityOps
     val rows = SparkEntry.queries("q116_fps_coreset")(spark, dir).collect()
