@@ -193,6 +193,18 @@ object DedupOps {
     * candidate enumeration drops ~6×). */
   private val AnchorMaxDf = 8L
 
+  /** df split point for q128's dot product: shingles with df ≤ this are
+    * "tail" and their pair contributions come from a DIRECT posting-list
+    * self-join (output Σ df² ≤ D·|tail postings| — linear in the corpus
+    * at fixed D); shingles above it are "head" (boilerplate) and their
+    * contributions ride the bounded candidate-expansion join instead
+    * (|cand| × head-shingles-per-doc — never a head self-join). The
+    * split is an exact partition of each pair's shared shingles, so the
+    * dot product is unchanged — only the plan shape moves. Must be
+    * ≥ [[AnchorMaxDf]] so every anchored pair surfaces in the tail join. */
+  private val DotTailMaxDf = 256L
+  require(AnchorMaxDf <= DotTailMaxDf)
+
   /** q128 output threshold on the ROUNDED cosine (boundary pairs agree
     * across engines by construction). */
   private val CosTau = 0.5
@@ -482,30 +494,54 @@ object DedupOps {
     // of q31's set-Jaccard (tf·idf cosine is what near-dup mining uses
     // when term frequency matters: boilerplate-heavy docs score low even
     // with large set overlap, because head shingles carry ~zero idf).
-    // Scale shape: candidates come ONLY from the df-tail posting lists
-    // (Σ df² over df ≤ 8 — never the head self-join, never n²); the exact
-    // re-score joins the candidate pairs back against the ONE materialized
-    // weight artifact (the q31 LSH-then-verify recipe with weights instead
-    // of sets). Determinism: w = tf · idf6 is an IEEE product of exact
-    // inputs; every sum crosses partitions as LONG micro-units
-    // (round(·,6)·1e6 — the mean4of6 discipline); the final cosine is
-    // dot/√(s2a·s2b) in IEEE doubles of identical longs, rounded once to
-    // 4dp, thresholded AFTER rounding so boundary pairs agree.
+    // Scale shape — a df-SPLIT dot product ([[DotTailMaxDf]]): tail
+    // shingles (df ≤ D) contribute through a direct posting-list
+    // self-join whose output is Σ df² ≤ D·|postings| (linear at fixed
+    // D), and the candidate set falls out of the SAME join for free
+    // (bool_or(df ≤ AnchorMaxDf) — a pair is anchored iff it shares a
+    // rare shingle, and rare ⊂ tail); head shingles (boilerplate,
+    // df > D) contribute through the bounded candidate-expansion join
+    // (broadcast cand × head-shingles-per-doc — never a head
+    // self-join, never n²). The split partitions each pair's shared
+    // shingles exactly, so the dot product — and the oracle — is
+    // unchanged; only the plan shape moves. (The previous spelling
+    // expanded cand × ALL shingles of doc_a — a 10M-row intermediate
+    // double-shuffled on string keys at sf0.1, vs Σ df² = 2.8M for the
+    // direct tail join.) Determinism: w = tf · idf6 is an IEEE product
+    // of exact inputs; every sum crosses partitions as LONG micro-units
+    // (round(·,6)·1e6 — the mean4of6 discipline), summed associatively
+    // across the tail/head split; the final cosine is dot/√(s2a·s2b) in
+    // IEEE doubles of identical longs, rounded once to 4dp, thresholded
+    // AFTER rounding so boundary pairs agree.
     "q128_tfidf_cosine_pairs" -> ((s, dir) => {
       val w = shingleTfIdfCached(s, dir)
-      val rare = w.filter(col("df") <= AnchorMaxDf)
-      val cand = rare.select(col("sh"), col("doc_id").as("doc_a"))
-        .join(rare.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+      def micro(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        sum(round(round(x * y, 6) * lit(1e6)).cast("long"))
+      val tail = w.filter(col("df") <= DotTailMaxDf)
+      // anchored pairs + their tail-shingle dot, one join: materialized
+      // once (two consumers: the head join's broadcast + the union)
+      val dt = tail.select(col("sh"), col("df"),
+          col("doc_id").as("doc_a"), col("w").as("w_a"))
+        .join(tail.select(col("sh"), col("doc_id").as("doc_b"),
+          col("w").as("w_b")), Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val dot = cand
-        .join(w.select(col("doc_id").as("doc_a"), col("sh"),
+        .groupBy("doc_a", "doc_b")
+        .agg(micro(col("w_a"), col("w_b")).as("dp"),
+          bool_or(col("df") <= AnchorMaxDf).as("anchored"))
+        .filter(col("anchored"))
+        .select("doc_a", "doc_b", "dp")
+        .localCheckpoint(eager = false)
+      val cand = dt.select("doc_a", "doc_b")
+      val head = w.filter(col("df") > DotTailMaxDf)
+      val dh = broadcast(cand)
+        .join(head.select(col("doc_id").as("doc_a"), col("sh"),
           col("w").as("w_a")), Seq("doc_a"))
-        .join(w.select(col("doc_id").as("doc_b"), col("sh"),
+        .join(head.select(col("doc_id").as("doc_b"), col("sh"),
           col("w").as("w_b")), Seq("doc_b", "sh"))
         .groupBy("doc_a", "doc_b")
-        .agg(sum(round(round(col("w_a") * col("w_b"), 6) * lit(1e6))
-          .cast("long")).as("dp"))
+        .agg(micro(col("w_a"), col("w_b")).as("dp"))
+      val dot = dt.unionByName(dh)
+        .groupBy("doc_a", "doc_b").agg(sum(col("dp")).as("dp"))
       val ssq = w.groupBy("doc_id")
         .agg(sum(round(round(col("w") * col("w"), 6) * lit(1e6))
           .cast("long")).as("s2"))
