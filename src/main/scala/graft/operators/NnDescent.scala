@@ -496,6 +496,48 @@ object NnDescent {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Batch INSERTION into a standing k-NN graph — the graph tier's
+    * ingest twin of the index family's append paths (postings:
+    * `IndexOps.termIndexAppend`; IVF: `SimilarityOps.assignIncremental`;
+    * MinHash: `DedupOps.lshPairsIncrementalAgainst`). HNSW-style: each
+    * new vector beam-searches the STANDING graph for its k nearest
+    * (never a batch × store brute pass), links forward to them, and the
+    * back-links fold into the touched store nodes' adjacency, re-cut to
+    * degree k on the same (cos desc, id asc) heap the build uses. Batch
+    * cost Θ(|batch| · hops · beam · degree) search + one degree-bounded
+    * merge — independent of store size, the per-ingest-batch unit an
+    * always-on ANN deployment pays. New↔new edges are NOT formed
+    * (insertion links against the standing corpus only; the next
+    * build/refinement round picks those up — documented contract, same
+    * as the HNSW insert's single-pass nature). Deterministic end-to-end
+    * (LCG entry seeds, kernel cosines, heap order), so the whole ingest
+    * unrolls into DuckDB CTEs like the build chain
+    * (`SimilarityOps.graphIngestOracleSql`). */
+  def insertBatch(graph: DataFrame, store: DataFrame, batch: DataFrame,
+      k: Int, beam: Int, hops: Int, seeds: Int,
+      driverMax: Long = DriverMaxVectors): DataFrame = {
+    val qs = batch.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // neighbor SELECTION rides the search tier (its heap cuts on the
+    // raw cosine); the merge below re-scores the selected pairs with the
+    // kernel so the heap compares the same exact doubles the standing
+    // graph carries (graphSearch's output rounds to 4dp for display)
+    val found = graphSearch(graph, store, qs, beam, hops, seeds,
+        topk = k, driverMax = driverMax)
+      .select(col("qid"), col("nid"))
+    val scored = found
+      .join(qs, "qid")
+      .join(store.select(col("vec_id").as("nid"),
+        col("embedding").as("ne")), "nid")
+      .select(col("qid"), col("nid"),
+        cosineSim(col("qe"), col("ne")).as("cos"))
+    val fwd = scored.select(col("qid").as("vec_id"), col("nid"), col("cos"))
+    val rev = scored.select(col("nid").as("vec_id"),
+      col("qid").as("nid"), col("cos"))
+    topK(graph.select(col("vec_id"), col("nid"), col("cos"))
+      .unionByName(rev), k)
+      .unionByName(fwd)
+  }
+
   /** Dedupe by (node, neighbor) — duplicate candidates carry identical
     * cosines, max() is exact — then the k-bounded heap per node. */
   private def topK(scored: DataFrame, k: Int): DataFrame =

@@ -201,8 +201,18 @@ object DedupOps {
     * (|cand| × head-shingles-per-doc — never a head self-join). The
     * split is an exact partition of each pair's shared shingles, so the
     * dot product is unchanged — only the plan shape moves. Must be
-    * ≥ [[AnchorMaxDf]] so every anchored pair surfaces in the tail join. */
-  private val DotTailMaxDf = 256L
+    * ≥ [[AnchorMaxDf]] so every anchored pair surfaces in the tail join.
+    *
+    * 64 is measured, not guessed (ScaleStress x10, df distribution
+    * BIMODAL — true-rare tail + replication-inflated head at df
+    * 64–228): D=256 put the whole corpus in the self-join (Σ df² =
+    * 450M rows, 123 s, 2.2 GB shuffle); D=64 leaves 1.2k postings in
+    * the tail class there (Σ df² = 3.8k) while still covering the
+    * entire sf0.1 corpus (max df 25) so the dup-dense small-SF case
+    * keeps the cheap direct join. Worst case at ANY distribution:
+    * D·|postings| join rows — the same linear-with-~50×-constant class
+    * as the expansion path's |cand|·(shingles/doc). */
+  private val DotTailMaxDf = 64L
   require(AnchorMaxDf <= DotTailMaxDf)
 
   /** q128 output threshold on the ROUNDED cosine (boundary pairs agree

@@ -117,17 +117,53 @@ object SimilarityOps {
     * artifacts (an HNSW deployment persists every layer's adjacency
     * beside the vectors). Key includes the level. */
   private val hnswLayerCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), DataFrame]()
 
   private def cachedHnswLayer(s: SparkSession, dir: String,
-      lvl: Int): DataFrame = {
+      lvl: Int, maxVec: Long): DataFrame = {
     if (hnswLayerCache.size > 64) hnswLayerCache.clear()
-    hnswLayerCache.computeIfAbsent((sessionKey(s), dir, lvl), _ =>
+    hnswLayerCache.computeIfAbsent((sessionKey(s), dir, lvl, maxVec), _ =>
       graft.operators.NnDescent.knnGraph(
-        emb(s, dir).filter(col("vec_id") < 600)
+        emb(s, dir).filter(col("vec_id") < maxVec)
           .filter(graft.operators.NnDescent.levelGate(col("vec_id"), lvl))
           .select(col("vec_id"), col("embedding")),
         k = HnswUpperK, iters = HnswUpperIters))
+  }
+
+  /** The q130 HNSW-style descent, full path (gate slices to 600; probes
+    * run it unsliced — the q97/q123 `maxVec` pattern). `layer0` lets a
+    * caller that already built a base graph (NnProbe) reuse it instead
+    * of paying a second full NN-Descent build. */
+  private[graft] def hnswLayeredSearch(s: SparkSession, dir: String,
+      maxVec: Long = Long.MaxValue,
+      layer0: Option[DataFrame] = None): DataFrame = {
+    val e = emb(s, dir).filter(col("vec_id") < maxVec)
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val e1 = e.filter(graft.operators.NnDescent.levelGate(col("vec_id"), 1))
+    val e2 = e.filter(graft.operators.NnDescent.levelGate(col("vec_id"), 2))
+    // global entry: every query starts at the top layer's lowest id
+    val entry = qs.select(col("qid"))
+      .crossJoin(broadcast(e2.agg(min(col("vec_id")).as("nid"))))
+      .filter(col("nid").isNotNull)
+    val r2 = graft.operators.NnDescent.graphSearchFrom(
+      cachedHnswLayer(s, dir, 2, maxVec), e2, qs, entry,
+      HnswUpperBeam, HnswUpperHops, HnswUpperExits)
+    val r1 = graft.operators.NnDescent.graphSearchFrom(
+      cachedHnswLayer(s, dir, 1, maxVec), e1, qs,
+      r2.select(col("qid"), col("nid")),
+      HnswUpperBeam, HnswUpperHops, HnswUpperExits)
+    // layer-0 seeds: the layer-1 exits ∪ the global lowest id (the
+    // deterministic non-empty fallback if the upper layers are empty)
+    val fallback = qs.select(col("qid"))
+      .crossJoin(broadcast(e.agg(min(col("vec_id")).as("nid"))))
+    val seeds0 = r1.select(col("qid"), col("nid")).unionByName(fallback)
+    val g0 = layer0.getOrElse(
+      if (maxVec == 600L) cachedNnGraph(s, dir)
+      else graft.operators.NnDescent.knnGraph(e, k = NnBuildK, iters = NnIters))
+    graft.operators.NnDescent.graphSearchFrom(
+      g0, e, qs, seeds0, NnBeam, HnswL0Hops, 5)
   }
 
   // identity hash, not the session reference: the key must not keep the
@@ -784,31 +820,33 @@ object SimilarityOps {
     // kernel cosines, (cos desc, id asc) cuts), so the WHOLE descent
     // unrolls into DuckDB CTEs ([[hnswOracleSql]]) — three prefixed
     // build chains + three beam descents, the q127 recipe iterated.
-    "q130_hnsw_layered_search" -> ((s, dir) => {
-      val e = emb(s, dir).filter(col("vec_id") < 600)
+    "q130_hnsw_layered_search" -> ((s, dir) => hnswLayeredSearch(s, dir, 600L)),
+
+    // INCREMENTAL graph maintenance (the graph tier's ingest twin —
+    // postings, IVF assignments, MinHash signatures, and PCA moments all
+    // have batch-append paths; the k-NN graph now does too): build the
+    // standing graph on the store slice, then INSERT the batch via
+    // HNSW-style search-based linking ([[graft.operators.NnDescent
+    // .insertBatch]]): per-batch cost independent of store size. The
+    // gate checks the END-STATE adjacency of store ∪ batch (the q121/q89
+    // lifecycle recipe); the oracle unrolls build chain + batch descent
+    // + back-link fold in DuckDB CTEs.
+    "q131_graph_ingest_endstate" -> ((s, dir) => {
+      val sliced = emb(s, dir).filter(col("vec_id") < 600)
         .select(col("vec_id"), col("embedding"))
-      val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val e1 = e.filter(graft.operators.NnDescent.levelGate(col("vec_id"), 1))
-      val e2 = e.filter(graft.operators.NnDescent.levelGate(col("vec_id"), 2))
-      // global entry: every query starts at the top layer's lowest id
-      val entry = qs.select(col("qid"))
-        .crossJoin(broadcast(e2.agg(min(col("vec_id")).as("nid"))))
-        .filter(col("nid").isNotNull)
-      val r2 = graft.operators.NnDescent.graphSearchFrom(
-        cachedHnswLayer(s, dir, 2), e2, qs, entry,
-        HnswUpperBeam, HnswUpperHops, HnswUpperExits)
-      val r1 = graft.operators.NnDescent.graphSearchFrom(
-        cachedHnswLayer(s, dir, 1), e1, qs,
-        r2.select(col("qid"), col("nid")),
-        HnswUpperBeam, HnswUpperHops, HnswUpperExits)
-      // layer-0 seeds: the layer-1 exits ∪ the global lowest id (the
-      // deterministic non-empty fallback if the upper layers are empty)
-      val fallback = qs.select(col("qid"))
-        .crossJoin(broadcast(e.agg(min(col("vec_id")).as("nid"))))
-      val seeds0 = r1.select(col("qid"), col("nid")).unionByName(fallback)
-      graft.operators.NnDescent.graphSearchFrom(
-        cachedNnGraph(s, dir), e, qs, seeds0, NnBeam, HnswL0Hops, 5)
+      val store = sliced.filter(col("vec_id") < 450)
+      val batch = sliced.filter(col("vec_id") >= 450)
+      val g0 = graft.operators.NnDescent.knnGraph(store,
+        k = NnBuildK, iters = NnIters)
+      graft.operators.NnDescent.insertBatch(g0, store, batch,
+          k = NnBuildK, beam = NnBeam, hops = NnHops, seeds = NnSeeds)
+        .groupBy("vec_id")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cos"), col("nid"), NnK).as("top"))
+        .select(col("vec_id"), posexplode(col("top")))
+        .select(col("vec_id"), col("col.payload").as("nid"),
+          round(col("col.score"), 4).as("cosine"),
+          (col("pos") + 1).cast("long").as("rnk"))
     }),
 
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
@@ -1551,6 +1589,50 @@ object SimilarityOps {
        |  FROM zbm$HnswL0Hops WHERE nid <> qid) WHERE rnk <= 5""".stripMargin
   }
 
+  /** q131: the graph-ingest end state unrolled — the store's NN-Descent
+    * build chain, the batch's beam descent over it (seeded at the
+    * `seeds` lowest STORE ids, exactly [[graft.operators.NnDescent
+    * .insertBatch]]'s selection), a raw-kernel re-score of the selected
+    * (qid, nid) pairs, then the back-link fold + per-node (cos desc,
+    * id asc) re-cut, forward edges unioned, NnK-cut emission. */
+  private def graphIngestOracleSql(storeMax: Long, batchMax: Long,
+      k: Int, iters: Int, beam: Int, hops: Int, seeds: Int,
+      emitK: Int): String = {
+    s"""WITH ${nnDescentChainSql(k, iters, s"vec_id < $storeMax")},
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       |       FROM embeddings
+       |       WHERE vec_id >= $storeMax AND vec_id < $batchMax),
+       |gsd AS (SELECT q.qid, s.nid FROM qs q CROSS JOIN
+       |        (SELECT vec_id AS nid FROM e ORDER BY vec_id
+       |         LIMIT $seeds) s),
+       |${beamCtesSql("g", s"b$iters", "e", "gsd", beam, hops)},
+       |found AS (SELECT qid, nid FROM (
+       |   SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, nid) AS rn
+       |   FROM gbm$hops WHERE nid <> qid) WHERE rn <= $k),
+       |fs AS (SELECT f.qid, f.nid,
+       |          list_cosine_similarity(q.qe, v.emb) AS cos
+       |       FROM found f JOIN qs q ON q.qid = f.qid
+       |       JOIN e v ON v.vec_id = f.nid),
+       |merged AS (SELECT vec_id, nid, max(cos) AS cos FROM (
+       |       SELECT vec_id, nid, cos FROM b$iters
+       |       UNION ALL
+       |       SELECT nid AS vec_id, qid AS nid, cos FROM fs)
+       |       GROUP BY 1, 2),
+       |cut AS (SELECT vec_id, nid, cos FROM (
+       |   SELECT vec_id, nid, cos, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, nid) AS rn
+       |   FROM merged) WHERE rn <= $k),
+       |allv AS (SELECT * FROM cut UNION ALL
+       |         SELECT qid AS vec_id, nid, cos FROM fs)
+       |SELECT vec_id, nid, round(cos, 4) AS cosine,
+       |       CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT vec_id, nid, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, nid) AS rnk
+       |  FROM allv) WHERE rnk <= $emitK""".stripMargin
+  }
+
   private def ivfAnnOracleSql(k: Int, iters: Int): String =
     s"""${ivfPrefixSql(k, iters)},
        |p AS (SELECT vec_id AS qid, v AS qe, cell FROM af WHERE vec_id < 10),
@@ -1710,6 +1792,8 @@ object SimilarityOps {
     "q126_knn_graph_nndescent" ->
       nnDescentOracleSql(NnK, NnBuildK, NnIters, 600L),
     "q130_hnsw_layered_search" -> hnswOracleSql(600L),
+    "q131_graph_ingest_endstate" -> graphIngestOracleSql(450L, 600L,
+      NnBuildK, NnIters, NnBeam, NnHops, NnSeeds, NnK),
     "q127_graph_ann_search" -> graphSearchOracleSql(NnBuildK, NnIters,
       600L, NnBeam, NnHops, NnSeeds, 5),
     "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3),

@@ -40,6 +40,19 @@ object NnProbe {
       println(f"[nn-probe] pass $pass n=$n%d search(10 probes)=" +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows%d")
     }
+    // the q130 LAYERED tier at full scale: upper-layer graphs build on
+    // the n/4 and n/16 level-gated slices (cheap next to layer 0, whose
+    // graph is REUSED from above), then the three-layer descent runs
+    // hops=3 at layer 0 — one fewer than the flat tier. Pass 1 pays the
+    // upper-layer builds (cached after); pass 2 is the warm serve wall.
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val out = graft.queries.SimilarityOps
+        .hnswLayeredSearch(spark, dir, layer0 = Some(graph))
+      val rows = out.count()
+      println(f"[nn-probe] pass $pass n=$n%d layered(10 probes)=" +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows%d")
+    }
     spark.stop()
   }
 }

@@ -162,7 +162,12 @@ object ScaleStress {
     // with the consumer count)
     "q117_kmv_theta", "q118_inverted_index", "q119_bm25_topk",
     "q122_bm25_index_compose", "q123_ann_ivfpq_rerank",
-    "q124_winnow_contamination")
+    "q124_winnow_contamination",
+    // round 13: the weighted similarity join (df-split dot — candidate
+    // count and wall must stay ~linear) and the iterative perceptron
+    // (E fixed epochs over the one checkpointed design matrix —
+    // per-epoch cost must track corpus size, never epoch count × n²)
+    "q128_tfidf_cosine_pairs", "q129_perceptron_classifier")
 
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val shufRead = new AtomicLong(0L)

@@ -398,6 +398,45 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.9, f"mean layered-search recall $mean%.3f")
   }
 
+  test("q131 graph ingest: new nodes linked at high recall, back-links folded, degree bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q131_graph_ingest_endstate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = rows.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    // degree bound: the NnK emission cut holds for every node
+    assert(adj.values.forall(_.size <= 8), "emission degree > NnK")
+    val newNodes = adj.keys.filter(_ >= 450L).toSeq
+    assert(newNodes.nonEmpty, "no inserted nodes in the end state")
+    // insertion links against the standing corpus only (documented
+    // contract): every new-node edge targets the store
+    assert(newNodes.forall(v => adj(v).forall(_ < 450L)),
+      "new-node edge targeting outside the store")
+    // back-links folded: some store node's adjacency now reaches a batch id
+    assert(adj.collect { case (v, es) if v < 450L => es }
+      .exists(_.exists(_ >= 450L)), "no back-link survived the re-cut")
+    // recall of the searched-in forward edges vs brute-force truth
+    val vecs = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 600)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val storeIds = vecs.keys.filter(_ < 450L).toSeq
+    val recalls = newNodes.map { v =>
+      val truth = storeIds.sortBy(s => (-cos(vecs(v), vecs(s)), s))
+        .take(8).toSet
+      adj(v).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"mean insert-link recall $mean%.3f")
+  }
+
   test("q116 FPS coreset: greedy-max invariant, center self-distance 0, coverage radius") {
     import graft.queries.SimilarityOps
     val rows = SparkEntry.queries("q116_fps_coreset")(spark, dir).collect()
