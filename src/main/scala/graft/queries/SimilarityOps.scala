@@ -130,6 +130,27 @@ object SimilarityOps {
         k = HnswUpperK, iters = HnswUpperIters))
   }
 
+  /** q132's rotated corpus: r = R·(v − μ) through the full-rank PCA
+    * basis (one fused codegen pass, `PcaProjectExpr` at k = Dim), cast
+    * to float so the standing PQ machinery (train/encode/ADC) applies
+    * unchanged. Carries `p_sq` (Σ p_j², computed on the DOUBLES before
+    * the cast) and `c_sq` (‖v−μ‖² from the same expression) for the
+    * isometry device. Shared by the q132 gate and AnnRecallSpec's MSE
+    * comparison. */
+  private[graft] def opqRotatedCorpus(s: SparkSession, dir: String,
+      sliceMax: Long): DataFrame = {
+    val basis = pcaBasis(s, dir, Dim)
+    val pa = graft.operators.Pca.projectAll(basis, "embedding")
+    emb(s, dir).filter(col("vec_id") < sliceMax)
+      .select(col("vec_id"), pa.as("pa"))
+      .select(col("vec_id"),
+        slice(col("pa"), 1, Dim).cast("array<float>").as("embedding"),
+        aggregate(slice(col("pa"), 1, Dim), lit(0.0),
+          (a, x) => a + x * x).as("p_sq"),
+        element_at(col("pa"), Dim + 1).as("c_sq"))
+      .localCheckpoint(eager = false)
+  }
+
   /** The q130 HNSW-style descent, full path (gate slices to 600; probes
     * run it unsliced — the q97/q123 `maxVec` pattern). `layer0` lets a
     * caller that already built a base graph (NnProbe) reuse it instead
@@ -269,15 +290,19 @@ object SimilarityOps {
   private[graft] def pqCodebooks(s: SparkSession, dir: String,
       m: Int, k: Int, iters: Int,
       trainTarget: Long = PqTrainTarget,
-      maxVec: Long = Long.MaxValue): Seq[Seq[Seq[Double]]] = {
+      maxVec: Long = Long.MaxValue,
+      src: Option[DataFrame] = None, srcTag: String = ""): Seq[Seq[Seq[Double]]] = {
     if (pqCache.size > CacheMax) pqCache.clear()
     // sliced corpora yield different codebooks — slice rides the dir key
-    // (the [[lloydCentroids]] rule)
-    val dirKey =
+    // (the [[lloydCentroids]] rule); an alternative training source
+    // (q132's rotated corpus) rides it as a tag
+    val dirKey0 =
       if (maxVec == Long.MaxValue) dir else s"$dir#vmax=$maxVec"
+    val dirKey = if (srcTag.isEmpty) dirKey0 else s"$dirKey0#src=$srcTag"
     pqCache.computeIfAbsent((sessionKey(s), dirKey, m, k, iters, trainTarget), { _ =>
       val sub = Dim / m
-      val all0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val all0 = src.getOrElse(emb(s, dir))
+        .select(col("vec_id"), col("embedding"))
       val all = if (maxVec == Long.MaxValue) all0
                 else all0.filter(col("vec_id") < maxVec)
       // k=1 driver scalar (the q39-centroid precedent): the sample stride
@@ -847,6 +872,91 @@ object SimilarityOps {
         .select(col("vec_id"), col("col.payload").as("nid"),
           round(col("col.score"), 4).as("cosine"),
           (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
+    // OPQ-style ROTATED product quantization (Ge et al. CVPR'13 /
+    // Jégou's FAISS OPQ matrix, PCA flavor — the last rung of the ANN
+    // ladder: decorrelate the space before splitting it into PQ
+    // subspaces): rotate by the full-rank PCA basis (an ORTHOGONAL
+    // transform — L2 distances are preserved exactly, so rotated-space
+    // PQ approximates the same nearest neighbors), train codebooks and
+    // encode IN the rotated space with the standing PQ machinery
+    // (pqCodebooks src override + the codegen'd PqExpr, unchanged),
+    // full-scan ADC → top-64 → exact-L2 re-rank in the ORIGINAL space.
+    // Gate = verification device (the q108 precedent — the driver
+    // eigensolve is not SQL-expressible): the Spark side COMPUTES
+    // rotation isometry (Σ p_j² ≡ ‖v−μ‖², the full-rank capture
+    // identity) and per-probe recall vs the exact-L2 top-5, and emits
+    // them as booleans the oracle pins to true; the quantitative claims
+    // (recall floor, rotated-MSE ≤ plain-PQ MSE) live in AnnRecallSpec.
+    // Scale shape: rotation is one codegen'd linear pass (the q108
+    // expression), training is bounded-sample, encode is the same
+    // narrow pass q97 runs; IVF composition for corpus-scale search is
+    // exactly q97's dimension and composes unchanged.
+    "q132_opq_rotated_pq" -> ((s, dir) => {
+      val sliceMax = 600L
+      val e = emb(s, dir).filter(col("vec_id") < sliceMax)
+        .select(col("vec_id"), col("embedding"))
+      def sqL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)
+      val rot = opqRotatedCorpus(s, dir, sliceMax)
+      val isoOk = rot.agg(bool_and(
+        abs(col("p_sq") - col("c_sq")) <= lit(1e-9) * (col("c_sq") + lit(1.0)))
+        .as("iso_ok"))
+      val pq = pqCodebooks(s, dir, PqM, PqK, PqIters, maxVec = sliceMax,
+        src = Some(rot.select(col("vec_id"), col("embedding"))),
+        srcTag = "opq")
+      val enc = rot.select(col("vec_id"),
+        org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pq)
+          .as("codes"))
+      val probes = rot.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val lut = probes.select(col("qid"),
+        array((0 until PqM).map { m =>
+          array(pq(m).indices.map { c =>
+            sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
+              array(pq(m)(c).map(lit): _*))
+          }: _*)
+        }: _*).as("lut"))
+      val adcTop = enc.crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          org.apache.spark.sql.graft.PqExpr.adc(col("codes"), col("lut"))
+            .as("adc"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(negate(col("adc")) + lit(0.0), col("cid"), 64).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.payload").as("cid"))
+      val probes0 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe0"))
+      val rr5 = e.join(broadcast(adcTop), e("vec_id") === adcTop("cid"))
+        .join(broadcast(probes0), "qid")
+        .select(col("qid"), col("cid"), sqL2(col("qe0"), col("embedding"))
+          .as("d2"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(negate(col("d2")) + lit(0.0), col("cid"), 5).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.payload").as("cid"))
+      val truth5 = e.crossJoin(broadcast(probes0))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          sqL2(col("qe0"), col("embedding")).as("d2"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(negate(col("d2")) + lit(0.0), col("cid"), 5).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.payload").as("cid"))
+      val hits = rr5.join(truth5, Seq("qid", "cid"))
+        .groupBy("qid").agg(count(lit(1)).as("nhit"))
+      probes0.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .crossJoin(broadcast(isoOk))
+        .select(col("qid"), lit(5).as("k"),
+          (coalesce(col("nhit"), lit(0L)) >= 3).as("recall_ok"),
+          col("iso_ok"))
     }),
 
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
@@ -1794,6 +1904,13 @@ object SimilarityOps {
     "q130_hnsw_layered_search" -> hnswOracleSql(600L),
     "q131_graph_ingest_endstate" -> graphIngestOracleSql(450L, 600L,
       NnBuildK, NnIters, NnBeam, NnHops, NnSeeds, NnK),
+    // verification device (q108 precedent — the driver Jacobi eigensolve
+    // behind the rotation is not SQL-expressible): the Spark side
+    // COMPUTES rotation isometry and per-probe exact-L2 recall; the
+    // oracle pins both true. Quantitative floors live in AnnRecallSpec.
+    "q132_opq_rotated_pq" ->
+      """SELECT vec_id AS qid, 5 AS k, true AS recall_ok, true AS iso_ok
+         FROM embeddings WHERE vec_id < 10""",
     "q127_graph_ann_search" -> graphSearchOracleSql(NnBuildK, NnIters,
       600L, NnBeam, NnHops, NnSeeds, 5),
     "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3),

@@ -437,6 +437,48 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.8, f"mean insert-link recall $mean%.3f")
   }
 
+  test("q132 OPQ: device booleans hold, and rotation does not hurt quantization MSE") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    val rows = SparkEntry.queries("q132_opq_rotated_pq")(spark, dir).collect()
+    assert(rows.length == 10, s"expected 10 probe rows, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(2)), "recall_ok false for some probe")
+    assert(rows.forall(_.getBoolean(3)), "iso_ok false")
+    // the OPQ claim, measured: codebooks trained in the rotated space
+    // quantize no worse than plain PQ on the originals (PCA decorrelates
+    // the subspaces; on an isotropic corpus the two converge, hence the
+    // small tolerance rather than a strict improvement assertion)
+    def mse(vecs: Seq[Array[Double]], books: Seq[Seq[Seq[Double]]]): Double = {
+      val sub = 64 / books.length
+      vecs.map { v =>
+        books.indices.map { m =>
+          val s0 = v.slice(m * sub, m * sub + sub)
+          books(m).map(cb =>
+            s0.zip(cb).map(p => (p._1 - p._2) * (p._1 - p._2)).sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    val plainVecs = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 600)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    val rotVecs = SimilarityOps.opqRotatedCorpus(spark, dir, 600L)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    val plainBooks = SimilarityOps.pqCodebooks(spark, dir,
+      SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters,
+      maxVec = 600L)
+    val opqBooks = SimilarityOps.pqCodebooks(spark, dir,
+      SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters,
+      maxVec = 600L,
+      src = Some(SimilarityOps.opqRotatedCorpus(spark, dir, 600L)
+        .select(col("vec_id"), col("embedding"))),
+      srcTag = "opq")
+    val (mseP, mseO) = (mse(plainVecs, plainBooks), mse(rotVecs, opqBooks))
+    assert(mseO <= mseP * 1.05,
+      f"OPQ MSE $mseO%.6f vs plain $mseP%.6f — rotation hurt quantization")
+  }
+
   test("q116 FPS coreset: greedy-max invariant, center self-distance 0, coverage radius") {
     import graft.queries.SimilarityOps
     val rows = SparkEntry.queries("q116_fps_coreset")(spark, dir).collect()
