@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Random-projection-tree FOREST for ANN candidate generation (Dasgupta
+  * & Freund, "Random projection trees and low dimensional manifolds",
+  * STOC 2008, mean-split flavor, with Annoy-style margin SPILL at query
+  * time — the partition-tree family's rung of the ANN ladder).
+  *
+  * Why it earns a row next to LSH (q37) and IVF (q39): hyperplane LSH
+  * buckets are DATA-INDEPENDENT — a dense region lands thousands of
+  * vectors in one bucket while sparse ones sit empty (the q36/q37 skew
+  * the tuned geometries cap by force). An RP-tree split is data-DEPENDENT:
+  * each node splits at the per-node mean of the projections, so every
+  * level roughly halves its population wherever the data actually is, and
+  * leaf sizes concentrate near n/2^depth without any cap knob or Lloyd
+  * training loop. Depth is the log-n lever: each extra level is ONE more
+  * shuffle-bounded pass and halves every leaf, so a production build
+  * deepens the trees as the corpus grows while per-level cost stays flat.
+  *
+  * Distributed shape per level (the whole point — NO windows, the q128
+  * df lesson): project every (tree, vector) onto the level's per-node
+  * hyperplane with one fused `zip_with`/`aggregate` array expression
+  * (rows = n·T, never exploded), then the split threshold is a
+  * `groupBy(tree, node).agg(sum, count)` — map-side partial aggregation,
+  * hot nodes collapse per-partition — broadcast-joined back (≤ T·2^l
+  * rows). A vector goes left iff proj ≤ floor(mean).
+  *
+  * Query-time SPILL (Annoy's boundary fix, the recall lever near-uniform
+  * data needs): a probe descends to its near child always and ALSO to the
+  * far child wherever |proj − thr| ≤ margin — neighbors separated by a
+  * knife-edge split are exactly the ones a single-path descent loses.
+  * Routing touches ONLY broadcast metadata (the T·(2^depth − 1)-row
+  * threshold table and the coefficient arrays) — per-probe cost is
+  * Θ(frontier · dim) independent of n, and the corpus-side work stays
+  * the leaf scan of the reached leaves.
+  *
+  * Determinism (gate-grade, both engines): hyperplane coefficients are
+  * an LCG mix of the (tree, level, node, dim) key folded into one
+  * integer — pure BIGINT arithmetic; projections are micro-unit LONG
+  * dot products (|mv| ≤ 577 366 · |h| ≤ 1000 · 64 dims < 3.7e10 — exact
+  * LONG, and the per-node SUM stays double-exact (< 2^53) to ~240k rows
+  * per node at this magnitude, so floor(sum/cnt) is bit-identical in
+  * both engines; past that a production build would widen to decimal
+  * sums, same plan shape). The whole build + spill descent unrolls into
+  * DuckDB CTEs (`SimilarityOps.rpForestOracleSql`) like the q97 PQ chain.
+  *
+  * Reference scope: the reference has no ANN at all — this extends the
+  * LLM-pipeline operator suite (assignment §"similarity search").
+  */
+object RpForest {
+
+  /** LCG round salt for the hyperplane coefficient stream. */
+  private val HpRound = 11
+
+  /** Coefficient in [-1000, 1000]: LCG mix of the folded key, mod 2001,
+    * recentred. Pure positive-operand integer arithmetic (max folded key
+    * ~4.5e6 × 1103515245 < 2^63), so `pmod` ≡ `%` in both engines. */
+  private[graft] def hCoef(t: Int, l: Int, node: Int, d: Int): Long = {
+    val key = ((t.toLong * 131 + l) * 257 + node) * 67 + d
+    val mixed = (key * 1103515245L + HpRound * 12345L) % 2147483647L
+    mixed % 2001L - 1000L
+  }
+
+  /** (t, node, harr) for one level — T·2^level rows, driver-generated
+    * (pure integer mix, T·2^depth·dim longs of bounded metadata — the
+    * centroid-artifact tier) and broadcast into the assignment join. */
+  private def levelCoefs(s: SparkSession, trees: Int, level: Int,
+      dim: Int): DataFrame = {
+    import s.implicits._
+    val rows = for {
+      t <- 0 until trees
+      node <- 0 until (1 << level)
+    } yield (t, node, (0 until dim).map(d => hCoef(t, level, node, d)))
+    rows.toDF("t", "node", "harr")
+  }
+
+  /** Micro-unit LONG vector: round(x·1e6) per element — the exact
+    * arithmetic every cross-engine sum in this repo rides on. */
+  private def microVec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1e6)).cast("long"))
+
+  private def fusedDot(mv: Column, harr: Column): Column =
+    aggregate(zip_with(mv, harr, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+
+  private def treeIds(s: SparkSession, trees: Int): DataFrame =
+    s.range(trees).select(col("id").cast("int").as("t"))
+
+  /** Build the forest: returns (leaves, thresholds) where leaves =
+    * (t, vec_id, node) with node ∈ [0, 2^depth) and thresholds =
+    * (t, l, node, thr) — the broadcast-sized routing metadata a serving
+    * tier persists beside the leaf-partitioned corpus. `e` must carry
+    * (vec_id, embedding). */
+  def build(s: SparkSession, e: DataFrame, trees: Int, depth: Int,
+      dim: Int): (DataFrame, DataFrame) = {
+    val base = e.select(col("vec_id"), microVec(col("embedding")).as("mv"))
+      .crossJoin(treeIds(s, trees))
+      .withColumn("node", lit(0))
+    val (leaves, thrs) = (0 until depth)
+      .foldLeft((base, List.empty[DataFrame])) { case ((assign, acc), l) =>
+        val proj = assign
+          .join(broadcast(levelCoefs(s, trees, l, dim)), Seq("t", "node"))
+          .withColumn("proj", fusedDot(col("mv"), col("harr")))
+          .drop("harr")
+        val thr = proj.groupBy("t", "node")
+          .agg(floor(sum(col("proj")).cast("double") / count(lit(1)))
+            .cast("long").as("thr"))
+        val next = proj.join(broadcast(thr), Seq("t", "node"))
+          .withColumn("node",
+            col("node") * 2 + when(col("proj") <= col("thr"), 0).otherwise(1))
+          .drop("proj", "thr")
+        (next, thr.withColumn("l", lit(l)) :: acc)
+      }
+    (leaves.select(col("t"), col("vec_id"), col("node")),
+      thrs.reduce(_ unionByName _).select("t", "l", "node", "thr"))
+  }
+
+  /** Spill descent for the probe set: (qid, t, node) — every leaf a
+    * probe reaches. Near child always; far child too wherever the
+    * projection sits within `margin` of the split. Only broadcast
+    * metadata is touched (coefficients + thresholds); frontier rows
+    * ≤ probes · T · 2^spills. Probes that ARE corpus members compute
+    * the identical projection arithmetic as the build, so the near
+    * path reproduces their build assignment exactly. */
+  def probeRoute(s: SparkSession, probes: DataFrame, thresholds: DataFrame,
+      trees: Int, depth: Int, dim: Int, margin: Long): DataFrame = {
+    val base = probes
+      .select(col("vec_id").as("qid"), microVec(col("embedding")).as("mv"))
+      .crossJoin(treeIds(s, trees))
+      .withColumn("node", lit(0))
+    (0 until depth).foldLeft(base) { (frontier, l) =>
+      val scored = frontier
+        .join(broadcast(levelCoefs(s, trees, l, dim)), Seq("t", "node"))
+        .withColumn("proj", fusedDot(col("mv"), col("harr")))
+        .join(broadcast(thresholds.filter(col("l") === l).drop("l")),
+          Seq("t", "node"))
+      val near = scored.withColumn("node",
+        col("node") * 2 + when(col("proj") <= col("thr"), 0).otherwise(1))
+      val far = scored.filter(abs(col("proj") - col("thr")) <= margin)
+        .withColumn("node",
+          col("node") * 2 + when(col("proj") <= col("thr"), 1).otherwise(0))
+      near.unionByName(far).select("qid", "t", "node", "mv")
+    }.select(col("qid"), col("t"), col("node"))
+  }
+
+  /** Candidate pairs: (qid, cid) distinct over corpus vectors in any
+    * leaf any tree of the probe's spill frontier reached. Output is
+    * keyed for the exact re-score pass (the q123 rerank discipline:
+    * approximate structures only ever CUT candidates, emitted scores
+    * are exact). */
+  def forestCandidates(leaves: DataFrame, probeLeaves: DataFrame)
+      : DataFrame =
+    leaves.select(col("t"), col("node"), col("vec_id").as("cid"))
+      .join(probeLeaves, Seq("t", "node"))
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "cid").distinct()
+}

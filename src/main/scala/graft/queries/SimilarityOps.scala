@@ -69,6 +69,22 @@ object SimilarityOps {
   private val HnswUpperExits = 2
   private val HnswL0Hops = 3
 
+  /** q133 RP-tree forest geometry: trees × depth × spill margin.
+    * Leaves concentrate near n/2^depth by the mean-split balance; depth
+    * is the log-n knob (each extra level is one more shuffle-bounded
+    * pass and halves every leaf). The margin is Annoy's boundary spill
+    * in micro-units — level-0 projections measure σ ≈ 5.7e8 on this
+    * corpus, so 4e8 ≈ 0.7σ. Near-uniform 64-dim data is the partition
+    * family's hard case (projections correlate weakly with cosine
+    * neighborhoods — the same reason q39 IVF reads 0.6 recall at
+    * nprobe 1 and q123 probes 6 of 8 cells): the tuner swept
+    * (trees, depth, margin) and 3×3 @ 4e8 reads mean recall@5 0.90 at
+    * sf0.01 / 1.00 at sf0.001 (AnnRecallSpec pins the floor). All
+    * three knobs are mirrored literally into the unrolled oracle CTEs. */
+  private val RpTrees = 3
+  private val RpDepth = 3
+  private val RpMargin = 400000000L
+
   /** Per-(sessionUUID, dir, k, iters) cache of the deterministic-Lloyd
     * coarse quantizer (k × dim doubles of driver state). In deployment the
     * quantizer is a persisted artifact trained once and reused by every
@@ -539,6 +555,44 @@ object SimilarityOps {
         .filter(col("qid") < 10)
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       c.join(broadcast(q), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          cosineSim(col("qe"), col("ce")).as("cos"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cos"), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(col("col.score"), 4).as("cosine"),
+          (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
+    // Random-projection-tree FOREST ANN (Dasgupta & Freund STOC'08
+    // mean-split RP-trees with Annoy-style margin spill at query time —
+    // the partition-tree family; see operators/RpForest for the
+    // distributed shape): data-DEPENDENT splits balance the leaves
+    // where LSH's data-independent buckets skew, with no Lloyd training
+    // loop and no cap knobs. Build = depth shuffle-bounded passes
+    // (fused zip_with dot products, groupBy-mean thresholds — never a
+    // window); probes descend through broadcast threshold metadata,
+    // spilling to the far child at knife-edge splits; candidates =
+    // corpus rows in any reached leaf of any tree; emitted scores are
+    // the exact q35 kernel over the candidate cut (the q123 rerank
+    // discipline). The whole chain — LCG hyperplanes, micro-unit LONG
+    // projections, floor(sum/cnt) thresholds, spill descent, forest-
+    // union candidates — unrolls into DuckDB CTEs.
+    "q133_rptree_forest_ann" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val (leaves, thrs) = graft.operators.RpForest
+        .build(s, e, RpTrees, RpDepth, Dim)
+      val probeLeaves = graft.operators.RpForest.probeRoute(
+        s, e.filter(col("vec_id") < 10), thrs,
+        RpTrees, RpDepth, Dim, RpMargin)
+      val cand = graft.operators.RpForest
+        .forestCandidates(leaves, probeLeaves)
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      cand.join(broadcast(q.filter(col("qid") < 10)), Seq("qid"))
+        .join(c, Seq("cid"))
         .select(col("qid"), col("cid"),
           cosineSim(col("qe"), col("ce")).as("cos"))
         .groupBy("qid")
@@ -1802,8 +1856,82 @@ object SimilarityOps {
        |FROM a WHERE rn = 1""".stripMargin
   }
 
+  /** DuckDB mirror of the q133 RP-forest chain: the LCG hyperplane
+    * coefficients, micro-unit LONG projections, floor(sum/cnt) mean
+    * thresholds, the left-iff-proj≤thr build descent AND the probe
+    * spill descent (near child always, far child within the margin)
+    * are unrolled one CTE group per level (the q97/q126 chain recipe);
+    * candidates are the corpus rows of every reached leaf and the
+    * emitted scores the q35-proven kernel pair. All mix operands are
+    * positive, so plain `%` ≡ pmod on both sides. */
+  private def rpForestOracleSql(trees: Int, depth: Int,
+      margin: Long): String = {
+    val addC = 11 * 12345L // RpForest.HpRound folded into the LCG add
+    val levels = (0 until depth).map { l =>
+      s"""p$l AS (SELECT a.t, a.vec_id, a.node, SUM(m.mv * c.h) AS proj
+         |  FROM a$l a JOIN micro m USING (vec_id)
+         |  JOIN coefs c ON c.t = a.t AND c.l = $l AND c.node = a.node
+         |              AND c.d = m.d
+         |  GROUP BY a.t, a.vec_id, a.node),
+         |t$l AS (SELECT t, node,
+         |          CAST(floor(CAST(SUM(proj) AS DOUBLE) / COUNT(*))
+         |               AS BIGINT) AS thr
+         |        FROM p$l GROUP BY t, node),
+         |a${l + 1} AS (SELECT p.t, p.vec_id,
+         |          p.node * 2 + CASE WHEN p.proj <= x.thr THEN 0 ELSE 1 END
+         |            AS node
+         |        FROM p$l p JOIN t$l x ON x.t = p.t AND x.node = p.node),
+         |fp$l AS (SELECT f.t, f.vec_id, f.node, SUM(m.mv * c.h) AS proj
+         |  FROM f$l f JOIN micro m USING (vec_id)
+         |  JOIN coefs c ON c.t = f.t AND c.l = $l AND c.node = f.node
+         |              AND c.d = m.d
+         |  GROUP BY f.t, f.vec_id, f.node),
+         |fx$l AS (SELECT fp.t, fp.vec_id, fp.node, fp.proj, x.thr
+         |         FROM fp$l fp JOIN t$l x ON x.t = fp.t AND x.node = fp.node),
+         |f${l + 1} AS (SELECT t, vec_id,
+         |          node * 2 + CASE WHEN proj <= thr THEN 0 ELSE 1 END AS node
+         |        FROM fx$l
+         |        UNION ALL SELECT t, vec_id,
+         |          node * 2 + CASE WHEN proj <= thr THEN 1 ELSE 0 END
+         |        FROM fx$l WHERE abs(proj - thr) <= $margin)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |micro AS (SELECT vec_id, i AS d,
+       |            CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6)
+       |                 AS BIGINT) AS mv
+       |          FROM e, range(${Dim}) ds(i)),
+       |coefs AS (SELECT t, l, node, d,
+       |            ((((t * 131 + l) * 257 + node) * 67 + d) * 1103515245
+       |             + $addC) % 2147483647 % 2001 - 1000 AS h
+       |          FROM range($trees) ts(t), range($depth) ls(l),
+       |               range(${1 << (depth - 1)}) ns(node), range(${Dim}) dd(d)
+       |          WHERE node < CAST(power(2, l) AS BIGINT)),
+       |a0 AS (SELECT ts.t, e.vec_id, 0 AS node
+       |       FROM e, range($trees) ts(t)),
+       |f0 AS (SELECT ts.t, e.vec_id, 0 AS node
+       |       FROM e, range($trees) ts(t) WHERE e.vec_id < 10),
+       |$levels,
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |         FROM f$depth q JOIN a$depth c
+       |           ON q.t = c.t AND q.node = c.node
+       |         WHERE c.vec_id <> q.vec_id),
+       |s AS (SELECT cand.qid, cand.cid,
+       |        list_cosine_similarity(qe.embedding::DOUBLE[],
+       |                               ce.embedding::DOUBLE[]) AS cos
+       |      FROM cand JOIN e qe ON qe.vec_id = cand.qid
+       |                JOIN e ce ON ce.vec_id = cand.cid)
+       |SELECT qid, cid, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rnk
+       |  FROM s) WHERE rnk <= 5""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q116_fps_coreset" -> fpsOracleSql(8),
+    "q133_rptree_forest_ann" ->
+      rpForestOracleSql(RpTrees, RpDepth, RpMargin),
     "q35_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

@@ -437,6 +437,42 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.8, f"mean insert-link recall $mean%.3f")
   }
 
+  test("q133 RP-forest: top-5 recall vs brute force >= 80%, leaves balanced, probe near path = build path") {
+    import org.apache.spark.sql.functions._
+    val brute = top5("q35_ann_brute")
+    val rp = top5("q133_rptree_forest_ann")
+    val recalls = brute.map { case (q, truth) =>
+      rp.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // measured 1.00 at sf0.001 / 0.90 at sf0.01 (3 trees × depth 3,
+    // margin 4e8 ≈ 0.7σ); the floor guards a broken descent, not the
+    // exact value — near-uniform data is the partition family's hard case
+    assert(mean >= 0.8, f"mean RP-forest recall $mean%.3f")
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (leaves, thrs) = graft.operators.RpForest.build(spark, e, 3, 3, 64)
+    val sizes = leaves.groupBy("t", "node").count().collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    val n = e.count()
+    // mean-split balance: every leaf within 3× of the ideal n/2^depth
+    // (a data-independent sign split on this corpus has no such bound)
+    sizes.foreach { case ((t, node), c) =>
+      assert(c <= 3 * n / 8 + 1, s"leaf ($t,$node) holds $c of $n")
+    }
+    assert(sizes.map(_._2).sum == 3 * n, "leaves must partition corpus per tree")
+    // spill descent consistency: a corpus-member probe's NEAR path (the
+    // frontier row whose projections all sat on the near side) is its
+    // build assignment — same arithmetic, same tie rule
+    val probeLeaves = graft.operators.RpForest
+      .probeRoute(spark, e.filter(col("vec_id") < 10), thrs, 3, 3, 64, 0L)
+    val routed = probeLeaves.collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    val built = leaves.filter(col("vec_id") < 10).collect()
+      .map(r => ((r.getLong(1), r.getInt(0)), r.getInt(2))).toMap
+    assert(routed == built, "zero-margin probe route must equal build assignment")
+  }
+
   test("q132 OPQ: device booleans hold, and rotation does not hurt quantization MSE") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps
