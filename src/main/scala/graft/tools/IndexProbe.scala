@@ -2,79 +2,51 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc decomposition of the BM25 retrieval cost (q119) on a given lake
-  * dir: postings materialization, doc-length scan, candidate generation,
-  * and the full query, timed separately. */
+/** Stage decomposition for the q118 postings/term-index chain: times the
+  * corpus scan, the bare postings aggregation, the localCheckpoint
+  * materialization, and the term-index heap pass separately, so a cold-cost
+  * regression can be attributed to ONE stage instead of guessed at.
+  *
+  * Usage: runMain graft.tools.IndexProbe [sfDir]
+  */
 object IndexProbe {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val spark = graft.core.GraftSession.local(32)
-    spark.sparkContext.setLogLevel("WARN")
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[idx-probe] $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.core.GraftSession.local(cpus)
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[idxprobe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
-    val d = graft.sources.Tables(spark, dir, "documents")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = graft.sources.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    d.count() // warm scan
-    for (i <- 1 to 2) {
-      val post = t(s"postings materialize $i") {
-        val p = graft.queries.IndexOps.postingsOf(d)
-          .localCheckpoint(eager = true)
-        p
-      }
-      t(s"postings count $i")(println("  rows=" + post.count()))
-      t(s"dft agg $i")(
-        post.groupBy("tok").agg(count(lit(1)).as("df")).count())
-      // bisect the downstream-of-postings cost: candidate generation +
-      // micro aggregation, rebuilt here exactly as bm25ThroughIndex spells
-      // it (broadcast term set + idf + stats over the SAME checkpointed
-      // postings), without the final heap
-      t(s"cand micro-agg $i") {
-        val lens = d.select(col("doc_id"),
-          size(graft.functions.TextFunctions.tokens(col("text")))
-            .cast("long").as("dl"))
-        val stats = lens.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("sum_dl"))
-        val dft = post.groupBy("tok").agg(count(lit(1)).as("df"))
-        val probes = lens.filter(col("dl") >= 40)
-          .select(col("doc_id").as("probe_doc")).orderBy("probe_doc").limit(5)
-        val probeTf = post.join(broadcast(probes),
-          post("doc_id") === probes("probe_doc"))
-          .select(col("probe_doc"), col("tok"), col("tf"))
-        val qterms = probeTf.join(dft, "tok")
-          .crossJoin(broadcast(stats.select("n_docs")))
-          .withColumn("idf6", round(log(col("n_docs").cast("double") /
-            col("df").cast("double")), 6))
-          .groupBy("probe_doc").agg(
-            org.apache.spark.sql.graft.TopKByScore.columnFor(
-              col("tf").cast("double") * col("idf6"), col("tok"), 4).as("top"))
-          .select(col("probe_doc"), explode(col("top")).as("e"))
-          .select(col("probe_doc"), col("e.payload").as("tok"))
-        val idfb = dft.crossJoin(broadcast(stats.select("n_docs")))
-          .withColumn("idfb6", round(log((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)), 6))
-          .select(col("tok"), col("idfb6"))
-        val n = post.join(broadcast(qterms), "tok")
-          .join(broadcast(idfb), "tok")
-          .crossJoin(broadcast(stats))
-          .withColumn("contrib6", round(col("idfb6") *
-            (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * col("dl").cast("double") *
-                col("n_docs").cast("double") / col("sum_dl").cast("double"))), 6))
-          .groupBy("probe_doc", "doc_id")
-          .agg(sum(round(col("contrib6") * lit(1e6)).cast("long"))
-            .as("bm25_micro"))
-          .count()
-        println("  cand groups=" + n)
-      }
-      t(s"full q119 $i") {
-        graft.SparkEntry.queries("q119_bm25_topk")(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-      }
-    }
+    time("scan only")(noop(docs))
+    time("scan only (warm)")(noop(docs))
+    import graft.functions.TextFunctions.tokens
+    time("explode only")(noop(docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))))
+    time("explode+agg, no dl")(noop(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))))
+    time("explode+agg, dl inline")(noop(docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))))
+    time("postingsOf (no ckpt)")(noop(graft.queries.IndexOps.postingsOf(docs)))
+    val ck = time("postingsOf + localCheckpoint")(
+      graft.queries.IndexOps.postingsOf(docs).localCheckpoint(eager = true))
+    time("termIndexOf over ckpt")(noop(graft.queries.IndexOps.termIndexOf(ck)))
+    graft.queries.IndexOps.clearCache()
+    time("q118 full (fresh cache)")(
+      noop(graft.SparkEntry.queries("q118_inverted_index")(spark, dir)))
+    time("q118 full (warm cache)")(
+      noop(graft.SparkEntry.queries("q118_inverted_index")(spark, dir)))
     spark.stop()
   }
 }
