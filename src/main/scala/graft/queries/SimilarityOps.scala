@@ -795,6 +795,102 @@ object SimilarityOps {
           (col("pos") + 1).cast("long").as("rnk"))
     }),
 
+    // Metadata-FILTERED ANN — the production vector-search shape: every
+    // retrieval carries a predicate (tenant, language, license, label;
+    // cf. FAISS IDSelector, Milvus/Vespa filtered search), here "retrieve
+    // within the probe's own label class". The filter composes into the
+    // INDEX probe as an extra equi-join key beside the cell, so filtered
+    // candidates are cut on the shuffle key BEFORE any distance math —
+    // never scored-then-discarded. Because a selective predicate thins
+    // every cell (~1/8 here: 8 uniform labels), single-cell probing
+    // starves recall; the standard remedy is a larger nprobe (=3, ranked
+    // by the q97 cell-ranking spelling — the ranking struct lives in the
+    // generator, per probe, lint-clean). Cells come from the SHARED
+    // coarse quantizer artifact (q39/q79/q97 — zero extra training).
+    // AnnRecallSpec measures recall@5 against label-filtered brute force.
+    "q134_ann_filtered" -> ((s, dir) => {
+      val k = 8
+      val iters = 3
+      val nprobe = 3
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val cents = lloydCentroids(s, dir, k, iters)
+      def sqL2(a: Column, c: Seq[Double]): Column =
+        aggregate(zip_with(a, array(c.map(lit): _*),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      val assigned = e.select(col("vec_id"), col("embedding"), col("label"),
+        NearestCentroid.cell(col("embedding"), cents).as("cell"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label"))
+        .select(col("qid"), col("qe"), col("label"),
+          explode(slice(array_sort(array((0 until k).map(c =>
+            struct(sqL2(col("qe"), cents(c)).as("d"),
+              lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+        .select(col("qid"), col("qe"), col("label"),
+          col("cc.cell").as("cell"))
+      val cands = assigned.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("label"), col("cell"))
+      cands.join(broadcast(probes), Seq("cell", "label"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          cosineSim(col("qe"), col("ce")).as("cos"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cos"), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(col("col.score"), 4).as("cosine"),
+          (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
+    // Hard-negative mining — the contrastive-training prep step
+    // (embedding-model / retriever training wants, per anchor, the MOST
+    // similar items that are NOT duplicates; random negatives — q115 —
+    // are too easy, cf. DPR/ANCE hard-negative sampling): candidates
+    // come from the SHARED IVF artifact at nprobe=3 (per-anchor cost ∝
+    // probed-cell population, never the corpus), near-duplicates are
+    // excluded by q36's corpus-calibrated threshold (cos ≥ 0.3 = the
+    // gated near-dup semantics — a "negative" that's secretly a positive
+    // poisons the loss), and the top-8 survivors per anchor cross the
+    // shuffle through the k-bounded heap. The raw-cosine threshold cut
+    // is engine-stable because both kernels are bit-identical (q35
+    // parity); output rounds once at the gate boundary.
+    "q135_hard_negatives" -> ((s, dir) => {
+      val k = 8
+      val iters = 3
+      val nprobe = 3
+      val negK = 8
+      val posThr = 0.3
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = lloydCentroids(s, dir, k, iters)
+      def sqL2(a: Column, c: Seq[Double]): Column =
+        aggregate(zip_with(a, array(c.map(lit): _*),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        NearestCentroid.cell(col("embedding"), cents).as("cell"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .select(col("qid"), col("qe"),
+          explode(slice(array_sort(array((0 until k).map(c =>
+            struct(sqL2(col("qe"), cents(c)).as("d"),
+              lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+        .select(col("qid"), col("qe"), col("cc.cell").as("cell"))
+      val cands = assigned.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("cell"))
+      cands.join(broadcast(probes), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          cosineSim(col("qe"), col("ce")).as("cos"))
+        .filter(col("cos") < lit(posThr))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cos"), col("cid"), negK).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(col("col.score"), 4).as("cosine"),
+          (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
     // IVF-PQ (Jégou, Douze, Schmid 2011, "Product Quantization for
     // Nearest Neighbor Search" — the IVFADC structure, by_residual
     // disabled): the coarse IVF quantizer (SHARED artifact with q39/q79)
@@ -1314,22 +1410,26 @@ object SimilarityOps {
     // literal centroids; ties (d, then cell) match the oracle's
     // row_number ordering, and rank 1 reproduces NearestCentroid's
     // strict-< lowest-index rule exactly.
-    val probes = e.filter(col("vec_id") < 10)
+    // the ADC lookup table: lut[m][c] = ||q_sub_m - codebook_m[c]||²,
+    // computed once per PROBE — in the projection BELOW the nprobe
+    // explode, so the 128-term table is never re-evaluated per (probe,
+    // cell) row (the post-Generate recompute class PlanBaselineSpec
+    // lints; at production probe volumes the old spelling paid nprobe×
+    // the serve-side LUT cost)
+    val lut = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .select(col("qid"), col("qe"),
+        array((0 until PqM).map { m =>
+          array(pq(m).indices.map { c =>
+            sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
+              array(pq(m)(c).map(lit): _*))
+          }: _*)
+        }: _*).as("lut"))
+      .select(col("qid"), col("lut"),
         explode(slice(array_sort(array((0 until k).map(c =>
           struct(sqL2(col("qe"), array(coarse(c).map(lit): _*)).as("d"),
             lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
-      .select(col("qid"), col("qe"), col("cc.cell").as("cell"))
-    // the ADC lookup table: lut[m][c] = ||q_sub_m - codebook_m[c]||²,
-    // computed once per probe on the (nprobe × 10-row) broadcast side
-    val lut = probes.select(col("qid"), col("cell"),
-      array((0 until PqM).map { m =>
-        array(pq(m).indices.map { c =>
-          sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
-            array(pq(m)(c).map(lit): _*))
-        }: _*)
-      }: _*).as("lut"))
+      .select(col("qid"), col("cc.cell").as("cell"), col("lut"))
     // one generated index-order loop (≡ the oracle's left-to-right
     // l0.d + l1.d + … association); `+ 0.0` at the consumers drops a
     // negated zero (q79 precedent)
@@ -1809,6 +1909,57 @@ object SimilarityOps {
        |                            ORDER BY cos DESC, cid) AS rnk
        |  FROM s) WHERE rnk <= 5""".stripMargin
 
+  /** q134: the IVF chain + label-predicate retrieval. The nprobe cell
+    * ranking is the q97 `pr` spelling (row_number over squared-L2 to each
+    * trained centroid, cell tiebreak ≡ Spark's array_sort on (d, cell));
+    * the label filter is an equi-join exactly as in the Spark plan. */
+  private def filteredAnnOracleSql(k: Int, iters: Int, nprobe: Int): String =
+    s"""${ivfPrefixSql(k, iters)},
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |pr0 AS (SELECT a.vec_id AS qid, a.v AS qe, lb.label
+       |        FROM af a JOIN lb ON lb.vec_id = a.vec_id
+       |        WHERE a.vec_id < 10),
+       |pr AS (SELECT qid, qe, label, cell FROM (
+       |  SELECT pr0.qid, pr0.qe, pr0.label, c.cell,
+       |         row_number() OVER (PARTITION BY pr0.qid
+       |           ORDER BY list_sum([(pr0.qe[i]-c.cent[i])*(pr0.qe[i]-c.cent[i])
+       |                              FOR i IN range(1, ${Dim + 1})]),
+       |                    c.cell) AS rn
+       |  FROM pr0, c$iters c) WHERE rn <= $nprobe),
+       |s AS (SELECT pr.qid, a.vec_id AS cid,
+       |             list_cosine_similarity(pr.qe, a.v) AS cos
+       |      FROM af a
+       |      JOIN lb ON lb.vec_id = a.vec_id
+       |      JOIN pr ON a.cell = pr.cell AND lb.label = pr.label
+       |             AND a.vec_id != pr.qid)
+       |SELECT qid, cid, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rnk
+       |  FROM s) WHERE rnk <= 5""".stripMargin
+
+  /** q135: the IVF chain + near-dup exclusion (raw-cosine < posThr — both
+    * kernels are bit-identical, q35 parity, so the cut agrees) + top-negK. */
+  private def hardNegativesOracleSql(k: Int, iters: Int, nprobe: Int,
+      negK: Int, posThr: String): String =
+    s"""${ivfPrefixSql(k, iters)},
+       |pr0 AS (SELECT vec_id AS qid, v AS qe FROM af WHERE vec_id < 10),
+       |pr AS (SELECT qid, qe, cell FROM (
+       |  SELECT pr0.qid, pr0.qe, c.cell,
+       |         row_number() OVER (PARTITION BY pr0.qid
+       |           ORDER BY list_sum([(pr0.qe[i]-c.cent[i])*(pr0.qe[i]-c.cent[i])
+       |                              FOR i IN range(1, ${Dim + 1})]),
+       |                    c.cell) AS rn
+       |  FROM pr0, c$iters c) WHERE rn <= $nprobe),
+       |s AS (SELECT pr.qid, a.vec_id AS cid,
+       |             list_cosine_similarity(pr.qe, a.v) AS cos
+       |      FROM af a JOIN pr ON a.cell = pr.cell AND a.vec_id != pr.qid)
+       |SELECT qid, cid, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rnk
+       |  FROM s WHERE cos < $posThr) WHERE rnk <= $negK""".stripMargin
+
   /** q79: cosine of every vector to its own cell centroid. Keeper = max
     * 6-decimal-rounded cosine / lowest vec_id per cell; the OUTPUT rounds
     * the raw cosine to 4 once (never round-of-round — the 6-then-4 double
@@ -2024,6 +2175,9 @@ object SimilarityOps {
                 round(list_cosine_similarity(a.v, c.v), 4) AS cosine
          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id""",
     "q39_ann_ivf" -> ivfAnnOracleSql(8, 3),
+    "q134_ann_filtered" -> filteredAnnOracleSql(8, 3, nprobe = 3),
+    "q135_hard_negatives" ->
+      hardNegativesOracleSql(8, 3, nprobe = 3, negK = 8, posThr = "0.3"),
     "q97_ann_ivfpq" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),

@@ -61,6 +61,50 @@ object PlanCheck {
       cartesian = plan.contains("CartesianProduct"))
   }
 
+  /** Post-Generate recompute lint (the q118 `postingsOf` regression class):
+    * a Project sitting ABOVE a Generate runs once per GENERATED row, so an
+    * expensive expression there that references only columns carried
+    * through from the generator's input (never the generator output) is
+    * re-evaluated explode-fanout× more often than needed — it belongs in a
+    * projection BELOW the Generate. Spelling `size(split(text))` beside
+    * `explode(split(text))` in one select is the canonical trap (measured
+    * 72 s vs 3.5 s for the q118 postings pass on the 30× scale corpus).
+    * Returns one human-readable finding per offending expression;
+    * `PlanBaselineSpec` asserts the count is ZERO for every gated query. */
+  def postGenerateRecomputes(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.execution.{GenerateExec, InputAdapter, ProjectExec}
+    def expensive(e: Expression): Boolean = e match {
+      case _: StringSplit | _: RegExpExtract | _: RegExpExtractAll |
+          _: RegExpReplace | _: RLike | _: GetJsonObject | _: JsonToStructs |
+          _: Sha1 | _: Sha2 | _: Md5 | _: Crc32 => true
+      case _: HigherOrderFunction => true
+      case _ => false
+    }
+    def stripAdapter(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: InputAdapter => a.child
+      case other => other
+    }
+    plan.collect {
+      case proj @ ProjectExec(_, child) =>
+        stripAdapter(child) match {
+          case g: GenerateExec =>
+            val carried = AttributeSet(g.requiredChildOutput)
+            proj.projectList.flatMap { ne =>
+              ne.collect {
+                case e if expensive(e) && e.references.nonEmpty &&
+                    e.references.subsetOf(carried) =>
+                  s"${e.getClass.getSimpleName}(${e.references.toSeq
+                    .map(_.name).sorted.mkString(",")}) evaluated per " +
+                    s"generated row above ${g.generator.getClass.getSimpleName}"
+              }
+            }
+          case _ => Nil
+        }
+    }.flatten
+  }
+
   val BaselinePath = "src/test/resources/plan-baseline.tsv"
 
   def main(args: Array[String]): Unit = {
@@ -88,6 +132,8 @@ object PlanCheck {
             s"shuffles=${sig.shuffles} wscg=${sig.wscg} joins=${sig.joins}")
           pushed.filter(_.nonEmpty).foreach(p => println(s"   pushed: $p"))
           if (sig.cartesian) println(s"   !! cartesian product in $name")
+          postGenerateRecomputes(df.queryExecution.executedPlan)
+            .foreach(f => println(s"   !! post-Generate recompute: $f"))
           out ++= s"$name\t${sig.tsv}\n"
         } catch {
           case e: Throwable => println(s"== $name ERROR ${e.getMessage.take(100)}")

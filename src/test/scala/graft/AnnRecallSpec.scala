@@ -43,6 +43,81 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.9, f"mean re-ranked IVF-PQ recall $mean%.2f")
   }
 
+  test("filtered ANN: recall vs label-filtered brute force >= 60%; labels all match") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.CosineSimilarity.cosineSim
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // label-filtered brute-force ground truth (same kernel, same probes)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label"))
+    val brute = e.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("label"))
+      .join(org.apache.spark.sql.functions.broadcast(q),
+        Seq("label"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosineSim(col("qe"), col("ce")).as("cos"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .take(5).map(_.getLong(1)).toSet
+      }
+    val got = top5("q134_ann_filtered")
+    // every returned candidate must share the probe's label (the filter
+    // is a CONTRACT, not a preference)
+    got.foreach { case (qid, cids) =>
+      cids.foreach(c => assert(labels(c) == labels(qid),
+        s"q134 returned cid $c (label ${labels(c)}) for qid $qid " +
+          s"(label ${labels(qid)})"))
+    }
+    val recalls = brute.map { case (qid, truth) =>
+      got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble /
+        math.max(truth.size, 1)
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe=3 of 8 cells with the label thinning each cell ~8x: the
+    // floor guards a broken probe path, measured value is data-dependent
+    info(f"measured filtered-ANN mean recall@5: $mean%.3f")
+    assert(mean >= 0.6, f"mean filtered-ANN recall $mean%.2f")
+  }
+
+  test("hard negatives: none is a near-duplicate; top picks match filtered brute force >= 60%") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.CosineSimilarity.cosineSim
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+    val rows = SparkEntry.queries("q135_hard_negatives")(spark, dir).collect()
+    // contract: every emitted cosine is strictly below the q36 near-dup
+    // threshold — a hard negative that is secretly a positive poisons a
+    // contrastive loss
+    rows.foreach(r => assert(r.getDouble(2) < 0.3 + 5e-5,
+      s"q135 emitted a near-duplicate pair: $r"))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val brute = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosineSim(col("qe"), col("ce")).as("cos"))
+      .filter(col("cos") < 0.3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .take(8).map(_.getLong(1)).toSet
+      }
+    val recalls = brute.map { case (qid, truth) =>
+      got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble /
+        math.max(truth.size, 1)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"measured hard-negative mean recall@8: $mean%.3f")
+    assert(mean >= 0.6, f"mean hard-negative recall $mean%.2f")
+  }
+
   test("IVF-PQ: ADC output is exactly reproducible from codes + codebooks") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps

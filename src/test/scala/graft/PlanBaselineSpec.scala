@@ -45,4 +45,24 @@ class PlanBaselineSpec extends AnyFunSuite {
       diffs.mkString("plan regressions (regenerate baseline if intended):\n  ",
         "\n  ", ""))
   }
+
+  test("no query recomputes an expensive expression above a Generate") {
+    // The q118 postingsOf regression class: a Project above a Generate runs
+    // per GENERATED row, so split/regexp/json/HOF expressions there that
+    // reference only carried-through input columns pay explode-fanout×
+    // redundant work. Such expressions belong below the Generate.
+    graft.queries.CurationOps.clearCache()
+    graft.queries.DedupOps.clearCache()
+    graft.queries.SimilarityOps.clearCache()
+    graft.queries.IndexOps.clearCache()
+    val findings = PlanCheck.withStaticPlans(spark) {
+      SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        PlanCheck.postGenerateRecomputes(
+          SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+          .map(f => s"$name: $f")
+      }
+    }
+    assert(findings.isEmpty,
+      findings.mkString("post-Generate recomputes:\n  ", "\n  ", ""))
+  }
 }
