@@ -269,6 +269,17 @@ object Lint {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val sqlBad = selectStarViolations(models)
       .map(_ -> "SELECT * in raw-layer SQL")
+    // Every model's PHYSICAL plan is also screened for the post-Generate
+    // recompute class (expensive expressions re-evaluated per exploded
+    // row — the q118 postingsOf regression; PlanBaselineSpec pins the
+    // gated queries, this covers user-authored models the same way).
+    val genBad = models.flatMap { m =>
+      try graft.tools.PlanCheck
+        .postGenerateRecomputes(
+          m.derive(spark, cfg).queryExecution.executedPlan)
+        .map(m.name -> _)
+      catch { case _: Throwable => Nil } // unresolvable here ≠ a lint hit
+    }
     val dfBad = models
       .filter(m => m.layer == "raw" && m.build.isDefined &&
         !m.lintWaivers.contains(InvalidSelectStarExpansion))
@@ -298,6 +309,6 @@ object Lint {
             Some(m.name -> s"underivable (cannot lint): ${e.getMessage}")
         }
       }
-    sqlBad ++ dfBad
+    sqlBad ++ dfBad ++ genBad
   }
 }

@@ -102,8 +102,97 @@ object RpForest {
     * checkpointed at sf0.1). Thresholds are collected to the driver —
     * T·(2^depth − 1) rows of bounded metadata, the centroid-artifact
     * tier — so the per-level split join is a literal broadcast. */
-  def build(s: SparkSession, e: DataFrame, trees: Int, depth: Int,
+  /** Size gate for the driver-local tier (the NnDescent/BpeTrainer
+    * `driverMax` contract): a corpus of ≤ this many vectors builds the
+    * IDENTICAL forest in local Scala — the distributed build's per-level
+    * checkpoint + threshold-collect rounds are pure dispatch floor at
+    * slice scale (JobsProbe: 32 jobs / 2.95 s on the 6k-vector sf0.1
+    * bench corpus), while past the gate the shuffle-bounded level loop
+    * takes over untouched. `take(max+1)` doubles as the branch probe.
+    * Local ≡ distributed is asserted by AnnRecallSpec (exact leaf /
+    * threshold / route equality — same micro-unit HALF_UP rounding, same
+    * LCG coefficients, same floor(sum/cnt) in the same double
+    * arithmetic). */
+  val DriverMaxVectors: Long = 8192L
+
+  /** Spark `round(x·1e6)`'s exact local twin: HALF_UP on the decimal
+    * string value (scala BigDecimal(double) = valueOf = shortest-repr),
+    * NOT `math.round` (which rounds −2.5 to −2 where Spark gives −3). */
+  private def microLocal(x: Float): Long =
+    scala.math.BigDecimal(x.toDouble * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def buildLocal(s: SparkSession,
+      rows: Array[org.apache.spark.sql.Row], trees: Int, depth: Int,
       dim: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val n = rows.length
+    val ids = rows.map(_.getLong(0))
+    val mvs = rows.map(_.getSeq[Float](1).toArray.map(microLocal))
+    val thrOut = Seq.newBuilder[(Int, Int, Int, Long)]
+    val leafOut = Seq.newBuilder[(Int, Long, Int)]
+    var t = 0
+    while (t < trees) {
+      val node = new Array[Int](n)
+      var l = 0
+      while (l < depth) {
+        // coefficient table for this (tree, level): 2^l × dim longs
+        val coefs = Array.tabulate(1 << l, dim)((nd, d) => hCoef(t, l, nd, d))
+        val projs = new Array[Long](n)
+        val sums = new Array[Long](1 << l)
+        val cnts = new Array[Long](1 << l)
+        var i = 0
+        while (i < n) {
+          val h = coefs(node(i))
+          val mv = mvs(i)
+          var dot = 0L
+          var d = 0
+          val lim = math.min(mv.length, dim)
+          while (d < lim) { dot += mv(d) * h(d); d += 1 }
+          projs(i) = dot
+          sums(node(i)) += dot
+          cnts(node(i)) += 1
+          i += 1
+        }
+        // floor(sum.cast(double) / count) — Spark's exact spelling
+        val thr = Array.tabulate(1 << l) { nd =>
+          if (cnts(nd) == 0) 0L
+          else math.floor(sums(nd).toDouble / cnts(nd)).toLong
+        }
+        var nd = 0
+        while (nd < (1 << l)) {
+          if (cnts(nd) > 0) thrOut += ((t, l, nd, thr(nd)))
+          nd += 1
+        }
+        i = 0
+        while (i < n) {
+          node(i) = node(i) * 2 + (if (projs(i) <= thr(node(i))) 0 else 1)
+          i += 1
+        }
+        l += 1
+      }
+      var i = 0
+      while (i < n) { leafOut += ((t, ids(i), node(i))); i += 1 }
+      t += 1
+    }
+    (leafOut.result().toDF("t", "vec_id", "node"),
+      thrOut.result().toDF("t", "l", "node", "thr"))
+  }
+
+  def build(s: SparkSession, e: DataFrame, trees: Int, depth: Int,
+      dim: Int, driverMax: Long = DriverMaxVectors)
+      : (DataFrame, DataFrame) = {
+    if (driverMax > 0) {
+      val probe = e.select(col("vec_id"), col("embedding"))
+        .take(driverMax.toInt + 1)
+      if (probe.length <= driverMax)
+        return buildLocal(s, probe, trees, depth, dim)
+    }
+    buildImpl(s, e, trees, depth, dim)
+  }
+
+  private def buildImpl(s: SparkSession, e: DataFrame, trees: Int,
+      depth: Int, dim: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val base = e.select(col("vec_id"), microVec(col("embedding")).as("mv"))
       .crossJoin(treeIds(s, trees))
@@ -142,7 +231,65 @@ object RpForest {
     * the identical projection arithmetic as the build, so the near
     * path reproduces their build assignment exactly. */
   def probeRoute(s: SparkSession, probes: DataFrame, thresholds: DataFrame,
-      trees: Int, depth: Int, dim: Int, margin: Long): DataFrame = {
+      trees: Int, depth: Int, dim: Int, margin: Long,
+      driverMax: Long = DriverMaxVectors): DataFrame = {
+    if (driverMax > 0) {
+      val p = probes.select(col("vec_id"), col("embedding"))
+        .take(driverMax.toInt + 1)
+      if (p.length <= driverMax) {
+        // thresholds are T·(2^depth − 1) rows of bounded routing metadata
+        // by the build contract — collecting them IS the serving tier's
+        // artifact load, not a corpus read
+        val thr = thresholds.select(col("t"), col("l"), col("node"),
+            col("thr")).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+          .toMap
+        return probeRouteLocal(s, p, thr, trees, depth, dim, margin)
+      }
+    }
+    probeRouteImpl(s, probes, thresholds, trees, depth, dim, margin)
+  }
+
+  private def probeRouteLocal(s: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      thr: Map[(Int, Int, Int), Long], trees: Int, depth: Int, dim: Int,
+      margin: Long): DataFrame = {
+    import s.implicits._
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val mv = r.getSeq[Float](1).toArray.map(microLocal)
+      var t = 0
+      while (t < trees) {
+        var frontier = List(0)
+        var l = 0
+        while (l < depth) {
+          frontier = frontier.flatMap { nd =>
+            thr.get((t, l, nd)) match {
+              case None => Nil // empty node: no rows reached it at build
+              case Some(cut) =>
+                var dot = 0L
+                var d = 0
+                val lim = math.min(mv.length, dim)
+                while (d < lim) { dot += mv(d) * hCoef(t, l, nd, d); d += 1 }
+                val near = nd * 2 + (if (dot <= cut) 0 else 1)
+                if (math.abs(dot - cut) <= margin)
+                  List(near, nd * 2 + (if (dot <= cut) 1 else 0))
+                else List(near)
+            }
+          }
+          l += 1
+        }
+        frontier.foreach(nd => out += ((qid, t, nd)))
+        t += 1
+      }
+    }
+    out.result().toDF("qid", "t", "node")
+  }
+
+  private def probeRouteImpl(s: SparkSession, probes: DataFrame,
+      thresholds: DataFrame, trees: Int, depth: Int, dim: Int,
+      margin: Long): DataFrame = {
     val base = probes
       .select(col("vec_id").as("qid"), microVec(col("embedding")).as("mv"))
       .crossJoin(treeIds(s, trees))

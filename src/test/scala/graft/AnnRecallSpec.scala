@@ -548,6 +548,33 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(routed == built, "zero-margin probe route must equal build assignment")
   }
 
+  test("q133 RP-forest: driver tier is bit-exact vs the distributed build and route") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (lLoc, tLoc) = graft.operators.RpForest.build(spark, e, 3, 3, 64)
+    val (lDist, tDist) =
+      graft.operators.RpForest.build(spark, e, 3, 3, 64, driverMax = 0L)
+    def leafSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    def thrSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(leafSet(lLoc) == leafSet(lDist),
+      "local leaves must equal distributed leaves")
+    assert(thrSet(tLoc) == thrSet(tDist),
+      "local thresholds must equal distributed thresholds")
+    val probes = e.filter(col("vec_id") < 10)
+    val margin = 400000000L
+    def routeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val rLoc = graft.operators.RpForest
+      .probeRoute(spark, probes, tLoc, 3, 3, 64, margin)
+    val rDist = graft.operators.RpForest
+      .probeRoute(spark, probes, tDist, 3, 3, 64, margin, driverMax = 0L)
+    assert(routeSet(rLoc) == routeSet(rDist),
+      "local spill route must equal distributed spill route")
+  }
+
   test("q132 OPQ: device booleans hold, and rotation does not hurt quantization MSE") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps
