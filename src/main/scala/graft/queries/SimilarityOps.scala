@@ -917,6 +917,23 @@ object SimilarityOps {
     // [[ivfPqTop5]]/[[ivfPqRerank]] with maxVec = MaxValue.
     "q97_ann_ivfpq" -> ((s, dir) => ivfPqTop5(s, dir, IvfPqGateSlice)),
 
+    // IVF-PQ with RESIDUAL encoding (Jégou et al. 2011 §IV.B — FAISS's
+    // by_residual=true DEFAULT, the one rung q97 left out): each vector
+    // is PQ-encoded as (x − centroid(cell)) instead of raw x, so the
+    // codebooks spend their 2^bits resolution on the WITHIN-cell spread
+    // rather than re-describing the coarse structure the cell id already
+    // carries; at query time the LUT becomes per (probe, PROBED CELL) —
+    // ||(q − c_cell)_sub − codebook[sub][code]||² — which is why the LUT
+    // projection sits ABOVE the nprobe explode here (it genuinely depends
+    // on the generator output; the lint's carried-column test stays
+    // clean). Residuals are float-cast in BOTH engines (the q132 rotated-
+    // corpus precedent), training/encoding rides the standing pqCodebooks
+    // / PqExpr machinery via the src override, and the coarse artifact is
+    // SHARED with q39/q97. AnnRecallSpec measures the by_residual claim:
+    // ADC-only recall vs q97's raw-encoding ADC on the same chain.
+    "q136_ann_ivfpq_residual" -> ((s, dir) =>
+      ivfPqResidualTop5(s, dir, IvfPqGateSlice)),
+
     // IVF-PQ with an exact RE-RANK tail (r9 verdict item 8 — the
     // standard production shape: ADC is a cheap, lossy filter whose
     // top-R survivors are re-scored against the RAW vectors, recovering
@@ -1463,6 +1480,85 @@ object SimilarityOps {
         round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
         (col("pos") + 1).cast("long").as("rnk"))
 
+  /** q136's body: by_residual IVF-PQ ADC top-5. Residual = one narrow
+    * zip_with against the per-cell centroid literal, FLOAT-cast in both
+    * engines (the q132 rotated-corpus precedent — the cast pins the
+    * value set both chains train on); training/encoding rides the
+    * standing pqCodebooks/PqExpr machinery via the src override; the LUT
+    * is per (probe, PROBED cell) — by_residual's serve-time cost — so
+    * its projection legitimately sits above the nprobe explode
+    * (references the generator output; the carried-column lint stays
+    * clean). */
+  /** (vec_id, cell, embedding=float residual v − cent(cell)) — the
+    * by_residual corpus q136 trains/encodes on; shared with the
+    * AnnRecallSpec reproducibility device. */
+  private[graft] def residualCorpus(s: SparkSession, dir: String,
+      maxVec: Long): DataFrame = {
+    val (k, iters) = (8, 3)
+    val coarse = lloydCentroids(s, dir, k, iters, maxVec)
+    val e0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val e = if (maxVec == Long.MaxValue) e0
+            else e0.filter(col("vec_id") < maxVec)
+    val centArr = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    e.select(col("vec_id"),
+        NearestCentroid.cell(col("embedding"), coarse).as("cell"),
+        col("embedding"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), element_at(centArr, col("cell") + 1),
+          (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+      .localCheckpoint(eager = false)
+  }
+
+  private[graft] def ivfPqResidualTop5(s: SparkSession, dir: String,
+      maxVec: Long = Long.MaxValue): DataFrame = {
+    val (k, iters, nprobe) = (8, 3, 2)
+    val coarse = lloydCentroids(s, dir, k, iters, maxVec)
+    val e0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val e = if (maxVec == Long.MaxValue) e0
+            else e0.filter(col("vec_id") < maxVec)
+    val centArr = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centArr, cell + 1),
+        (x, c) => (x.cast("double") - c).cast("float"))
+    def sqL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+    val res = residualCorpus(s, dir, maxVec)
+    val pq = pqCodebooks(s, dir, PqM, PqK, PqIters, maxVec = maxVec,
+      src = Some(res.select(col("vec_id"), col("embedding"))),
+      srcTag = "resid")
+    val enc = res.select(col("vec_id"), col("cell"),
+      org.apache.spark.sql.graft.PqExpr
+        .encode(col("embedding"), pq).as("codes"))
+    val lut = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        explode(slice(array_sort(array((0 until k).map(c =>
+          struct(sqL2(col("qe"), array(coarse(c).map(lit): _*)).as("d"),
+            lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+      .select(col("qid"), col("cc.cell").as("cell"),
+        residual(col("qe"), col("cc.cell")).as("qr"))
+      .select(col("qid"), col("cell"),
+        array((0 until PqM).map { m =>
+          array(pq(m).indices.map { c =>
+            sqL2(slice(col("qr"), m * PqSub + 1, PqSub),
+              array(pq(m)(c).map(lit): _*))
+          }: _*)
+        }: _*).as("lut"))
+    enc.join(broadcast(lut), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        org.apache.spark.sql.graft.PqExpr
+          .adc(col("codes"), col("lut")).as("adc"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(negate(col("adc")) + lit(0.0), col("cid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("cid"),
+        round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** q123's body: ADC top-R cut, exact raw-cosine re-rank, top-5. */
   private[graft] def ivfPqRerank(s: SparkSession, dir: String,
       maxVec: Long = Long.MaxValue): DataFrame = {
@@ -1556,7 +1652,15 @@ object SimilarityOps {
     * subvector), `p$iters` (final codebooks) and `paf` (final code
     * assignment). Assumes [[ivfPrefixSql]]'s `e` CTE is already in
     * scope. */
-  private def pqPrefixSql(m: Int, k: Int, iters: Int): String = {
+  /** `src` = the (vec_id, v) CTE the PQ chain trains on and encodes —
+    * "e" for the raw corpus (q97/q123), a residual relation for q136.
+    * `materialize` emits MATERIALIZED subvector CTEs — required when src
+    * is itself a derived chain (DuckDB inlines multi-referenced CTEs, so
+    * est's four references would each replay the residual chain; measured
+    * 40.5 → ~14 s on the q136 oracle at sf0.1). */
+  private def pqPrefixSql(m: Int, k: Int, iters: Int,
+      src: String = "e", materialize: Boolean = false): String = {
+    val mat = if (materialize) "MATERIALIZED " else ""
     val sub = Dim / m
     def assign(cent: String, out: String, src: String = "est") =
       s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
@@ -1577,13 +1681,13 @@ object SimilarityOps {
       assign(s"p${it - 1}", s"pa$it") + ",\n" +
         update(s"pa$it", s"p${it - 1}", s"p$it")
     }.mkString(",\n")
-    s"""es AS (SELECT e.vec_id, t.sub,
+    s"""es AS $mat(SELECT e.vec_id, t.sub,
        |          list_slice(e.v, CAST(t.sub * $sub + 1 AS INTEGER),
        |                          CAST(t.sub * $sub + $sub AS INTEGER)) AS sv
-       |       FROM e, range(0, $m) t(sub)),
-       |est AS (SELECT * FROM es WHERE vec_id %
+       |       FROM $src e, range(0, $m) t(sub)),
+       |est AS $mat(SELECT * FROM es WHERE vec_id %
        |          (SELECT GREATEST(1, CAST(ceil(count(*) / $PqTrainTarget.0)
-       |                                   AS BIGINT)) FROM e) = 0),
+       |                                   AS BIGINT)) FROM $src) = 0),
        |p0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cell, sv AS cent FROM (
        |         SELECT sub, sv, row_number() OVER (PARTITION BY sub
        |                  ORDER BY vec_id) AS rn FROM est) WHERE rn <= $k),
@@ -1610,18 +1714,18 @@ object SimilarityOps {
     val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
     s"""${ivfPrefixSql(k, iters, where)},
        |${pqPrefixSql(m, pk, pqIters)},
-       |codes AS (SELECT vec_id AS cid,
+       |codes AS MATERIALIZED (SELECT vec_id AS cid,
        |         $codeCols
        |          FROM paf GROUP BY vec_id),
        |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
-       |pr AS (SELECT qid, v, cell FROM (
+       |pr AS MATERIALIZED (SELECT qid, v, cell FROM (
        |  SELECT pr0.qid, pr0.v, c.cell,
        |         row_number() OVER (PARTITION BY pr0.qid
        |           ORDER BY list_sum([(pr0.v[i]-c.cent[i])*(pr0.v[i]-c.cent[i])
        |                              FOR i IN range(1, ${Dim + 1})]),
        |                    c.cell) AS rn
        |  FROM pr0, c$iters c) WHERE rn <= $nprobe),
-       |lut AS (SELECT qid, sub, cell,
+       |lut AS MATERIALIZED (SELECT qid, sub, cell,
        |               list_sum([(qv[i]-cent[i])*(qv[i]-cent[i])
        |                         FOR i IN range(1, ${sub + 1})]) AS d
        |        FROM (SELECT pr0.qid, c.sub, c.cell, c.cent,
@@ -1634,6 +1738,64 @@ object SimilarityOps {
        |sadc AS (SELECT sc.qid, sc.cid, $adcSum AS adc
        |         FROM sc
        |         $lutJoins)""".stripMargin
+  }
+
+  /** q136: the q97 chain with RESIDUAL encoding — er float-casts
+    * (v − cent) exactly as the Spark zip_with does, the PQ chain trains
+    * on er via the src parameter, and the LUT carries the PROBED cell as
+    * an extra key (pcell) because the query residual differs per probed
+    * cell. Everything else is the ivfPqSadcSql recipe verbatim. */
+  private def ivfPqResidualOracleSql(k: Int, iters: Int, m: Int, pk: Int,
+      pqIters: Int, nprobe: Int,
+      where: String = s"vec_id < $IvfPqGateSlice"): String = {
+    val sub = Dim / m
+    val codeCols = (0 until m).map(i =>
+      s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n         ")
+    val lutJoins = (0 until m).map(i =>
+      s"JOIN lut l$i ON l$i.qid = sc.qid AND l$i.pcell = sc.pcell " +
+        s"AND l$i.sub = $i AND l$i.cell = sc.c$i")
+      .mkString("\n         ")
+    val adcSum = (0 until m).map(i => s"l$i.d").mkString(" + ")
+    val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
+    s"""${ivfPrefixSql(k, iters, where)},
+       |er AS MATERIALIZED (SELECT a.vec_id,
+       |         [CAST(CAST(a.v[i] - c.cent[i] AS FLOAT) AS DOUBLE)
+       |          FOR i IN range(1, ${Dim + 1})] AS v
+       |       FROM af a JOIN c$iters c USING (cell)),
+       |${pqPrefixSql(m, pk, pqIters, src = "er", materialize = true)},
+       |codes AS MATERIALIZED (SELECT vec_id AS cid,
+       |         $codeCols
+       |          FROM paf GROUP BY vec_id),
+       |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
+       |pr AS MATERIALIZED (SELECT qid, v, cell FROM (
+       |  SELECT pr0.qid, pr0.v, c.cell,
+       |         row_number() OVER (PARTITION BY pr0.qid
+       |           ORDER BY list_sum([(pr0.v[i]-c.cent[i])*(pr0.v[i]-c.cent[i])
+       |                              FOR i IN range(1, ${Dim + 1})]),
+       |                    c.cell) AS rn
+       |  FROM pr0, c$iters c) WHERE rn <= $nprobe),
+       |prr AS MATERIALIZED (SELECT pr.qid, pr.cell AS pcell,
+       |          [CAST(CAST(pr.v[i] - c.cent[i] AS FLOAT) AS DOUBLE)
+       |           FOR i IN range(1, ${Dim + 1})] AS qr
+       |        FROM pr JOIN c$iters c USING (cell)),
+       |lut AS MATERIALIZED (SELECT qid, pcell, sub, cell,
+       |               list_sum([(qsv[i]-cent[i])*(qsv[i]-cent[i])
+       |                         FOR i IN range(1, ${sub + 1})]) AS d
+       |        FROM (SELECT prr.qid, prr.pcell, c.sub, c.cell, c.cent,
+       |                     list_slice(prr.qr, CAST(c.sub * $sub + 1 AS INTEGER),
+       |                                CAST(c.sub * $sub + $sub AS INTEGER)) AS qsv
+       |              FROM prr, p$pqIters c)),
+       |sc AS (SELECT pr.qid, pr.cell AS pcell, a.vec_id AS cid, $scCodes
+       |       FROM af a JOIN pr ON a.cell = pr.cell AND a.vec_id != pr.qid
+       |       JOIN codes cd ON cd.cid = a.vec_id),
+       |sadc AS (SELECT sc.qid, sc.cid, $adcSum AS adc
+       |         FROM sc
+       |         $lutJoins)
+       |SELECT qid, cid, round(adc, 4) AS adc_dist, rnk FROM (
+       |  SELECT qid, cid, adc,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY adc, cid) AS rnk
+       |  FROM sadc) WHERE rnk <= 5""".stripMargin
   }
 
   private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
@@ -2179,6 +2341,8 @@ object SimilarityOps {
     "q135_hard_negatives" ->
       hardNegativesOracleSql(8, 3, nprobe = 3, negK = 8, posThr = "0.3"),
     "q97_ann_ivfpq" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
+    "q136_ann_ivfpq_residual" ->
+      ivfPqResidualOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 2),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->

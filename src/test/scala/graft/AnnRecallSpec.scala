@@ -151,6 +151,74 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("q136 by_residual IVF-PQ: ADC exactly reproducible from residual codes + codebooks") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    // the by_residual DEFINITION, re-derived driver-side: every emitted
+    // adc_dist must equal Σ_m ||(q − cent(probed cell))_sub_m −
+    // codebook_m[code_m(x − cent(cell(x)))]||² — proves the residual
+    // transform, the src-override training, and the per-(probe, cell)
+    // LUT plumbing compute by_residual and nothing else. (On this
+    // isotropic corpus residual ≈ raw recall — 0.38 vs 0.34/0.42 at
+    // sf0.01/sf0.001; by_residual's recall win needs clustered data, so
+    // the DEVICE is the test, with a floor guarding a broken chain.)
+    val slice = SimilarityOps.IvfPqGateSlice
+    val res = SimilarityOps.residualCorpus(spark, dir, slice)
+    val pq = SimilarityOps.pqCodebooks(spark, dir,
+      SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters,
+      maxVec = slice,
+      src = Some(res.select(col("vec_id"), col("embedding"))),
+      srcTag = "resid")
+    val sub = SimilarityOps.PqSub
+    val resVecs = res.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toIndexedSeq))).toMap
+    val coarse = SimilarityOps.lloydCentroids(spark, dir, 8, 3, slice)
+    val raw = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < slice)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq).toMap
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def code(v: IndexedSeq[Double], m: Int): Int =
+      pq(m).zipWithIndex.minBy { case (c, i) =>
+        (sq(v.slice(m * sub, m * sub + sub), c), i) }._2
+    // per-probe nprobe=2 nearest cells by squared L2 on the RAW vector
+    def probeCells(q: IndexedSeq[Float]): Seq[Int] = {
+      val qd = q.map(_.toDouble)
+      coarse.zipWithIndex.map { case (c, i) => (sq(qd, c), i) }
+        .sortBy(identity).take(2).map(_._2)
+    }
+    def qres(q: IndexedSeq[Float], cell: Int): IndexedSeq[Double] =
+      q.zip(coarse(cell)).map { case (x, c) =>
+        (x.toDouble - c).toFloat.toDouble }.toIndexedSeq
+    val out = SparkEntry.queries("q136_ann_ivfpq_residual")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, cid, adc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (ccell, cres) = resVecs(cid)
+      // the emitted pair's ADC must match under the candidate's OWN cell
+      // (candidates join the LUT on their assignment cell)
+      assert(probeCells(raw(qid)).contains(ccell),
+        s"cid $cid in cell $ccell not among qid $qid's probed cells")
+      val qr = qres(raw(qid), ccell)
+      val expected = (0 until SimilarityOps.PqM).map { m =>
+        sq(qr.slice(m * sub, m * sub + sub), pq(m)(code(cres, m)))
+      }.reduceLeft(_ + _)
+      assert(math.abs(expected - adc) < 5e-5,
+        f"qid=$qid cid=$cid adc=$adc%.4f expected=$expected%.4f")
+    }
+    // recall floor vs brute force (guards a broken chain, not a win claim)
+    val brute = top5("q35_ann_brute")
+    val got = top5("q136_ann_ivfpq_residual")
+    val recalls = brute.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"measured by_residual ADC recall@5: $mean%.3f")
+    assert(mean >= 0.25, f"by_residual ADC recall $mean%.2f")
+  }
+
   test("fused PQ codebook training equals independent per-subspace Lloyd") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps
