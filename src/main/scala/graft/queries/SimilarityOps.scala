@@ -934,6 +934,14 @@ object SimilarityOps {
     "q136_ann_ivfpq_residual" -> ((s, dir) =>
       ivfPqResidualTop5(s, dir, IvfPqGateSlice)),
 
+    // Sharded ANN store (the q125 postings-store recipe on the vector
+    // index): IVF-PQ codes round-trip through a CELL-partitioned parquet
+    // store; serving reads ONLY the probed cells' directories — the
+    // partition-pruned-serve property a 100 TB vector index lives on.
+    // Output ≡ q97 (integers round-trip exactly; same ADC arithmetic),
+    // and the oracle IS q97's SQL — the store moves bytes, not answers.
+    "q137_ann_sharded_store" -> ((s, dir) => annShardedStoreServe(s, dir)),
+
     // IVF-PQ with an exact RE-RANK tail (r9 verdict item 8 — the
     // standard production shape: ADC is a cheap, lossy filter whose
     // top-R survivors are re-scored against the RAW vectors, recovering
@@ -1557,6 +1565,78 @@ object SimilarityOps {
       .select(col("qid"), col("col.payload").as("cid"),
         round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
         (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** q137's body: the q125 sharded-store recipe applied to the ANN
+    * index — IVF-PQ codes round-trip through a CELL-PARTITIONED parquet
+    * store and retrieval reads ONLY the probed cells' directories
+    * (partition pruning on the `cell=` path), the property that lets a
+    * 100 TB vector index serve probes from a fraction of the store. The
+    * probed-cell list is bounded driver state (≤ nprobe · Probes ints —
+    * the per-query unit a serving frontend holds), codes/cells/ids are
+    * integers so the store round-trip is exact, and the ADC arithmetic
+    * is q97's verbatim — output ≡ q97, which is exactly what the oracle
+    * checks (same SQL; the store changes WHERE bytes live, never what
+    * they say). AnnRecallSpec additionally pins result ≡ q97 in-engine
+    * and that the serve scan carries a partition filter. */
+  private[graft] def annShardedStoreServe(s: SparkSession,
+      dir: String): DataFrame = {
+    val (k, iters, nprobe) = (8, 3, 2)
+    val maxVec = IvfPqGateSlice
+    val base = java.nio.file.Files.createTempDirectory("q137_store").toString
+    val coarse = lloydCentroids(s, dir, k, iters, maxVec)
+    val pq = pqCodebooks(s, dir, PqM, PqK, PqIters, maxVec = maxVec)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < maxVec)
+    def sqL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+    e.select(col("vec_id"),
+        NearestCentroid.cell(col("embedding"), coarse).as("cell"),
+        org.apache.spark.sql.graft.PqExpr
+          .encode(col("embedding"), pq).as("codes"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/ivfpq")
+    val store = s.read.parquet(s"$base/ivfpq")
+    val lut = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        array((0 until PqM).map { m =>
+          array(pq(m).indices.map { c =>
+            sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
+              array(pq(m)(c).map(lit): _*))
+          }: _*)
+        }: _*).as("lut"))
+      .select(col("qid"), col("lut"),
+        explode(slice(array_sort(array((0 until k).map(c =>
+          struct(sqL2(col("qe"), array(coarse(c).map(lit): _*)).as("d"),
+            lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+      .select(col("qid"), col("cc.cell").as("cell"), col("lut"))
+      .localCheckpoint(eager = true) // the store dir is deleted on return
+    val cells = lut.select("cell").distinct().collect().map(_.getInt(0))
+    val pruned = store.filter(col("cell").isin(cells.toSeq: _*))
+    // self-verifying serve: the scan must carry the cell partition filter
+    // (directory pruning) — if a refactor ever demotes it to a post-scan
+    // filter, serving would silently read the whole store
+    val scanPlan = pruned.queryExecution.executedPlan.toString
+    require("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scanPlan).isDefined,
+      s"q137 serve scan lost its cell partition filter:\n$scanPlan")
+    val out = pruned.join(broadcast(lut), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        org.apache.spark.sql.graft.PqExpr
+          .adc(col("codes"), col("lut")).as("adc"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(negate(col("adc")) + lit(0.0), col("cid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("cid"),
+        round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .localCheckpoint(eager = true)
+    graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    out
   }
 
   /** q123's body: ADC top-R cut, exact raw-cosine re-rank, top-5. */
@@ -2343,6 +2423,8 @@ object SimilarityOps {
     "q97_ann_ivfpq" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
     "q136_ann_ivfpq_residual" ->
       ivfPqResidualOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 2),
+    // the store round-trip changes nothing — q137's oracle is q97's SQL
+    "q137_ann_sharded_store" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->

@@ -219,6 +219,22 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.25, f"by_residual ADC recall $mean%.2f")
   }
 
+  test("q137 sharded ANN store: serve-through-files ≡ q97, scan partition-pruned to probed cells") {
+    import org.apache.spark.sql.functions._
+    // the store moves bytes, not answers: the full (qid, cid, adc, rnk)
+    // relation must round-trip the cell-partitioned store EXACTLY
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // partition pruning is self-verified INSIDE the operator (it requires
+    // the cell partition filter on the serve scan before executing — the
+    // returned frame is a post-store checkpoint, so the scan isn't
+    // visible out here); equality across the store round-trip is the
+    // out-of-engine half
+    assert(rows("q137_ann_sharded_store") == rows("q97_ann_ivfpq"),
+      "store round-trip must not change the ADC top-5")
+  }
+
   test("fused PQ codebook training equals independent per-subspace Lloyd") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps
