@@ -1579,10 +1579,9 @@ object SimilarityOps {
     * checks (same SQL; the store changes WHERE bytes live, never what
     * they say). AnnRecallSpec additionally pins result ≡ q97 in-engine
     * and that the serve scan carries a partition filter. */
-  private[graft] def annShardedStoreServe(s: SparkSession,
-      dir: String): DataFrame = {
+  private[graft] def annShardedStoreServe(s: SparkSession, dir: String,
+      maxVec: Long = IvfPqGateSlice): DataFrame = {
     val (k, iters, nprobe) = (8, 3, 2)
-    val maxVec = IvfPqGateSlice
     val base = java.nio.file.Files.createTempDirectory("q137_store").toString
     val coarse = lloydCentroids(s, dir, k, iters, maxVec)
     val pq = pqCodebooks(s, dir, PqM, PqK, PqIters, maxVec = maxVec)

@@ -167,7 +167,13 @@ object ScaleStress {
     // count and wall must stay ~linear) and the iterative perceptron
     // (E fixed epochs over the one checkpointed design matrix —
     // per-epoch cost must track corpus size, never epoch count × n²)
-    "q128_tfidf_cosine_pairs", "q129_perceptron_classifier")
+    "q128_tfidf_cosine_pairs", "q129_perceptron_classifier",
+    // round 13 ANN additions, UNSLICED (the q97/q123 override pattern):
+    // filtered ANN and hard negatives probe the full corpus as gated;
+    // by_residual and the sharded store run the full path here so the
+    // curve reflects real train/encode/store/serve cost at corpus scale
+    "q134_ann_filtered", "q135_hard_negatives",
+    "q136_ann_ivfpq_residual", "q137_ann_sharded_store")
 
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val shufRead = new AtomicLong(0L)
@@ -222,7 +228,12 @@ object ScaleStress {
       "q97_ann_ivfpq" ->
         ((s, d) => graft.queries.SimilarityOps.ivfPqTop5(s, d)),
       "q123_ann_ivfpq_rerank" ->
-        ((s, d) => graft.queries.SimilarityOps.ivfPqRerank(s, d)))
+        ((s, d) => graft.queries.SimilarityOps.ivfPqRerank(s, d)),
+      "q136_ann_ivfpq_residual" ->
+        ((s, d) => graft.queries.SimilarityOps.ivfPqResidualTop5(s, d)),
+      "q137_ann_sharded_store" ->
+        ((s, d) => graft.queries.SimilarityOps
+          .annShardedStoreServe(s, d, maxVec = Long.MaxValue)))
 
   private def queryFn(name: String) =
     FullPathOverrides.getOrElse(name, graft.SparkEntry.queries(name))
