@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Full-corpus RP-tree-forest build/route cost across scales (q133's
+  * gate engages the ≤ 8192-vector driver tier; this forces the
+  * DISTRIBUTED level loop — build should track Θ(depth · n · T · dim)
+  * with one shuffle-bounded pass per level, and the probe route should
+  * stay corpus-size-independent since it touches only broadcast
+  * metadata). Usage: runMain graft.tools.RpProbe <dir> [trees] [depth]
+  * [marginLong] — point it at the ScaleStress corpora (x1/x10/x30). */
+object RpProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale_r13c/x1")
+    val trees = args.lift(1).map(_.toInt).getOrElse(3)
+    val depth = args.lift(2).map(_.toInt).getOrElse(3)
+    val margin = args.lift(3).map(_.toLong).getOrElse(400000000L)
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    var leaves: org.apache.spark.sql.DataFrame = null
+    var thrs: org.apache.spark.sql.DataFrame = null
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val (l, t) =
+        graft.operators.RpForest.build(spark, e, trees, depth, 64,
+          driverMax = 0L)
+      leaves = l.localCheckpoint(); thrs = t
+      val rows = leaves.count()
+      println(f"[rp-probe] pass $pass n=$n%d T=$trees d=$depth " +
+        f"build=${(System.nanoTime() - t0) / 1e9}%.2f s leafRows=$rows%d")
+    }
+    val probes = e.filter(col("vec_id") < 10)
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val pl = graft.operators.RpForest.probeRoute(spark, probes, thrs,
+        trees, depth, 64, margin, driverMax = 0L)
+      val cand = graft.operators.RpForest.forestCandidates(leaves, pl)
+      val rows = cand.count()
+      println(f"[rp-probe] pass $pass n=$n%d route+candidates=" +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s candRows=$rows%d " +
+        f"(frac=${rows.toDouble / math.max(n - 1, 1) / 10}%.3f of brute)")
+    }
+    spark.stop()
+  }
+}
