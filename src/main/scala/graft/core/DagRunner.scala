@@ -269,23 +269,47 @@ object Lint {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val sqlBad = selectStarViolations(models)
       .map(_ -> "SELECT * in raw-layer SQL")
+    // Derive every model ONCE, in topological order with temp views
+    // registered as we go — exactly the resolution environment a real run
+    // gives each model — so SQL models mid-DAG lint against their
+    // upstreams instead of failing on a missing view. Derivation is
+    // planning-only (no jobs for lazy frames). A model that still cannot
+    // derive is itself a finding, not a silent skip; only NonFatal is
+    // caught — OOM/interrupts must propagate.
+    val derived: Seq[(Model, Either[String, DataFrame])] =
+      new DagRunner(spark, cfg, models).plan(None).map { m =>
+        try {
+          val df = m.derive(spark, cfg)
+          df.createOrReplaceTempView(m.name)
+          m -> Right(df)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            m -> Left(s"underivable (cannot lint): ${e.getMessage}")
+        }
+      }
     // Every model's PHYSICAL plan is also screened for the post-Generate
     // recompute class (expensive expressions re-evaluated per exploded
     // row — the q118 postingsOf regression; PlanBaselineSpec pins the
     // gated queries, this covers user-authored models the same way).
-    val genBad = models.flatMap { m =>
-      try graft.tools.PlanCheck
-        .postGenerateRecomputes(
-          m.derive(spark, cfg).queryExecution.executedPlan)
-        .map(m.name -> _)
-      catch { case _: Throwable => Nil } // unresolvable here ≠ a lint hit
+    val genBad = derived.flatMap {
+      case (m, Left(why)) => Seq(m.name -> why)
+      case (m, Right(df)) =>
+        try graft.tools.PlanCheck
+          .postGenerateRecomputes(df.queryExecution.executedPlan)
+          .map(m.name -> _)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(m.name -> s"underivable (cannot lint): ${e.getMessage}")
+        }
     }
-    val dfBad = models
-      .filter(m => m.layer == "raw" && m.build.isDefined &&
-        !m.lintWaivers.contains(InvalidSelectStarExpansion))
-      .flatMap { m =>
+    // derivation failures are already reported once (genBad above)
+    val dfBad = derived
+      .collect { case (m, Right(df))
+        if m.layer == "raw" && m.build.isDefined &&
+          !m.lintWaivers.contains(InvalidSelectStarExpansion) => (m, df) }
+      .flatMap { case (m, df) =>
         try {
-          val plan = m.derive(spark, cfg).queryExecution.analyzed
+          val plan = df.queryExecution.analyzed
           m.pinnedSchema match {
             case Some(pin) =>
               val got = plan.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -305,7 +329,7 @@ object Lint {
               else None
           }
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             Some(m.name -> s"underivable (cannot lint): ${e.getMessage}")
         }
       }

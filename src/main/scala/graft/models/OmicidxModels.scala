@@ -86,15 +86,33 @@ object OmicidxModels {
     }.toSeq
 
     // ---- bronze: SRA detail ⋈ accession spine, incremental ----
+    // The spine columns added per entity MIRROR the reference exactly
+    // (`bronze/stg_sra_experiments.sql:13-19`, `stg_sra_runs.sql:13-21`,
+    // `stg_sra_samples.sql:13-20`, `stg_sra_studies.sql:13-17`): samples
+    // must NOT re-alias BioSample and studies must NOT re-alias BioProject,
+    // because the pinned detail schemas (DomainSchemas.sraSample/.sraStudy)
+    // already carry those columns — a duplicate alias is ambiguous under
+    // case-insensitive resolution the moment anything downstream selects it
+    // (the sra_metadata `s.bioproject` reference; caught by Lint since it
+    // started deriving the catalog topologically).
+    val spineCols = Map(
+      "experiments" -> Seq("a.BioSample AS biosample",
+        "a.BioProject AS bioproject"),
+      "runs" -> Seq("a.Experiment AS experiment_ref",
+        "a.Sample AS sample_ref", "a.Study AS study_ref",
+        "a.BioSample AS biosample", "a.BioProject AS bioproject"),
+      "samples" -> Seq("a.Experiment AS experiment_ref",
+        "a.Study AS study_ref", "a.BioProject AS bioproject"),
+      "studies" -> Seq.empty[String])
     val sraStaging = sraEntities.map { case (ent, typ) =>
+      val extra = spineCols(ent).map(c => s", $c").mkString
       Model(s"stg_sra_$ent", layer = "bronze",
         dependsOn = Seq(s"src_sra_$ent", "src_sra_accessions"),
         materialization = Materialization.IncrementalByTimeRange("updated_date"),
         grain = Seq("accession"),
         sql = Some(
           s"""SELECT e.*, CAST(a.Updated AS DATE) AS updated_date,
-              a.Updated AS updated_timestamp, a.Status AS status,
-              a.BioSample AS biosample, a.BioProject AS bioproject
+              a.Updated AS updated_timestamp, a.Status AS status$extra
               FROM src_sra_$ent e
               INNER JOIN src_sra_accessions a ON e.accession = a.Accession
               WHERE a.Type = '$typ'

@@ -52,7 +52,7 @@ object ConnectedComponents {
     if (integral && driverMax > 0) {
       val rows = sym
         .select(col("src").cast("long"), col("dst").cast("long"))
-        .limit(driverMax.toInt + 1).collect()
+        .limit(graft.operators.DriverTier.probeLimit(driverMax)).collect()
       if (rows.length <= driverMax) {
         val comp = unionFind(rows.map(r => (r.getLong(0), r.getLong(1))))
         val mapping = vertices.sparkSession

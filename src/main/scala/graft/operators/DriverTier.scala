@@ -1,0 +1,13 @@
+package graft.operators
+
+/** Shared arithmetic for the size-gated driver tiers (NnDescent, RpForest,
+  * ConnectedComponents, BpeTrainer): every tier probes `driverMax + 1` rows
+  * to decide whether the local path is safe. `take`/`limit` need an Int, and
+  * a caller passing `Long.MaxValue` to force the tier OFF must not overflow
+  * into a negative count. */
+object DriverTier {
+  /** `driverMax + 1` clamped into Int range — the probe count that
+    * distinguishes "fits in the driver tier" from "exceeds it". */
+  def probeLimit(driverMax: Long): Int =
+    (math.min(driverMax, Int.MaxValue - 1L) + 1L).toInt
+}

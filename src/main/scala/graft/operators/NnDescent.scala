@@ -108,7 +108,7 @@ object NnDescent {
       driverMax: Long = DriverMaxVectors): DataFrame = {
     val src = emb.select(col("vec_id"), col("embedding"))
     if (driverMax > 0) {
-      val probe = src.take(driverMax.toInt + 1)
+      val probe = src.take(graft.operators.DriverTier.probeLimit(driverMax))
       if (probe.length <= driverMax)
         return knnGraphLocal(emb.sparkSession, probe, k, iters)
     }
@@ -355,7 +355,7 @@ object NnDescent {
       driverMax: Long = DriverMaxVectors): DataFrame = {
     if (driverMax > 0) {
       val probe = e.select(col("vec_id"), col("embedding"))
-        .take(driverMax.toInt + 1)
+        .take(graft.operators.DriverTier.probeLimit(driverMax))
       if (probe.length <= driverMax)
         return graphSearchLocal(e.sparkSession, graph, probe, queries,
           beam, hops, Left(seeds), topk)
@@ -376,7 +376,7 @@ object NnDescent {
     val sp = seedPairs.select(col("qid"), col("nid"))
     if (driverMax > 0) {
       val probe = e.select(col("vec_id"), col("embedding"))
-        .take(driverMax.toInt + 1)
+        .take(graft.operators.DriverTier.probeLimit(driverMax))
       if (probe.length <= driverMax)
         return graphSearchLocal(e.sparkSession, graph, probe, queries,
           beam, hops, Right(sp), topk)

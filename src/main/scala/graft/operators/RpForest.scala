@@ -184,7 +184,7 @@ object RpForest {
       : (DataFrame, DataFrame) = {
     if (driverMax > 0) {
       val probe = e.select(col("vec_id"), col("embedding"))
-        .take(driverMax.toInt + 1)
+        .take(graft.operators.DriverTier.probeLimit(driverMax))
       if (probe.length <= driverMax)
         return buildLocal(s, probe, trees, depth, dim)
     }
@@ -235,7 +235,7 @@ object RpForest {
       driverMax: Long = DriverMaxVectors): DataFrame = {
     if (driverMax > 0) {
       val p = probes.select(col("vec_id"), col("embedding"))
-        .take(driverMax.toInt + 1)
+        .take(graft.operators.DriverTier.probeLimit(driverMax))
       if (p.length <= driverMax) {
         // thresholds are T·(2^depth − 1) rows of bounded routing metadata
         // by the build contract — collecting them IS the serving tier's

@@ -43,6 +43,13 @@ object SimilarityOps {
   private val NnK = 8
   private val NnBuildK = 16
   private val NnIters = 4
+  /** The graph-family gate slice (q126/q127/q130/q131): every consumer of
+    * [[cachedNnGraph]] must slice the corpus to exactly this bound, or the
+    * cached layer-0 graph would silently describe a different corpus than
+    * the query's. One named constant — shared by the graph builders, the
+    * gate entries, and the unrolled oracle CTEs — so the literals cannot
+    * drift apart. */
+  private[graft] val GraphGateSlice = 600L
   /** q127 beam-search geometry: beam width, expansion hops, entry seeds.
     * Per-query cost Θ(hops·beam·degree) — corpus-size-independent.
     * GraphSearchProbe sweep (sf0.001/sf0.01): 16/3/4 reads 0.94/1.00
@@ -107,6 +114,7 @@ object SimilarityOps {
     fpsCache.clear()
     nnGraphCache.clear()
     hnswLayerCache.clear()
+    shardedServeCache.clear()
   }
 
   /** Per-(session, dir) cache of the NN-Descent graph artifact — a
@@ -123,7 +131,7 @@ object SimilarityOps {
     if (nnGraphCache.size > 64) nnGraphCache.clear()
     nnGraphCache.computeIfAbsent((sessionKey(s), dir), _ =>
       graft.operators.NnDescent.knnGraph(
-        emb(s, dir).filter(col("vec_id") < 600)
+        emb(s, dir).filter(col("vec_id") < GraphGateSlice)
           .select(col("vec_id"), col("embedding")),
         k = NnBuildK, iters = NnIters))
   }
@@ -197,7 +205,7 @@ object SimilarityOps {
       .crossJoin(broadcast(e.agg(min(col("vec_id")).as("nid"))))
     val seeds0 = r1.select(col("qid"), col("nid")).unionByName(fallback)
     val g0 = layer0.getOrElse(
-      if (maxVec == 600L) cachedNnGraph(s, dir)
+      if (maxVec == GraphGateSlice) cachedNnGraph(s, dir)
       else graft.operators.NnDescent.knnGraph(e, k = NnBuildK, iters = NnIters))
     graft.operators.NnDescent.graphSearchFrom(
       g0, e, qs, seeds0, NnBeam, HnswL0Hops, 5)
@@ -999,7 +1007,7 @@ object SimilarityOps {
     // search recall against the brute-force truth directly; the oracle
     // unrolls build chain + all hops (MATERIALIZED CTEs).
     "q127_graph_ann_search" -> ((s, dir) => {
-      val e = emb(s, dir).filter(col("vec_id") < 600)
+      val e = emb(s, dir).filter(col("vec_id") < GraphGateSlice)
         .select(col("vec_id"), col("embedding"))
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -1020,7 +1028,7 @@ object SimilarityOps {
     // kernel cosines, (cos desc, id asc) cuts), so the WHOLE descent
     // unrolls into DuckDB CTEs ([[hnswOracleSql]]) — three prefixed
     // build chains + three beam descents, the q127 recipe iterated.
-    "q130_hnsw_layered_search" -> ((s, dir) => hnswLayeredSearch(s, dir, 600L)),
+    "q130_hnsw_layered_search" -> ((s, dir) => hnswLayeredSearch(s, dir, GraphGateSlice)),
 
     // INCREMENTAL graph maintenance (the graph tier's ingest twin —
     // postings, IVF assignments, MinHash signatures, and PCA moments all
@@ -1032,7 +1040,7 @@ object SimilarityOps {
     // lifecycle recipe); the oracle unrolls build chain + batch descent
     // + back-link fold in DuckDB CTEs.
     "q131_graph_ingest_endstate" -> ((s, dir) => {
-      val sliced = emb(s, dir).filter(col("vec_id") < 600)
+      val sliced = emb(s, dir).filter(col("vec_id") < GraphGateSlice)
         .select(col("vec_id"), col("embedding"))
       val store = sliced.filter(col("vec_id") < 450)
       val batch = sliced.filter(col("vec_id") >= 450)
@@ -1069,7 +1077,7 @@ object SimilarityOps {
     // narrow pass q97 runs; IVF composition for corpus-scale search is
     // exactly q97's dimension and composes unchanged.
     "q132_opq_rotated_pq" -> ((s, dir) => {
-      val sliceMax = 600L
+      val sliceMax = GraphGateSlice
       val e = emb(s, dir).filter(col("vec_id") < sliceMax)
         .select(col("vec_id"), col("embedding"))
       def sqL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -1579,10 +1587,21 @@ object SimilarityOps {
     * checks (same SQL; the store changes WHERE bytes live, never what
     * they say). AnnRecallSpec additionally pins result ≡ q97 in-engine
     * and that the serve scan carries a partition filter. */
+  private val shardedServeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), DataFrame]()
+
   private[graft] def annShardedStoreServe(s: SparkSession, dir: String,
       maxVec: Long = IvfPqGateSlice): DataFrame = {
+    if (shardedServeCache.size > CacheMax) shardedServeCache.clear()
+    shardedServeCache.computeIfAbsent((sessionKey(s), dir, maxVec), _ =>
+      annShardedStoreServeUncached(s, dir, maxVec))
+  }
+
+  private def annShardedStoreServeUncached(s: SparkSession, dir: String,
+      maxVec: Long): DataFrame = {
     val (k, iters, nprobe) = (8, 3, 2)
     val base = java.nio.file.Files.createTempDirectory("q137_store").toString
+    try {
     val coarse = lloydCentroids(s, dir, k, iters, maxVec)
     val pq = pqCodebooks(s, dir, PqM, PqK, PqIters, maxVec = maxVec)
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
@@ -1617,10 +1636,16 @@ object SimilarityOps {
     val pruned = store.filter(col("cell").isin(cells.toSeq: _*))
     // self-verifying serve: the scan must carry the cell partition filter
     // (directory pruning) — if a refactor ever demotes it to a post-scan
-    // filter, serving would silently read the whole store
-    val scanPlan = pruned.queryExecution.executedPlan.toString
-    require("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scanPlan).isDefined,
-      s"q137 serve scan lost its cell partition filter:\n$scanPlan")
+    // filter, serving would silently read the whole store. Inspect the
+    // scan node's partitionFilters expressions directly (not the plan's
+    // string rendering, which is renderer/version fragile).
+    val partFilters = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.partitionFilters
+    }.flatten
+    require(partFilters.exists(_.references.exists(_.name == "cell")),
+      "q137 serve scan lost its cell partition filter:\n" +
+        pruned.queryExecution.executedPlan.toString)
     val out = pruned.join(broadcast(lut), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
@@ -1634,8 +1659,12 @@ object SimilarityOps {
         round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
         (col("pos") + 1).cast("long").as("rnk"))
       .localCheckpoint(eager = true)
-    graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     out
+    } finally {
+      // the checkpointed result no longer needs the store; a throw above
+      // must not leak the temp directory either
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
   }
 
   /** q123's body: ADC top-R cut, exact raw-cosine re-rank, top-5. */
@@ -2427,9 +2456,9 @@ object SimilarityOps {
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->
-      nnDescentOracleSql(NnK, NnBuildK, NnIters, 600L),
-    "q130_hnsw_layered_search" -> hnswOracleSql(600L),
-    "q131_graph_ingest_endstate" -> graphIngestOracleSql(450L, 600L,
+      nnDescentOracleSql(NnK, NnBuildK, NnIters, GraphGateSlice),
+    "q130_hnsw_layered_search" -> hnswOracleSql(GraphGateSlice),
+    "q131_graph_ingest_endstate" -> graphIngestOracleSql(450L, GraphGateSlice,
       NnBuildK, NnIters, NnBeam, NnHops, NnSeeds, NnK),
     // verification device (q108 precedent — the driver Jacobi eigensolve
     // behind the rotation is not SQL-expressible): the Spark side
@@ -2439,7 +2468,7 @@ object SimilarityOps {
       """SELECT vec_id AS qid, 5 AS k, true AS recall_ok, true AS iso_ok
          FROM embeddings WHERE vec_id < 10""",
     "q127_graph_ann_search" -> graphSearchOracleSql(NnBuildK, NnIters,
-      600L, NnBeam, NnHops, NnSeeds, 5),
+      GraphGateSlice, NnBeam, NnHops, NnSeeds, 5),
     "q79_semantic_dedup" -> semanticDedupOracleSql(8, 3),
     // q114: same Lloyd chain; rank = row_number over (cos6 desc, vec_id)
     // per cell ≡ the TopKByScore heap's (score desc, payload asc) order;

@@ -59,14 +59,31 @@ object MakeDemoLake {
     gzLines(geo.resolve("gpl-0001.ndjson.gz"), Seq(
       """{"accession":"GPL1","title":"platform 1","technology":"in situ oligonucleotide"}"""))
 
-    Seq(("SAMN01", "PRJ1", "Homo sapiens"))
-      .toDF("accession", "bioproject", "organism")
+    // NCBI biosample/bioproject and EBI biosample carry the FULL column
+    // set their bronze models project (stg_ncbi_biosample et al.) — the
+    // lint derives every model against this lake, so a thinner fixture
+    // would read as schema drift
+    Seq((false, "2005-05-01 09:00:00", "2005-05-28 10:00:00",
+        "2005-05-02 09:30:00", "public", 1L, "SAMN01", "idr1", "ids1",
+        "SRS001", "none", "GSM1", "biosample one", "a human sample",
+        "Homo sapiens", 9606, "ar1", "tissue=liver", "Generic"))
+      .toDF("is_reference", "submission_date", "last_update",
+        "publication_date", "access", "id", "accession", "id_recs", "ids",
+        "sra_sample", "dbgap", "gsm", "title", "description",
+        "taxonomy_name", "taxon_id", "attribute_recs", "attributes", "model")
       .write.mode("overwrite").parquet(s"$root/biosample/biosample-0001.parquet")
-    Seq(("PRJ1", "project one"))
-      .toDF("accession", "title")
+    Seq(("project one", "a project", "PRJ-one", "PRJ1", "pub1", "loc1",
+        "2005-05-28 10:00:00", "genome", "link1"))
+      .toDF("title", "description", "name", "accession", "publications",
+        "locus_tags", "release_date", "data_types", "external_links")
       .write.mode("overwrite").parquet(s"$root/biosample/bioproject-0001.parquet")
-    Seq(("SAMEA01", "ebi sample"))
-      .toDF("accession", "name")
+    // scalar columns only: the nested columns (characteristics, contact,
+    // _links, …) are supplied as typed nulls by SchemaEnforcement.normalize
+    // against the pinned DomainSchemas.ebiBiosample — exactly the all-null
+    // month case the normalize contract exists for
+    Seq(("SAMEA01", "ebi sample", "2005-05-28 10:00:00",
+        "2005-05-27 10:00:00", "2005-05-26 10:00:00", 9606L))
+      .toDF("accession", "name", "update", "release", "create", "taxId")
       .write.mode("overwrite").parquet(s"$root/ebi_biosample/samples-0001.parquet")
   }
 

@@ -33,8 +33,11 @@ class WarehouseSpec extends AnyFunSuite {
       ("SRX003", "exp three", "SRP001", "OXFORD_NANOPORE"),
       ("SRX999", "orphan (no accession row)", "SRP001", "ILLUMINA"))
       .toDF("accession", "title", "study_accession", "platform")
-    val studies = Seq(("SRP001", "study one", "WGS", "abs"))
-      .toDF("accession", "title", "study_type", "abstract")
+    // BioProject is the study's OWN column (DomainSchemas.sraStudy) — the
+    // staging model no longer re-aliases the spine's, mirroring the
+    // reference's stg_sra_studies select list
+    val studies = Seq(("SRP001", "study one", "WGS", "abs", "PRJ1"))
+      .toDF("accession", "title", "study_type", "abstract", "BioProject")
     Map(
       "src_sra_accessions" -> ((_: SparkSession, _: EngineConfig) => accessions),
       "src_sra_experiments" -> ((_: SparkSession, _: EngineConfig) => experiments),
