@@ -125,6 +125,131 @@ object TextOps {
     * jobs, and 3 epochs already exercise a changing trajectory. */
   private[queries] val PerceptronEpochs = 3
 
+  /** Bound on the perceptron's driver-held weight vector (the BpeTrainer
+    * `driverMax` contract applied to MODEL STATE): the exact raw-vocab
+    * path probes `|vocab| ≤ this` first and, above it, falls back to the
+    * hashed-feature trainer — so no corpus, however large, can materialize
+    * an unbounded weight map on the driver or an unbounded per-epoch
+    * broadcast. Gate corpora have vocabularies in the low thousands, so
+    * the gate always exercises the exact path. */
+  private[graft] val PerceptronVocabMax = 200000L
+
+  /** Bucket count B for the hashed-feature flavor (q138 and the q129
+    * fallback). Small enough that the DuckDB oracle's unrolled epoch CTEs
+    * stay cheap; the trainer itself takes any power-of-two-ish B. */
+  private[graft] val PerceptronHashBuckets = 64
+
+  /** Batch perceptron trainer (Rosenblatt 1958, batch update), shared by
+    * q129 (exact raw-token features) and q138 (hashed features). Features
+    * = token counts (raw or bucketed), labels y = ±1 from the q77 Gopher
+    * rules, E epochs of w += Σ_misclassified y·tf, b += Σ y — ALL INTEGER,
+    * so both engines agree bit-for-bit with zero rounding discipline. The
+    * gate checks the whole TRAJECTORY (per-epoch weights, bias, and
+    * misclassification count), not just the final model.
+    *
+    * Scale shape: the (doc, feat, tf) design matrix materializes ONCE
+    * (partitioned by doc_id; per-epoch margins aggregate without a
+    * re-shuffle and the miss join is co-partitioned); per-epoch weights
+    * are driver state broadcast into the margin join, BOUNDED two ways —
+    * hashed mode is O(B) by construction, and the exact mode probes
+    * `|vocab| ≤ vocabMax` (take(limit), never an unbounded collect) and
+    * falls back to hashed mode above it, the same size-gated-tier shape
+    * as BpeTrainer/ConnectedComponents. Each epoch: the miss set
+    * materializes ONCE (localCheckpoint — three consumers, one compute),
+    * then two tiny collects (the bounded feature updates and the 1-row
+    * bias/nmiss aggregate). E is a fixed hyperparameter: cost = E·2
+    * passes over the checkpointed design matrix, independent of n². */
+  private[graft] def perceptronTrajectory(s: SparkSession, dir: String,
+      hashBuckets: Option[Int],
+      vocabMax: Long = PerceptronVocabMax): DataFrame = {
+    import s.implicits._
+    def hashed(b: Int): Column => Column = tok =>
+      pmod(graft.functions.TextFunctions.stableHash(tok), lit(b))
+        .cast("string")
+    val feat: Column => Column = hashBuckets match {
+      case Some(b) => hashed(b)
+      case None => identity
+    }
+    val dtf0 = docs(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      // y is computed in its own projection BELOW the explode: the
+      // Gopher label runs its regexps once per DOC. Fused into the
+      // explode's projection it would re-evaluate per TOKEN — measured
+      // 3× the whole query's wall at sf0.1 (PerceptronProbe).
+      .select(col("doc_id"),
+        when(gopherKeep, 1L).otherwise(-1L).as("y"), col("toks"))
+      .select(col("doc_id"), col("y"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("y"), feat(col("tok")).as("feat"))
+      .groupBy("doc_id", "y", "feat").agg(count(lit(1)).as("tf"))
+      .repartition(col("doc_id"))
+      .localCheckpoint(eager = false)
+    // model state: feature-keyed integer weights on the driver — the
+    // SIZE-GATED probe, not an unbounded collect
+    val bound = hashBuckets.map(_.toLong).getOrElse(vocabMax)
+    var featRows = dtf0.select("feat").distinct()
+      .take(graft.operators.DriverTier.probeLimit(bound))
+    val dtf =
+      if (featRows.length <= bound) dtf0
+      else {
+        // raw vocabulary exceeds what a driver-held weight vector may
+        // hold: re-train in the hashed feature space (trajectory semantics
+        // change, but only in the regime where the exact path is
+        // impossible — the BpeTrainer driver-tier contract). The hashed
+        // design matrix RE-AGGREGATES the checkpointed raw one — a B-way
+        // co-partitioned fold, never a second corpus scan/explode.
+        val h = dtf0
+          .select(col("doc_id"), col("y"),
+            hashed(PerceptronHashBuckets)(col("feat")).as("feat"), col("tf"))
+          .groupBy("doc_id", "y", "feat").agg(sum(col("tf")).as("tf"))
+          .localCheckpoint(eager = false)
+        featRows = h.select("feat").distinct()
+          .take(PerceptronHashBuckets + 1)
+        h
+      }
+    val vocab = featRows.map(_.getString(0)).sorted
+    var wmap = vocab.map(_ -> 0L).toMap
+    var bias = 0L
+    val traj = Seq.newBuilder[(Long, String, Long)]
+    (1 to PerceptronEpochs).foreach { e =>
+      val wdf = broadcast(wmap.toSeq.toDF("feat", "w"))
+      val miss = dtf.join(wdf, Seq("feat"))
+        .groupBy("doc_id", "y")
+        .agg((sum(col("tf") * col("w")) + lit(bias)).as("margin"))
+        .filter(col("y") * col("margin") <= 0)
+        .select(col("doc_id"), col("y").as("my"))
+        .localCheckpoint() // eager: 1 compute, 3 consumers below
+      // ONE collect per epoch: feature updates ⊎ bias delta ⊎ miss count,
+      // routed by an explicit `kind` column — never by matching the feat
+      // value itself (a doc literally containing "__bias__" must not be
+      // able to corrupt the model). All three branches read the tiny
+      // CHECKPOINTED miss set, so nothing recomputes.
+      val bn = miss.agg(coalesce(sum(col("my")), lit(0L)).as("bd"),
+        count(lit(1)).cast("long").as("nm"))
+      val nullFeat = lit(null).cast("string").as("feat")
+      dtf.join(miss, Seq("doc_id"))
+        .groupBy("feat").agg(sum(col("my") * col("tf")).as("v"))
+        .select(lit("w").as("kind"), col("feat"), col("v"))
+        .unionByName(bn.select(lit("b").as("kind"), nullFeat,
+          col("bd").as("v")))
+        .unionByName(bn.select(lit("n").as("kind"), nullFeat,
+          col("nm").as("v")))
+        .collect()
+        .foreach { r =>
+          val v = r.getLong(2)
+          r.getString(0) match {
+            case "b" => bias += v
+            case "n" => traj += ((e.toLong, "__nmiss__", v))
+            case _ =>
+              val t = r.getString(1)
+              wmap = wmap.updated(t, wmap(t) + v)
+          }
+        }
+      wmap.foreach { case (t, w) => traj += ((e.toLong, t, w)) }
+      traj += ((e.toLong, "__bias__", bias))
+    }
+    traj.result().toDF("epoch", "feat", "wgt")
+  }
+
   /** The Gopher gate as a reusable transform over any frame with `doc_id`
     * and `text` columns — BATCH OR STREAMING (all signals are narrow
     * column expressions, so the same gate drops low-quality docs inside a
@@ -731,66 +856,20 @@ object TextOps {
     // collects (the |vocab|-bounded token updates and the 1-row
     // bias/nmiss aggregate). E is a fixed hyperparameter: cost = E·2
     // passes over the checkpointed design matrix, independent of n².
-    "q129_perceptron_classifier" -> ((s, dir) => {
-      import s.implicits._
-      val dtf = docs(s, dir)
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        // y is computed in its own projection BELOW the explode: the
-        // Gopher label runs its regexps once per DOC. Fused into the
-        // explode's projection it would re-evaluate per TOKEN — measured
-        // 3× the whole query's wall at sf0.1 (PerceptronProbe).
-        .select(col("doc_id"),
-          when(gopherKeep, 1L).otherwise(-1L).as("y"), col("toks"))
-        .select(col("doc_id"), col("y"), explode(col("toks")).as("tok"))
-        .groupBy("doc_id", "y", "tok").agg(count(lit(1)).as("tf"))
-        .repartition(col("doc_id"))
-        .localCheckpoint(eager = false)
-      // model state: vocab-keyed integer weights on the driver (bounded
-      // by |vocab|, the same bound the broadcast join needs anyway)
-      val vocab = dtf.select("tok").distinct().collect()
-        .map(_.getString(0)).sorted
-      var wmap = vocab.map(_ -> 0L).toMap
-      var bias = 0L
-      val traj = Seq.newBuilder[(Long, String, Long)]
-      (1 to PerceptronEpochs).foreach { e =>
-        val wdf = broadcast(wmap.toSeq.toDF("tok", "w"))
-        val miss = dtf.join(wdf, Seq("tok"))
-          .groupBy("doc_id", "y")
-          .agg((sum(col("tf") * col("w")) + lit(bias)).as("margin"))
-          .filter(col("y") * col("margin") <= 0)
-          .select(col("doc_id"), col("y").as("my"))
-          .localCheckpoint() // eager: 1 compute, 3 consumers below
-        // ONE collect per epoch: token updates ⊎ bias delta ⊎ miss count,
-        // routed by an explicit `kind` column — never by matching the tok
-        // value itself (a doc literally containing \"__bias__\" must not be
-        // able to corrupt the model). All three branches read the tiny
-        // CHECKPOINTED miss set, so nothing recomputes.
-        val bn = miss.agg(coalesce(sum(col("my")), lit(0L)).as("bd"),
-          count(lit(1)).cast("long").as("nm"))
-        val nullTok = lit(null).cast("string").as("tok")
-        dtf.join(miss, Seq("doc_id"))
-          .groupBy("tok").agg(sum(col("my") * col("tf")).as("v"))
-          .select(lit("w").as("kind"), col("tok"), col("v"))
-          .unionByName(bn.select(lit("b").as("kind"), nullTok,
-            col("bd").as("v")))
-          .unionByName(bn.select(lit("n").as("kind"), nullTok,
-            col("nm").as("v")))
-          .collect()
-          .foreach { r =>
-            val v = r.getLong(2)
-            r.getString(0) match {
-              case "b" => bias += v
-              case "n" => traj += ((e.toLong, "__nmiss__", v))
-              case _ =>
-                val t = r.getString(1)
-                wmap = wmap.updated(t, wmap(t) + v)
-            }
-          }
-        wmap.foreach { case (t, w) => traj += ((e.toLong, t, w)) }
-        traj += ((e.toLong, "__bias__", bias))
-      }
-      traj.result().toDF("epoch", "feat", "wgt")
-    }),
+    "q129_perceptron_classifier" -> ((s, dir) =>
+      perceptronTrajectory(s, dir, hashBuckets = None)),
+
+    // Hashed-feature perceptron (Weinberger et al., ICML 2009 "feature
+    // hashing"; the fastText bucket trick): IDENTICAL trainer, but
+    // features are stableHash(tok) mod B buckets instead of raw tokens —
+    // the flavor whose driver state is O(B) BY CONSTRUCTION, independent
+    // of the raw vocabulary, i.e. the one you run at corpus scale where
+    // q129's exact-vocab weights cannot fit any driver. Oracle: the same
+    // unrolled epoch CTEs over the bucketed design matrix (both engines
+    // hash with the md5-60bit [[stableHash]], so the trajectories match
+    // bit-for-bit).
+    "q138_perceptron_hashed" -> ((s, dir) =>
+      perceptronTrajectory(s, dir, hashBuckets = Some(PerceptronHashBuckets))),
 
     // Unigram LM scoring (the CCNet-style perplexity-lite quality signal):
     // train a unigram model on the corpus (token → log p, vocab-bounded →
@@ -1011,6 +1090,57 @@ object TextOps {
               ${mean4of6Sql("llr6")} AS importance
        FROM tb JOIN ratio USING (b)
        GROUP BY tb.doc_id"""
+  }
+
+  /** The perceptron oracle generator, shared by q129 (raw-token features)
+    * and q138 (stableHash-mod-B bucketed features — the same md5-60bit
+    * mirror every hashed oracle in this codebase uses). */
+  private def perceptronOracleSql(hashBuckets: Option[Int]): String = {
+    val tokExpr = hashBuckets match {
+      case Some(b) =>
+        s"CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $b " +
+          "AS VARCHAR)"
+      case None => "tok"
+    }
+    val epochCtes = (1 to PerceptronEpochs).map { e =>
+      val pw = if (e == 1) "w0" else s"w${e - 1}"
+      val pb = if (e == 1) "b0" else s"b${e - 1}"
+      s"""marg$e AS (SELECT d.doc_id, d.y,
+              CAST(sum(d.tf * w.w) AS BIGINT) AS m0
+            FROM dtf d JOIN $pw w USING (tok)
+            GROUP BY d.doc_id, d.y),
+         miss$e AS (SELECT doc_id, y FROM marg$e CROSS JOIN $pb
+                    WHERE y * (m0 + b) <= 0),
+         upd$e AS (SELECT tok, CAST(sum(d.y * d.tf) AS BIGINT) AS v
+                   FROM dtf d JOIN miss$e m USING (doc_id)
+                   GROUP BY tok),
+         w$e AS (SELECT w.tok AS tok, w.w + coalesce(u.v, 0) AS w
+                 FROM $pw w LEFT JOIN upd$e u USING (tok)),
+         b$e AS (SELECT b + (SELECT CAST(coalesce(sum(y), 0) AS BIGINT)
+                             FROM miss$e) AS b FROM $pb),
+         nm$e AS (SELECT count(*) AS nm FROM miss$e)"""
+    }.mkString(",\n")
+    val trajOut = (1 to PerceptronEpochs).map { e =>
+      s"""SELECT $e AS epoch, tok AS feat, w AS wgt FROM w$e
+          UNION ALL SELECT $e, '__bias__', b FROM b$e
+          UNION ALL SELECT $e, '__nmiss__', nm FROM nm$e"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH keepq AS (SELECT doc_id, keep FROM ($oracle77ForReuse) k77),
+       dtf AS (SELECT t.doc_id,
+                 CAST(CASE WHEN k.keep THEN 1 ELSE -1 END AS BIGINT) AS y,
+                 $tokExpr AS tok, count(*) AS tf
+               FROM (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents) t
+               JOIN keepq k USING (doc_id)
+               GROUP BY t.doc_id, y, $tokExpr),
+       vocab AS (SELECT DISTINCT tok FROM dtf),
+       w0 AS (SELECT tok, CAST(0 AS BIGINT) AS w FROM vocab),
+       b0 AS (SELECT CAST(0 AS BIGINT) AS b),
+       $epochCtes
+       SELECT CAST(epoch AS BIGINT) AS epoch, feat,
+              CAST(wgt AS BIGINT) AS wgt
+       FROM ($trajOut)"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -1262,51 +1392,14 @@ object TextOps {
                   AS score,
                 (m + pk) > 0 AS pred_keep
          FROM sc CROSS JOIN pri""",
-    // the q129 trajectory re-derived in pure SQL: the E epochs are
+    // the q129/q138 trajectories re-derived in pure SQL: the E epochs are
     // UNROLLED as chained CTEs (marg→miss→upd→w/b/nm per epoch), each
     // generated from the SAME PerceptronEpochs constant the Spark loop
     // iterates — the two sides cannot drift. All-integer arithmetic, so
     // the per-epoch weights/bias/miss-count match bit-for-bit.
-    "q129_perceptron_classifier" -> {
-      val epochCtes = (1 to PerceptronEpochs).map { e =>
-        val pw = if (e == 1) "w0" else s"w${e - 1}"
-        val pb = if (e == 1) "b0" else s"b${e - 1}"
-        s"""marg$e AS (SELECT d.doc_id, d.y,
-                CAST(sum(d.tf * w.w) AS BIGINT) AS m0
-              FROM dtf d JOIN $pw w USING (tok)
-              GROUP BY d.doc_id, d.y),
-           miss$e AS (SELECT doc_id, y FROM marg$e CROSS JOIN $pb
-                      WHERE y * (m0 + b) <= 0),
-           upd$e AS (SELECT tok, CAST(sum(d.y * d.tf) AS BIGINT) AS v
-                     FROM dtf d JOIN miss$e m USING (doc_id)
-                     GROUP BY tok),
-           w$e AS (SELECT w.tok AS tok, w.w + coalesce(u.v, 0) AS w
-                   FROM $pw w LEFT JOIN upd$e u USING (tok)),
-           b$e AS (SELECT b + (SELECT CAST(coalesce(sum(y), 0) AS BIGINT)
-                               FROM miss$e) AS b FROM $pb),
-           nm$e AS (SELECT count(*) AS nm FROM miss$e)"""
-      }.mkString(",\n")
-      val trajOut = (1 to PerceptronEpochs).map { e =>
-        s"""SELECT $e AS epoch, tok AS feat, w AS wgt FROM w$e
-            UNION ALL SELECT $e, '__bias__', b FROM b$e
-            UNION ALL SELECT $e, '__nmiss__', nm FROM nm$e"""
-      }.mkString("\nUNION ALL\n")
-      s"""WITH keepq AS (SELECT doc_id, keep FROM ($oracle77ForReuse) k77),
-         dtf AS (SELECT t.doc_id,
-                   CAST(CASE WHEN k.keep THEN 1 ELSE -1 END AS BIGINT) AS y,
-                   tok, count(*) AS tf
-                 FROM (SELECT doc_id,
-                              unnest(string_split(text, ' ')) AS tok
-                       FROM documents) t
-                 JOIN keepq k USING (doc_id)
-                 GROUP BY t.doc_id, y, tok),
-         vocab AS (SELECT DISTINCT tok FROM dtf),
-         w0 AS (SELECT tok, CAST(0 AS BIGINT) AS w FROM vocab),
-         b0 AS (SELECT CAST(0 AS BIGINT) AS b),
-         $epochCtes
-         SELECT CAST(epoch AS BIGINT) AS epoch, feat,
-                CAST(wgt AS BIGINT) AS wgt
-         FROM ($trajOut)""" },
+    "q129_perceptron_classifier" -> perceptronOracleSql(hashBuckets = None),
+    "q138_perceptron_hashed" ->
+      perceptronOracleSql(hashBuckets = Some(PerceptronHashBuckets)),
     "q81_unigram_lm" ->
       s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),

@@ -8,7 +8,52 @@ import org.apache.spark.sql.functions._
   * per-doc label computed in the explode's projection re-evaluates per
   * token. Usage: `sbt "runMain graft.tools.PerceptronProbe [sfDir]"`. */
 object PerceptronProbe {
+
+  /** `--vocab-gate` mode (r13 verdict item 1): synthesizes corpora whose
+    * RAW VOCABULARY grows with the corpus (unique tokens ∝ rows — the
+    * regime the fixed-25-word ScaleStress corpus can't produce), then runs
+    * the gated trainer at each scale and reports raw |vocab|, which tier
+    * ran, the driver-held feature count, and wall. The demonstration: past
+    * PerceptronVocabMax the trainer switches to hashed features and driver
+    * state stays O(B) while the vocabulary grows without bound. */
+  private def vocabGate(mults: Seq[Int]): Unit = {
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val baseDocs = 30000L
+    mults.foreach { m =>
+      val n = baseDocs * m
+      val dir = s"/tmp/graft_pgate/m$m"
+      val toks = org.apache.spark.sql.functions.transform(
+        sequence(lit(1), lit(60)),
+        j => concat(lit("w"), pmod(col("doc_id") * 60 + j, lit(n))))
+      spark.range(n).toDF("doc_id")
+        .select(col("doc_id"), array_join(toks, " ").as("text"),
+          lit("en").as("lang"), lit("synth").as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rawVocab = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct("t")).head().getLong(0)
+      val t0 = System.nanoTime()
+      val traj = graft.queries.TextOps
+        .perceptronTrajectory(spark, dir, hashBuckets = None)
+        .collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val driverFeats = traj.filter(_.getLong(0) == 1L).length
+      val tier = if (driverFeats <= graft.queries.TextOps.PerceptronHashBuckets + 2)
+        "hashed" else "exact"
+      System.err.println(f"[pgate] m=$m docs=$n rawVocab=$rawVocab " +
+        f"tier=$tier driverFeats=$driverFeats wall=$wall%.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--vocab-gate")) {
+      vocabGate(args.drop(1).headOption.getOrElse("1,10,30")
+        .split(",").map(_.trim.toInt).toSeq)
+      return
+    }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.TextOps
+
+/** Driver-state bound of the perceptron trainer (r13 verdict item 1):
+  * the oracle gates the TRAJECTORIES (q129/q138); this covers the tier
+  * switch itself — the raw-vocab path must refuse to hold more than
+  * `vocabMax` weights on the driver and fall back to the hashed feature
+  * space, byte-identically to calling the hashed flavor directly. */
+class PerceptronSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(r => s"${r.get(0)}|${r.get(1)}|${r.get(2)}")
+      .toSeq.sorted
+
+  test("vocabMax exceeded falls back to the hashed trainer exactly") {
+    val hashed = TextOps.perceptronTrajectory(spark, dir,
+      hashBuckets = Some(TextOps.PerceptronHashBuckets))
+    // vocabMax = 4: any real corpus exceeds it, forcing the fallback
+    val gated = TextOps.perceptronTrajectory(spark, dir,
+      hashBuckets = None, vocabMax = 4L)
+    assert(canon(gated) === canon(hashed))
+  }
+
+  test("hashed trajectory driver state is bounded by B (+bias/nmiss) per epoch") {
+    val rows = TextOps.perceptronTrajectory(spark, dir,
+      hashBuckets = Some(TextOps.PerceptronHashBuckets)).collect()
+    val perEpoch = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perEpoch.nonEmpty)
+    perEpoch.foreach { n =>
+      assert(n <= TextOps.PerceptronHashBuckets + 2,
+        s"epoch emitted $n feature rows > B+2")
+    }
+    // and the exact path at gate scale is genuinely exact (raw tokens)
+    val raw = TextOps.perceptronTrajectory(spark, dir, hashBuckets = None)
+      .collect()
+    val feats = raw.map(_.getString(1)).toSet
+    assert(feats.exists(f => f.exists(_.isLetter) && !f.startsWith("__")),
+      "exact path should carry raw-token features at gate scale")
+  }
+}
