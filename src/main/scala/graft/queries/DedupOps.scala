@@ -51,6 +51,49 @@ object DedupOps {
       .repartition(col("span"))
   }
 
+  /** Minimum duplicated-run length (in tokens) for q139's variable-length
+    * ExactSubstr. Lee et al. 2022 use 50 BPE tokens on web corpora; the
+    * gate corpus averages 54 whitespace tokens per doc, so 8 keeps the
+    * operator exercised on real duplicated runs (1,015 duplicated 8-grams
+    * at sf0.01). Mirrored literally into the DuckDB oracle. */
+  private[queries] val ExactSubstrMinRun = 8
+
+  /** Variable-length exact-substring removal (see the q139 entry for the
+    * algorithm + scale notes). Parameterized on L for ScrubSpec's
+    * fixed-width-subcase equivalence. Output: one row per doc —
+    * (doc_id, n_tokens, n_removed tokens, md5 of the kept tokens joined
+    * by ' '). Every doc appears, including docs shorter than L
+    * (n_removed = 0) — unlike the fixed-width grid there is no
+    * dropped-trailing-remainder, so short docs are meaningful here. */
+  private[graft] def exactSubstrRemoval(s: SparkSession, dir: String,
+      L: Int): DataFrame = {
+    val toks = col("toks")
+    val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    // sliding L-gram digests (doc_id, pos, gh), content-partitioned once
+    val grams = base
+      .filter(size(toks) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(toks) - L),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(L))).cast("binary")))))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "gh"))
+      .repartition(col("gh"))
+    // a gram occurring >= 2 times ANYWHERE (across docs or twice within
+    // one doc) marks tokens [pos, pos+L) of every occurrence
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2).select("gh")
+    val starts = grams.join(dup, Seq("gh"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("ps"))
+    val covered: Column => Column = ti =>
+      exists(col("ps"), p => p <= ti && ti < p + L)
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, (_, i) => covered(i))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", filter(toks, (_, i) => !covered(i)))
+          .cast("binary")).as("kept_md5"))
+  }
+
   /** Shared-stage cache keyed by (session, dir, stage). `computeIfAbsent`
     * is safe under the parallel Verify pool; the build lambda only
     * constructs a lazy plan (the checkpoint materializes on first action).
@@ -362,6 +405,28 @@ object DedupOps {
               struct(col("span_idx"), col("span"))))),
             x => x.getField("span"))).cast("binary")).as("kept_md5"))
     }),
+
+    // VARIABLE-LENGTH exact-substring removal — Lee et al. 2022's actual
+    // ExactSubstr operator (q74/q102 are the fixed-width-grid
+    // simplification, which misses any duplicate that straddles a span
+    // boundary): remove every token covered by a duplicated substring of
+    // >= L tokens, wherever it starts. Exactness comes from a window
+    // identity: a substring of length >= L is duplicated iff every one of
+    // its sliding L-token windows is duplicated, so token-coverage by
+    // duplicated >=L substrings EQUALS token-coverage by duplicated
+    // L-grams — no suffix array needed, and the check distributes as
+    // hash aggregation. Scale shape: the gram TEXT never leaves the map
+    // side — each sliding window is digested to md5 immediately (the q30
+    // "group on the digest" discipline), so the one corpus-sized shuffle
+    // carries (digest, doc_id, pos) rows, partitioned on the digest ONCE
+    // (frequency aggregate and join-back probe side both consume that
+    // exchange — the q74 shape). The duplicated-gram table is join-as-
+    // filter by STATS: tiny at gate SF (broadcast, the pinned plan), and
+    // past the broadcast threshold Catalyst shuffles it onto the already-
+    // digest-partitioned gram stream. Interval union + rebuild are per-doc
+    // array expressions: memory bounded by doc length, no window sort.
+    "q139_exact_substr" -> ((s, dir) =>
+      exactSubstrRemoval(s, dir, ExactSubstrMinRun)),
 
     // Exact n-gram Jaccard — UNBOUNDED. Candidate pairs come from the
     // MinHash-LSH band buckets (same generator as q33: shuffle keyed on
@@ -890,6 +955,35 @@ object DedupOps {
                   CASE WHEN freq < 2 OR rk = 1 THEN span END,
                   ' ' ORDER BY span_idx), '')) AS kept_md5
          FROM r GROUP BY doc_id""",
+    // the same window identity in SQL: duplicated L-grams (count >= 2
+    // over md5'd sliding windows) mark their covered token indices; a
+    // token survives iff no duplicated gram covers it. The coverage test
+    // is a per-doc range join (pos <= ti < pos+L) — the set-based mirror
+    // of the Spark side's exists() over the starts array.
+    "q139_exact_substr" -> {
+      val L = ExactSubstrMinRun
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                      md5(array_to_string(t[i+1:i+$L], ' ')) AS gh
+               FROM (SELECT doc_id, t,
+                            unnest(range(0, len(t) - $L + 1)) AS i
+                     FROM toks WHERE len(t) >= $L)),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         st AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+         tok2 AS (SELECT doc_id, ti, t[ti+1] AS tok
+                  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS ti
+                        FROM toks)),
+         cov AS (SELECT DISTINCT k.doc_id, k.ti
+                 FROM tok2 k JOIN st s ON k.doc_id = s.doc_id
+                   AND s.pos <= k.ti AND k.ti < s.pos + $L)
+         SELECT k.doc_id, count(*) AS n_tokens,
+                CAST(count(c.ti) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN c.ti IS NULL THEN k.tok END,
+                                        ' ' ORDER BY k.ti), '')) AS kept_md5
+         FROM tok2 k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.ti = c.ti
+         GROUP BY k.doc_id"""
+    },
     // identical LSH banding as q33 generates the candidates; the exact
     // jaccard is then recomputed from the full shingle sets (sh CTE comes
     // from sigSql) — mirrors the Spark LSH-then-verify pipeline 1:1

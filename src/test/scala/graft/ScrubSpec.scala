@@ -54,6 +54,80 @@ class ScrubSpec extends AnyFunSuite {
     assert(out === Map(1L -> emptyMd5, 2L -> emptyMd5))
   }
 
+  test("q139 catches cross-boundary duplicates the 3-token grid provably misses") {
+    // an 8-token run shared by docs 1 and 2, at grid-MISALIGNED starts
+    // (pos 1 and pos 2): every aligned 3-span of each doc contains at
+    // least one unique token, so q74's grid removes NOTHING — while the
+    // sliding-window operator removes exactly the 8 duplicated tokens.
+    val run = (1 to 8).map(i => s"D$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      ScrubDoc(1L, s"u1 $run u2 u3", "en", "s", 1),
+      ScrubDoc(2L, s"v1 v2 $run v3", "en", "s", 1)))
+    def m(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val grid = DedupOps.queries("q74_dup_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(grid === Map(1L -> 0L, 2L -> 0L),
+      "the fixed-width grid must miss the misaligned duplicate")
+    val varlen = DedupOps.queries("q139_exact_substr")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(varlen(1L) === ((11L, 8L, m("u1 u2 u3"))))
+    assert(varlen(2L) === ((11L, 8L, m("v1 v2 v3"))))
+  }
+
+  test("q139 within-doc repeats, short docs, and wholly-duplicated docs") {
+    // doc 3 repeats its own 8-gram (offset by one full period) — a
+    // within-doc duplicate, removed; doc 4 is shorter than L (kept
+    // whole, present in the output unlike the grid operator); docs 5/6
+    // are verbatim copies — everything removed, md5("") kept hash.
+    val run = (1 to 8).map(i => s"R$i").mkString(" ")
+    val whole = (1 to 9).map(i => s"W$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      ScrubDoc(3L, s"$run $run z9", "en", "s", 1),
+      ScrubDoc(4L, "a b c", "en", "s", 1),
+      ScrubDoc(5L, whole, "en", "s", 1),
+      ScrubDoc(6L, whole, "en", "s", 1)))
+    def m(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val out = DedupOps.queries("q139_exact_substr")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 3: the gram R1..R8 occurs at pos 0 AND pos 8 (a within-doc
+    // duplicate), so both occurrences' intervals [0,8) and [8,16) are
+    // removed — all 16 run tokens go; z9 survives
+    assert(out(3L) === ((17L, 16L, m("z9"))))
+    assert(out(4L) === ((3L, 0L, m("a b c"))))
+    assert(out(5L) === ((9L, 9L, m(""))))
+    assert(out(6L) === ((9L, 9L, m(""))))
+  }
+
+  test("q139 at L=3 equals the fixed-width grid on aligned-block corpora") {
+    // the fixed-width subcase: docs are concatenations of 3-token blocks,
+    // duplicates occur ONLY as whole aligned blocks, and block-straddling
+    // 3-grams are unique (each non-dup block's tokens are globally
+    // unique). On such a corpus the variable-length operator restricted
+    // to L = W must remove exactly the duplicated blocks — same kept
+    // string as q74, with n_removed in tokens = 3 × the grid's spans.
+    val dir = writeDocs(Seq(
+      ScrubDoc(1L, "a1 a2 a3 d1 d2 d3 b1 b2 b3", "en", "s", 1),
+      ScrubDoc(2L, "c1 c2 c3 d1 d2 d3 e1 e2 e3", "en", "s", 1),
+      ScrubDoc(3L, "f1 f2 f3 g1 g2 g3", "en", "s", 1)))
+    val grid = DedupOps.queries("q74_dup_span_removal")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val varlen = DedupOps.exactSubstrRemoval(spark, dir, L = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(varlen.keySet === grid.keySet)
+    grid.foreach { case (id, (spansRemoved, keptMd5)) =>
+      assert(varlen(id)._1 === spansRemoved * 3L,
+        s"doc $id: token removals must be 3x the grid's span removals")
+      assert(varlen(id)._2 === keptMd5,
+        s"doc $id: kept text must agree on the aligned-block subcase")
+    }
+  }
+
   test("lshPairsTuned at (64, 8, cap 64) is exactly the q31 pipeline") {
     // since round 7 the GATED q31 runs the tuned scale geometry itself —
     // the parameterized entry point at the same knobs must agree exactly
