@@ -937,8 +937,12 @@ object SimilarityOps {
     // clean). Residuals are float-cast in BOTH engines (the q132 rotated-
     // corpus precedent), training/encoding rides the standing pqCodebooks
     // / PqExpr machinery via the src override, and the coarse artifact is
-    // SHARED with q39/q97. AnnRecallSpec measures the by_residual claim:
-    // ADC-only recall vs q97's raw-encoding ADC on the same chain.
+    // SHARED with q39/q97. AnnRecallSpec measures the by_residual claim
+    // where it matters — on the planted-cluster fixture (8 Gaussian
+    // clusters, center scale ≫ σ) residual ADC recall@5 = 0.42 vs plain
+    // ADC 0.28 (and the gap widens with center scale: plain quantizes at
+    // the center scale, residual at σ); on the near-uniform corpus the
+    // two coincide (0.38), as the theory predicts.
     "q136_ann_ivfpq_residual" -> ((s, dir) =>
       ivfPqResidualTop5(s, dir, IvfPqGateSlice)),
 
