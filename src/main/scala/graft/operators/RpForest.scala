@@ -309,6 +309,111 @@ object RpForest {
     }.select(col("qid"), col("t"), col("node"))
   }
 
+  /** Incremental INGEST twin (the `lshPairsIncremental` /
+    * `assignIncremental` contract applied to the forest): route a batch
+    * of NEW vectors down the FROZEN threshold metadata — near child only
+    * (the build rule `proj ≤ thr`, no query-time spill) — to their leaf
+    * assignments. Per-batch cost is Θ(|batch| · T · depth · dim) touching
+    * ONLY broadcast metadata, never the stored corpus: the per-level
+    * loop joins the batch frontier against the T·2^l coefficient rows
+    * and the bounded threshold table. A batch vector reaching a node
+    * that was EMPTY at build time (no threshold row — no corpus vector
+    * ever descended there) descends LEFT by convention: the whole
+    * subtree is empty, so any rule is candidate-equivalent; fixing one
+    * keeps the route engine-portable for the q140 oracle.
+    *
+    * Equivalence (proved in AnnRecallSpec): assignment is per-row under
+    * a frozen threshold table, so store ⊎ insertBatch(batch) ≡ one-pass
+    * routing of corpus ∪ batch, batches compose (b1 ⊎ b2 in one call ≡
+    * two calls), and re-inserting the BUILD corpus reproduces the build
+    * leaves exactly (same micro-unit projections, same floor thresholds).
+    * Like the IVF twin, the structure is data-dependent — a DRIFTED
+    * batch degrades leaf balance rather than correctness; measure with
+    * [[maxLeafShare]] and rebuild past the policy threshold. */
+  def insertBatch(s: SparkSession, batch: DataFrame, thresholds: DataFrame,
+      trees: Int, depth: Int, dim: Int,
+      driverMax: Long = DriverMaxVectors): DataFrame = {
+    if (driverMax > 0) {
+      val p = batch.select(col("vec_id"), col("embedding"))
+        .take(graft.operators.DriverTier.probeLimit(driverMax))
+      if (p.length <= driverMax) {
+        val thr = thresholds.select(col("t"), col("l"), col("node"),
+            col("thr")).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+          .toMap
+        return insertLocal(s, p, thr, trees, depth, dim)
+      }
+    }
+    insertImpl(s, batch, thresholds, trees, depth, dim)
+  }
+
+  private def insertLocal(s: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      thr: Map[(Int, Int, Int), Long], trees: Int, depth: Int,
+      dim: Int): DataFrame = {
+    import s.implicits._
+    val out = Seq.newBuilder[(Int, Long, Int)]
+    rows.foreach { r =>
+      val vid = r.getLong(0)
+      val mv = r.getSeq[Float](1).toArray.map(microLocal)
+      var t = 0
+      while (t < trees) {
+        var nd = 0
+        var l = 0
+        while (l < depth) {
+          nd = thr.get((t, l, nd)) match {
+            case None => nd * 2 // empty subtree: descend left
+            case Some(cut) =>
+              var dot = 0L
+              var d = 0
+              val lim = math.min(mv.length, dim)
+              while (d < lim) { dot += mv(d) * hCoef(t, l, nd, d); d += 1 }
+              nd * 2 + (if (dot <= cut) 0 else 1)
+          }
+          l += 1
+        }
+        out += ((t, vid, nd))
+        t += 1
+      }
+    }
+    out.result().toDF("t", "vec_id", "node")
+  }
+
+  private def insertImpl(s: SparkSession, batch: DataFrame,
+      thresholds: DataFrame, trees: Int, depth: Int, dim: Int): DataFrame = {
+    val base = batch
+      .select(col("vec_id"), microVec(col("embedding")).as("mv"))
+      .crossJoin(treeIds(s, trees))
+      .withColumn("node", lit(0))
+    (0 until depth).foldLeft(base) { (assign, l) =>
+      assign
+        .join(broadcast(levelCoefs(s, trees, l, dim)), Seq("t", "node"))
+        .withColumn("proj", fusedDot(col("mv"), col("harr")))
+        // LEFT join: an empty node has no threshold row — descend left
+        .join(broadcast(thresholds.filter(col("l") === l).drop("l")),
+          Seq("t", "node"), "left")
+        .withColumn("node", col("node") * 2 +
+          when(col("thr").isNull || col("proj") <= col("thr"), 0)
+            .otherwise(1))
+        .select(col("t"), col("vec_id"), col("node"), col("mv"))
+    }.select(col("t"), col("vec_id"), col("node"))
+  }
+
+  /** Leaf-balance drift of a routed batch: the largest share of the
+    * batch any single (t, node) leaf received, across trees. RP-trees'
+    * operating property is leaf populations near |batch|/2^depth — an
+    * in-distribution batch stays near that; a drifted batch concentrates
+    * (the analogue of the IVF twin's meanCellDist ratio). Policy:
+    * rebuild when this exceeds driftFactor/2^depth. */
+  def maxLeafShare(routed: DataFrame): Double = {
+    val agg = routed.groupBy("t", "node").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+      .head()
+    val perTree = routed.select(col("t")).distinct().count()
+    if (agg.isNullAt(0) || agg.getLong(1) == 0L) 0.0
+    else agg.getLong(0).toDouble * perTree / agg.getLong(1)
+  }
+
   /** Candidate pairs: (qid, cid) distinct over corpus vectors in any
     * leaf any tree of the probe's spill frontier reached. Output is
     * keyed for the exact re-score pass (the q123 rerank discipline:

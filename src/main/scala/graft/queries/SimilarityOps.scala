@@ -76,6 +76,11 @@ object SimilarityOps {
   private val HnswUpperExits = 2
   private val HnswL0Hops = 3
 
+  /** q140's store/batch split within the [[GraphGateSlice]]d corpus:
+    * vec_id < this builds the forest, the rest ingests incrementally
+    * (the q131 450/600 split, shared deliberately). */
+  private[graft] val RpIngestSplit = 450L
+
   /** q133 RP-tree forest geometry: trees × depth × spill margin.
     * Leaves concentrate near n/2^depth by the mean-split balance; depth
     * is the log-n knob (each extra level is one more shuffle-bounded
@@ -610,6 +615,32 @@ object SimilarityOps {
         .select(col("qid"), col("col.payload").as("cid"),
           round(col("col.score"), 4).as("cosine"),
           (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
+    // RP-forest INCREMENTAL INGEST end state (the q131 recipe on the
+    // partition-tree rung — the forest was the one index-family member
+    // without an ingest path; postings/IVF/PQ/MinHash/graph/PCA all have
+    // one): build the forest on the store slice (vec_id < RpIngestSplit),
+    // route the batch down the FROZEN threshold metadata at per-batch
+    // cost (near child only — the build rule; a node empty at build time
+    // descends left), and gate the COMPLETE resulting leaf store, row for
+    // row. The oracle re-derives the identical split: thresholds from the
+    // store rows only, then a frozen near-child route of the batch with a
+    // LEFT threshold join. Batch ⊎ store ≡ full re-route and batch
+    // composition are proved in AnnRecallSpec (the lshPairsIncremental
+    // contract).
+    "q140_rpforest_ingest_endstate" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < GraphGateSlice)
+        .select(col("vec_id"), col("embedding"))
+      val store = e.filter(col("vec_id") < RpIngestSplit)
+      val batch = e.filter(col("vec_id") >= RpIngestSplit)
+      val (leaves, thrs) = graft.operators.RpForest
+        .build(s, store, RpTrees, RpDepth, Dim)
+      val ins = graft.operators.RpForest
+        .insertBatch(s, batch, thrs, RpTrees, RpDepth, Dim)
+      leaves.unionByName(ins)
+        .select(col("t").cast("long").as("t"), col("vec_id"),
+          col("node").cast("long").as("node"))
     }),
 
     // INT8-quantized brute-force ANN — q35's kernel on q54's SQ8 vectors
@@ -2353,10 +2384,70 @@ object SimilarityOps {
        |  FROM s) WHERE rnk <= 5""".stripMargin
   }
 
+  /** q140: thresholds from the STORE rows only (a-chain), then the batch
+    * routes near-child-only with a LEFT threshold join (b-chain; a node
+    * with no threshold row was empty at build → descend left). Same
+    * micro-unit/LCG/floor arithmetic as [[rpForestOracleSql]]. */
+  private def rpForestIngestOracleSql(trees: Int, depth: Int,
+      split: Long, slice: Long): String = {
+    val addC = 11 * 12345L // RpForest.HpRound folded into the LCG add
+    val levels = (0 until depth).map { l =>
+      s"""p$l AS (SELECT a.t, a.vec_id, a.node, SUM(m.mv * c.h) AS proj
+         |  FROM a$l a JOIN micro m USING (vec_id)
+         |  JOIN coefs c ON c.t = a.t AND c.l = $l AND c.node = a.node
+         |              AND c.d = m.d
+         |  GROUP BY a.t, a.vec_id, a.node),
+         |t$l AS (SELECT t, node,
+         |          CAST(floor(CAST(SUM(proj) AS DOUBLE) / COUNT(*))
+         |               AS BIGINT) AS thr
+         |        FROM p$l GROUP BY t, node),
+         |a${l + 1} AS (SELECT p.t, p.vec_id,
+         |          p.node * 2 + CASE WHEN p.proj <= x.thr THEN 0 ELSE 1 END
+         |            AS node
+         |        FROM p$l p JOIN t$l x ON x.t = p.t AND x.node = p.node),
+         |bp$l AS (SELECT b.t, b.vec_id, b.node, SUM(m.mv * c.h) AS proj
+         |  FROM b$l b JOIN micro m USING (vec_id)
+         |  JOIN coefs c ON c.t = b.t AND c.l = $l AND c.node = b.node
+         |              AND c.d = m.d
+         |  GROUP BY b.t, b.vec_id, b.node),
+         |b${l + 1} AS (SELECT bp.t, bp.vec_id,
+         |          bp.node * 2 + CASE WHEN x.thr IS NOT NULL
+         |                             AND bp.proj > x.thr THEN 1 ELSE 0 END
+         |            AS node
+         |        FROM bp$l bp LEFT JOIN t$l x
+         |          ON x.t = bp.t AND x.node = bp.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id < $slice),
+       |micro AS (SELECT vec_id, i AS d,
+       |            CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6)
+       |                 AS BIGINT) AS mv
+       |          FROM e, range(${Dim}) ds(i)),
+       |coefs AS (SELECT t, l, node, d,
+       |            ((((t * 131 + l) * 257 + node) * 67 + d) * 1103515245
+       |             + $addC) % 2147483647 % 2001 - 1000 AS h
+       |          FROM range($trees) ts(t), range($depth) ls(l),
+       |               range(${1 << (depth - 1)}) ns(node), range(${Dim}) dd(d)
+       |          WHERE node < CAST(power(2, l) AS BIGINT)),
+       |a0 AS (SELECT ts.t, e.vec_id, 0 AS node
+       |       FROM e, range($trees) ts(t) WHERE e.vec_id < $split),
+       |b0 AS (SELECT ts.t, e.vec_id, 0 AS node
+       |       FROM e, range($trees) ts(t) WHERE e.vec_id >= $split),
+       |$levels
+       |SELECT CAST(t AS BIGINT) AS t, vec_id,
+       |       CAST(node AS BIGINT) AS node FROM a$depth
+       |UNION ALL
+       |SELECT CAST(t AS BIGINT) AS t, vec_id,
+       |       CAST(node AS BIGINT) AS node FROM b$depth""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q116_fps_coreset" -> fpsOracleSql(8),
     "q133_rptree_forest_ann" ->
       rpForestOracleSql(RpTrees, RpDepth, RpMargin),
+    "q140_rpforest_ingest_endstate" ->
+      rpForestIngestOracleSql(RpTrees, RpDepth, RpIngestSplit,
+        GraphGateSlice),
     "q35_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

@@ -830,6 +830,60 @@ class AnnRecallSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
 
+  test("RP-forest ingest: frozen route reproduces build leaves; batches compose; tiers agree") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RpForest
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val store = e.filter(col("vec_id") < 300)
+    val (leaves, thrs) = RpForest.build(spark, store, 3, 3, 64)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Int)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    // 1. re-inserting the build corpus down the frozen thresholds lands
+    //    every vector in its build leaf (same projections, same floors)
+    assert(rows(RpForest.insertBatch(spark, store, thrs, 3, 3, 64))
+      === rows(leaves))
+    // 2. batch composition: two sub-batches ≡ one batch (per-row routing)
+    val b1 = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val b2 = e.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+    val both = e.filter(col("vec_id") >= 300 && col("vec_id") < 500)
+    assert(rows(RpForest.insertBatch(spark, b1, thrs, 3, 3, 64)) ++
+           rows(RpForest.insertBatch(spark, b2, thrs, 3, 3, 64))
+      === rows(RpForest.insertBatch(spark, both, thrs, 3, 3, 64)))
+    // 3. driver tier ≡ forced-distributed (driverMax = 0)
+    assert(rows(RpForest.insertBatch(spark, both, thrs, 3, 3, 64,
+        driverMax = 0L))
+      === rows(RpForest.insertBatch(spark, both, thrs, 3, 3, 64)))
+    // 4. so store ⊎ insertBatch(batch) ≡ one frozen route of the union
+    assert(rows(leaves) ++
+           rows(RpForest.insertBatch(spark, both, thrs, 3, 3, 64))
+      === rows(RpForest.insertBatch(spark,
+           e.filter(col("vec_id") < 500), thrs, 3, 3, 64)))
+  }
+
+  test("RP-forest ingest drift: in-distribution batch balanced, concentrated batch flagged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RpForest
+    import spark.implicits._
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (_, thrs) = RpForest.build(spark, e.filter(col("vec_id") < 300), 3, 3, 64)
+    val inDist = RpForest.insertBatch(spark,
+      e.filter(col("vec_id") >= 300), thrs, 3, 3, 64)
+    val shareIn = RpForest.maxLeafShare(inDist)
+    // a DRIFTED batch: 100 copies of one far-away point — every copy
+    // lands in the same leaf of every tree, share 1.0
+    val pt = Seq.fill(64)(500.0f)
+    val drifted = (1000L until 1100L).map(id => (id, pt)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val shareDrift = RpForest.maxLeafShare(
+      RpForest.insertBatch(spark, drifted, thrs, 3, 3, 64))
+    info(f"maxLeafShare in-distribution $shareIn%.3f, drifted $shareDrift%.3f")
+    // policy: rebuild when share > driftFactor/2^depth (=2/8 here)
+    assert(shareIn <= 2.0 / 8, f"in-distribution batch flagged: $shareIn%.3f")
+    assert(shareDrift >= 0.999, f"concentrated batch not flagged: $shareDrift%.3f")
+  }
+
   test("clustered fixture: by_residual PQ recall BEATS plain PQ (the property q136 exists for)") {
     val (dirC, _) = clustered
     val truth = truthTop5(l2sq, largerIsCloser = false)
