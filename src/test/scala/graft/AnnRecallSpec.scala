@@ -861,6 +861,35 @@ class AnnRecallSpec extends AnyFunSuite {
            e.filter(col("vec_id") < 500), thrs, 3, 3, 64)))
   }
 
+  test("q141 sharded graph store: serve-through-files ≡ in-memory graphSearch over the end-state graph") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    import graft.operators.NnDescent
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq.sortBy(t => (t._1, t._4))
+    val served = rows(SparkEntry.queries("q141_graph_sharded_store")(spark, dir))
+    // re-derive in memory: same store/batch split, same ingest, same
+    // search geometry — the store round-trip must change nothing
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 600).select(col("vec_id"), col("embedding"))
+    val store = e.filter(col("vec_id") < 450)
+    val batch = e.filter(col("vec_id") >= 450)
+    val g0 = NnDescent.knnGraph(store, k = 16, iters = 4)
+    val endState = NnDescent.insertBatch(g0, store, batch,
+      k = 16, beam = 16, hops = 4, seeds = 4)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val inMem = rows(NnDescent.graphSearch(endState, e, qs,
+      beam = 16, hops = 4, seeds = 4, topk = 5))
+    assert(served === inMem)
+    // and the serve read a FRACTION of the store (partition pruning is
+    // also self-verified inside the operator via FileSourceScanExec)
+    val (touched, total) = SimilarityOps.lastGraphServeBytes.get()
+    info(f"q141 serve read $touched of $total store bytes (${100.0 * touched / total}%.1f%%)")
+    assert(total > 0 && touched <= total)
+  }
+
   test("RP-forest ingest drift: in-distribution batch balanced, concentrated batch flagged") {
     import org.apache.spark.sql.functions._
     import graft.operators.RpForest
