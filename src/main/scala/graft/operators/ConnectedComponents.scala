@@ -8,11 +8,17 @@ import org.apache.spark.sql.functions._
   * canonical doc per cluster).
   *
   * Algorithm: every vertex starts labeled with its own id; each round every
-  * vertex takes the min of its label and its neighbors' labels; stop when a
-  * round changes nothing. Converges in O(graph diameter) rounds — near-dup
-  * graphs are unions of small dense cliques (diameter ≤ 3-4 in practice),
-  * so this beats the more complex large-star/small-star contraction for
-  * this workload while using only shuffles on the vertex id.
+  * vertex takes the min of its label, its neighbors' labels, AND its
+  * label's label (pointer jumping — the label a vertex points to is itself
+  * a vertex with a possibly-smaller label, so following one hop of the
+  * label chain halves the remaining path length). Stop when a round
+  * changes nothing: O(log diameter) rounds, so the 20-round cap covers
+  * diameters to ~2^20. Plain neighbor-min alone converges in O(diameter),
+  * which the round-14 100× stress falsified as a safe bound: chance
+  * est-jaccard chains in a 500k-doc corpus formed a component of diameter
+  * > 20, and the capped loop returned un-converged labels (caught by the
+  * harness's union-find cross-check — 31 diverged ids). Non-convergence
+  * within the cap now throws instead of returning wrong clusters.
   *
   * Scale notes:
   *  - each round is one join + one aggregation, both keyed on vertex id —
@@ -88,12 +94,20 @@ object ConnectedComponents {
     var round = 0
     var converged = n == 0L // no edges: nothing to propagate
     while (!converged && round < maxIter) {
-      // one round = messages ∪ self, min per vertex: 2 shuffles (the
-      // join-then-join-back formulation costs 3)
+      // one round = (neighbor messages ∪ label-jump messages ∪ self),
+      // min per vertex. The jump join keys on the CURRENT label: a
+      // vertex's label is the id of some edge-bearing vertex (the min so
+      // far), so labels(label) exists and following it halves the
+      // remaining label-chain length — O(log diameter) total rounds
+      // where neighbor-min alone needs O(diameter).
       val msgs = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
-      labels = msgs.union(labels)
+      val jumps = labels.select(col("id"), col("component").as("jid"))
+        .join(labels.select(col("id").as("jid"),
+          col("component").as("jcomp")), Seq("jid"))
+        .select(col("id"), col("jcomp").as("component"))
+      labels = msgs.union(jumps).union(labels)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(eager = false)
       val s = probe(labels)._1
@@ -101,6 +115,9 @@ object ConnectedComponents {
       lastSum = s
       round += 1
     }
+    require(converged,
+      s"hashMin did not converge in $maxIter rounds — component diameter " +
+        s"exceeds 2^$maxIter?! (labels would be WRONG, not approximate)")
     vertices.toDF("id")
       .join(labels.withColumnRenamed("component", "cc"), Seq("id"), "left")
       .select(col("id"), coalesce(col("cc"), col("id")).as("component"))

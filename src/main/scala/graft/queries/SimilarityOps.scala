@@ -120,6 +120,7 @@ object SimilarityOps {
     nnGraphCache.clear()
     hnswLayerCache.clear()
     shardedServeCache.clear()
+    graphServeCache.clear()
   }
 
   /** Per-(session, dir) cache of the NN-Descent graph artifact — a
@@ -1725,7 +1726,7 @@ object SimilarityOps {
   private[graft] val GraphShardW = 64L
 
   private val graphServeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), DataFrame]()
 
   /** (touched store bytes, total store bytes) of the last q141 serve —
     * the serve-bytes fraction measurement scale probes read. */
@@ -1751,10 +1752,12 @@ object SimilarityOps {
     * cross-engine by the oracle (ingest chain + beam descent CTEs).
     * Both pruned scans self-verify their partition filter (the q137
     * FileSourceScanExec check). */
-  private[graft] def graphShardedStoreServe(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def graphShardedStoreServe(s: SparkSession, dir: String,
+      slice: Long = GraphGateSlice,
+      split: Long = RpIngestSplit): DataFrame = {
     if (graphServeCache.size > CacheMax) graphServeCache.clear()
-    graphServeCache.computeIfAbsent((sessionKey(s), dir), _ =>
-      graphShardedStoreServeUncached(s, dir))
+    graphServeCache.computeIfAbsent((sessionKey(s), dir, slice, split), _ =>
+      graphShardedStoreServeUncached(s, dir, slice, split))
   }
 
   private def requireCellFilter(df: DataFrame, what: String): Unit = {
@@ -1768,13 +1771,13 @@ object SimilarityOps {
   }
 
   private def graphShardedStoreServeUncached(s: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, slice: Long, split: Long): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("q141_store").toString
     try {
-      val e = emb(s, dir).filter(col("vec_id") < GraphGateSlice)
+      val e = emb(s, dir).filter(col("vec_id") < slice)
         .select(col("vec_id"), col("embedding"))
-      val store = e.filter(col("vec_id") < RpIngestSplit)
-      val batch = e.filter(col("vec_id") >= RpIngestSplit)
+      val store = e.filter(col("vec_id") < split)
+      val batch = e.filter(col("vec_id") >= split)
       val g0 = graft.operators.NnDescent.knnGraph(store, NnBuildK, NnIters)
       val endState = graft.operators.NnDescent.insertBatch(g0, store, batch,
         k = NnBuildK, beam = NnBeam, hops = NnHops, seeds = NnSeeds)

@@ -2,6 +2,18 @@ package graft.tools
 import org.apache.spark.sql.functions._
 object CCProbe {
   def main(args: Array[String]): Unit = {
+    // `--verify <dir>`: the ScaleStress forced-distributed CC stage
+    // (distributed hash-min vs driver union-find, exact-equality
+    // asserted inside) on an existing synthesized corpus — the r14
+    // pointer-jumping fix's verification hook at any scale.
+    if (args.headOption.contains("--verify")) {
+      val s = graft.core.GraftSession.local(32)
+      s.sparkContext.setLogLevel("WARN")
+      val (sec, rows) = ScaleStress.ccForcedDistributed(s, args(1))
+      println(f"[cc] verify dir=${args(1)} wall=$sec%.2f s rows=$rows")
+      s.stop()
+      return
+    }
     val spark = graft.core.GraftSession.local(32)
     val dir = "/root/testdata/sf0.1"
     def t[A](name: String)(f: => A): A = {

@@ -239,9 +239,10 @@ object ScaleStress {
     FullPathOverrides.getOrElse(name, graft.SparkEntry.queries(name))
 
   def runSuite(spark: SparkSession, dir: String, meter: ShuffleMeter,
-      rows: Map[String, Long] = Map.empty): Seq[QStat] = {
+      rows: Map[String, Long] = Map.empty,
+      qs: Seq[String] = SuiteQueries): Seq[QStat] = {
     clearCaches()
-    SuiteQueries.map { name =>
+    qs.map { name =>
       meter.settle()
       val (r0, w0, _, _) = meter.snapshot()
       val t0 = System.nanoTime()
@@ -572,7 +573,93 @@ object ScaleStress {
     (sec, mismatches)
   }
 
+  /** `--flat m1,m2,…` (r13 verdict item 4): ONLY the flat-claim families,
+    * at multipliers the full suite can't afford (the enumeration-contract
+    * trio is Θ(m²) by design and q36/q37/q38 are excluded here): q97
+    * IVF-PQ full path, q119 BM25, q137 sharded ANN store full path, the
+    * q125 postings store build+serve with serve-bytes fraction, tuned
+    * LSH pairs with planted recall, forced-distributed CC — min-of-2
+    * walls, shuffle bytes from the meter. Plus the q141 sharded GRAPH
+    * store at full corpus (store = 3/4 of the vectors, batch = the
+    * rest): build + ingest + serve-through-files wall and the serve-
+    * bytes fraction from [[graft.queries.SimilarityOps
+    * .lastGraphServeBytes]] — capped at mult ≤ 30 (the NN-Descent build
+    * is Θ(n·k²·d): 60k vectors ≈ 4·60k·256 kernel evaluations per
+    * round is the measured envelope; past that the build — never the
+    * serve — is the knee, documented rather than hidden). */
+  private def flatMain(args: Array[String]): Unit = {
+    val mults = args.headOption.getOrElse("1,10,30,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val outRoot = args.lift(1).getOrElse("/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-scale-flat"),
+        math.max(cpus, 4))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val Flat = Seq("q97_ann_ivfpq", "q119_bm25_topk", "q137_ann_sharded_store")
+    // warm-up at the smallest scale (JIT/codegen unbilled)
+    val warmDir = s"$outRoot/x${mults.min}"
+    synthesize(spark, warmDir, mults.min)
+    runSuite(spark, warmDir, meter, qs = Flat)
+    mults.foreach { m =>
+      val dir = s"$outRoot/x$m"
+      if (m != mults.min) synthesize(spark, dir, m)
+      val passes = Seq(runSuite(spark, dir, meter, qs = Flat),
+        runSuite(spark, dir, meter, qs = Flat))
+      val stats = passes.last.zip(passes.head).map { case (a, b) =>
+        a.copy(sec = math.min(a.sec, b.sec)) }
+      stats.foreach { st =>
+        System.err.println(f"[flat x$m] ${st.name}%-24s ${st.sec}%7.2f s  " +
+          f"shufW=${st.shufWriteB / 1024.0 / 1024.0}%9.2f MB")
+      }
+      val idx = Seq(indexStoreStage(spark, dir, meter),
+        indexStoreStage(spark, dir, meter)).minBy(_.serveSec)
+      System.err.println(f"[flat x$m] idxStore build=${idx.buildSec}%.2f s  " +
+        f"store=${idx.storeBytes / 1024.0 / 1024.0}%.2f MB  " +
+        f"serve=${idx.serveSec}%.3f s reading " +
+        f"${idx.servedBytes / 1024.0 / 1024.0}%.2f MB " +
+        f"(${100.0 * idx.servedBytes / math.max(idx.storeBytes, 1L)}%.2f%%)")
+      val lshRuns = Seq(lshTunedStage(spark, dir), lshTunedStage(spark, dir))
+      val (lshSec, lshPairs, lshRecall) = lshRuns.minBy(_._1)
+      System.err.println(f"[flat x$m] lshTuned=$lshSec%.2f s " +
+        f"($lshPairs pairs, planted recall=$lshRecall%.4f)")
+      val (ccSec, ccRows) = Seq(ccForcedDistributed(spark, dir),
+        ccForcedDistributed(spark, dir)).minBy(_._1)
+      System.err.println(f"[flat x$m] ccDistributed=$ccSec%.2f s ($ccRows rows)")
+      if (m <= 30) {
+        import graft.queries.SimilarityOps
+        val nVecs = graft.sources.Tables(spark, dir, "embeddings").count()
+        val split = nVecs * 3 / 4
+        val t0 = System.nanoTime()
+        val served = SimilarityOps.graphShardedStoreServe(spark, dir,
+          slice = Long.MaxValue, split = split)
+        val n141 = served.count()
+        val g141 = (System.nanoTime() - t0) / 1e9
+        val (touched, total) = SimilarityOps.lastGraphServeBytes.get()
+        System.err.println(f"[flat x$m] q141 graphStore build+ingest+serve=" +
+          f"$g141%.2f s ($n141 rows); serve read " +
+          f"${touched / 1024.0 / 1024.0}%.2f of " +
+          f"${total / 1024.0 / 1024.0}%.2f MB " +
+          f"(${100.0 * touched / math.max(total, 1L)}%.2f%%)")
+      }
+      val qj = stats.map(st => f""""${st.name}":${st.sec}%.3f""").mkString(",")
+      println(f"""{"metric":"flat_scale","mult":$m,"queries":{$qj},""" +
+        f""""idx_build_sec":${idx.buildSec}%.3f,"idx_serve_sec":${idx.serveSec}%.3f,""" +
+        f""""idx_store_bytes":${idx.storeBytes},"idx_served_bytes":${idx.servedBytes},""" +
+        f""""lsh_sec":$lshSec%.3f,"lsh_pairs":$lshPairs,"lsh_recall":$lshRecall%.4f,""" +
+        f""""cc_sec":$ccSec%.3f}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--flat")) { flatMain(args.drop(1)); return }
     val mults = args.headOption.getOrElse("1,10")
       .split(",").map(_.trim.toInt).toSeq
     val outRoot = args.lift(1).getOrElse("/tmp/graft_scale")
