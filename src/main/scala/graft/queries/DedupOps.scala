@@ -94,6 +94,50 @@ object DedupOps {
           .cast("binary")).as("kept_md5"))
   }
 
+  /** Variable-length exact-substring removal with CANONICAL RETENTION —
+    * the q102 rule at q139's granularity (Lee et al. 2022 keep one copy:
+    * repeated content should still appear ONCE in a pre-training
+    * corpus). Per duplicated L-gram, the lexicographically-min
+    * (doc_id, pos) occurrence is canonical; a token is removed iff some
+    * NON-canonical duplicated-gram occurrence covers it. Consequence:
+    * the first doc (by id, then position) carrying a duplicated run
+    * keeps it whole, every other occurrence is scrubbed — and the
+    * canonical choice is per-GRAM, so two runs overlapping in one doc
+    * resolve deterministically in both engines. Same one-shuffle scale
+    * shape as q139; the canonical is a min-struct inside the same hash
+    * aggregation that counts frequencies (the q102 discipline — never a
+    * window over the gram stream). */
+  private[graft] def exactSubstrCanonical(s: SparkSession, dir: String,
+      L: Int): DataFrame = {
+    val toks = col("toks")
+    val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = base
+      .filter(size(toks) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(toks) - L),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(L))).cast("binary")))))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "gh"))
+      .repartition(col("gh"))
+    val canon = grams.groupBy("gh").agg(
+      count(lit(1)).as("freq"),
+      min(struct(col("doc_id"), col("pos"))).as("canon"))
+    // non-canonical occurrences of duplicated grams mark their intervals
+    val starts = grams.join(canon, Seq("gh"))
+      .filter(col("freq") >= 2 &&
+        !(col("canon.doc_id") === col("doc_id") &&
+          col("canon.pos") === col("pos")))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("ps"))
+    val covered: Column => Column = ti =>
+      exists(col("ps"), p => p <= ti && ti < p + L)
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, (_, i) => covered(i))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", filter(toks, (_, i) => !covered(i)))
+          .cast("binary")).as("kept_md5"))
+  }
+
   /** Shared-stage cache keyed by (session, dir, stage). `computeIfAbsent`
     * is safe under the parallel Verify pool; the build lambda only
     * constructs a lazy plan (the checkpoint materializes on first action).
@@ -427,6 +471,14 @@ object DedupOps {
     // array expressions: memory bounded by doc length, no window sort.
     "q139_exact_substr" -> ((s, dir) =>
       exactSubstrRemoval(s, dir, ExactSubstrMinRun)),
+
+    // q139 with CANONICAL RETENTION — Lee et al. 2022's keep-one-copy
+    // rule at variable length (the q102↔q74 pairing, completed): the
+    // lexicographically-first occurrence of each duplicated gram
+    // survives; every other occurrence's interval is scrubbed. See
+    // [[exactSubstrCanonical]] for semantics and scale shape.
+    "q142_exact_substr_canonical" -> ((s, dir) =>
+      exactSubstrCanonical(s, dir, ExactSubstrMinRun)),
 
     // Exact n-gram Jaccard — UNBOUNDED. Candidate pairs come from the
     // MinHash-LSH band buckets (same generator as q33: shuffle keyed on
@@ -971,6 +1023,38 @@ object DedupOps {
                      FROM toks WHERE len(t) >= $L)),
          dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
          st AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+         tok2 AS (SELECT doc_id, ti, t[ti+1] AS tok
+                  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS ti
+                        FROM toks)),
+         cov AS (SELECT DISTINCT k.doc_id, k.ti
+                 FROM tok2 k JOIN st s ON k.doc_id = s.doc_id
+                   AND s.pos <= k.ti AND k.ti < s.pos + $L)
+         SELECT k.doc_id, count(*) AS n_tokens,
+                CAST(count(c.ti) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN c.ti IS NULL THEN k.tok END,
+                                        ' ' ORDER BY k.ti), '')) AS kept_md5
+         FROM tok2 k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.ti = c.ti
+         GROUP BY k.doc_id"""
+    },
+    // q139's oracle with the q102 canonical rule: rank-1 of the per-gram
+    // (doc_id, pos) window IS the lexicographic-min struct the Spark
+    // side aggregates (the canonical is unique, so the spellings agree
+    // exactly); coverage comes from non-canonical duplicated occurrences
+    "q142_exact_substr_canonical" -> {
+      val L = ExactSubstrMinRun
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                      md5(array_to_string(t[i+1:i+$L], ' ')) AS gh
+               FROM (SELECT doc_id, t,
+                            unnest(range(0, len(t) - $L + 1)) AS i
+                     FROM toks WHERE len(t) >= $L)),
+         r AS (SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY gh) AS freq,
+                      row_number() OVER (PARTITION BY gh
+                        ORDER BY doc_id, pos) AS rk
+               FROM g),
+         st AS (SELECT doc_id, pos FROM r WHERE freq >= 2 AND rk > 1),
          tok2 AS (SELECT doc_id, ti, t[ti+1] AS tok
                   FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS ti
                         FROM toks)),

@@ -173,7 +173,15 @@ object ScaleStress {
     // by_residual and the sharded store run the full path here so the
     // curve reflects real train/encode/store/serve cost at corpus scale
     "q134_ann_filtered", "q135_hard_negatives",
-    "q136_ann_ivfpq_residual", "q137_ann_sharded_store")
+    "q136_ann_ivfpq_residual", "q137_ann_sharded_store",
+    // round 14: hashed perceptron (bounded driver state at any vocab),
+    // variable-length ExactSubstr both flavors (one content shuffle on
+    // gram digests — wall must track the sliding-gram count, ~linear),
+    // RP-forest ingest end state (frozen-route batch cost). q141 is
+    // measured separately in --flat mode (its NN-Descent build
+    // dominates and would mask the rest of the table).
+    "q138_perceptron_hashed", "q139_exact_substr",
+    "q140_rpforest_ingest_endstate", "q142_exact_substr_canonical")
 
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val shufRead = new AtomicLong(0L)

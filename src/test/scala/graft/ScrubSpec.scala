@@ -102,6 +102,32 @@ class ScrubSpec extends AnyFunSuite {
     assert(out(6L) === ((9L, 9L, m(""))))
   }
 
+  test("q142 canonical retention: first occurrence keeps the run, others lose it") {
+    val run = (1 to 8).map(i => s"C$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      ScrubDoc(1L, s"u1 $run u2", "en", "s", 1),   // canonical (lowest doc)
+      ScrubDoc(2L, s"v1 v2 $run v3", "en", "s", 1),
+      ScrubDoc(3L, s"$run $run w9", "en", "s", 1))) // within-doc repeat
+    def m(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val out = DedupOps.queries("q142_exact_substr_canonical")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the canonical occurrence (min (doc_id, pos)) → intact
+    assert(out(1L) === ((10L, 0L, m(s"u1 $run u2"))))
+    // docs 2 and 3 carry non-canonical occurrences → scrubbed there.
+    // doc 3: gram C1..C8 occurs at (1,1),(2,2),(3,0),(3,8) — canonical is
+    // (1,1), so BOTH doc-3 occurrences are non-canonical and go
+    assert(out(2L) === ((11L, 8L, m("v1 v2 v3"))))
+    assert(out(3L) === ((17L, 16L, m("w9"))))
+    // and q139 (drop-everywhere) removes the run from doc 1 too
+    val drop = DedupOps.queries("q139_exact_substr")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(drop(1L) === 8L)
+    // canonical retention never removes MORE than drop-everywhere
+    out.foreach { case (id, (_, rem, _)) => assert(rem <= drop(id)) }
+  }
+
   test("q139 at L=3 equals the fixed-width grid on aligned-block corpora") {
     // the fixed-width subcase: docs are concatenations of 3-token blocks,
     // duplicates occur ONLY as whole aligned blocks, and block-straddling
