@@ -121,6 +121,7 @@ object SimilarityOps {
     hnswLayerCache.clear()
     shardedServeCache.clear()
     graphServeCache.clear()
+    storeGraphCache.clear()
   }
 
   /** Per-(session, dir) cache of the NN-Descent graph artifact — a
@@ -138,6 +139,24 @@ object SimilarityOps {
     nnGraphCache.computeIfAbsent((sessionKey(s), dir), _ =>
       graft.operators.NnDescent.knnGraph(
         emb(s, dir).filter(col("vec_id") < GraphGateSlice)
+          .select(col("vec_id"), col("embedding")),
+        k = NnBuildK, iters = NnIters))
+  }
+
+  /** Per-(session, dir, split) cache of the STORE-slice NN-Descent graph
+    * (vec_id < split) — the standing-graph artifact the ingest tier
+    * inserts into: q131 (alphabetically first) pays the build, q141's
+    * sharded-store composition reuses it (the q126/q127 pattern one
+    * level up). */
+  private val storeGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), DataFrame]()
+
+  private def cachedStoreGraph(s: SparkSession, dir: String,
+      split: Long): DataFrame = {
+    if (storeGraphCache.size > 64) storeGraphCache.clear()
+    storeGraphCache.computeIfAbsent((sessionKey(s), dir, split), _ =>
+      graft.operators.NnDescent.knnGraph(
+        emb(s, dir).filter(col("vec_id") < split)
           .select(col("vec_id"), col("embedding")),
         k = NnBuildK, iters = NnIters))
   }
@@ -1095,8 +1114,7 @@ object SimilarityOps {
         .select(col("vec_id"), col("embedding"))
       val store = sliced.filter(col("vec_id") < 450)
       val batch = sliced.filter(col("vec_id") >= 450)
-      val g0 = graft.operators.NnDescent.knnGraph(store,
-        k = NnBuildK, iters = NnIters)
+      val g0 = cachedStoreGraph(s, dir, 450L)
       graft.operators.NnDescent.insertBatch(g0, store, batch,
           k = NnBuildK, beam = NnBeam, hops = NnHops, seeds = NnSeeds)
         .groupBy("vec_id")
@@ -1778,7 +1796,7 @@ object SimilarityOps {
         .select(col("vec_id"), col("embedding"))
       val store = e.filter(col("vec_id") < split)
       val batch = e.filter(col("vec_id") >= split)
-      val g0 = graft.operators.NnDescent.knnGraph(store, NnBuildK, NnIters)
+      val g0 = cachedStoreGraph(s, dir, split)
       val endState = graft.operators.NnDescent.insertBatch(g0, store, batch,
         k = NnBuildK, beam = NnBeam, hops = NnHops, seeds = NnSeeds)
       def shardOf(c: Column): Column = floor(c / lit(GraphShardW)).cast("int")
