@@ -65,18 +65,29 @@ object DedupOps {
     * by ' '). Every doc appears, including docs shorter than L
     * (n_removed = 0) — unlike the fixed-width grid there is no
     * dropped-trailing-remainder, so short docs are meaningful here. */
+  /** The sliding L-gram digest stream (doc_id, pos, gh), content-
+    * partitioned once and checkpointed as a SHARED artifact: q139 and
+    * q142 consume the identical stream (a real scrub pipeline computes
+    * gram digests once and applies both retention policies from them) —
+    * the shingle-artifact discipline applied to ExactSubstr. */
+  private def gramStreamCached(s: SparkSession, dir: String,
+      L: Int): DataFrame =
+    cachedStage(s, dir, s"grams$L") {
+      val toks = col("toks")
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(toks) >= L)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(toks) - L),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(L))).cast("binary")))))
+        .withColumnsRenamed(Map("pos" -> "pos", "col" -> "gh"))
+        .repartition(col("gh"))
+    }
+
   private[graft] def exactSubstrRemoval(s: SparkSession, dir: String,
       L: Int): DataFrame = {
     val toks = col("toks")
     val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
-    // sliding L-gram digests (doc_id, pos, gh), content-partitioned once
-    val grams = base
-      .filter(size(toks) >= L)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(toks) - L),
-        i => md5(concat_ws(" ", slice(toks, i + 1, lit(L))).cast("binary")))))
-      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "gh"))
-      .repartition(col("gh"))
+    val grams = gramStreamCached(s, dir, L)
     // a gram occurring >= 2 times ANYWHERE (across docs or twice within
     // one doc) marks tokens [pos, pos+L) of every occurrence
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("freq"))
@@ -111,13 +122,7 @@ object DedupOps {
       L: Int): DataFrame = {
     val toks = col("toks")
     val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
-    val grams = base
-      .filter(size(toks) >= L)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(toks) - L),
-        i => md5(concat_ws(" ", slice(toks, i + 1, lit(L))).cast("binary")))))
-      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "gh"))
-      .repartition(col("gh"))
+    val grams = gramStreamCached(s, dir, L)
     val canon = grams.groupBy("gh").agg(
       count(lit(1)).as("freq"),
       min(struct(col("doc_id"), col("pos"))).as("canon"))
