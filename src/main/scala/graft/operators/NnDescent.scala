@@ -122,7 +122,7 @@ object NnDescent {
   /** [[CosineSimilarityExpr]]'s exact arithmetic (index-order double
     * accumulation over float-widened elements) — local ≡ distributed
     * requires bit-identical doubles, not approximate ones. */
-  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def cosLocal(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
@@ -143,7 +143,7 @@ object NnDescent {
     * asc), the heap's exact order. */
   /** The heap's exact order: `java.lang.Double.compare` on score DESC
     * (so −0.0 < 0.0, same as TopKAggregate), lower id wins ties. */
-  private def heapOrder(p: (Long, Double), q: (Long, Double)): Boolean = {
+  private[graft] def heapOrder(p: (Long, Double), q: (Long, Double)): Boolean = {
     val c = java.lang.Double.compare(p._2, q._2)
     if (c != 0) c > 0 else p._1 < q._1
   }

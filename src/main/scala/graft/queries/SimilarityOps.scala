@@ -122,6 +122,7 @@ object SimilarityOps {
     shardedServeCache.clear()
     graphServeCache.clear()
     storeGraphCache.clear()
+    endStateGraphCache.clear()
   }
 
   /** Per-(session, dir) cache of the NN-Descent graph artifact — a
@@ -159,6 +160,29 @@ object SimilarityOps {
         emb(s, dir).filter(col("vec_id") < split)
           .select(col("vec_id"), col("embedding")),
         k = NnBuildK, iters = NnIters))
+  }
+
+  /** Per-(session, dir, slice, split) cache of the INGESTED end-state
+    * graph (store build ⊎ batch insertion) — q131 gates its NnK cut,
+    * q141 persists it sharded: one ingest, two consumers, the same
+    * build-once discipline as [[cachedStoreGraph]]. */
+  private val endStateGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), DataFrame]()
+
+  private def cachedEndStateGraph(s: SparkSession, dir: String,
+      slice: Long, split: Long): DataFrame = {
+    if (endStateGraphCache.size > 64) endStateGraphCache.clear()
+    endStateGraphCache.computeIfAbsent((sessionKey(s), dir, slice, split),
+      _ => {
+        val e = emb(s, dir).filter(col("vec_id") < slice)
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.NnDescent.insertBatch(
+            cachedStoreGraph(s, dir, split),
+            e.filter(col("vec_id") < split),
+            e.filter(col("vec_id") >= split),
+            k = NnBuildK, beam = NnBeam, hops = NnHops, seeds = NnSeeds)
+          .localCheckpoint(eager = true)
+      })
   }
 
   /** Per-(session, dir) cache of the q130 upper-layer graphs — like the
@@ -1110,13 +1134,7 @@ object SimilarityOps {
     // lifecycle recipe); the oracle unrolls build chain + batch descent
     // + back-link fold in DuckDB CTEs.
     "q131_graph_ingest_endstate" -> ((s, dir) => {
-      val sliced = emb(s, dir).filter(col("vec_id") < GraphGateSlice)
-        .select(col("vec_id"), col("embedding"))
-      val store = sliced.filter(col("vec_id") < 450)
-      val batch = sliced.filter(col("vec_id") >= 450)
-      val g0 = cachedStoreGraph(s, dir, 450L)
-      graft.operators.NnDescent.insertBatch(g0, store, batch,
-          k = NnBuildK, beam = NnBeam, hops = NnHops, seeds = NnSeeds)
+      cachedEndStateGraph(s, dir, GraphGateSlice, 450L)
         .groupBy("vec_id")
         .agg(org.apache.spark.sql.graft.TopKByScore
           .columnFor(col("cos"), col("nid"), NnK).as("top"))
@@ -1744,7 +1762,7 @@ object SimilarityOps {
   private[graft] val GraphShardW = 64L
 
   private val graphServeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long, Long), DataFrame]()
 
   /** (touched store bytes, total store bytes) of the last q141 serve —
     * the serve-bytes fraction measurement scale probes read. */
@@ -1772,10 +1790,13 @@ object SimilarityOps {
     * FileSourceScanExec check). */
   private[graft] def graphShardedStoreServe(s: SparkSession, dir: String,
       slice: Long = GraphGateSlice,
-      split: Long = RpIngestSplit): DataFrame = {
+      split: Long = RpIngestSplit,
+      serveDriverMax: Long = graft.operators.NnDescent.DriverMaxVectors)
+      : DataFrame = {
     if (graphServeCache.size > CacheMax) graphServeCache.clear()
-    graphServeCache.computeIfAbsent((sessionKey(s), dir, slice, split), _ =>
-      graphShardedStoreServeUncached(s, dir, slice, split))
+    graphServeCache.computeIfAbsent(
+      (sessionKey(s), dir, slice, split, serveDriverMax), _ =>
+        graphShardedStoreServeUncached(s, dir, slice, split, serveDriverMax))
   }
 
   private def requireCellFilter(df: DataFrame, what: String): Unit = {
@@ -1789,16 +1810,13 @@ object SimilarityOps {
   }
 
   private def graphShardedStoreServeUncached(s: SparkSession,
-      dir: String, slice: Long, split: Long): DataFrame = {
+      dir: String, slice: Long, split: Long,
+      serveDriverMax: Long): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("q141_store").toString
     try {
       val e = emb(s, dir).filter(col("vec_id") < slice)
         .select(col("vec_id"), col("embedding"))
-      val store = e.filter(col("vec_id") < split)
-      val batch = e.filter(col("vec_id") >= split)
-      val g0 = cachedStoreGraph(s, dir, split)
-      val endState = graft.operators.NnDescent.insertBatch(g0, store, batch,
-        k = NnBuildK, beam = NnBeam, hops = NnHops, seeds = NnSeeds)
+      val endState = cachedEndStateGraph(s, dir, slice, split)
       def shardOf(c: Column): Column = floor(c / lit(GraphShardW)).cast("int")
       endState.select(col("vec_id"), col("nid"), col("cos"))
         .withColumn("shard", shardOf(col("vec_id")))
@@ -1812,6 +1830,24 @@ object SimilarityOps {
       val touched = scala.collection.mutable.Set[Int]()
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      // DRIVER-TIER serve (the q133 gate precedent, and literally the
+      // DiskANN frontend shape): the navigation state — beam, frontier,
+      // shard block cache — is bounded and driver-sized; each needed
+      // shard is ONE pruned file read, cached for the walk. The
+      // distributed loop below is the same navigation for corpora whose
+      // per-shard blocks exceed a frontend; past the gate it takes over
+      // untouched. Bit-identical by the graphSearchLocal argument (same
+      // kernel doubles, same heap order, final rounding through the
+      // same Spark expression).
+      if (serveDriverMax > 0) {
+        val probeCnt = e.take(
+          graft.operators.DriverTier.probeLimit(serveDriverMax))
+        if (probeCnt.length <= serveDriverMax) {
+          val out = graphServeLocal(s, base, probeCnt, touched)
+          recordServeBytes(base, touched)
+          return out
+        }
+      }
       // ---- serve: everything below reads ONLY the sharded store ----
       def topW(scored: DataFrame, w: Int): DataFrame =
         scored.groupBy("qid", "nid").agg(max(col("cos")).as("cos"))
@@ -1867,26 +1903,102 @@ object SimilarityOps {
           round(col("col.score"), 4).as("cosine"),
           (col("pos") + 1).cast("long").as("rnk"))
         .localCheckpoint(eager = true)
-      // serve-bytes fraction: touched shard directories vs the whole store
-      def dirBytes(p: java.nio.file.Path): Long = {
-        val st = java.nio.file.Files.walk(p)
-        try st.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally st.close()
-      }
-      val baseP = java.nio.file.Paths.get(base)
-      val total = dirBytes(baseP)
-      val touchedBytes = touched.toSeq.map { sh =>
-        Seq("adj", "vec").map { sub =>
-          val d = baseP.resolve(sub).resolve(s"shard=$sh")
-          if (java.nio.file.Files.exists(d)) dirBytes(d) else 0L
-        }.sum
-      }.sum
-      lastGraphServeBytes.set((touchedBytes, total))
+      recordServeBytes(base, touched)
       out
     } finally {
       graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     }
+  }
+
+  /** Serve-bytes fraction: touched shard directories vs the whole store. */
+  private def recordServeBytes(base: String,
+      touched: scala.collection.mutable.Set[Int]): Unit = {
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+    val baseP = java.nio.file.Paths.get(base)
+    val total = dirBytes(baseP)
+    val touchedBytes = touched.toSeq.map { sh =>
+      Seq("adj", "vec").map { sub =>
+        val d = baseP.resolve(sub).resolve(s"shard=$sh")
+        if (java.nio.file.Files.exists(d)) dirBytes(d) else 0L
+      }.sum
+    }.sum
+    lastGraphServeBytes.set((touchedBytes, total))
+  }
+
+  /** The q141 driver-tier serve: beam navigation in plain Scala with a
+    * shard BLOCK CACHE — every needed shard loads with ONE pruned
+    * parquet read of its `shard=` directory and is kept for the rest of
+    * the walk (DiskANN's block cache). Bit-identical to the distributed
+    * loop: same kernel doubles ([[graft.operators.NnDescent.cosLocal]]),
+    * same (Double.compare desc, id asc) heap order, dedupe by (nid) —
+    * cosines are a pure function of (qid, nid) so max-dedupe ≡ set
+    * dedupe — and the final 4dp rounding runs through the same Spark
+    * `round` expression. */
+  private def graphServeLocal(s: SparkSession, base: String,
+      probeRows: Array[org.apache.spark.sql.Row],
+      touched: scala.collection.mutable.Set[Int]): DataFrame = {
+    import s.implicits._
+    import graft.operators.NnDescent.{cosLocal, heapOrder}
+    val vecCache = scala.collection.mutable.Map[Int, Map[Long, Array[Float]]]()
+    val adjCache = scala.collection.mutable.Map[Int, Map[Long, IndexedSeq[Long]]]()
+    def loadVec(sh: Int): Map[Long, Array[Float]] =
+      vecCache.getOrElseUpdate(sh, {
+        touched += sh
+        val d = s"$base/vec/shard=$sh"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d))) Map.empty
+        else s.read.parquet(d).select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      })
+    def loadAdj(sh: Int): Map[Long, IndexedSeq[Long]] =
+      adjCache.getOrElseUpdate(sh, {
+        touched += sh
+        val d = s"$base/adj/shard=$sh"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d))) Map.empty
+        else s.read.parquet(d).select("vec_id", "nid").collect()
+          .groupBy(_.getLong(0))
+          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toIndexedSeq }
+      })
+    def shardOf(id: Long): Int = (id / GraphShardW).toInt
+    def vecOf(id: Long): Option[Array[Float]] = loadVec(shardOf(id)).get(id)
+    val qs = probeRows.filter(_.getLong(0) < 10L)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qe = qs.toMap
+    // entry: the NnSeeds lowest ids — shard 0 by the W ≥ seeds contract
+    val seedIds = loadVec(0).keys.toSeq.sorted.take(NnSeeds)
+    def topW(scored: Iterable[(Long, Long, Double)],
+        w: Int): Map[Long, IndexedSeq[(Long, Double)]] =
+      scored.groupBy(_._1).map { case (q, ps) =>
+        q -> ps.map(p => (p._2, p._3)).toSet.toIndexedSeq
+          .sortWith(heapOrder).take(w)
+      }
+    def scoreQ(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] =
+      pairs.flatMap { case (q, nid) =>
+        vecOf(nid).map(v => (q, nid, cosLocal(qe(q), v))) }
+    var bm = topW(scoreQ(for (q <- qs.toSeq; sd <- seedIds)
+      yield (q._1, sd)), NnBeam)
+    for (_ <- 1 to NnHops) {
+      val expand = bm.iterator.flatMap { case (q, ns) =>
+        ns.iterator.flatMap(p =>
+          loadAdj(shardOf(p._1)).getOrElse(p._1, Nil).map(c => (q, c)))
+      }.toSet
+      val standing = bm.iterator.flatMap { case (q, ns) =>
+        ns.map(p => (q, p._1, p._2)) }.toIndexedSeq
+      bm = topW(scoreQ(expand) ++ standing, NnBeam)
+    }
+    val out = bm.iterator.flatMap { case (q, ns) =>
+      ns.filter(_._1 != q).sortWith(heapOrder).take(5)
+        .zipWithIndex.map { case ((nid, cos), i) =>
+          (q, nid, cos, (i + 1).toLong) }
+    }.toIndexedSeq
+    out.toDF("qid", "nid", "cos", "rnk")
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cosine"),
+        col("rnk"))
+      .localCheckpoint(eager = true)
   }
 
   /** q123's body: ADC top-R cut, exact raw-cosine re-rank, top-5. */

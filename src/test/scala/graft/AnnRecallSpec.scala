@@ -883,6 +883,11 @@ class AnnRecallSpec extends AnyFunSuite {
     val inMem = rows(NnDescent.graphSearch(endState, e, qs,
       beam = 16, hops = 4, seeds = 4, topk = 5))
     assert(served === inMem)
+    // the driver-tier serve (gate scale) ≡ the forced-distributed serve
+    // loop reading the same sharded store (serveDriverMax = 0)
+    val dist = rows(SimilarityOps.graphShardedStoreServe(spark, dir,
+      serveDriverMax = 0L))
+    assert(dist === served)
     // and the serve read a FRACTION of the store (partition pruning is
     // also self-verified inside the operator via FileSourceScanExec)
     val (touched, total) = SimilarityOps.lastGraphServeBytes.get()
