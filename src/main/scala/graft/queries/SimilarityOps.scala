@@ -1817,14 +1817,40 @@ object SimilarityOps {
       val e = emb(s, dir).filter(col("vec_id") < slice)
         .select(col("vec_id"), col("embedding"))
       val endState = cachedEndStateGraph(s, dir, slice, split)
-      def shardOf(c: Column): Column = floor(c / lit(GraphShardW)).cast("int")
-      endState.select(col("vec_id"), col("nid"), col("cos"))
-        .withColumn("shard", shardOf(col("vec_id")))
-        .repartition(col("shard")).sortWithinPartitions("vec_id")
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$base/adj")
-      e.withColumn("shard", shardOf(col("vec_id")))
+      // CELL-CLUSTERED layout (the graph-reordering technique of the
+      // DiskANN/Starling disk-layout literature): nodes shard by their
+      // COARSE CELL (the shared IVF artifact), sub-sharded by id hash to
+      // ~GraphShardW rows per shard. Beam neighbors are cosine-similar →
+      // same few cells → the walk's reads CLUSTER, where the previous
+      // id-range layout scattered the frontier across every shard
+      // (measured 93.6% of the store read at 30×). Routing needs no
+      // global id→shard directory: every adjacency row CARRIES its
+      // target's shard (nid_shard — DiskANN's neighbor-offset-in-record
+      // trick), and the entry seeds ship as store metadata.
+      val coarse = lloydCentroids(s, dir, 8, 3, maxVec = slice)
+      val nVecs = e.count()
+      val subShards = math.max(1L,
+        (nVecs + 8 * GraphShardW - 1) / (8 * GraphShardW))
+      val withCell = e.select(col("vec_id"), col("embedding"),
+        (NearestCentroid.cell(col("embedding"), coarse).cast("long")
+          * subShards + pmod(xxhash64(col("vec_id")), lit(subShards)))
+          .cast("int").as("shard"))
+      val nodeShard = withCell.select(col("vec_id"), col("shard"))
+      withCell
         .repartition(col("shard")).sortWithinPartitions("vec_id")
         .write.mode("overwrite").partitionBy("shard").parquet(s"$base/vec")
+      endState.select(col("vec_id"), col("nid"))
+        .join(nodeShard, Seq("vec_id"))
+        .join(nodeShard.select(col("vec_id").as("nid"),
+          col("shard").as("nid_shard")), Seq("nid"))
+        .repartition(col("shard")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$base/adj")
+      // entry metadata: the NnSeeds lowest ids + their shards (a
+      // frontend loads this beside the centroids, never scans the store)
+      nodeShard.orderBy("vec_id").limit(NnSeeds)
+        .select(col("vec_id").as("nid"), col("shard"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/seeds")
       val adjStore = s.read.parquet(s"$base/adj")
       val vecStore = s.read.parquet(s"$base/vec")
       val touched = scala.collection.mutable.Set[Int]()
@@ -1858,15 +1884,21 @@ object SimilarityOps {
           .select(col("qid"), col("e.payload").as("nid"),
             col("e.score").as("cos"))
       var checked = false
+      // the visited-node shard directory: seeds ∪ every expansion's
+      // carried nid_shard — bounded by the walk's visited set (≤
+      // hops·beam·degree·|probes| rows), the serve tier's OWN state
+      var known = s.read.parquet(s"$base/seeds")
+        .localCheckpoint(eager = true)
+      def shardsOf(ids: DataFrame): Array[Int] = {
+        val sh = ids.join(known, Seq("nid"))
+          .select("shard").distinct().collect().map(_.getInt(0))
+        touched ++= sh
+        sh
+      }
       def scoreQ(pairs: DataFrame): DataFrame = {
-        // the candidate list is this hop's navigation state: bounded by
-        // beam·degree·|probes|; its distinct SHARDS are pure arithmetic
-        // on the ids (the range-shard property) — collect them and prune
         val p = pairs.localCheckpoint(eager = true)
-        val shards = p.select(shardOf(col("nid")).as("sh"))
-          .distinct().collect().map(_.getInt(0))
-        touched ++= shards
-        val vecs = vecStore.filter(col("shard").isin(shards.toSeq: _*))
+        val vecs = vecStore
+          .filter(col("shard").isin(shardsOf(p.select("nid")).toSeq: _*))
           .select(col("vec_id").as("nid"), col("embedding").as("ne"))
         if (!checked) { requireCellFilter(vecs, "vector"); checked = true }
         p.join(broadcast(probes), "qid")
@@ -1874,24 +1906,24 @@ object SimilarityOps {
           .select(col("qid"), col("nid"),
             cosineSim(col("qe"), col("ne")).as("cos"))
       }
-      // entry: the NnSeeds lowest ids — shard 0 by the W ≥ seeds contract
-      val seedIds = vecStore.filter(col("shard") === 0)
-        .select(col("vec_id").as("nid")).orderBy("nid").limit(NnSeeds)
-      touched += 0
       var bm = topW(scoreQ(probes.select(col("qid"))
-          .crossJoin(broadcast(seedIds))), NnBeam)
+          .crossJoin(broadcast(known.select(col("nid"))))), NnBeam)
         .localCheckpoint(eager = true)
       for (_ <- 1 to NnHops) {
-        val bmShards = bm.select(shardOf(col("nid")).as("sh"))
-          .distinct().collect().map(_.getInt(0))
-        touched ++= bmShards
-        val adjP = adjStore.filter(col("shard").isin(bmShards.toSeq: _*))
+        val adjP = adjStore.filter(col("shard")
+          .isin(shardsOf(bm.select("nid")).toSeq: _*))
         requireCellFilter(adjP, "adjacency")
         val expand = bm.select(col("qid"), col("nid"))
-          .join(adjP.select(col("vec_id").as("nid"), col("nid").as("cand")),
-            "nid")
-          .select(col("qid"), col("cand").as("nid")).distinct()
-        bm = topW(scoreQ(expand).unionByName(bm), NnBeam)
+          .join(adjP.select(col("vec_id").as("nid"), col("nid").as("cand"),
+            col("nid_shard")), "nid")
+          .select(col("qid"), col("cand").as("nid"), col("nid_shard"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        known = known.unionByName(
+            expand.select(col("nid"), col("nid_shard").as("shard")))
+          .distinct()
+          .localCheckpoint(eager = true)
+        bm = topW(scoreQ(expand.select("qid", "nid")).unionByName(bm), NnBeam)
           .localCheckpoint(eager = true)
       }
       val out = bm.filter(col("nid") =!= col("qid"))
@@ -1945,7 +1977,8 @@ object SimilarityOps {
     import s.implicits._
     import graft.operators.NnDescent.{cosLocal, heapOrder}
     val vecCache = scala.collection.mutable.Map[Int, Map[Long, Array[Float]]]()
-    val adjCache = scala.collection.mutable.Map[Int, Map[Long, IndexedSeq[Long]]]()
+    val adjCache =
+      scala.collection.mutable.Map[Int, Map[Long, IndexedSeq[(Long, Int)]]]()
     def loadVec(sh: Int): Map[Long, Array[Float]] =
       vecCache.getOrElseUpdate(sh, {
         touched += sh
@@ -1954,22 +1987,29 @@ object SimilarityOps {
         else s.read.parquet(d).select("vec_id", "embedding").collect()
           .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
       })
-    def loadAdj(sh: Int): Map[Long, IndexedSeq[Long]] =
+    def loadAdj(sh: Int): Map[Long, IndexedSeq[(Long, Int)]] =
       adjCache.getOrElseUpdate(sh, {
         touched += sh
         val d = s"$base/adj/shard=$sh"
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d))) Map.empty
-        else s.read.parquet(d).select("vec_id", "nid").collect()
+        else s.read.parquet(d).select("vec_id", "nid", "nid_shard").collect()
           .groupBy(_.getLong(0))
-          .map { case (v, rs) => v -> rs.map(_.getLong(1)).toIndexedSeq }
+          .map { case (v, rs) =>
+            v -> rs.map(r => (r.getLong(1), r.getInt(2))).toIndexedSeq }
       })
-    def shardOf(id: Long): Int = (id / GraphShardW).toInt
-    def vecOf(id: Long): Option[Array[Float]] = loadVec(shardOf(id)).get(id)
+    // nid → shard, learned from the seeds metadata and every adjacency
+    // row's carried nid_shard — the walk's own bounded directory
+    val shardDir = scala.collection.mutable.Map[Long, Int]()
+    val seedRows = s.read.parquet(s"$base/seeds")
+      .select("nid", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    shardDir ++= seedRows
+    def vecOf(id: Long): Option[Array[Float]] =
+      shardDir.get(id).flatMap(sh => loadVec(sh).get(id))
     val qs = probeRows.filter(_.getLong(0) < 10L)
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qe = qs.toMap
-    // entry: the NnSeeds lowest ids — shard 0 by the W ≥ seeds contract
-    val seedIds = loadVec(0).keys.toSeq.sorted.take(NnSeeds)
+    val seedIds = seedRows.map(_._1).toSeq.sorted
     def topW(scored: Iterable[(Long, Long, Double)],
         w: Int): Map[Long, IndexedSeq[(Long, Double)]] =
       scored.groupBy(_._1).map { case (q, ps) =>
@@ -1983,8 +2023,12 @@ object SimilarityOps {
       yield (q._1, sd)), NnBeam)
     for (_ <- 1 to NnHops) {
       val expand = bm.iterator.flatMap { case (q, ns) =>
-        ns.iterator.flatMap(p =>
-          loadAdj(shardOf(p._1)).getOrElse(p._1, Nil).map(c => (q, c)))
+        ns.iterator.flatMap { p =>
+          loadAdj(shardDir(p._1)).getOrElse(p._1, Nil).map { case (c, csh) =>
+            shardDir.update(c, csh)
+            (q, c)
+          }
+        }
       }.toSet
       val standing = bm.iterator.flatMap { case (q, ns) =>
         ns.map(p => (q, p._1, p._2)) }.toIndexedSeq
