@@ -666,8 +666,47 @@ object ScaleStress {
     spark.stop()
   }
 
+  /** `--suite q1,q2,… m1,m2,… [outRoot]`: min-of-2 walls + shuffle bytes
+    * for an arbitrary query subset on existing/synthesized corpora —
+    * the per-operator curve probe for newly added queries. */
+  private def suiteMain(args: Array[String]): Unit = {
+    val qs = args.headOption.getOrElse(sys.error("--suite q1,q2,… mults"))
+      .split(",").map(_.trim).toSeq
+    val mults = args.lift(1).getOrElse("1,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val outRoot = args.lift(2).getOrElse("/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-scale-suite"),
+        math.max(cpus, 4))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val warmDir = s"$outRoot/x${mults.min}"
+    synthesize(spark, warmDir, mults.min)
+    runSuite(spark, warmDir, meter, qs = qs)
+    mults.foreach { m =>
+      val dir = s"$outRoot/x$m"
+      if (m != mults.min) synthesize(spark, dir, m)
+      val passes = Seq(runSuite(spark, dir, meter, qs = qs),
+        runSuite(spark, dir, meter, qs = qs))
+      val stats = passes.last.zip(passes.head).map { case (a, b) =>
+        a.copy(sec = math.min(a.sec, b.sec)) }
+      stats.foreach { st =>
+        System.err.println(f"[suite x$m] ${st.name}%-28s ${st.sec}%7.2f s  " +
+          f"shufW=${st.shufWriteB / 1024.0 / 1024.0}%9.2f MB")
+      }
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--flat")) { flatMain(args.drop(1)); return }
+    if (args.headOption.contains("--suite")) { suiteMain(args.drop(1)); return }
     val mults = args.headOption.getOrElse("1,10")
       .split(",").map(_.trim.toInt).toSeq
     val outRoot = args.lift(1).getOrElse("/tmp/graft_scale")
