@@ -58,6 +58,10 @@ object DedupOps {
     * at sf0.01). Mirrored literally into the DuckDB oracle. */
   private[queries] val ExactSubstrMinRun = 8
 
+  /** q143's store/batch split: doc_id < this is the standing corpus
+    * whose gram counts are the persisted store; the rest ingests. */
+  private[graft] val ExactSubstrSplit = 300L
+
   /** Variable-length exact-substring removal (see the q139 entry for the
     * algorithm + scale notes). Parameterized on L for ScrubSpec's
     * fixed-width-subcase equivalence. Output: one row per doc —
@@ -70,28 +74,38 @@ object DedupOps {
     * q142 consume the identical stream (a real scrub pipeline computes
     * gram digests once and applies both retention policies from them) —
     * the shingle-artifact discipline applied to ExactSubstr. */
+  /** The sliding L-gram digest stream of an EXPLICIT (doc_id, text)
+    * frame — the row generator behind the cached artifact and the
+    * ingest-store paths. */
+  private def gramStreamOf(d: DataFrame, L: Int): DataFrame = {
+    val toks = col("toks")
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(toks) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(toks) - L),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(L))).cast("binary")))))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "gh"))
+      .repartition(col("gh"))
+  }
+
   private def gramStreamCached(s: SparkSession, dir: String,
       L: Int): DataFrame =
-    cachedStage(s, dir, s"grams$L") {
-      val toks = col("toks")
-      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(toks) >= L)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), size(toks) - L),
-          i => md5(concat_ws(" ", slice(toks, i + 1, lit(L))).cast("binary")))))
-        .withColumnsRenamed(Map("pos" -> "pos", "col" -> "gh"))
-        .repartition(col("gh"))
-    }
+    cachedStage(s, dir, s"grams$L")(gramStreamOf(docs(s, dir), L))
 
-  private[graft] def exactSubstrRemoval(s: SparkSession, dir: String,
-      L: Int): DataFrame = {
+  /** The ExactSubstr family's persisted STORE row format: per-gram
+    * occurrence counts of an explicit (doc_id, text) frame — the
+    * signature-store pattern ([[signaturesOf]]) at gram granularity. A
+    * corpus build writes this once; each ingest batch contributes its
+    * own counts and the merge is a pure additive fold (counts add), so
+    * duplicate detection never re-tokenizes the standing corpus. */
+  def gramCountsOf(d: DataFrame, L: Int = ExactSubstrMinRun): DataFrame =
+    gramStreamOf(d, L).groupBy("gh").agg(count(lit(1)).as("freq"))
+
+  /** The scrub tail shared by q139/q143: mark tokens covered by any
+    * occurrence of a duplicated gram, rebuild per doc. */
+  private def scrubByDup(base: DataFrame, grams: DataFrame,
+      dup: DataFrame, L: Int): DataFrame = {
     val toks = col("toks")
-    val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
-    val grams = gramStreamCached(s, dir, L)
-    // a gram occurring >= 2 times ANYWHERE (across docs or twice within
-    // one doc) marks tokens [pos, pos+L) of every occurrence
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= 2).select("gh")
     val starts = grams.join(dup, Seq("gh"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("ps"))
     val covered: Column => Column = ti =>
@@ -103,6 +117,40 @@ object DedupOps {
         size(filter(toks, (_, i) => covered(i))).cast("long").as("n_removed"),
         md5(concat_ws(" ", filter(toks, (_, i) => !covered(i)))
           .cast("binary")).as("kept_md5"))
+  }
+
+  private[graft] def exactSubstrRemoval(s: SparkSession, dir: String,
+      L: Int): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = gramStreamCached(s, dir, L)
+    // a gram occurring >= 2 times ANYWHERE (across docs or twice within
+    // one doc) marks tokens [pos, pos+L) of every occurrence
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2).select("gh")
+    scrubByDup(base, grams, dup, L)
+  }
+
+  /** INCREMENTAL ExactSubstr (the family's ingest twin — MinHash, IVF,
+    * postings, PCA, graph, RP-forest all have one): duplicate detection
+    * against the MERGED gram store (standing counts ⊎ the batch's
+    * counts — a pure additive fold on the digest, never a re-tokenize
+    * of the standing corpus). Note the CROSS-BATCH flip this models: an
+    * OLD doc's once-unique run becomes duplicated the moment a new doc
+    * repeats it, so the scrub verdict of standing docs legitimately
+    * changes on ingest — which is why the store holds counts, not a
+    * frozen duplicate set. Equivalence (ScrubSpec): counts add, so the
+    * merged store ≡ counting corpus ∪ batch in one pass, at any split. */
+  private[graft] def exactSubstrIngest(s: SparkSession, dir: String,
+      L: Int, split: Long): DataFrame = {
+    val all = docs(s, dir)
+    // the persisted artifact: the standing corpus's gram counts
+    val store = gramCountsOf(all.filter(col("doc_id") < split), L)
+    val batchCounts = gramCountsOf(all.filter(col("doc_id") >= split), L)
+    val merged = store.unionByName(batchCounts)
+      .groupBy("gh").agg(sum(col("freq")).as("freq"))
+    val dup = merged.filter(col("freq") >= 2).select("gh")
+    val base = all.select(col("doc_id"), tokens(col("text")).as("toks"))
+    scrubByDup(base, gramStreamCached(s, dir, L), dup, L)
   }
 
   /** Variable-length exact-substring removal with CANONICAL RETENTION —
@@ -476,6 +524,17 @@ object DedupOps {
     // array expressions: memory bounded by doc length, no window sort.
     "q139_exact_substr" -> ((s, dir) =>
       exactSubstrRemoval(s, dir, ExactSubstrMinRun)),
+
+    // INCREMENTAL ExactSubstr end state (the ingest-twin gate, the
+    // q121/q131/q140 recipe): the corpus splits at ExactSubstrSplit —
+    // the standing half's gram counts are the persisted store, the rest
+    // ingests as a batch, duplicate detection runs against the MERGED
+    // counts, and the gate checks the complete scrub of ALL docs. The
+    // oracle is q139's one-shot SQL verbatim: counts add, so the merged
+    // store answers exactly what a full recount would (the q137
+    // store-round-trip argument applied to the frequency artifact).
+    "q143_exact_substr_ingest_endstate" -> ((s, dir) =>
+      exactSubstrIngest(s, dir, ExactSubstrMinRun, ExactSubstrSplit)),
 
     // q139 with CANONICAL RETENTION — Lee et al. 2022's keep-one-copy
     // rule at variable length (the q102↔q74 pairing, completed): the
@@ -961,6 +1020,34 @@ object DedupOps {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** q139/q143's shared oracle: the one-shot window-identity SQL
+    * (counts add, so the merged-store ingest path answers exactly
+    * what the one-shot count does). */
+  private def exactSubstrOracleSql: String = {
+      val L = ExactSubstrMinRun
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                      md5(array_to_string(t[i+1:i+$L], ' ')) AS gh
+               FROM (SELECT doc_id, t,
+                            unnest(range(0, len(t) - $L + 1)) AS i
+                     FROM toks WHERE len(t) >= $L)),
+         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         st AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+         tok2 AS (SELECT doc_id, ti, t[ti+1] AS tok
+                  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS ti
+                        FROM toks)),
+         cov AS (SELECT DISTINCT k.doc_id, k.ti
+                 FROM tok2 k JOIN st s ON k.doc_id = s.doc_id
+                   AND s.pos <= k.ti AND k.ti < s.pos + $L)
+         SELECT k.doc_id, count(*) AS n_tokens,
+                CAST(count(c.ti) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN c.ti IS NULL THEN k.tok END,
+                                        ' ' ORDER BY k.ti), '')) AS kept_md5
+         FROM tok2 k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.ti = c.ti
+         GROUP BY k.doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
@@ -1017,30 +1104,8 @@ object DedupOps {
     // token survives iff no duplicated gram covers it. The coverage test
     // is a per-doc range join (pos <= ti < pos+L) — the set-based mirror
     // of the Spark side's exists() over the starts array.
-    "q139_exact_substr" -> {
-      val L = ExactSubstrMinRun
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                        FROM documents),
-         g AS (SELECT doc_id, i AS pos,
-                      md5(array_to_string(t[i+1:i+$L], ' ')) AS gh
-               FROM (SELECT doc_id, t,
-                            unnest(range(0, len(t) - $L + 1)) AS i
-                     FROM toks WHERE len(t) >= $L)),
-         dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
-         st AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
-         tok2 AS (SELECT doc_id, ti, t[ti+1] AS tok
-                  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS ti
-                        FROM toks)),
-         cov AS (SELECT DISTINCT k.doc_id, k.ti
-                 FROM tok2 k JOIN st s ON k.doc_id = s.doc_id
-                   AND s.pos <= k.ti AND k.ti < s.pos + $L)
-         SELECT k.doc_id, count(*) AS n_tokens,
-                CAST(count(c.ti) AS BIGINT) AS n_removed,
-                md5(coalesce(string_agg(CASE WHEN c.ti IS NULL THEN k.tok END,
-                                        ' ' ORDER BY k.ti), '')) AS kept_md5
-         FROM tok2 k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.ti = c.ti
-         GROUP BY k.doc_id"""
-    },
+    "q139_exact_substr" -> exactSubstrOracleSql,
+    "q143_exact_substr_ingest_endstate" -> exactSubstrOracleSql,
     // q139's oracle with the q102 canonical rule: rank-1 of the per-gram
     // (doc_id, pos) window IS the lexicographic-min struct the Spark
     // side aggregates (the canonical is unique, so the spellings agree

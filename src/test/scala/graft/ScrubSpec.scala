@@ -102,6 +102,49 @@ class ScrubSpec extends AnyFunSuite {
     assert(out(6L) === ((9L, 9L, m(""))))
   }
 
+  test("q143 incremental ExactSubstr: merged gram store ≡ one-shot recount at any split") {
+    // the lshPairsIncremental contract at gram granularity: counts add,
+    // so the store ⊎ batch merge must reproduce the full scrub exactly
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val full = rows(DedupOps.exactSubstrRemoval(spark, dir, L = 8))
+    Seq(1L, 250L, 499L).foreach { split =>
+      assert(rows(DedupOps.exactSubstrIngest(spark, dir, L = 8, split))
+        === full, s"ingest at split=$split diverged from the one-shot scrub")
+    }
+  }
+
+  test("q143 cross-batch flip: a new doc's repeat scrubs the STANDING doc too") {
+    // an old doc's once-unique run becomes duplicated the moment a new
+    // doc repeats it — the scrub verdict of standing docs legitimately
+    // changes on ingest (why the store holds counts, not a frozen
+    // duplicate set)
+    val run = (1 to 8).map(i => s"F$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      ScrubDoc(1L, s"a1 $run a2", "en", "s", 1),     // standing corpus
+      ScrubDoc(2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9", "en", "s", 1),
+      ScrubDoc(500L, s"c1 $run c2", "en", "s", 1)))  // the ingest batch
+    def m(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // BEFORE ingest (store alone: split above every standing id, batch
+    // empty... i.e. the one-shot scrub of just the standing half):
+    val standingDir = writeDocs(Seq(
+      ScrubDoc(1L, s"a1 $run a2", "en", "s", 1),
+      ScrubDoc(2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9", "en", "s", 1)))
+    val before = DedupOps.exactSubstrRemoval(spark, standingDir, L = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(before === Map(1L -> 0L, 2L -> 0L), "run unique before ingest")
+    // AFTER ingest: doc 500 repeats doc 1's run — BOTH are scrubbed
+    val after = DedupOps.exactSubstrIngest(spark, dir, L = 8, split = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(after(1L) === ((8L, m("a1 a2"))))
+    assert(after(500L) === ((8L, m("c1 c2"))))
+    assert(after(2L) === ((0L, m("b1 b2 b3 b4 b5 b6 b7 b8 b9"))))
+  }
+
   test("q142 canonical retention: first occurrence keeps the run, others lose it") {
     val run = (1 to 8).map(i => s"C$i").mkString(" ")
     val dir = writeDocs(Seq(
