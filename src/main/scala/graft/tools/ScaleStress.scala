@@ -181,7 +181,8 @@ object ScaleStress {
     // measured separately in --flat mode (its NN-Descent build
     // dominates and would mask the rest of the table).
     "q138_perceptron_hashed", "q139_exact_substr",
-    "q140_rpforest_ingest_endstate", "q142_exact_substr_canonical")
+    "q140_rpforest_ingest_endstate", "q142_exact_substr_canonical",
+    "q143_exact_substr_ingest_endstate")
 
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     val shufRead = new AtomicLong(0L)
