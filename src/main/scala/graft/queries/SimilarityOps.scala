@@ -1976,27 +1976,42 @@ object SimilarityOps {
       touched: scala.collection.mutable.Set[Int]): DataFrame = {
     import s.implicits._
     import graft.operators.NnDescent.{cosLocal, heapOrder}
-    val vecCache = scala.collection.mutable.Map[Int, Map[Long, Array[Float]]]()
+    // block cache with BATCHED loads: all of a hop's missing shards read
+    // in ONE multi-path parquet job (a frontend would issue them as one
+    // vectored IO batch) — per-shard lazy loads cost one scheduler
+    // round-trip each, measured as q141's 87-job census outlier
+    val vecCache = scala.collection.mutable.Map[Long, Array[Float]]()
     val adjCache =
-      scala.collection.mutable.Map[Int, Map[Long, IndexedSeq[(Long, Int)]]]()
-    def loadVec(sh: Int): Map[Long, Array[Float]] =
-      vecCache.getOrElseUpdate(sh, {
-        touched += sh
-        val d = s"$base/vec/shard=$sh"
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d))) Map.empty
-        else s.read.parquet(d).select("vec_id", "embedding").collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-      })
-    def loadAdj(sh: Int): Map[Long, IndexedSeq[(Long, Int)]] =
-      adjCache.getOrElseUpdate(sh, {
-        touched += sh
-        val d = s"$base/adj/shard=$sh"
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d))) Map.empty
-        else s.read.parquet(d).select("vec_id", "nid", "nid_shard").collect()
+      scala.collection.mutable.Map[Long, IndexedSeq[(Long, Int)]]()
+    val vecLoaded = scala.collection.mutable.Set[Int]()
+    val adjLoaded = scala.collection.mutable.Set[Int]()
+    def existing(sub: String, shs: Iterable[Int]): Seq[String] =
+      shs.toSeq.sorted.map(sh => s"$base/$sub/shard=$sh")
+        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    def loadVecs(shs: Iterable[Int]): Unit = {
+      val need = shs.toSet -- vecLoaded
+      if (need.isEmpty) return
+      vecLoaded ++= need
+      touched ++= need
+      val dirs = existing("vec", need)
+      if (dirs.nonEmpty)
+        s.read.parquet(dirs: _*).select("vec_id", "embedding").collect()
+          .foreach(r =>
+            vecCache.update(r.getLong(0), r.getSeq[Float](1).toArray))
+    }
+    def loadAdjs(shs: Iterable[Int]): Unit = {
+      val need = shs.toSet -- adjLoaded
+      if (need.isEmpty) return
+      adjLoaded ++= need
+      touched ++= need
+      val dirs = existing("adj", need)
+      if (dirs.nonEmpty)
+        s.read.parquet(dirs: _*).select("vec_id", "nid", "nid_shard")
+          .collect()
           .groupBy(_.getLong(0))
-          .map { case (v, rs) =>
-            v -> rs.map(r => (r.getLong(1), r.getInt(2))).toIndexedSeq }
-      })
+          .foreach { case (v, rs) => adjCache.update(v,
+            rs.map(r => (r.getLong(1), r.getInt(2))).toIndexedSeq) }
+    }
     // nid → shard, learned from the seeds metadata and every adjacency
     // row's carried nid_shard — the walk's own bounded directory
     val shardDir = scala.collection.mutable.Map[Long, Int]()
@@ -2004,8 +2019,7 @@ object SimilarityOps {
       .select("nid", "shard").collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     shardDir ++= seedRows
-    def vecOf(id: Long): Option[Array[Float]] =
-      shardDir.get(id).flatMap(sh => loadVec(sh).get(id))
+    def vecOf(id: Long): Option[Array[Float]] = vecCache.get(id)
     val qs = probeRows.filter(_.getLong(0) < 10L)
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qe = qs.toMap
@@ -2016,15 +2030,19 @@ object SimilarityOps {
         q -> ps.map(p => (p._2, p._3)).toSet.toIndexedSeq
           .sortWith(heapOrder).take(w)
       }
-    def scoreQ(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] =
+    def scoreQ(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] = {
+      loadVecs(pairs.flatMap(p => shardDir.get(p._2)))
       pairs.flatMap { case (q, nid) =>
         vecOf(nid).map(v => (q, nid, cosLocal(qe(q), v))) }
+    }
     var bm = topW(scoreQ(for (q <- qs.toSeq; sd <- seedIds)
       yield (q._1, sd)), NnBeam)
     for (_ <- 1 to NnHops) {
+      loadAdjs(bm.valuesIterator.flatMap(_.iterator.map(p => shardDir(p._1)))
+        .toSet)
       val expand = bm.iterator.flatMap { case (q, ns) =>
         ns.iterator.flatMap { p =>
-          loadAdj(shardDir(p._1)).getOrElse(p._1, Nil).map { case (c, csh) =>
+          adjCache.getOrElse(p._1, Nil).map { case (c, csh) =>
             shardDir.update(c, csh)
             (q, c)
           }
