@@ -68,7 +68,11 @@ object Bench {
       // the same asymmetry that excludes the other ingest lifecycles; the
       // store's at-scale cost curves are measured by ScaleStress's
       // indexStoreStage instead
-      "q125_bm25_sharded_store")
+      "q125_bm25_sharded_store",
+      // q144: a full STREAMING INGEST LIFECYCLE (3 AvailableNow
+      // micro-batches + checkpoint + store writes to fresh temp dirs)
+      // while its oracle is a one-shot SELECT — the q86 asymmetry
+      "q144_vector_store_ingest_endstate")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -1029,6 +1029,21 @@ object SimilarityOps {
     // and the oracle IS q97's SQL — the store moves bytes, not answers.
     "q137_ann_sharded_store" -> ((s, dir) => annShardedStoreServe(s, dir)),
 
+    // STREAMING vector-store ingest end state (the vector-index twin of
+    // the q100 streaming dedup gate — the one index family whose store
+    // had only a batch path): Structured Streaming AvailableNow
+    // micro-batches assign+encode against FROZEN artifacts trained on
+    // the standing slice and append `batch=<id>/cell=<c>/` store dirs
+    // (deterministic subdir + overwrite ⇒ replay-idempotent under
+    // foreachBatch's at-least-once contract); the gate serves the q137
+    // probe over the multi-batch end state, partition-pruned and
+    // self-verified. Assignment and encoding are per-row, so the end
+    // state ≡ one-shot encode with the same frozen artifacts — the
+    // oracle replays the chain with training CTEs restricted to the
+    // standing slice (trainWhere) and encode/serve over the full slice.
+    "q144_vector_store_ingest_endstate" -> ((s, dir) =>
+      vectorStoreIngestServe(s, dir)),
+
     // DiskANN/Vamana-shape SHARDED GRAPH STORE (the r13 stretch item):
     // q131's incremental ingest composed with q137's partitioned
     // persistence — the END-STATE graph's adjacency AND vectors
@@ -1569,6 +1584,12 @@ object SimilarityOps {
     * path. */
   private[graft] val IvfPqGateSlice = 500L
 
+  /** q144's store/batch split within the [[IvfPqGateSlice]]d corpus: the
+    * standing store is vec_id < this (the slice the frozen quantizer +
+    * codebooks train on — the artifact a deployment ships); the rest
+    * streams in as micro-batches. */
+  private[graft] val IvfPqIngestSplit = 400L
+
   /** q97's body: ADC top-5 per probe over [[ivfPqAdcCandidates]].
     * maxVec = [[IvfPqGateSlice]] for the gate; MaxValue for scale
     * probes. */
@@ -1747,6 +1768,124 @@ object SimilarityOps {
         (col("pos") + 1).cast("long").as("rnk"))
       .localCheckpoint(eager = true)
     out
+    } finally {
+      // the checkpointed result no longer needs the store; a throw above
+      // must not leak the temp directory either
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
+  private val vecIngestServeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long, Seq[Long]), DataFrame]()
+
+  /** q144's body: STREAMING ingest into the q137 store —
+    * [[graft.streaming.VectorStoreIngest]] (Structured Streaming
+    * AvailableNow, one micro-batch per file, foreachBatch assign+encode
+    * against FROZEN artifacts trained on the standing slice) — then the
+    * q137 serve over the resulting multi-batch store. Store layout is
+    * `batch=<id>/cell=<c>/`: the deterministic batch subdir makes replay
+    * idempotent (the [[graft.streaming.DedupIngest]] discipline) and the
+    * nested cell dirs keep the serve partition-pruned across every batch
+    * (self-verified below, the q137 check). End state ≡ a one-shot
+    * encode of the full slice with the same frozen artifacts — assignment
+    * and encoding are per-row, so batch boundaries cannot change either
+    * (the [[assignIncremental]] equivalence, asserted in-engine by
+    * AnnRecallSpec); the oracle replays the SAME chain with training CTEs
+    * restricted to the standing slice ([[ivfPqOracleSql]] trainWhere). */
+  /** `cuts` = extra batch boundaries inside [split, maxVec) — None is the
+    * gate's default (one mid cut ⇒ two ingest micro-batches); the spec
+    * passes explicit cuts to prove the end state is batch-boundary
+    * INVARIANT through the actual streaming machinery. */
+  private[graft] def vectorStoreIngestServe(s: SparkSession, dir: String,
+      maxVec: Long = IvfPqGateSlice,
+      split: Long = IvfPqIngestSplit,
+      cuts: Option[Seq[Long]] = None): DataFrame = {
+    if (vecIngestServeCache.size > CacheMax) vecIngestServeCache.clear()
+    val cutList = cuts.getOrElse(Seq((split + maxVec) / 2))
+    vecIngestServeCache.computeIfAbsent(
+      (sessionKey(s), dir, maxVec, split, cutList),
+      _ => vectorStoreIngestServeUncached(s, dir, maxVec, split, cutList))
+  }
+
+  private def vectorStoreIngestServeUncached(s: SparkSession, dir: String,
+      maxVec: Long, split: Long, cuts: Seq[Long]): DataFrame = {
+    val (k, iters, nprobe) = (8, 3, 2)
+    // FROZEN artifacts, trained on the standing slice ONLY — the batches
+    // never feed training (drift-triggered retraining is
+    // [[assignIncremental]]'s hook; the gate freezes so the end state is
+    // exactly replayable)
+    val coarse = lloydCentroids(s, dir, k, iters, split)
+    val pq = pqCodebooks(s, dir, PqM, PqK, PqIters, maxVec = split)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < maxVec)
+    val base = java.nio.file.Files.createTempDirectory("q144_store").toString
+    try {
+      val inDir = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      // deterministic micro-batches: the standing slice, then the ingest
+      // ranges cut at `cuts` — one FILE each (maxFilesPerTrigger=1 ⇒ one
+      // micro-batch per file). Batch CONTENT is deterministic; the end
+      // state is a union, so batch arrival order cannot matter.
+      val bounds = (Seq(split) ++ cuts.filter(c => c > split && c < maxVec)
+        .sorted ++ Seq(maxVec)).distinct
+      val ranges = (0L, split) +: bounds.zip(bounds.tail)
+      ranges.zipWithIndex
+        .foreach { case ((lo, hi), i) =>
+          val stage = s"$base/stage$i"
+          e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(inDir, s"b$i.parquet"))
+        }
+      graft.streaming.VectorStoreIngest.start(s, inDir, e.schema,
+        s"$base/store", s"$base/ckpt", coarse, pq).awaitTermination()
+      val store = s.read.parquet(s"$base/store")
+      def sqL2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)
+      val lut = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .select(col("qid"), col("qe"),
+          array((0 until PqM).map { m =>
+            array(pq(m).indices.map { c =>
+              sqL2(slice(col("qe"), m * PqSub + 1, PqSub),
+                array(pq(m)(c).map(lit): _*))
+            }: _*)
+          }: _*).as("lut"))
+        .select(col("qid"), col("lut"),
+          explode(slice(array_sort(array((0 until k).map(c =>
+            struct(sqL2(col("qe"), array(coarse(c).map(lit): _*)).as("d"),
+              lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+        .select(col("qid"), col("cc.cell").as("cell"), col("lut"))
+        .localCheckpoint(eager = true) // the store dir is deleted on return
+      val cells = lut.select("cell").distinct().collect().map(_.getInt(0))
+      val pruned = store.filter(col("cell").isin(cells.toSeq: _*))
+      // self-verifying serve (the q137 check): the scan must carry the
+      // cell partition filter — directory pruning inside EVERY batch dir —
+      // or serving would silently read the whole multi-batch store
+      val partFilters = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.partitionFilters
+      }.flatten
+      require(partFilters.exists(_.references.exists(_.name == "cell")),
+        "q144 serve scan lost its cell partition filter:\n" +
+          pruned.queryExecution.executedPlan.toString)
+      pruned.join(broadcast(lut), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          org.apache.spark.sql.graft.PqExpr
+            .adc(col("codes"), col("lut")).as("adc"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(negate(col("adc")) + lit(0.0), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .localCheckpoint(eager = true)
     } finally {
       // the checkpointed result no longer needs the store; a throw above
       // must not leak the temp directory either
@@ -2112,19 +2251,24 @@ object SimilarityOps {
     * through `af` (final assignment) and `c$iters` (final centroids);
     * shared by the q39 and q79 oracles. */
   private def ivfPrefixSql(k: Int, iters: Int,
-      where: String = "TRUE"): String = {
+      where: String = "TRUE", trainWhere: String = "TRUE"): String = {
+    // trainWhere restricts the TRAINING rows (seeds + Lloyd iterations)
+    // while the final `af` assignment still covers every `e` row — the
+    // q144 frozen-artifact ingest contract. "TRUE" (every other caller)
+    // emits the historical text unchanged.
+    val train = if (trainWhere == "TRUE") "e" else "etr"
     // order by SQUARED L2 (sum of squared diffs, ascending-i, exactly what
     // NearestCentroidExpr accumulates) — list_distance's sqrt can collapse
     // two distinct squared distances into equal doubles and let the cell
     // tiebreak diverge from Spark's strict `<` on near-equidistant vectors
-    def assign(cent: String, out: String) =
+    def assign(cent: String, out: String, src: String = "e") =
       s"""$out AS (SELECT vec_id, v, cell FROM (
          |  SELECT e.vec_id, e.v, c.cell,
          |         row_number() OVER (PARTITION BY e.vec_id
          |           ORDER BY list_sum([(e.v[i]-c.cent[i])*(e.v[i]-c.cent[i])
          |                              FOR i IN range(1, ${Dim + 1})]),
          |                    c.cell) AS rn
-         |  FROM e, $cent c) WHERE rn = 1)""".stripMargin
+         |  FROM ${if (src == "e") "e" else s"$src e"}, $cent c) WHERE rn = 1)""".stripMargin
     def update(assigned: String, prevCent: String, out: String) =
       s"""${out}m AS (SELECT a.cell, i, round(avg(a.v[i]), 6) AS m
          |  FROM $assigned a, range(1, ${Dim + 1}) t(i) GROUP BY a.cell, i),
@@ -2133,13 +2277,17 @@ object SimilarityOps {
          |    (SELECT cell, list(m ORDER BY i) AS cent FROM ${out}m
          |     GROUP BY cell) n USING (cell))""".stripMargin
     val steps = (1 to iters).map { it =>
-      assign(s"c${it - 1}", s"a$it") + ",\n" + update(s"a$it", s"c${it - 1}", s"c$it")
+      assign(s"c${it - 1}", s"a$it", train) + ",\n" +
+        update(s"a$it", s"c${it - 1}", s"c$it")
     }.mkString(",\n")
+    val etrCte =
+      if (train == "e") ""
+      else s"etr AS (SELECT * FROM e WHERE $trainWhere),\n"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE $where),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |${etrCte}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
        |              AS cell, v AS cent
-       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |       FROM (SELECT vec_id, v FROM $train ORDER BY vec_id LIMIT $k)),
        |$steps,
        |${assign(s"c$iters", "af")}""".stripMargin
   }
@@ -2163,9 +2311,16 @@ object SimilarityOps {
     * est's four references would each replay the residual chain; measured
     * 40.5 → ~14 s on the q136 oracle at sf0.1). */
   private def pqPrefixSql(m: Int, k: Int, iters: Int,
-      src: String = "e", materialize: Boolean = false): String = {
+      src: String = "e", materialize: Boolean = false,
+      trainWhere: String = "TRUE"): String = {
     val mat = if (materialize) "MATERIALIZED " else ""
     val sub = Dim / m
+    // trainWhere restricts the training sample (est) and therefore the
+    // seeds + every Lloyd update, while `paf` still encodes EVERY es row —
+    // mirrors pqCodebooks(maxVec = split) exactly: the sample stride's
+    // count(*) runs over the SAME restricted rows the Spark side counts
+    val trainPred = if (trainWhere == "TRUE") "" else s"$trainWhere AND "
+    val trainCnt = if (trainWhere == "TRUE") "" else s" WHERE $trainWhere"
     def assign(cent: String, out: String, src: String = "est") =
       s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
          |  SELECT es.vec_id, es.sub, es.sv, c.cell,
@@ -2189,9 +2344,9 @@ object SimilarityOps {
        |          list_slice(e.v, CAST(t.sub * $sub + 1 AS INTEGER),
        |                          CAST(t.sub * $sub + $sub AS INTEGER)) AS sv
        |       FROM $src e, range(0, $m) t(sub)),
-       |est AS $mat(SELECT * FROM es WHERE vec_id %
+       |est AS $mat(SELECT * FROM es WHERE ${trainPred}vec_id %
        |          (SELECT GREATEST(1, CAST(ceil(count(*) / $PqTrainTarget.0)
-       |                                   AS BIGINT)) FROM $src) = 0),
+       |                                   AS BIGINT)) FROM $src$trainCnt) = 0),
        |p0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cell, sv AS cent FROM (
        |         SELECT sub, sv, row_number() OVER (PARTITION BY sub
        |                  ORDER BY vec_id) AS rn FROM est) WHERE rn <= $k),
@@ -2207,7 +2362,8 @@ object SimilarityOps {
     * word tie EXACTLY in both engines (tie → lower cid). */
   private def ivfPqSadcSql(k: Int, iters: Int, m: Int, pk: Int,
       pqIters: Int, nprobe: Int,
-      where: String = s"vec_id < $IvfPqGateSlice"): String = {
+      where: String = s"vec_id < $IvfPqGateSlice",
+      trainWhere: String = "TRUE"): String = {
     val sub = Dim / m
     val codeCols = (0 until m).map(i =>
       s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n         ")
@@ -2216,8 +2372,8 @@ object SimilarityOps {
       .mkString("\n         ")
     val adcSum = (0 until m).map(i => s"l$i.d").mkString(" + ")
     val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
-    s"""${ivfPrefixSql(k, iters, where)},
-       |${pqPrefixSql(m, pk, pqIters)},
+    s"""${ivfPrefixSql(k, iters, where, trainWhere)},
+       |${pqPrefixSql(m, pk, pqIters, trainWhere = trainWhere)},
        |codes AS MATERIALIZED (SELECT vec_id AS cid,
        |         $codeCols
        |          FROM paf GROUP BY vec_id),
@@ -2303,8 +2459,10 @@ object SimilarityOps {
   }
 
   private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
-      pqIters: Int, nprobe: Int = 2): String =
-    s"""${ivfPqSadcSql(k, iters, m, pk, pqIters, nprobe)}
+      pqIters: Int, nprobe: Int = 2,
+      trainWhere: String = "TRUE"): String =
+    s"""${ivfPqSadcSql(k, iters, m, pk, pqIters, nprobe,
+           trainWhere = trainWhere)}
        |SELECT qid, cid, round(adc, 4) AS adc_dist, rnk FROM (
        |  SELECT qid, cid, adc,
        |         row_number() OVER (PARTITION BY qid
@@ -2964,6 +3122,12 @@ object SimilarityOps {
       ivfPqResidualOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 2),
     // the store round-trip changes nothing — q137's oracle is q97's SQL
     "q137_ann_sharded_store" -> ivfPqOracleSql(8, 3, PqM, PqK, PqIters),
+    // q144: the q137 chain with TRAINING restricted to the standing slice
+    // (the frozen artifacts the stream encodes against); the final encode
+    // + serve still cover the full slice — exactly the streamed store's
+    // end state, because assignment/encoding are per-row
+    "q144_vector_store_ingest_endstate" -> ivfPqOracleSql(8, 3, PqM, PqK,
+      PqIters, trainWhere = s"vec_id < $IvfPqIngestSplit"),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->

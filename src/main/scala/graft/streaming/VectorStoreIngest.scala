@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** STREAMING ingest into the cell-partitioned IVF-PQ vector store (the
+  * q137 layout) — the vector-index twin of [[DedupIngest]], closing the
+  * family symmetry: dedup signatures, postings, fingerprints and the NN
+  * graph all have a streaming path; the ANN store now does too.
+  *
+  * Vectors land as parquet files; each micro-batch:
+  *
+  *  1. assigns every vector to its coarse cell against the FROZEN
+  *     quantizer (trained once on the standing corpus — assignment is
+  *     per-row, so batch boundaries cannot change cells, the
+  *     [[graft.queries.SimilarityOps.assignIncremental]] equivalence);
+  *  2. PQ-encodes it against the frozen codebooks (same argument —
+  *     encoding is per-row);
+  *  3. appends (vec_id, codes) to the store under a DETERMINISTIC
+  *     `batch=<id>` subdirectory, `cell=`-partitioned inside, written
+  *     with overwrite — so a REPLAYED micro-batch (foreachBatch is
+  *     at-least-once) replaces its own rows instead of duplicating them,
+  *     the [[DedupIngest]] idempotence discipline.
+  *
+  * The store stays serveable THROUGHOUT: `spark.read.parquet(storeDir)`
+  * discovers (batch, cell) partition columns and a probe's
+  * `cell IN (...)` filter prunes to the probed cells' directories inside
+  * every batch — per-probe bytes stay a fraction of the store no matter
+  * how many batches have landed (asserted by the q144 serve's
+  * partition-filter self-check). Per-batch work is proportional to the
+  * batch: the standing corpus is never re-read, re-assigned or
+  * re-encoded. Quantizer refresh on distribution drift is the
+  * [[graft.queries.SimilarityOps.assignIncremental]] drift hook — a
+  * deployment wires its `driftRatio` to the retrain trigger; the gate
+  * freezes the artifacts so the end state is exactly replayable.
+  */
+object VectorStoreIngest {
+
+  /** Start an AvailableNow ingest over `inDir` (parquet vector files with
+    * `schema` — at least (vec_id LONG, embedding ARRAY<FLOAT>)), encoding
+    * against the frozen `coarse` quantizer + `pq` codebooks and appending
+    * to the `cell=`-partitioned store at `storeDir`. `maxFilesPerTrigger`
+    * bounds batch size (1 = one file per micro-batch — deterministic
+    * batching for the gate). */
+  def start(spark: SparkSession, inDir: String, schema: StructType,
+      storeDir: String, checkpointDir: String,
+      coarse: Seq[Seq[Double]], pq: Seq[Seq[Seq[Double]]],
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val vecs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestBatch(batch, batchId, storeDir, coarse, pq)
+      }
+      .start()
+  }
+
+  /** One ingest step (also callable from a batch scheduler): assign +
+    * encode `batch` against the frozen artifacts, publish under its
+    * deterministic `batch=<id>` subdir. One shuffle, keyed on the cell —
+    * the store's own partitioning — with ids sorted inside each cell file
+    * so the store layout is byte-deterministic. */
+  def ingestBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      coarse: Seq[Seq[Double]], pq: Seq[Seq[Seq[Double]]]): Unit = {
+    batch.select(col("vec_id"),
+        graft.plans.NearestCentroid.cell(col("embedding"), coarse).as("cell"),
+        org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pq)
+          .as("codes"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$storeDir/batch=$batchId")
+  }
+}

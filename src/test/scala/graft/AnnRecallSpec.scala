@@ -235,6 +235,47 @@ class AnnRecallSpec extends AnyFunSuite {
       "store round-trip must not change the ADC top-5")
   }
 
+  test("q144 streaming vector-store ingest: end state batch-boundary invariant; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // the gate's two-batch ingest vs ONE batch vs THREE batches — same
+    // frozen artifacts, so the served end state must be IDENTICAL through
+    // the real streaming machinery (assignment/encoding are per-row; the
+    // store is a union of batch dirs)
+    val twoBatch = rows(SimilarityOps.vectorStoreIngestServe(spark, dir))
+    val oneBatch = rows(SimilarityOps.vectorStoreIngestServe(spark, dir,
+      cuts = Some(Seq.empty)))
+    val threeBatch = rows(SimilarityOps.vectorStoreIngestServe(spark, dir,
+      cuts = Some(Seq(430L, 470L))))
+    assert(twoBatch.nonEmpty, "end-state serve returned no rows")
+    assert(twoBatch == oneBatch && twoBatch == threeBatch,
+      "micro-batch boundaries must not change the served end state")
+    // replay idempotence: foreachBatch is at-least-once — re-running a
+    // micro-batch must REPLACE its own store rows, not duplicate them
+    val base = java.nio.file.Files.createTempDirectory("q144_replay").toString
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+      val coarse = SimilarityOps.lloydCentroids(spark, dir, 8, 3, 50L)
+      val pq = SimilarityOps.pqCodebooks(spark, dir, SimilarityOps.PqM,
+        SimilarityOps.PqK, SimilarityOps.PqIters, maxVec = 50L)
+      def storeRows(): Seq[String] = spark.read.parquet(s"$base/store")
+        .collect().map(_.toString).sorted.toSeq
+      graft.streaming.VectorStoreIngest.ingestBatch(
+        e, 0L, s"$base/store", coarse, pq)
+      val once = storeRows()
+      graft.streaming.VectorStoreIngest.ingestBatch(
+        e, 0L, s"$base/store", coarse, pq)
+      assert(storeRows() == once,
+        "replaying a micro-batch must leave the store unchanged")
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
   test("fused PQ codebook training equals independent per-subspace Lloyd") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps

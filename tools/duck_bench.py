@@ -30,7 +30,8 @@ for name, q in sorted(sql.items()):
                 "q100_stream_dedup_endstate",
                 "q104_stream_timer_sessionize_endstate",
                 "q121_index_ingest_endstate",
-                "q125_bm25_sharded_store"):
+                "q125_bm25_sharded_store",
+                "q144_vector_store_ingest_endstate"):
         continue
     t0 = time.time()
     try:
