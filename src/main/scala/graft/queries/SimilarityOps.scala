@@ -428,6 +428,140 @@ object SimilarityOps {
     })
   }
 
+  /** q145: anisotropic weight on the PARALLEL residual component (ScaNN,
+    * Guo et al. ICML'20 §3: for MIPS, quantization error parallel to the
+    * datapoint biases the inner-product estimates of HIGH-scoring pairs,
+    * orthogonal error averages out over query directions). Constant eta
+    * (the paper derives a per-norm weight from a threshold T — the
+    * constant is the documented simplification); 4 is the measured
+    * clustered-fixture winner (tools/AnisoProbe). */
+  private[graft] val AnisoEta = 4.0
+
+  /** Lexicographic permutations of 0..3 with parity — the ONE canonical
+    * Leibniz term order that BOTH the driver solve ([[det4]]) and the
+    * generated SQL ([[det4Sql]]) evaluate, left-associated, so identical
+    * 6dp-rounded inputs produce bit-identical centroid solutions in both
+    * engines (no Gaussian-elimination pivoting to diverge on). */
+  private val Perm4: Seq[(IndexedSeq[Int], Int)] =
+    (0 to 3).permutations.map { p =>
+      val inv = (for (i <- 0 to 3; j <- i + 1 to 3 if p(i) > p(j)) yield 1).sum
+      (p, if (inv % 2 == 0) 1 else -1)
+    }.toSeq
+
+  private def det4(a: (Int, Int) => Double): Double =
+    Perm4.foldLeft(0.0) { case (acc, (p, s)) =>
+      val t = a(0, p(0)) * a(1, p(1)) * a(2, p(2)) * a(3, p(3))
+      if (s > 0) acc + t else acc - t
+    }
+
+  private def det4Sql(a: (Int, Int) => String): String =
+    Perm4.zipWithIndex.map { case ((p, s), i) =>
+      val t = s"${a(0, p(0))}*${a(1, p(1))}*${a(2, p(2))}*${a(3, p(3))}"
+      if (i == 0) { if (s > 0) t else s"-$t" }
+      else { if (s > 0) s" + $t" else s" - $t" }
+    }.mkString
+
+  private val anisoCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int, Double, Long), Seq[Seq[Seq[Double]]]]()
+
+  /** ANISOTROPIC (score-aware) PQ codebooks — the [[pqCodebooks]] fused
+    * Lloyd loop with BOTH halves of the ScaNN recipe:
+    *
+    *  - assignment minimizes ||r||² + (eta−1)·⟨r,x⟩²/||x||² (the fused
+    *    [[org.apache.spark.sql.graft.PqExpr.encodeAniso]] codegen — one
+    *    generated triple loop, eta = 1 degenerates to the plain expr);
+    *  - the centroid update is the CLOSED FORM minimizer of the summed
+    *    anisotropic loss (Guo et al. Thm 4.2 at constant eta):
+    *    [I + mean(w·x̂x̂ᵀ)]·c = eta·mean(x), w = eta−1 — a SubDim×SubDim
+    *    (=4×4) SPD system per (sub, cell), aggregated as 6dp-rounded
+    *    per-entry MEANS (one narrow pass, the pqCodebooks shape) and
+    *    solved by CRAMER in the canonical [[Perm4]] term order, so the
+    *    oracle's generated SQL reproduces every centroid bit-for-bit.
+    *    At eta = 1 the matrix is I and the solve returns the plain mean —
+    *    asserted equal to [[pqCodebooks]] in AnnRecallSpec.
+    *
+    * Driver state: M × K × (14 stats + 4 solved dims) doubles — the same
+    * bounded artifact shape as pqCodebooks; training rides the same
+    * bounded deterministic sample. */
+  private[graft] def anisoCodebooks(s: SparkSession, dir: String,
+      m: Int, k: Int, iters: Int, eta: Double,
+      trainTarget: Long = PqTrainTarget,
+      maxVec: Long = Long.MaxValue): Seq[Seq[Seq[Double]]] = {
+    if (anisoCache.size > CacheMax) anisoCache.clear()
+    val sub = Dim / m
+    require(sub == 4, "anisoCodebooks: the Cramer solve is generated for sub=4")
+    val w = eta - 1.0
+    anisoCache.computeIfAbsent(
+      (sessionKey(s), dir, m, k, iters, eta, maxVec), { _ =>
+      val all0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val all = if (maxVec == Long.MaxValue) all0
+                else all0.filter(col("vec_id") < maxVec)
+      val n = all.count()
+      val mod = math.max(1L, (n + trainTarget - 1) / trainTarget)
+      val e = all.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      val seedRows = e.orderBy("vec_id").limit(k).collect()
+        .map(r => r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      require(seedRows.nonEmpty,
+        s"anisoCodebooks: no training vectors in $dir (stride $mod)")
+      val kEff = math.min(k, seedRows.length)
+      var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+        (0 until m).map(i => seedRows
+          .map(v => v.slice(i * sub, i * sub + sub): Seq[Double])
+          .toIndexedSeq).toIndexedSeq
+      for (_ <- 1 to iters) {
+        // one narrow pass: per (sub, cell) the 4 coordinate means and the
+        // 10 upper-triangle entries of mean(w·x_d·x_e/||x||²), all
+        // 6dp-rounded (the cross-engine aggregation discipline)
+        val sv = col("sv")
+        val xx = aggregate(zip_with(sv, sv,
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+        val aggs =
+          (0 until sub).map(d =>
+            round(avg(element_at(sv, d + 1)), 6).as(s"b$d")) ++
+          (for (d <- 0 until sub; e2 <- d until sub) yield
+            round(avg(lit(w) * element_at(sv, d + 1) * element_at(sv, e2 + 1)
+              * col("inv")), 6).as(s"a${d}_$e2"))
+        val stats = e
+          .select(org.apache.spark.sql.graft.PqExpr
+              .encodeAniso(col("embedding"), cents.map(_.toSeq), eta).as("codes"),
+            posexplode(array((0 until m).map(i =>
+              slice(col("embedding"), i * sub + 1, sub)): _*)))
+          .select(col("pos").as("sub"),
+            element_at(col("codes"), col("pos") + 1).as("cell"),
+            col("col").as("sv"))
+          .withColumn("inv",
+            when(xx < lit(1e-12), lit(0.0)).otherwise(lit(1.0) / xx))
+          .groupBy("sub", "cell")
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val bySubCell = stats.map { r =>
+          val b = (0 until sub).map(d => r.getDouble(2 + d))
+          val up = (for (d <- 0 until sub; e2 <- d until sub)
+            yield (d, e2)).zipWithIndex.map { case ((d, e2), i) =>
+              (d, e2) -> r.getDouble(2 + sub + i) }.toMap
+          def aEnt(d: Int, e2: Int): Double = {
+            val v = up(if (d <= e2) (d, e2) else (e2, d))
+            if (d == e2) 1 + v else v
+          }
+          val rhs = (0 until sub).map(d => eta * b(d))
+          val dA = det4(aEnt)
+          val cNew = (0 until sub).map { d =>
+            val dd = det4((i, j) => if (j == d) rhs(i) else aEnt(i, j))
+            BigDecimal(dd / dA)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          (r.getInt(0), r.getInt(1)) -> (cNew: Seq[Double])
+        }.toMap
+        cents = (0 until m).map { i =>
+          (0 until kEff).map { c =>
+            bySubCell.getOrElse((i, c), cents(i)(c))
+          }.toIndexedSeq
+        }.toIndexedSeq
+      }
+      cents.map(_.toSeq)
+    })
+  }
+
   /** Result of an incremental IVF batch assignment: the batch's cell
     * assignment, the measured drift ratio, and whether the drift hook
     * retrained the quantizer. */
@@ -1044,6 +1178,23 @@ object SimilarityOps {
     "q144_vector_store_ingest_endstate" -> ((s, dir) =>
       vectorStoreIngestServe(s, dir)),
 
+    // ANISOTROPIC (score-aware) product quantization for MIPS — ScaNN's
+    // quantizer rung (Guo et al. ICML'20), the last named member of the
+    // ANN ladder: codeword assignment AND the closed-form centroid
+    // update weight the residual component PARALLEL to the datapoint by
+    // eta (parallel error biases inner-product estimates of high-scoring
+    // pairs; orthogonal error averages out over query directions).
+    // Serve = inner-product ADC (lut[m][c] = ⟨q_m, cent⟩), top-5 by
+    // score. The oracle replays the ENTIRE chain — anisotropic-loss
+    // assignments and the per-(sub, cell) 4×4 Cramer solves, generated
+    // in the same canonical Leibniz term order the driver evaluates, so
+    // every centroid is bit-identical. Recall claim measured where it
+    // matters (AnnRecallSpec clustered fixture: eta=4 beats plain-PQ
+    // MIPS recall; on the isotropic corpus anisotropy trades recall
+    // away — the published theory's premise, documented, eta=1 IS plain).
+    "q145_ann_pq_anisotropic" -> ((s, dir) =>
+      anisoPqTop5(s, dir, AnisoEta)),
+
     // DiskANN/Vamana-shape SHARDED GRAPH STORE (the r13 stretch item):
     // q131's incremental ingest composed with q137's partitioned
     // persistence — the END-STATE graph's adjacency AND vectors
@@ -1603,6 +1754,47 @@ object SimilarityOps {
       .select(col("qid"), col("col.payload").as("cid"),
         round(negate(col("col.score")) + lit(0.0), 4).as("adc_dist"),
         (col("pos") + 1).cast("long").as("rnk"))
+
+  /** q145's body: MIPS top-5 via ANISOTROPIC PQ — encode the slice with
+    * the score-aware codebooks ([[anisoCodebooks]]), then per probe an
+    * INNER-PRODUCT ADC (lut[m][c] = ⟨q_m, cent⟩, score = Σ_m lut lookup —
+    * the MIPS estimator ⟨q, x̃⟩), top-5 by score desc through the
+    * k-bounded heap. No coarse partitioner here on purpose: the rung is
+    * the quantizer (production composes it with the q97/q137 IVF + store
+    * machinery, which is orthogonal); scoring is one narrow broadcast
+    * pass over codes — M lookups per candidate, the PQ bandwidth win. */
+  private[graft] def anisoPqTop5(s: SparkSession, dir: String,
+      eta: Double, maxVec: Long = IvfPqGateSlice): DataFrame = {
+    val books = anisoCodebooks(s, dir, PqM, PqK, PqIters, eta, maxVec = maxVec)
+    val e0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val e = if (maxVec == Long.MaxValue) e0
+            else e0.filter(col("vec_id") < maxVec)
+    val enc = e.select(col("vec_id").as("cid"),
+      org.apache.spark.sql.graft.PqExpr
+        .encodeAniso(col("embedding"), books, eta).as("codes"))
+    def dotLit(a: Column, cent: Seq[Double]): Column =
+      aggregate(zip_with(a, array(cent.map(lit): _*),
+        (x, y) => x.cast("double") * y), lit(0.0), _ + _)
+    val lut = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"),
+        array((0 until PqM).map { mm =>
+          array(books(mm).indices.map { c =>
+            dotLit(slice(col("qe"), mm * PqSub + 1, PqSub), books(mm)(c))
+          }: _*)
+        }: _*).as("lut"))
+    enc.join(broadcast(lut), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        org.apache.spark.sql.graft.PqExpr
+          .adc(col("codes"), col("lut")).as("ip"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("ip") + lit(0.0), col("cid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("cid"),
+        round(col("col.score") + lit(0.0), 4).as("ip_score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
 
   /** q136's body: by_residual IVF-PQ ADC top-5. Residual = one narrow
     * zip_with against the per-cell centroid literal, FLOAT-cast in both
@@ -2458,6 +2650,112 @@ object SimilarityOps {
        |  FROM sadc) WHERE rnk <= 5""".stripMargin
   }
 
+  /** q145: the anisotropic PQ chain unrolled — assignment CTEs rank by
+    * the anisotropic loss rr + w·rx²/xx (same accumulator order as the
+    * generated Spark loop), update CTEs aggregate the 6dp-rounded
+    * per-(sub, cell) means of the normal equations
+    * [I + mean(w·x̂x̂ᵀ)]c = eta·mean(x) and solve them by CRAMER with
+    * determinants generated in the [[Perm4]] canonical term order — the
+    * SAME expansion the driver evaluates, so on the identical rounded
+    * inputs both engines produce bit-identical centroids. Serve is the
+    * inner-product ADC (lut = ⟨q_m, cent⟩ per (probe, sub, cell), sum in
+    * fixed order) ranked DESC. */
+  private def anisoPqOracleSql(m: Int, pk: Int, iters: Int, eta: Double,
+      where: String = s"vec_id < $IvfPqGateSlice"): String = {
+    val sub = Dim / m
+    require(sub == 4, "anisoPqOracleSql: Cramer generated for sub=4")
+    val w = eta - 1.0
+    def assign(cent: String, out: String, src: String = "est") =
+      s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
+         |  SELECT vec_id, sub, sv, cell,
+         |         row_number() OVER (PARTITION BY vec_id, sub
+         |           ORDER BY rr + (CASE WHEN xx < 1e-12 THEN 0.0
+         |                          ELSE $w*rx*rx/xx END), cell) AS rn
+         |  FROM (SELECT es.vec_id, es.sub, es.sv, c.cell,
+         |           list_sum([(es.sv[i]-c.cent[i])*(es.sv[i]-c.cent[i])
+         |                     FOR i IN range(1, ${sub + 1})]) AS rr,
+         |           list_sum([(es.sv[i]-c.cent[i])*es.sv[i]
+         |                     FOR i IN range(1, ${sub + 1})]) AS rx,
+         |           list_sum([es.sv[i]*es.sv[i]
+         |                     FOR i IN range(1, ${sub + 1})]) AS xx
+         |        FROM $src es JOIN $cent c ON es.sub = c.sub)) WHERE rn = 1)""".stripMargin
+    def update(assigned: String, prevCent: String, out: String) = {
+      val bCols = (0 until sub).map(d =>
+        s"round(avg(sv[${d + 1}]), 6) AS b$d").mkString(",\n         ")
+      val aCols = (for (d <- 0 until sub; e2 <- d until sub) yield
+        s"round(avg($w*sv[${d + 1}]*sv[${e2 + 1}]*inv), 6) AS a${d}_$e2")
+        .mkString(",\n         ")
+      def aEnt(i: Int, j: Int): String = {
+        val (lo, hi) = if (i <= j) (i, j) else (j, i)
+        if (i == j) s"(1 + a${lo}_$hi)" else s"a${lo}_$hi"
+      }
+      def rhsEnt(i: Int) = s"($eta*b$i)"
+      val dA = det4Sql(aEnt)
+      val solved = (0 until sub).map { d =>
+        val dd = det4Sql((i, j) => if (j == d) rhsEnt(i) else aEnt(i, j))
+        s"round(($dd)/($dA), 6)"
+      }.mkString(", ")
+      val xxList = s"list_sum([sv[i]*sv[i] FOR i IN range(1, ${sub + 1})])"
+      s"""${out}s AS (SELECT sub, cell,
+         |         $bCols,
+         |         $aCols
+         |  FROM (SELECT sub, cell, sv,
+         |          CASE WHEN $xxList < 1e-12 THEN 0.0
+         |               ELSE 1.0/$xxList END AS inv
+         |        FROM $assigned) GROUP BY sub, cell),
+         |$out AS (SELECT p.sub, p.cell, coalesce(n.cent, p.cent) AS cent
+         |  FROM $prevCent p LEFT JOIN
+         |    (SELECT sub, cell, [$solved] AS cent FROM ${out}s) n
+         |  USING (sub, cell))""".stripMargin
+    }
+    val iterCtes = (1 to iters).map { it =>
+      assign(s"p${it - 1}", s"pa$it") + ",\n" +
+        update(s"pa$it", s"p${it - 1}", s"p$it")
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(i =>
+      s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n         ")
+    val lutJoins = (0 until m).map(i =>
+      s"JOIN lut l$i ON l$i.qid = sc.qid AND l$i.sub = $i AND l$i.cell = sc.c$i")
+      .mkString("\n         ")
+    val adcSum = (0 until m).map(i => s"l$i.d").mkString(" + ")
+    val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE $where),
+       |es AS (SELECT e.vec_id, t.sub,
+       |          list_slice(e.v, CAST(t.sub * $sub + 1 AS INTEGER),
+       |                          CAST(t.sub * $sub + $sub AS INTEGER)) AS sv
+       |       FROM e, range(0, $m) t(sub)),
+       |est AS (SELECT * FROM es WHERE vec_id %
+       |          (SELECT GREATEST(1, CAST(ceil(count(*) / $PqTrainTarget.0)
+       |                                   AS BIGINT)) FROM e) = 0),
+       |p0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cell, sv AS cent FROM (
+       |         SELECT sub, sv, row_number() OVER (PARTITION BY sub
+       |                  ORDER BY vec_id) AS rn FROM est) WHERE rn <= $pk),
+       |$iterCtes,
+       |${assign(s"p$iters", "paf", "es")},
+       |codes AS MATERIALIZED (SELECT vec_id AS cid,
+       |         $codeCols
+       |          FROM paf GROUP BY vec_id),
+       |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
+       |lut AS MATERIALIZED (SELECT qid, sub, cell,
+       |               list_sum([qv[i]*cent[i]
+       |                         FOR i IN range(1, ${sub + 1})]) AS d
+       |        FROM (SELECT pr0.qid, c.sub, c.cell, c.cent,
+       |                     list_slice(pr0.v, CAST(c.sub * $sub + 1 AS INTEGER),
+       |                                      CAST(c.sub * $sub + $sub AS INTEGER)) AS qv
+       |              FROM pr0, p$iters c)),
+       |sc AS (SELECT pr0.qid, cd.cid, $scCodes
+       |       FROM pr0, codes cd WHERE cd.cid != pr0.qid),
+       |sadc AS (SELECT sc.qid, sc.cid, $adcSum AS ip
+       |         FROM sc
+       |         $lutJoins)
+       |SELECT qid, cid, round(ip, 4) AS ip_score, rnk FROM (
+       |  SELECT qid, cid, ip,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY ip DESC, cid) AS rnk
+       |  FROM sadc) WHERE rnk <= 5""".stripMargin
+  }
+
   private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
       pqIters: Int, nprobe: Int = 2,
       trainWhere: String = "TRUE"): String =
@@ -3128,6 +3426,10 @@ object SimilarityOps {
     // end state, because assignment/encoding are per-row
     "q144_vector_store_ingest_endstate" -> ivfPqOracleSql(8, 3, PqM, PqK,
       PqIters, trainWhere = s"vec_id < $IvfPqIngestSplit"),
+    // q145: the anisotropic chain — loss-ranked assignments + Cramer
+    // centroid solves in the canonical Leibniz order + IP-ADC serve
+    "q145_ann_pq_anisotropic" ->
+      anisoPqOracleSql(PqM, PqK, PqIters, AnisoEta),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->

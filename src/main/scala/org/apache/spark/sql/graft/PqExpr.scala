@@ -19,13 +19,19 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * over a flat codebook matrix held as a generated-class constant —
   * whole-stage codegen keeps working and the scan stays vectorized.
   */
-case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
+case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]],
+    eta: Double = 1.0)
     extends UnaryExpression with ExpectsInputTypes {
   require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
     "codebooks must be M x K x sub")
+  require(eta >= 1.0, "eta >= 1 (1 = plain L2)")
   private val m = books.size
   private val k = books.head.size
   private val sub = books.head.head.size
+  // anisotropic weight on the PARALLEL residual component (ScaNN, Guo et
+  // al. ICML'20): loss = ||r||² + (eta−1)·⟨r,x⟩²/||x||², r = x − c.
+  // eta = 1 ⇒ w = 0 ⇒ the historical plain-L2 argmin, code paths shared.
+  private val w = eta - 1.0
   require(books.forall(b => b.size == k && b.forall(_.size == sub)),
     "ragged codebooks")
 
@@ -51,17 +57,31 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
     while (mm < m) {
       var best = 0
       var bestD = Double.MaxValue
+      val voff = mm * sub
+      // ||x||² of the subvector, index order (shared by all k losses)
+      var xx = 0.0
+      if (w != 0.0) {
+        var j = 0
+        while (j < sub && voff + j < n) {
+          val x = v.getFloat(voff + j).toDouble
+          xx += x * x
+          j += 1
+        }
+      }
       var c = 0
       while (c < k) {
         var d = 0.0
+        var rx = 0.0
         var j = 0
         val base = (mm * k + c) * sub
-        val voff = mm * sub
         while (j < sub && voff + j < n) {
-          val x = v.getFloat(voff + j).toDouble - flat(base + j)
+          val xv = v.getFloat(voff + j).toDouble
+          val x = xv - flat(base + j)
           d += x * x
+          if (w != 0.0) rx += x * xv
           j += 1
         }
+        if (w != 0.0 && xx >= 1e-12) d = d + w * rx * rx / xx
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -85,6 +105,28 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
       val voff = ctx.freshName("voff")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val xx = ctx.freshName("xx")
+      val rx = ctx.freshName("rx")
+      val xv = ctx.freshName("xv")
+      // w == 0 emits the historical plain-L2 loop unchanged; w != 0 adds
+      // the parallel-residual term (xx hoisted per subvector)
+      val xxDecl = if (w == 0.0) "" else
+        s"""double $xx = 0.0;
+           |  for (int $j = 0; $j < $sub && $voff + $j < $n; $j++) {
+           |    double $xv = (double) $a.getFloat($voff + $j);
+           |    $xx += $xv * $xv;
+           |  }""".stripMargin
+      val rxDecl = if (w == 0.0) "" else s"double $rx = 0.0;"
+      val loopBody = if (w == 0.0)
+        s"""double $x = (double) $a.getFloat($voff + $j) - $matRef[$base + $j];
+           |      $d += $x * $x;""".stripMargin
+      else
+        s"""double $xv = (double) $a.getFloat($voff + $j);
+           |      double $x = $xv - $matRef[$base + $j];
+           |      $d += $x * $x;
+           |      $rx += $x * $xv;""".stripMargin
+      val anisoAdd = if (w == 0.0) "" else
+        s"if ($xx >= 1e-12) { $d = $d + $w * $rx * $rx / $xx; }"
       s"""
          |int $n = $a.numElements();
          |int[] $codes = new int[$m];
@@ -92,13 +134,15 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
          |  int $best = 0;
          |  double $bestD = Double.MAX_VALUE;
          |  int $voff = $mm * $sub;
+         |  $xxDecl
          |  for (int $c = 0; $c < $k; $c++) {
          |    double $d = 0.0;
+         |    $rxDecl
          |    int $base = ($mm * $k + $c) * $sub;
          |    for (int $j = 0; $j < $sub && $voff + $j < $n; $j++) {
-         |      double $x = (double) $a.getFloat($voff + $j) - $matRef[$base + $j];
-         |      $d += $x * $x;
+         |      $loopBody
          |    }
+         |    $anisoAdd
          |    if ($d < $bestD) { $bestD = $d; $best = $c; }
          |  }
          |  $codes[$mm] = $best;
@@ -162,6 +206,11 @@ object PqExpr {
   /** `pq_encode(vec)` — array of M codebook indices. */
   def encode(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
     ExpressionUtils.column(PqEncodeExpr(ExpressionUtils.expression(v), books))
+
+  /** `pq_encode(vec)` under the ANISOTROPIC loss (eta = 1 ≡ plain). */
+  def encodeAniso(v: Column, books: Seq[Seq[Seq[Double]]], eta: Double): Column =
+    ExpressionUtils.column(
+      PqEncodeExpr(ExpressionUtils.expression(v), books, eta))
 
   /** `adc_lookup(codes, lut)` — fixed-order ADC distance. */
   def adc(codes: Column, lut: Column): Column =

@@ -970,6 +970,42 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(resid >= 0.35, f"by_residual recall $resid%.3f too low on its home turf")
   }
 
+  test("anisotropic PQ at eta=1 IS plain PQ: codebooks identical, assignment identical") {
+    import graft.queries.SimilarityOps
+    // w = 0 zeroes the parallel term: the normal equations collapse to
+    // I·c = mean(x) and the Cramer solve must return the plain 6dp mean —
+    // the SAME codebooks pqCodebooks trains, cell for cell
+    val plain = SimilarityOps.pqCodebooks(spark, dir, SimilarityOps.PqM,
+      SimilarityOps.PqK, SimilarityOps.PqIters,
+      maxVec = SimilarityOps.IvfPqGateSlice)
+    val aniso1 = SimilarityOps.anisoCodebooks(spark, dir, SimilarityOps.PqM,
+      SimilarityOps.PqK, SimilarityOps.PqIters, eta = 1.0,
+      maxVec = SimilarityOps.IvfPqGateSlice)
+    assert(aniso1 === plain,
+      "eta=1 anisotropic training must reproduce plain-PQ codebooks exactly")
+  }
+
+  test("clustered fixture: anisotropic PQ beats plain PQ on MIPS recall (the property q145 exists for)") {
+    import graft.queries.SimilarityOps
+    val (dirC, _) = clustered
+    // MIPS ground truth: exact inner-product top-5 (what a recommender
+    // retrieves; the metric the anisotropic loss is derived for)
+    val truth = truthTop5(
+      (a, b) => a.indices.map(i => a(i) * b(i)).sum, largerIsCloser = true)
+    def recallAt(eta: Double): Double = {
+      val got = SimilarityOps.anisoPqTop5(spark, dirC, eta).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      meanRecall(got, truth)
+    }
+    val plain = recallAt(1.0)
+    val aniso = recallAt(SimilarityOps.AnisoEta)
+    info(f"clustered MIPS recall@5 — plain-PQ $plain%.3f, anisotropic $aniso%.3f")
+    assert(aniso >= plain + 0.1,
+      f"anisotropic ($aniso%.3f) must clearly beat plain PQ ($plain%.3f) on clustered MIPS")
+    assert(aniso >= 0.4, f"anisotropic recall $aniso%.3f too low on its home turf")
+  }
+
   test("clustered fixture: IVF single-cell probe is near-exact (cells = planted clusters)") {
     val (dirC, _) = clustered
     val truth = truthTop5(cosine, largerIsCloser = true)
