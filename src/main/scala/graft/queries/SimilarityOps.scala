@@ -123,6 +123,8 @@ object SimilarityOps {
     graphServeCache.clear()
     storeGraphCache.clear()
     endStateGraphCache.clear()
+    anisoCache.clear()
+    vecIngestServeCache.clear()
   }
 
   /** Per-(session, dir) cache of the NN-Descent graph artifact — a
@@ -1195,6 +1197,16 @@ object SimilarityOps {
     "q145_ann_pq_anisotropic" -> ((s, dir) =>
       anisoPqTop5(s, dir, AnisoEta)),
 
+    // The FULL ScaNN stack (Guo et al. §5): IVF partition (nprobe
+    // cells, q97's quantizer artifact shared) → anisotropic-PQ IP-ADC
+    // over the probed cells (q145's codebooks shared) → exact
+    // inner-product re-rank of the ADC top-R (the q123 discipline at
+    // MIPS scoring). Proves the "composes with the IVF machinery" claim
+    // the q145 docs make — partition, score-aware quantize, rescore,
+    // end to end in one gated plan; the oracle replays coarse chain +
+    // aniso chain + restricted ADC + rerank in CTEs.
+    "q146_ann_scann_stack" -> ((s, dir) => scannStackTop5(s, dir)),
+
     // DiskANN/Vamana-shape SHARDED GRAPH STORE (the r13 stretch item):
     // q131's incremental ingest composed with q137's partitioned
     // persistence — the END-STATE graph's adjacency AND vectors
@@ -1787,6 +1799,74 @@ object SimilarityOps {
       .select(col("qid"), col("cid"),
         org.apache.spark.sql.graft.PqExpr
           .adc(col("codes"), col("lut")).as("ip"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("ip") + lit(0.0), col("cid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("cid"),
+        round(col("col.score") + lit(0.0), 4).as("ip_score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** q146's body: the FULL ScaNN serving stack composed — IVF coarse
+    * partition (nprobe cells; the q97 quantizer artifact SHARED via
+    * [[lloydCentroids]]), anisotropic-PQ IP-ADC over the probed cells'
+    * candidates (the q145 codebooks SHARED via [[anisoCodebooks]]),
+    * then an EXACT inner-product re-rank of the ADC top-R (the q123
+    * rerank discipline at MIPS scoring) — the partition → score-aware
+    * quantize → rescore pipeline of Guo et al. §5, gated end to end.
+    * Per-probe cost: nprobe/k of the corpus gets M lookups, R vectors
+    * get exact dots — the 100 TB serving shape. */
+  private[graft] def scannStackTop5(s: SparkSession, dir: String,
+      eta: Double = AnisoEta, maxVec: Long = IvfPqGateSlice,
+      nprobe: Int = 2, rerankR: Int = 32): DataFrame = {
+    val (k, iters) = (8, 3)
+    val coarse = lloydCentroids(s, dir, k, iters, maxVec)
+    val books = anisoCodebooks(s, dir, PqM, PqK, PqIters, eta, maxVec = maxVec)
+    val e0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val e = if (maxVec == Long.MaxValue) e0
+            else e0.filter(col("vec_id") < maxVec)
+    val enc = e.select(col("vec_id").as("cid"),
+      NearestCentroid.cell(col("embedding"), coarse).as("cell"),
+      org.apache.spark.sql.graft.PqExpr
+        .encodeAniso(col("embedding"), books, eta).as("codes"))
+    def sqL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+    def dotLit(a: Column, cent: Seq[Double]): Column =
+      aggregate(zip_with(a, array(cent.map(lit): _*),
+        (x, y) => x.cast("double") * y), lit(0.0), _ + _)
+    val lut = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        array((0 until PqM).map { mm =>
+          array(books(mm).indices.map { c =>
+            dotLit(slice(col("qe"), mm * PqSub + 1, PqSub), books(mm)(c))
+          }: _*)
+        }: _*).as("lut"))
+      .select(col("qid"), col("lut"),
+        explode(slice(array_sort(array((0 until k).map(c =>
+          struct(sqL2(col("qe"), array(coarse(c).map(lit): _*)).as("d"),
+            lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+      .select(col("qid"), col("cc.cell").as("cell"), col("lut"))
+    val cand = enc.join(broadcast(lut), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        org.apache.spark.sql.graft.PqExpr
+          .adc(col("codes"), col("lut")).as("ip"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("ip") + lit(0.0), col("cid"), rerankR).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.payload").as("cid"))
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), _ + _)
+    val probeVecs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.join(broadcast(cand), e("vec_id") === cand("cid"))
+      .join(broadcast(probeVecs), "qid")
+      .select(col("qid"), col("cid"), dotC(col("qe"), col("embedding")).as("ip"))
       .groupBy("qid")
       .agg(org.apache.spark.sql.graft.TopKByScore
         .columnFor(col("ip") + lit(0.0), col("cid"), 5).as("top"))
@@ -2660,10 +2740,15 @@ object SimilarityOps {
     * inputs both engines produce bit-identical centroids. Serve is the
     * inner-product ADC (lut = ⟨q_m, cent⟩ per (probe, sub, cell), sum in
     * fixed order) ranked DESC. */
-  private def anisoPqOracleSql(m: Int, pk: Int, iters: Int, eta: Double,
-      where: String = s"vec_id < $IvfPqGateSlice"): String = {
+  /** The anisotropic chain's CTE list (no WITH header; expects `e` in
+    * scope): es/est subvectors+sample, p0 seeds, the loss-ranked
+    * assignment + Cramer-update iterations, final `paf` encode of every
+    * es row, `codes` pivot. Shared by the q145 oracle and the q146
+    * stack oracle. */
+  private def anisoPqChainSql(m: Int, pk: Int, iters: Int,
+      eta: Double): String = {
     val sub = Dim / m
-    require(sub == 4, "anisoPqOracleSql: Cramer generated for sub=4")
+    require(sub == 4, "anisoPqChainSql: Cramer generated for sub=4")
     val w = eta - 1.0
     def assign(cent: String, out: String, src: String = "est") =
       s"""$out AS (SELECT vec_id, sub, sv, cell FROM (
@@ -2714,14 +2799,7 @@ object SimilarityOps {
     }.mkString(",\n")
     val codeCols = (0 until m).map(i =>
       s"max(CASE WHEN sub = $i THEN cell END) AS c$i").mkString(",\n         ")
-    val lutJoins = (0 until m).map(i =>
-      s"JOIN lut l$i ON l$i.qid = sc.qid AND l$i.sub = $i AND l$i.cell = sc.c$i")
-      .mkString("\n         ")
-    val adcSum = (0 until m).map(i => s"l$i.d").mkString(" + ")
-    val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |           WHERE $where),
-       |es AS (SELECT e.vec_id, t.sub,
+    s"""es AS (SELECT e.vec_id, t.sub,
        |          list_slice(e.v, CAST(t.sub * $sub + 1 AS INTEGER),
        |                          CAST(t.sub * $sub + $sub AS INTEGER)) AS sv
        |       FROM e, range(0, $m) t(sub)),
@@ -2735,15 +2813,34 @@ object SimilarityOps {
        |${assign(s"p$iters", "paf", "es")},
        |codes AS MATERIALIZED (SELECT vec_id AS cid,
        |         $codeCols
-       |          FROM paf GROUP BY vec_id),
-       |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
-       |lut AS MATERIALIZED (SELECT qid, sub, cell,
+       |          FROM paf GROUP BY vec_id)""".stripMargin
+  }
+
+  /** q145's serve-probe LUT CTE (⟨q_m, cent⟩ per (probe, sub, cell)) —
+    * shared by the q145 and q146 oracles. */
+  private def anisoLutSql(m: Int, iters: Int): String = {
+    val sub = Dim / m
+    s"""lut AS MATERIALIZED (SELECT qid, sub, cell,
        |               list_sum([qv[i]*cent[i]
        |                         FOR i IN range(1, ${sub + 1})]) AS d
        |        FROM (SELECT pr0.qid, c.sub, c.cell, c.cent,
        |                     list_slice(pr0.v, CAST(c.sub * $sub + 1 AS INTEGER),
        |                                      CAST(c.sub * $sub + $sub AS INTEGER)) AS qv
-       |              FROM pr0, p$iters c)),
+       |              FROM pr0, p$iters c))""".stripMargin
+  }
+
+  private def anisoPqOracleSql(m: Int, pk: Int, iters: Int, eta: Double,
+      where: String = s"vec_id < $IvfPqGateSlice"): String = {
+    val lutJoins = (0 until m).map(i =>
+      s"JOIN lut l$i ON l$i.qid = sc.qid AND l$i.sub = $i AND l$i.cell = sc.c$i")
+      .mkString("\n         ")
+    val adcSum = (0 until m).map(i => s"l$i.d").mkString(" + ")
+    val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE $where),
+       |${anisoPqChainSql(m, pk, iters, eta)},
+       |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
+       |${anisoLutSql(m, iters)},
        |sc AS (SELECT pr0.qid, cd.cid, $scCodes
        |       FROM pr0, codes cd WHERE cd.cid != pr0.qid),
        |sadc AS (SELECT sc.qid, sc.cid, $adcSum AS ip
@@ -2754,6 +2851,51 @@ object SimilarityOps {
        |         row_number() OVER (PARTITION BY qid
        |                            ORDER BY ip DESC, cid) AS rnk
        |  FROM sadc) WHERE rnk <= 5""".stripMargin
+  }
+
+  /** q146: the full stack — [[ivfPrefixSql]]'s coarse chain (e … af, the
+    * q97 spelling) + the anisotropic chain + nprobe cell probing + the
+    * cell-restricted IP-ADC + the top-R cut + exact inner-product
+    * re-rank over the raw vectors. */
+  private def scannStackOracleSql(k: Int, iters: Int, m: Int, pk: Int,
+      pqIters: Int, eta: Double, nprobe: Int, rerankR: Int,
+      where: String = s"vec_id < $IvfPqGateSlice"): String = {
+    val lutJoins = (0 until m).map(i =>
+      s"JOIN lut l$i ON l$i.qid = sc.qid AND l$i.sub = $i AND l$i.cell = sc.c$i")
+      .mkString("\n         ")
+    val adcSum = (0 until m).map(i => s"l$i.d").mkString(" + ")
+    val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
+    s"""${ivfPrefixSql(k, iters, where)},
+       |${anisoPqChainSql(m, pk, pqIters, eta)},
+       |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
+       |pr AS MATERIALIZED (SELECT qid, cell FROM (
+       |  SELECT pr0.qid, c.cell,
+       |         row_number() OVER (PARTITION BY pr0.qid
+       |           ORDER BY list_sum([(pr0.v[i]-c.cent[i])*(pr0.v[i]-c.cent[i])
+       |                              FOR i IN range(1, ${Dim + 1})]),
+       |                    c.cell) AS rn
+       |  FROM pr0, c$iters c) WHERE rn <= $nprobe),
+       |${anisoLutSql(m, pqIters)},
+       |sc AS (SELECT pr.qid, a.vec_id AS cid, $scCodes
+       |       FROM af a JOIN pr ON a.cell = pr.cell AND a.vec_id != pr.qid
+       |       JOIN codes cd ON cd.cid = a.vec_id),
+       |sadc AS (SELECT sc.qid, sc.cid, $adcSum AS ip
+       |         FROM sc
+       |         $lutJoins),
+       |radc AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY ip DESC, cid) AS rn
+       |  FROM sadc) WHERE rn <= $rerankR),
+       |rex AS (SELECT r.qid, r.cid,
+       |        list_sum([q.v[i]*c.v[i] FOR i IN range(1, ${Dim + 1})]) AS ip
+       |        FROM radc r JOIN pr0 q ON q.qid = r.qid
+       |        JOIN e c ON c.vec_id = r.cid)
+       |SELECT qid, cid, round(ip, 4) AS ip_score, rnk FROM (
+       |  SELECT qid, cid, ip,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY ip DESC, cid) AS rnk
+       |  FROM rex) WHERE rnk <= 5""".stripMargin
   }
 
   private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
@@ -3430,6 +3572,10 @@ object SimilarityOps {
     // centroid solves in the canonical Leibniz order + IP-ADC serve
     "q145_ann_pq_anisotropic" ->
       anisoPqOracleSql(PqM, PqK, PqIters, AnisoEta),
+    // q146: coarse chain + aniso chain + cell-restricted IP-ADC + exact
+    // inner-product rerank — the stack end to end
+    "q146_ann_scann_stack" -> scannStackOracleSql(8, 3, PqM, PqK, PqIters,
+      AnisoEta, nprobe = 2, rerankR = 32),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->

@@ -1006,6 +1006,27 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(aniso >= 0.4, f"anisotropic recall $aniso%.3f too low on its home turf")
   }
 
+  test("clustered fixture: ScaNN stack (IVF + aniso PQ + exact rerank) near-exact MIPS; rerank lifts ADC") {
+    import graft.queries.SimilarityOps
+    val (dirC, _) = clustered
+    val truth = truthTop5(
+      (a, b) => a.indices.map(i => a(i) * b(i)).sum, largerIsCloser = true)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      meanRecall(got, truth)
+    }
+    val adcOnly = recallOf(SimilarityOps.anisoPqTop5(spark, dirC,
+      SimilarityOps.AnisoEta))
+    val stack = recallOf(SimilarityOps.scannStackTop5(spark, dirC))
+    info(f"clustered MIPS recall@5 — aniso ADC alone $adcOnly%.3f, full stack $stack%.3f")
+    // the stack's whole point: the exact-rerank tail recovers what ADC
+    // compression loses, at R·d instead of n·d exact work per probe
+    assert(stack >= adcOnly,
+      f"rerank must not lose recall (stack $stack%.3f vs ADC $adcOnly%.3f)")
+    assert(stack >= 0.9, f"stack recall $stack%.3f below the near-exact floor")
+  }
+
   test("clustered fixture: IVF single-cell probe is near-exact (cells = planted clusters)") {
     val (dirC, _) = clustered
     val truth = truthTop5(cosine, largerIsCloser = true)
