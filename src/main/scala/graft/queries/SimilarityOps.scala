@@ -1207,6 +1207,13 @@ object SimilarityOps {
     // aniso chain + restricted ADC + rerank in CTEs.
     "q146_ann_scann_stack" -> ((s, dir) => scannStackTop5(s, dir)),
 
+    // MATRYOSHKA adaptive retrieval (Kusupati et al. NeurIPS'22): score
+    // on the first 16 dims (25% of the bandwidth — what truncatable
+    // embeddings are FOR), exact-rerank the top-R funnel at full dimension.
+    // UNBOUNDED like q35 (no id-range crutch); both stages are the
+    // proven cosine kernel pair, so the whole chain is oracle-replayed.
+    "q147_ann_matryoshka" -> ((s, dir) => matryoshkaTop5(s, dir)),
+
     // DiskANN/Vamana-shape SHARDED GRAPH STORE (the r13 stretch item):
     // q131's incremental ingest composed with q137's partitioned
     // persistence — the END-STATE graph's adjacency AND vectors
@@ -1873,6 +1880,57 @@ object SimilarityOps {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.payload").as("cid"),
         round(col("col.score") + lit(0.0), 4).as("ip_score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** q147: matryoshka truncation depth (first dims used by the cheap
+    * stage) and its rerank width. */
+  private[graft] val MrlDims = 16
+  /** Funnel width: R must cover the expected same-neighborhood
+    * candidate count (the clustered fixture's planted clusters hold ~62
+    * members; R=32 measured 0.80 recall there, R=64 covers the cluster
+    * → near-exact — the funnel-sizing rule adaptive retrieval ships
+    * with). */
+  private[graft] val MrlRerankR = 64
+
+  /** q147's body: MATRYOSHKA adaptive retrieval (Kusupati et al.
+    * NeurIPS'22 §4 "adaptive retrieval", the serving shape OpenAI-style
+    * truncatable embeddings exist for): the cheap first stage scores
+    * candidates on only the FIRST [[MrlDims]] dims — dPrime/D of the
+    * memory bandwidth, the whole point at 100 TB — then the top-R
+    * survivors are re-ranked at FULL dimension (the q123 rerank
+    * discipline). Both stages are the proven q35 cosine kernel pair on
+    * sliced/full arrays, so the chain is exactly replayable; the recall
+    * profile of the truncated stage depends on the embedding being
+    * MRL-trained (front-loaded information) — on the synthetic corpus
+    * the first-k dims are just a coordinate projection, which is the
+    * honest floor, and the rerank tail still recovers it (AnnRecallSpec
+    * measures both). */
+  private[graft] def matryoshkaTop5(s: SparkSession, dir: String,
+      dPrime: Int = MrlDims, rerankR: Int = MrlRerankR): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .filter(col("qid") < 10)
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val first = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosineSim(slice(col("qe"), 1, dPrime),
+          slice(col("ce"), 1, dPrime)).as("cosd"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("cosd"), col("cid"), rerankR).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.payload").as("cid"))
+    e.join(broadcast(first), e("vec_id") === first("cid"))
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        cosineSim(col("qe"), col("embedding")).as("cos"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("cos"), col("cid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("cid"),
+        round(col("col.score"), 4).as("cosine"),
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
@@ -3576,6 +3634,31 @@ object SimilarityOps {
     // inner-product rerank — the stack end to end
     "q146_ann_scann_stack" -> scannStackOracleSql(8, 3, PqM, PqK, PqIters,
       AnisoEta, nprobe = 2, rerankR = 32),
+    // q147: truncated-cosine first stage (list_slice on the DOUBLE-cast
+    // list ≡ Spark's slice on the float array — same values), top-R cut
+    // (cosd DESC, cid ≡ the heap), full-dim exact rerank — q35's proven
+    // kernel pair at both stages
+    "q147_ann_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |f AS (SELECT qid, cid,
+         |        list_cosine_similarity(list_slice(qe, 1, $MrlDims),
+         |                               list_slice(ce, 1, $MrlDims)) AS cosd
+         |      FROM q JOIN c ON cid != qid),
+         |r AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cosd DESC, cid) AS rn
+         |  FROM f) WHERE rn <= $MrlRerankR),
+         |rex AS (SELECT r.qid, r.cid, list_cosine_similarity(q.qe, c.ce) AS cos
+         |        FROM r JOIN q ON q.qid = r.qid
+         |        JOIN c ON c.cid = r.cid)
+         |SELECT qid, cid, round(cos, 4) AS cosine, rnk FROM (
+         |  SELECT qid, cid, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, cid) AS rnk
+         |  FROM rex) WHERE rnk <= 5""".stripMargin,
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->
