@@ -1214,6 +1214,18 @@ object SimilarityOps {
     // proven cosine kernel pair, so the whole chain is oracle-replayed.
     "q147_ann_matryoshka" -> ((s, dir) => matryoshkaTop5(s, dir)),
 
+    // MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein
+    // SIGIR'98 — diversity-aware picking for few-shot example selection
+    // and dataset-diversity curation): greedily select k items
+    // maximizing λ·rel − (1−λ)·max-sim-to-selected; the q116 FPS greedy
+    // discipline (k driver argmax steps, selected set as broadcast
+    // literals, strict (score DESC, vec_id) tie rule), exactly unrolled
+    // in the oracle's CTE chain. λ=1 degenerates to relevance top-k —
+    // asserted in-spec; the diversity property (selections spread across
+    // planted clusters where pure relevance stays in the query's own) is
+    // pinned on the clustered fixture.
+    "q148_mmr_select" -> ((s, dir) => mmrSelect(s, dir)),
+
     // DiskANN/Vamana-shape SHARDED GRAPH STORE (the r13 stretch item):
     // q131's incremental ingest composed with q137's partitioned
     // persistence — the END-STATE graph's adjacency AND vectors
@@ -1652,6 +1664,71 @@ object SimilarityOps {
       }
       centers
     })
+  }
+
+  /** q148: MMR balance knob (0.25 ⇒ 1−λ = 0.75, both exact in binary —
+    * no ugly cross-engine literal). On the planted-cluster geometry
+    * λ=0.5 is the knife edge (penalty ≈ relevance for every cross-
+    * cluster candidate, scores all ≈ 0); 0.25 weights diversity
+    * decisively — measured spread 8/8 distinct clusters vs 1/8 for pure
+    * relevance (AnnRecallSpec). */
+  private[graft] val MmrLambda = 0.25
+  private[graft] val MmrK = 8
+
+  /** q148's body: MAXIMAL MARGINAL RELEVANCE selection (Carbonell &
+    * Goldstein SIGIR'98 — the diversity-aware selection rule few-shot
+    * example pickers and dataset-diversity curation use): greedily pick
+    * k items maximizing λ·rel(i) − (1−λ)·max_{s∈S} sim(i, s), rel =
+    * cosine to the query (vec 0). The [[fpsCenters]] greedy discipline:
+    * k driver-side argmax steps (ORDER BY score DESC, vec_id LIMIT 1 —
+    * the strict tie rule), each ONE aggregation pass over candidates
+    * with the ≤k selected vectors as broadcast literals; driver state is
+    * k vectors. max-sim is an exact max (no fp accumulation), cosines
+    * are the proven q35 kernel pair, λ/1−λ are exact binary halves — so
+    * the whole greedy trajectory replays bit-for-bit in the oracle's
+    * unrolled CTEs. */
+  private[graft] def mmrSelect(s: SparkSession, dir: String,
+      lambda: Double = MmrLambda, k: Int = MmrK): DataFrame = {
+    val mu = 1.0 - lambda
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(x => lit(x.toDouble))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), array(qv: _*)).as("rel"))
+    var selected = Vector.empty[(Long, Seq[Double], Double, Int)]
+    for (ord <- 1 to k) {
+      val sims = selected.map { case (_, v, _, _) =>
+        cosineSim(col("embedding"), array(v.map(lit): _*))
+      }
+      val ms = sims.size match {
+        case 0 => lit(0.0)
+        case 1 => sims.head // greatest() requires >= 2 args
+        case _ => greatest(sims: _*)
+      }
+      val pick = cand
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .select(col("vec_id"), col("embedding"), col("rel"),
+          (lit(lambda) * col("rel") - lit(mu) * ms).as("mmr"))
+        .orderBy(desc("mmr"), asc("vec_id")).limit(1).collect()(0)
+      selected = selected :+ ((pick.getLong(0),
+        pick.getSeq[Float](1).map(_.toDouble): Seq[Double],
+        pick.getDouble(3), ord))
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      selected.map { case (id, _, mmr, ord) =>
+        org.apache.spark.sql.Row(ord, id,
+          BigDecimal(mmr).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_ord",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("mmr",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** (vec_id, cell, cos) — every vector with its coarse cell and its
@@ -2956,6 +3033,39 @@ object SimilarityOps {
        |  FROM rex) WHERE rnk <= 5""".stripMargin
   }
 
+  /** q148: the MMR greedy trajectory unrolled — step 1 picks argmax
+    * λ·rel − (1−λ)·0.0 (the same expression shape the Spark loop
+    * evaluates with ms = 0.0), each later step computes every remaining
+    * candidate's exact max-cosine to the selected set and picks argmax
+    * (mmr DESC, vec_id). Cosines are the proven kernel pair and max is
+    * exact, so the trajectories agree bit-for-bit. */
+  private def mmrOracleSql(lambda: Double, k: Int): String = {
+    val mu = 1.0 - lambda
+    val steps = (2 to k).map { i =>
+      s"""m${i - 1} AS (SELECT r.vec_id, r.v, r.rel,
+         |    max(list_cosine_similarity(r.v, c.v)) AS ms
+         |  FROM r, c${i - 1} c
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM c${i - 1})
+         |  GROUP BY r.vec_id, r.v, r.rel),
+         |p$i AS (SELECT vec_id, v, $lambda*rel - $mu*ms AS mmr
+         |        FROM m${i - 1}
+         |        ORDER BY $lambda*rel - $mu*ms DESC, vec_id LIMIT 1),
+         |c$i AS (SELECT * FROM c${i - 1}
+         |        UNION ALL SELECT vec_id, v, $i, mmr FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |r AS (SELECT e.vec_id, e.v,
+       |        list_cosine_similarity(e.v, q.v) AS rel
+       |      FROM e, q WHERE e.vec_id != 0),
+       |c1 AS (SELECT vec_id, v, 1 AS ord, $lambda*rel - $mu*0.0 AS mmr
+       |       FROM r
+       |       ORDER BY $lambda*rel - $mu*0.0 DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(ord AS INT) AS sel_ord, vec_id, round(mmr, 4) AS mmr
+       |FROM c$k""".stripMargin
+  }
+
   private def ivfPqOracleSql(k: Int, iters: Int, m: Int, pk: Int,
       pqIters: Int, nprobe: Int = 2,
       trainWhere: String = "TRUE"): String =
@@ -3659,6 +3769,8 @@ object SimilarityOps {
          |         row_number() OVER (PARTITION BY qid
          |                            ORDER BY cos DESC, cid) AS rnk
          |  FROM rex) WHERE rnk <= 5""".stripMargin,
+    // q148: the greedy MMR trajectory, k unrolled argmax steps
+    "q148_mmr_select" -> mmrOracleSql(MmrLambda, MmrK),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->

@@ -335,6 +335,41 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.9, f"clustered matryoshka recall $r%.3f")
   }
 
+  test("q148 MMR: lambda=1 degenerates to relevance top-k; low lambda diversifies across planted clusters") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    // λ=1: the greedy argmax with exclusion IS relevance top-k — must
+    // equal the plain cosine top-8 to the query, rank for rank
+    val pure = SimilarityOps.mmrSelect(spark, dir, lambda = 1.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Float](1).map(x => lit(x.toDouble))
+    val want = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), graft.plans.CosineSimilarity
+        .cosineSim(col("embedding"), array(qv: _*)).as("rel"))
+      .orderBy(desc("rel"), asc("vec_id")).limit(SimilarityOps.MmrK)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure.map(_._2).toSeq === want,
+      "lambda=1 MMR must equal relevance top-k in pick order")
+    // diversity where it shows: planted clusters (cluster = vec_id % 8,
+    // query = vec 0 ∈ cluster 0). Pure relevance stays in the query's
+    // own cluster; MMR at the gate lambda (0.25) must spread wide.
+    val (dirC, _) = clustered
+    def clustersOf(lambda: Double): Seq[Long] =
+      SimilarityOps.mmrSelect(spark, dirC, lambda = lambda)
+        .collect().map(_.getLong(1) % 8).toSeq
+    val pureC = clustersOf(1.0)
+    val divC = clustersOf(SimilarityOps.MmrLambda)
+    info(s"clusters hit — lambda=1: ${pureC.distinct.size} ${pureC.mkString(",")}; " +
+      s"lambda=${SimilarityOps.MmrLambda}: ${divC.distinct.size} ${divC.mkString(",")}")
+    assert(pureC.distinct.size === 1,
+      s"pure relevance should stay in the query's cluster, hit ${pureC.distinct}")
+    assert(divC.distinct.size >= 6,
+      s"MMR at the gate lambda should cover most planted clusters, hit ${divC.distinct.size}")
+  }
+
   test("fused PQ codebook training equals independent per-subspace Lloyd") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityOps
