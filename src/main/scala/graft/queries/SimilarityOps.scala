@@ -3041,24 +3041,28 @@ object SimilarityOps {
     * exact, so the trajectories agree bit-for-bit. */
   private def mmrOracleSql(lambda: Double, k: Int): String = {
     val mu = 1.0 - lambda
+    // ms aggregates GROUP BY the bigint vec_id ONLY (grouping on the
+    // 64-element list column measured 307 s at sf0.1 — the list hash
+    // key, not the cosines, was the bill); v/rel join back from the
+    // MATERIALIZED r afterwards
     val steps = (2 to k).map { i =>
-      s"""m${i - 1} AS (SELECT r.vec_id, r.v, r.rel,
+      s"""m${i - 1} AS (SELECT r.vec_id,
          |    max(list_cosine_similarity(r.v, c.v)) AS ms
          |  FROM r, c${i - 1} c
          |  WHERE r.vec_id NOT IN (SELECT vec_id FROM c${i - 1})
-         |  GROUP BY r.vec_id, r.v, r.rel),
-         |p$i AS (SELECT vec_id, v, $lambda*rel - $mu*ms AS mmr
-         |        FROM m${i - 1}
-         |        ORDER BY $lambda*rel - $mu*ms DESC, vec_id LIMIT 1),
-         |c$i AS (SELECT * FROM c${i - 1}
+         |  GROUP BY r.vec_id),
+         |p$i AS (SELECT r.vec_id, r.v, $lambda*r.rel - $mu*m.ms AS mmr
+         |        FROM r JOIN m${i - 1} m USING (vec_id)
+         |        ORDER BY $lambda*r.rel - $mu*m.ms DESC, r.vec_id LIMIT 1),
+         |c$i AS MATERIALIZED (SELECT * FROM c${i - 1}
          |        UNION ALL SELECT vec_id, v, $i, mmr FROM p$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT v FROM e WHERE vec_id = 0),
-       |r AS (SELECT e.vec_id, e.v,
+       |r AS MATERIALIZED (SELECT e.vec_id, e.v,
        |        list_cosine_similarity(e.v, q.v) AS rel
        |      FROM e, q WHERE e.vec_id != 0),
-       |c1 AS (SELECT vec_id, v, 1 AS ord, $lambda*rel - $mu*0.0 AS mmr
+       |c1 AS MATERIALIZED (SELECT vec_id, v, 1 AS ord, $lambda*rel - $mu*0.0 AS mmr
        |       FROM r
        |       ORDER BY $lambda*rel - $mu*0.0 DESC, vec_id LIMIT 1),
        |$steps
