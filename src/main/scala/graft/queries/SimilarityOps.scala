@@ -464,7 +464,7 @@ object SimilarityOps {
     }.mkString
 
   private val anisoCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int, Double, Long), Seq[Seq[Seq[Double]]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int, Double, Long, Long), Seq[Seq[Seq[Double]]]]()
 
   /** ANISOTROPIC (score-aware) PQ codebooks — the [[pqCodebooks]] fused
     * Lloyd loop with BOTH halves of the ScaNN recipe:
@@ -493,8 +493,10 @@ object SimilarityOps {
     val sub = Dim / m
     require(sub == 4, "anisoCodebooks: the Cramer solve is generated for sub=4")
     val w = eta - 1.0
+    // trainTarget rides the key (the pqCodebooks rule): a different
+    // sample stride is a different quantizer
     anisoCache.computeIfAbsent(
-      (sessionKey(s), dir, m, k, iters, eta, maxVec), { _ =>
+      (sessionKey(s), dir, m, k, iters, eta, maxVec, trainTarget), { _ =>
       val all0 = emb(s, dir).select(col("vec_id"), col("embedding"))
       val all = if (maxVec == Long.MaxValue) all0
                 else all0.filter(col("vec_id") < maxVec)

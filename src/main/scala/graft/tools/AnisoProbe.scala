@@ -175,8 +175,12 @@ object AnisoProbe {
           (id, vecs(id).zip(qv).map { case (a, b) => a * b }.sum)
         }.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
       }.toMap
-      def recallFor(eta: Double): Double = {
-        val cents = (0 until M).map(m => train(subs(m), eta)).toArray
+      // ONE scoring body for both training flavors — the eta comparison
+      // the gate constant was picked from must never run under two
+      // divergent scoring rules
+      def recallWith(trainer: (Array[Array[Double]], Double) => Array[Array[Double]])
+          (eta: Double): Double = {
+        val cents = (0 until M).map(m => trainer(subs(m), eta)).toArray
         val codes = (0 until M).map(m => encode(subs(m), cents(m), eta)).toArray
         val rec = probes.map { q =>
           val qv = vecs(q)
@@ -196,26 +200,8 @@ object AnisoProbe {
         }
         rec.sum / rec.length
       }
-      def recallFor2(eta: Double): Double = {
-        val cents = (0 until M).map(m => train2(subs(m), eta)).toArray
-        val codes = (0 until M).map(m => encode(subs(m), cents(m), eta)).toArray
-        val rec = probes.map { q =>
-          val qv = vecs(q)
-          val luts = (0 until M).map { m =>
-            val qm = qv.slice(m * SubDim, m * SubDim + SubDim)
-            cents(m).map(c => c.zip(qm).map { case (a, b) => a * b }.sum)
-          }
-          val scored = ids.indices.flatMap { i =>
-            val id = ids(i)
-            if (id == q) None
-            else Some((id, (0 until M).map(m => luts(m)(codes(m)(i))).sum))
-          }
-          val got = scored.sortBy { case (id, s) => (-s, id) }
-            .take(5).map(_._1).toSet
-          got.intersect(truth(q)).size / 5.0
-        }
-        rec.sum / rec.length
-      }
+      val recallFor = recallWith(train) _
+      val recallFor2 = recallWith(train2) _
       val plain = recallFor(1.0)
       val results = Seq(2.0, 4.0, 8.0).map(e => e -> recallFor(e))
       val results2 = Seq(1.0, 2.0, 4.0, 8.0).map(e => e -> recallFor2(e))

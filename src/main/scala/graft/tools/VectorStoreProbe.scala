@@ -77,8 +77,13 @@ object VectorStoreProbe {
         .select(graft.plans.NearestCentroid
           .cell(col("embedding"), coarse).as("cell"))
         .distinct().collect().map(_.getInt(0)).toSeq
+      // force a real data read: a bare count() is answered from parquet
+      // footers without decoding the codes column — aggregate over the
+      // codes so the serve wall prices actual record materialization
       val (served, tServe) = timed(
-        stDf.filter(col("cell").isin(probeCells: _*)).count())
+        stDf.filter(col("cell").isin(probeCells: _*))
+          .agg(count(lit(1)), sum(element_at(col("codes"), 1)))
+          .collect()(0).getLong(0))
       val total = dirBytes(java.nio.file.Paths.get(store))
       val touched = {
         val s = java.nio.file.Files.walk(java.nio.file.Paths.get(store))
