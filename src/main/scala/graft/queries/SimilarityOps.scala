@@ -433,11 +433,28 @@ object SimilarityOps {
   /** q145: anisotropic weight on the PARALLEL residual component (ScaNN,
     * Guo et al. ICML'20 §3: for MIPS, quantization error parallel to the
     * datapoint biases the inner-product estimates of HIGH-scoring pairs,
-    * orthogonal error averages out over query directions). Constant eta
-    * (the paper derives a per-norm weight from a threshold T — the
-    * constant is the documented simplification); 4 is the measured
-    * clustered-fixture winner (tools/AnisoProbe). */
+    * orthogonal error averages out over query directions). A single
+    * dataset-level eta — the deployed configuration shape, where one
+    * multiplier follows from a relative score threshold t via the
+    * paper's closed form eta = 1 + (d−1)·t²/(1−t²)
+    * ([[anisoEtaForThreshold]]; the paper's theory also derives
+    * PER-NORM weights, which this constant flavor deliberately does not
+    * chase). 4 is the measured clustered-fixture winner
+    * (tools/AnisoProbe) and corresponds to t ≈ 0.21 at d = 64 —
+    * "preserve scores above relative cosine ~0.21", a sensible MIPS
+    * relevance bar. */
   private[graft] val AnisoEta = 4.0
+
+  /** The ICML'20 closed form linking a relative score threshold
+    * t = T/‖x‖ to the parallel-cost multiplier:
+    * eta = 1 + (d−1)·t²/(1−t²) (spherical-cap integration of the
+    * expected parallel vs orthogonal loss contributions). Exposed so a
+    * deployment picks eta from the score bar it cares about instead of
+    * by sweep; asserted against [[AnisoEta]] in AnnRecallSpec. */
+  private[graft] def anisoEtaForThreshold(t: Double, d: Int): Double = {
+    require(t >= 0 && t < 1, "relative threshold t must be in [0, 1)")
+    1.0 + (d - 1) * t * t / (1.0 - t * t)
+  }
 
   /** Lexicographic permutations of 0..3 with parity — the ONE canonical
     * Leibniz term order that BOTH the driver solve ([[det4]]) and the

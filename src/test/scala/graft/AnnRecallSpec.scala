@@ -1077,6 +1077,14 @@ class AnnRecallSpec extends AnyFunSuite {
       maxVec = SimilarityOps.IvfPqGateSlice)
     assert(aniso1 === plain,
       "eta=1 anisotropic training must reproduce plain-PQ codebooks exactly")
+    // the gate eta follows from the paper's threshold closed form:
+    // eta = 1 + (d-1) t²/(1-t²) = 4 at t = sqrt(1/22) ≈ 0.213, d = 64
+    val t = math.sqrt(1.0 / 22.0)
+    assert(math.abs(SimilarityOps.anisoEtaForThreshold(t, 64)
+      - SimilarityOps.AnisoEta) < 1e-9,
+      "AnisoEta must match the closed form at its documented threshold")
+    // and t=0 (no threshold) degenerates to plain L2
+    assert(SimilarityOps.anisoEtaForThreshold(0.0, 64) === 1.0)
   }
 
   test("clustered fixture: anisotropic PQ beats plain PQ on MIPS recall (the property q145 exists for)") {
