@@ -247,6 +247,62 @@ object CurationOps {
           r4(max(rate)).as("target_rate"))
     }),
 
+    // UniMax-style BUDGET ALLOCATION (Chung et al. ICLR'23: allocate a
+    // total training-token budget across domains by WATERFILLING under
+    // per-domain epoch caps — fairer than temperature sampling (q109)
+    // because no domain is repeated past its cap to feed the mix). Unit
+    // is TOKENS (UniMax's own), capacity = n_tokens × cap_epochs with
+    // the cap schedule keyed on q71's quality tiers (high-quality
+    // sources may repeat up to 4 epochs, the lowest 0.5 — the
+    // quality-capped production variant), budget = one corpus-worth
+    // (Σ n_tokens). The waterfill has a CLOSED RELATIONAL FORM — no
+    // driver loop: sort domains by capacity ascending; a domain is
+    // capped iff its full capacity fits the equal share at its turn
+    // (capacity·(K−rk+1) ≤ N−prefix — the capped set is provably a
+    // prefix of the sort), everyone else splits the residual equally.
+    // Scale shape: ONE token-count aggregation over the corpus (the
+    // only corpus-sized pass), then windows over the per-DOMAIN frame —
+    // bounded cardinality (the language/source list), not corpus-sized.
+    // All inputs are exact integers / exact binary halves, so prefix
+    // sums, the cap predicate and the residual division are
+    // bit-identical cross-engine with no rounding tricks needed before
+    // the 4dp output.
+    "q149_unimax_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tier = expr("int(regexp_extract(source, '([0-9]+)$', 1)) div 5")
+      val cap = when(tier === 0, 4.0).when(tier === 1, 2.0)
+        .when(tier === 2, 1.0).otherwise(0.5)
+      val base = Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(graft.functions.TextFunctions.tokens(col("text"))))
+          .cast("double").as("n_tokens"),
+          max(cap).as("cap_epochs"))
+        .withColumn("capacity", col("n_tokens") * col("cap_epochs"))
+      val ord = Window.orderBy(col("capacity"), col("source"))
+      val whole = Window.partitionBy()
+      val f = base
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("pfx", coalesce(sum(col("capacity")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+        .withColumn("tot_n", sum(col("n_tokens")).over(whole))
+        .withColumn("kk", count(lit(1)).over(whole))
+        .withColumn("capped",
+          col("capacity") * (col("kk") - col("rk") + 1) <=
+            col("tot_n") - col("pfx"))
+      val g = f
+        .withColumn("cap_sum", sum(when(col("capped"), col("capacity"))
+          .otherwise(lit(0.0))).over(whole))
+        .withColumn("n_cap", sum(when(col("capped"), 1L).otherwise(0L))
+          .over(whole))
+      val alloc = when(col("capped"), col("capacity"))
+        .otherwise((col("tot_n") - col("cap_sum")) /
+          (col("kk") - col("n_cap")))
+      g.select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        col("cap_epochs"), col("capped"),
+        r4(alloc).as("alloc_tokens"),
+        r4(alloc / col("n_tokens")).as("epochs"))
+    }),
+
     // Quality-ranked canonical selection: within each dup cluster keep the
     // HIGHEST-quality document (q24's scorer), not the lowest id — what a
     // curation pipeline actually ships. One window over the cluster id.
@@ -482,6 +538,49 @@ object CurationOps {
       """SELECT l_returnflag, count(*) AS n,
                 TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
          FROM lineitem GROUP BY l_returnflag""",
+    // the same closed-form waterfill: token counts are exact integers
+    // and caps exact binary halves, so the prefix sums, the capped
+    // predicate and the residual split agree bit-for-bit; the capped set
+    // is a prefix of the (capacity, source) sort in both engines
+    "q149_unimax_budget" ->
+      """WITH d AS (
+           SELECT source,
+                  CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) // 5
+                    AS tier,
+                  len(string_split(text, ' ')) AS toks
+           FROM documents),
+         b AS (SELECT source,
+                      CAST(sum(toks) AS DOUBLE) AS n_tokens,
+                      CAST(max(CASE tier WHEN 0 THEN 4.0 WHEN 1 THEN 2.0
+                                         WHEN 2 THEN 1.0 ELSE 0.5 END)
+                           AS DOUBLE) AS cap_epochs
+               FROM d GROUP BY source),
+         c AS (SELECT *, n_tokens * cap_epochs AS capacity FROM b),
+         w AS (SELECT *,
+                 row_number() OVER (ORDER BY capacity, source) AS rk,
+                 coalesce(sum(capacity) OVER (ORDER BY capacity, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0) AS pfx,
+                 sum(n_tokens) OVER () AS tot_n,
+                 count(*) OVER () AS kk
+               FROM c),
+         f AS (SELECT *,
+                 (capacity * (kk - rk + 1) <= tot_n - pfx) AS capped
+               FROM w),
+         g AS (SELECT *,
+                 sum(CASE WHEN capped THEN capacity ELSE 0.0 END)
+                   OVER () AS cap_sum,
+                 sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_cap
+               FROM f)
+         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, cap_epochs,
+                capped,
+                round(CASE WHEN capped THEN capacity
+                      ELSE (tot_n - cap_sum) / (kk - n_cap) END, 4)
+                  AS alloc_tokens,
+                round(CASE WHEN capped THEN capacity
+                      ELSE (tot_n - cap_sum) / (kk - n_cap) END
+                      / n_tokens, 4) AS epochs
+         FROM g""",
     "q71_domain_mix" ->
       """WITH d AS (
            SELECT source, doc_id,

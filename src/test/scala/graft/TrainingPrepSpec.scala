@@ -161,6 +161,37 @@ class TrainingPrepSpec extends AnyFunSuite {
     out.result()
   }
 
+  test("q149 UniMax: budget conserved, caps respected, capped set is an ascending-capacity prefix") {
+    val rows = SparkEntry.queries("q149_unimax_budget")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getDouble(4), r.getDouble(5)))
+    val totTokens = rows.map(_._2).sum.toDouble
+    val totAlloc = rows.map(_._5).sum
+    // budget = one corpus-worth of tokens, conserved up to 4dp rounding
+    assert(math.abs(totAlloc - totTokens) < 0.01 * rows.length,
+      s"allocated $totAlloc vs budget $totTokens")
+    rows.foreach { case (src, n, cap, capped, alloc, epochs) =>
+      // nobody exceeds their epoch cap
+      assert(epochs <= cap + 1e-6, s"$src epochs $epochs over cap $cap")
+      // capped domains get EXACTLY their capacity
+      if (capped) assert(math.abs(alloc - n * cap) < 1e-3,
+        s"$src capped but alloc $alloc != capacity ${n * cap}")
+    }
+    // uncapped domains all share ONE residual allocation (the water level)
+    val residuals = rows.filter(!_._4).map(_._5).distinct
+    assert(residuals.size <= 1,
+      s"uncapped allocations must be equal, got $residuals")
+    // the capped set is a prefix of the ascending-capacity order
+    val byCapacity = rows.sortBy(r => (r._2 * r._3, r._1))
+    val firstUncapped = byCapacity.indexWhere(!_._4)
+    if (firstUncapped >= 0)
+      assert(byCapacity.drop(firstUncapped).forall(!_._4),
+        "capped set must be a prefix of the capacity sort")
+    // the fixture actually SPLITS (both capped and uncapped exist) —
+    // otherwise the waterfill is degenerate and proves nothing
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("BPE trainer reproduces the in-memory reference on a crafted corpus") {
     import graft.operators.BpeTrainer
     import spark.implicits._
