@@ -235,7 +235,7 @@ object CurationOps {
     // table, engine-portable. One hash aggregation; the kept set itself
     // needs no shuffle at all at any scale.
     "q71_domain_mix" -> ((s, dir) => {
-      val tier = expr("int(regexp_extract(source, '([0-9]+)$', 1)) div 5")
+      val tier = expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS INT) div 5")
       val rate = when(tier === 0, 1.0).when(tier === 1, 0.5)
         .when(tier === 2, 0.25).otherwise(0.1)
       val kept =
@@ -269,7 +269,7 @@ object CurationOps {
     // the 4dp output.
     "q149_unimax_budget" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val tier = expr("int(regexp_extract(source, '([0-9]+)$', 1)) div 5")
+      val tier = expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS INT) div 5")
       val cap = when(tier === 0, 4.0).when(tier === 1, 2.0)
         .when(tier === 2, 1.0).otherwise(0.5)
       val base = Tables(s, dir, "documents")
@@ -545,7 +545,7 @@ object CurationOps {
     "q149_unimax_budget" ->
       """WITH d AS (
            SELECT source,
-                  CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) // 5
+                  TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) // 5
                     AS tier,
                   len(string_split(text, ' ')) AS toks
            FROM documents),
@@ -584,7 +584,7 @@ object CurationOps {
     "q71_domain_mix" ->
       """WITH d AS (
            SELECT source, doc_id,
-                  CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) // 5
+                  TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) // 5
                     AS tier,
                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                        AS BIGINT) % 10000 AS h

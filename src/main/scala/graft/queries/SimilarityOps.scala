@@ -436,24 +436,28 @@ object SimilarityOps {
     * orthogonal error averages out over query directions). A single
     * dataset-level eta — the deployed configuration shape, where one
     * multiplier follows from a relative score threshold t via the
-    * paper's closed form eta = 1 + (d−1)·t²/(1−t²)
+    * paper's closed form eta = (d−1)·t²/(1−t²)
     * ([[anisoEtaForThreshold]]; the paper's theory also derives
-    * PER-NORM weights, which this constant flavor deliberately does not
-    * chase). 4 is the measured clustered-fixture winner
-    * (tools/AnisoProbe) and corresponds to t ≈ 0.21 at d = 64 —
-    * "preserve scores above relative cosine ~0.21", a sensible MIPS
-    * relevance bar. */
+    * PER-NORM weights — [[anisoCodebooksPerNorm]] implements that
+    * variant, the constant flavor stays the gate default). 4 is the
+    * measured clustered-fixture winner (tools/AnisoProbe) and
+    * corresponds to t ≈ 0.244 at d = 64 — "preserve scores above
+    * relative cosine ~0.24", a sensible MIPS relevance bar. */
   private[graft] val AnisoEta = 4.0
 
-  /** The ICML'20 closed form linking a relative score threshold
-    * t = T/‖x‖ to the parallel-cost multiplier:
-    * eta = 1 + (d−1)·t²/(1−t²) (spherical-cap integration of the
-    * expected parallel vs orthogonal loss contributions). Exposed so a
+  /** The ICML'20 closed form (Guo et al., Theorem 3.3 as shipped in
+    * ScaNN's scann_builder) linking a relative score threshold t = T/‖x‖
+    * to the parallel-cost multiplier: eta = (d−1)·t²/(1−t²)
+    * (spherical-cap integration of the expected parallel vs orthogonal
+    * loss contributions; h_∥/h_⊥ with h_⊥ normalized to 1). At
+    * t = 1/√d — the mean |cosine| of a random direction — this reads
+    * exactly 1, i.e. plain L2: thresholds below the random-direction bar
+    * give eta < 1 and a deployment should clamp to 1. Exposed so a
     * deployment picks eta from the score bar it cares about instead of
     * by sweep; asserted against [[AnisoEta]] in AnnRecallSpec. */
   private[graft] def anisoEtaForThreshold(t: Double, d: Int): Double = {
     require(t >= 0 && t < 1, "relative threshold t must be in [0, 1)")
-    1.0 + (d - 1) * t * t / (1.0 - t * t)
+    (d - 1) * t * t / (1.0 - t * t)
   }
 
   /** Lexicographic permutations of 0..3 with parity — the ONE canonical

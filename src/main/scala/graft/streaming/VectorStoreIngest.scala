@@ -72,7 +72,11 @@ object VectorStoreIngest {
         org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pq)
           .as("codes"))
       .repartition(col("cell"))
-      .sortWithinPartitions("vec_id")
+      // the dynamic-partition writer REQUIRES ordering on the partition
+      // column; satisfying it here (cell first, then vec_id) means no
+      // planner-inserted sort, and the per-cell id order is guaranteed
+      // by construction rather than by sort stability
+      .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$storeDir/batch=$batchId")
   }

@@ -31,6 +31,11 @@ case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]],
   // anisotropic weight on the PARALLEL residual component (ScaNN, Guo et
   // al. ICML'20): loss = ||r||² + (eta−1)·⟨r,x⟩²/||x||², r = x − c.
   // eta = 1 ⇒ w = 0 ⇒ the historical plain-L2 argmin, code paths shared.
+  // PER-SUBVECTOR simplification: x here is the m-th SUBVECTOR, so the
+  // parallel direction is per-subspace; the paper's objective projects
+  // the residual onto the FULL datapoint direction (subspaces coupled
+  // through one global parallel component). Both this engine and its
+  // DuckDB oracle implement the per-subvector variant.
   private val w = eta - 1.0
   require(books.forall(b => b.size == k && b.forall(_.size == sub)),
     "ragged codebooks")

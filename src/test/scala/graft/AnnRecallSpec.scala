@@ -1077,14 +1077,16 @@ class AnnRecallSpec extends AnyFunSuite {
       maxVec = SimilarityOps.IvfPqGateSlice)
     assert(aniso1 === plain,
       "eta=1 anisotropic training must reproduce plain-PQ codebooks exactly")
-    // the gate eta follows from the paper's threshold closed form:
-    // eta = 1 + (d-1) t²/(1-t²) = 4 at t = sqrt(1/22) ≈ 0.213, d = 64
-    val t = math.sqrt(1.0 / 22.0)
+    // the gate eta follows from ScaNN's threshold closed form:
+    // eta = (d-1) t²/(1-t²) = 4 at t = sqrt(4/67) ≈ 0.244, d = 64
+    val t = math.sqrt(4.0 / 67.0)
     assert(math.abs(SimilarityOps.anisoEtaForThreshold(t, 64)
       - SimilarityOps.AnisoEta) < 1e-9,
       "AnisoEta must match the closed form at its documented threshold")
-    // and t=0 (no threshold) degenerates to plain L2
-    assert(SimilarityOps.anisoEtaForThreshold(0.0, 64) === 1.0)
+    // and t = 1/sqrt(d) — the mean |cos| of a random direction — reads
+    // exactly 1, i.e. plain L2 (ScaNN's own degenerate point)
+    assert(math.abs(
+      SimilarityOps.anisoEtaForThreshold(1.0 / 8.0, 64) - 1.0) < 1e-12)
   }
 
   test("clustered fixture: anisotropic PQ beats plain PQ on MIPS recall (the property q145 exists for)") {
