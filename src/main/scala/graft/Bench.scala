@@ -72,7 +72,10 @@ object Bench {
       // q144: a full STREAMING INGEST LIFECYCLE (3 AvailableNow
       // micro-batches + checkpoint + store writes to fresh temp dirs)
       // while its oracle is a one-shot SELECT — the q86 asymmetry
-      "q144_vector_store_ingest_endstate")
+      "q144_vector_store_ingest_endstate",
+      // q150: the q144 lifecycle PLUS a drift-triggered retrain +
+      // re-encode epoch — same streaming-vs-one-shot asymmetry
+      "q150_drift_retrain_endstate")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -538,6 +538,113 @@ object NnDescent {
       .unionByName(fwd)
   }
 
+  /** SHARDED graph construction — the DiskANN build recipe (Subramanya
+    * et al., NeurIPS'19 §4: partition the corpus into OVERLAPPING shards
+    * by assigning every point to its `spill` nearest coarse centers,
+    * build a graph per shard, merge by unioning each node's per-shard
+    * edges and cutting to k) re-expressed as ONE Spark dataflow: the
+    * shard id rides every build key (init ring, reverse sample, local
+    * join, per-node heap), so all cells build CONCURRENTLY inside the
+    * same shuffle-bounded jobs — no per-cell driver scheduling — and the
+    * boundary stitching a disjoint partition would miss comes from the
+    * spill overlap (a point near a cell boundary lives in BOTH cells'
+    * graphs, so its cross-boundary true neighbors meet it in the shared
+    * shard — exactly the paper's argument for ℓ=2 overlap).
+    *
+    * Why this is the 100 TB build and the global [[knnGraph]] loop is
+    * not: the global local join shuffles Θ(n·k²) candidate pairs through
+    * ONE corpus-wide key space per iteration, and its candidate quality
+    * decays with n (a fixed iteration budget explores a vanishing
+    * fraction of a growing space). Here every shuffle hash-partitions by
+    * (cell, …): reducer working sets are bounded by the largest cell
+    * (cells come from a bounded-sample Lloyd quantizer, so they track
+    * the data distribution and can be split by re-quantizing a hot
+    * cell), candidates never cross cells (the quantizer already says
+    * they are far), and the adjacency lands ALREADY CLUSTERED BY CELL —
+    * the q141 store layout, no re-clustering pass. Init is a
+    * deterministic per-cell ring (ranks r+1…r+k mod cell size):
+    * connected inside every shard by construction, one window — no
+    * global id-modulus draw, which inside a shard would mostly name ids
+    * OUTSIDE it. Recall parity with the global build is pinned by
+    * AnnRecallSpec on both the uniform and planted-cluster fixtures;
+    * the build-time column at 10/30/100× is ScaleStress's
+    * `graphBuildStage`. */
+  def knnGraphSharded(emb: DataFrame, k: Int, iters: Int,
+      cents: Seq[Seq[Double]], spill: Int = 2): DataFrame =
+    withoutConstraintPropagation(emb.sparkSession) {
+      knnGraphShardedImpl(emb, k, iters, cents, spill)
+    }
+
+  private def knnGraphShardedImpl(emb: DataFrame, k: Int, iters: Int,
+      cents: Seq[Seq[Double]], spill: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false)
+    val sp = math.min(spill, cents.size)
+    // spill assignment: each vector joins its `spill` nearest cells —
+    // one codegen'd NearestCells pass (a wide quantizer as a
+    // sort-of-structs would fall out of codegen into per-cell HOFs)
+    val assigned = e.select(col("vec_id"),
+        explode(graft.plans.NearestCentroid
+          .cells(col("embedding"), cents, sp)).as("cell"))
+      .select(col("cell"), col("vec_id"))
+      .localCheckpoint(eager = true)
+    val wr = Window.partitionBy("cell").orderBy("vec_id")
+    val wc = Window.partitionBy("cell")
+    val ranked = assigned
+      .withColumn("r", row_number().over(wr))
+      .withColumn("nc", count(lit(1)).over(wc))
+    val init = ranked
+      .select(col("cell"), col("vec_id"), col("r"), col("nc"),
+        explode(sequence(lit(1), lit(k))).as("off"))
+      .select(col("cell"), col("vec_id"),
+        (pmod(col("r") - lit(1) + col("off"), col("nc")) + lit(1)).as("nr"))
+      .join(ranked.select(col("cell"), col("r").as("nr"),
+        col("vec_id").as("nid")), Seq("cell", "nr"))
+      .filter(col("nid") =!= col("vec_id"))
+      .select(col("cell"), col("vec_id"), col("nid"))
+      .distinct()
+    // per-cell scoring/heap: the global helpers with `cell` riding along
+    def scoreC(pairs: DataFrame): DataFrame =
+      pairs
+        .join(e.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+        .join(e.select(col("vec_id").as("nid"),
+          col("embedding").as("eb")), "nid")
+        .select(col("cell"), col("vec_id"), col("nid"),
+          cosineSim(col("ea"), col("eb")).as("cos"))
+    def topKC(scored: DataFrame): DataFrame =
+      scored.groupBy("cell", "vec_id", "nid").agg(max(col("cos")).as("cos"))
+        .groupBy("cell", "vec_id")
+        .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
+          col("cos"), col("nid"), k).as("top"))
+        .select(col("cell"), col("vec_id"), explode(col("top")).as("e"))
+        .select(col("cell"), col("vec_id"), col("e.payload").as("nid"),
+          col("e.score").as("cos"))
+    var b = topKC(scoreC(init)).localCheckpoint(eager = true)
+    for (it <- 1 to iters) {
+      val fwd = b.select(col("cell"), col("vec_id").as("src"),
+        col("nid").as("dst"))
+      val rev = b.groupBy(col("cell"), col("nid").as("src"))
+        .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
+          -mixKey(col("vec_id"), it).cast("double"), col("vec_id"), k)
+          .as("top"))
+        .select(col("cell"), col("src"), explode(col("top")).as("e"))
+        .select(col("cell"), col("src"), col("e.payload").as("dst"))
+      val genl = fwd.unionByName(rev).distinct()
+      val cand = genl.as("a")
+        .join(genl.as("b"), col("a.cell") === col("b.cell") &&
+          col("a.src") === col("b.src") && col("a.dst") =!= col("b.dst"))
+        .select(col("a.cell").as("cell"), col("a.dst").as("vec_id"),
+          col("b.dst").as("nid"))
+        .distinct()
+      b = topKC(scoreC(cand).unionByName(b))
+        .localCheckpoint(eager = true)
+    }
+    // merge: union every node's per-shard edges, global k-cut — the
+    // spill overlap makes this the paper's boundary stitching
+    topK(b.select(col("vec_id"), col("nid"), col("cos")), k)
+  }
+
   /** Dedupe by (node, neighbor) — duplicate candidates carry identical
     * cosines, max() is exact — then the k-bounded heap per node. */
   private def topK(scored: DataFrame, k: Int): DataFrame =

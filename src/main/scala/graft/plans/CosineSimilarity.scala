@@ -41,4 +41,10 @@ object NearestCentroid {
     * centroid (the FPS scoring pass); one codegen'd loop. */
   def minDist(v: Column, cents: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.graft.MinCentroidDistExpr.columnFor(v, cents)
+
+  /** `cells($"embedding", centroids, n)` — the n nearest cell indices
+    * ascending by (squared-L2, cell): the sharded-build spill assignment
+    * / wide-quantizer probe route; one codegen'd loop. */
+  def cells(v: Column, cents: Seq[Seq[Double]], nTop: Int): Column =
+    org.apache.spark.sql.graft.NearestCellsExpr.columnFor(v, cents, nTop)
 }

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.SimilarityOps
+
+/** One micro-batch's lifecycle outcome: the drift ratio it scored against
+  * the artifacts current at arrival, whether it triggered a retrain, and
+  * the store epoch it landed in. */
+final case class DriftIngestReport(batchId: Long, driftRatio: Double,
+    retrained: Boolean, epoch: Int)
+
+/** The DRIFT-AWARE flavor of [[VectorStoreIngest]] — the deployment story
+  * the frozen-artifact q144 gate deliberately excludes: artifacts start
+  * frozen, but every arriving micro-batch is scored for distribution
+  * drift (mean nearest-cell squared-L2 over the training baseline — the
+  * [[graft.queries.SimilarityOps.assignIncremental]] ratio), and a
+  * drifted batch triggers retrain of BOTH tiers (coarse quantizer + PQ
+  * codebooks) on store ∪ batch followed by a RE-ENCODE of everything
+  * already ingested.
+  *
+  * Store layout is epoch-versioned: `epoch=<e>/batch=<b>/cell=<c>/`,
+  * rows (vec_id, embedding, codes). The raw-vector tier rides along
+  * (DiskANN keeps raw vectors for re-rank; here it additionally makes
+  * re-encode a self-contained store scan — no dependence on the ingest
+  * source still being readable). On retrain the new epoch is built by
+  * ONE distributed linear pass over the old epoch (read → re-assign +
+  * re-encode → partitioned write); the old epoch stays fully serveable
+  * until the new one is complete — the non-blocking-reindex shape a
+  * production vector store uses, and the reason re-encode needs no
+  * driver-side materialization at any scale. Per-batch cost is
+  * proportional to the batch; the corpus-sized re-encode bill is paid
+  * only on drift, which is the event that would otherwise silently decay
+  * recall (AnnRecallSpec measures exactly that decay and its repair).
+  *
+  * In-distribution batches ride the [[VectorStoreIngest]] discipline
+  * unchanged: deterministic `batch=<id>` subdir + overwrite ⇒ replay
+  * of an at-least-once foreachBatch delivery replaces its own rows. A
+  * REPLAYED batch also re-scores its drift ratio against the CURRENT
+  * artifacts; a retrain folds the triggering batch into the baseline
+  * corpus, so a location-shift drift replays as non-drifted, and even a
+  * batch whose intrinsic quantization error keeps the ratio high (a
+  * scale drift) re-retrains DETERMINISTICALLY on the same corpus into
+  * identical artifacts and store content — the end state is idempotent
+  * either way (VectorStoreLifecycleSpec asserts the first path, row for
+  * row). */
+final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
+    m: Int, kPq: Int, pqIters: Int, driftFactor: Double = 2.0) {
+
+  private var sparkV: SparkSession = _
+  private var epochV = 0
+  private var coarseV: Seq[Seq[Double]] = Seq.empty
+  private var pqV: Seq[Seq[Seq[Double]]] = Seq.empty
+  private var baselineV = 0.0
+  private val reportsV =
+    scala.collection.mutable.ArrayBuffer.empty[DriftIngestReport]
+
+  def epoch: Int = epochV
+  def coarse: Seq[Seq[Double]] = coarseV
+  def pq: Seq[Seq[Seq[Double]]] = pqV
+  def reports: Seq[DriftIngestReport] = reportsV.toSeq
+  def retrains: Int = reportsV.count(_.retrained)
+
+  /** The current-epoch store (vec_id, embedding, codes, batch, cell) —
+    * serveable at any point in the lifecycle. */
+  def store: DataFrame = sparkV.read.parquet(s"$storeDir/epoch=$epochV")
+
+  /** Train initial artifacts on `standing` and publish it as epoch 0,
+    * batch 0 — the artifact a deployment ships with the index. */
+  def init(s: SparkSession, standing: DataFrame): Unit = {
+    sparkV = s
+    train(standing.select(col("vec_id"), col("embedding")))
+    writeBatch(standing, 0L)
+  }
+
+  private def train(trainDf: DataFrame): Unit = {
+    coarseV = SimilarityOps.lloydFromSeeds(trainDf, k, iters)
+    pqV = SimilarityOps.pqCodebooksFrom(trainDf, m, kPq, pqIters)
+    // the drift baseline is measured against the artifacts just trained,
+    // over the corpus they were trained on — a batch drawn from that
+    // distribution then scores ≈ 1
+    baselineV = SimilarityOps.meanCellDist(trainDf, coarseV)
+  }
+
+  /** Assign + encode one batch under the CURRENT artifacts and publish it
+    * in the current epoch — the [[VectorStoreIngest.ingestBatch]] plan
+    * with the raw-vector tier carried alongside the codes. */
+  private def writeBatch(batch: DataFrame, batchId: Long): Unit =
+    batch.select(col("vec_id"), col("embedding"),
+        graft.plans.NearestCentroid.cell(col("embedding"), coarseV)
+          .as("cell"),
+        org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pqV)
+          .as("codes"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$storeDir/epoch=$epochV/batch=$batchId")
+
+  /** One lifecycle step: score the batch's drift ratio; in-distribution →
+    * append under the current artifacts; drifted → retrain on store ∪
+    * batch, re-encode the store into a new epoch, then append. */
+  def ingest(batch0: DataFrame, batchId: Long): DriftIngestReport = {
+    // a streaming micro-batch frame is only contractually readable once —
+    // checkpoint it eagerly (bounded by maxFilesPerTrigger) before the
+    // multi-pass train/encode pipeline below
+    val batch = batch0.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = true)
+    val ratio = {
+      val d = SimilarityOps.meanCellDist(batch, coarseV)
+      if (baselineV > 0.0) d / baselineV else 1.0
+    }
+    val drifted = ratio > driftFactor
+    if (drifted) {
+      val standing = store.select(col("vec_id"), col("embedding"))
+      train(standing.union(batch))
+      val prev = epochV
+      epochV += 1
+      // non-blocking reindex: one distributed pass over the old epoch,
+      // re-assigned + re-encoded under the NEW artifacts, batch
+      // provenance preserved; the old epoch serves until this completes
+      sparkV.read.parquet(s"$storeDir/epoch=$prev")
+        .select(col("batch"), col("vec_id"), col("embedding"),
+          graft.plans.NearestCentroid.cell(col("embedding"), coarseV)
+            .as("cell"),
+          org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pqV)
+            .as("codes"))
+        .repartition(col("batch"), col("cell"))
+        .sortWithinPartitions("batch", "cell", "vec_id")
+        .write.mode("overwrite").partitionBy("batch", "cell")
+        .parquet(s"$storeDir/epoch=$epochV")
+    }
+    writeBatch(batch, batchId)
+    val rep = DriftIngestReport(batchId, ratio, drifted, epochV)
+    reportsV += rep
+    rep
+  }
+
+  /** Streaming entry: AvailableNow over parquet vector files, one
+    * [[ingest]] per micro-batch — [[VectorStoreIngest.start]] with the
+    * drift lifecycle in the loop. Call [[init]] first. */
+  def start(inDir: String, schema: StructType, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val vecs = sparkV.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch 0 is the standing corpus init() published; stream
+        // micro-batch ids shift up by one so replays stay aligned to
+        // their own deterministic subdirs
+        if (!batch.isEmpty) { ingest(batch, batchId + 1); () }
+      }
+      .start()
+  }
+}

@@ -154,6 +154,93 @@ object AnisoProbe {
       best
     }
 
+  // ---- PER-DATAPOINT-NORM weighting (r14 verdict item 3): Guo et al.'s
+  // full form derives the parallel weight from each point's own norm —
+  // eta(x) = (d−1)·T²/(‖x‖²−T²) for a fixed score threshold T (the
+  // constant flavor is this with ‖x‖ replaced by one corpus-level norm).
+  // Points with small norms (rarely top MIPS scorers above T) get MORE
+  // parallel weight under this form; the cap guards ‖x‖ → T. ----
+
+  private val EtaCap = 64.0
+
+  private def etaForNorm(norm2: Double, t2: Double): Double = {
+    val raw = if (norm2 <= t2 * (1.0 + 1e-9)) EtaCap
+              else (Dim - 1) * t2 / (norm2 - t2)
+    math.max(1.0, math.min(EtaCap, raw))
+  }
+
+  /** T² such that mean_x eta(x) hits `target` — bisection, so the
+    * per-norm flavor is compared at the SAME average parallel budget as
+    * the constant-eta gate (a fair fight, not a bigger hammer). */
+  private def calibrateT2(norm2s: Array[Double], target: Double): Double = {
+    def meanEta(t2: Double) = norm2s.map(etaForNorm(_, t2)).sum / norm2s.length
+    var lo = 0.0
+    var hi = norm2s.max
+    for (_ <- 0 until 80) {
+      val mid = (lo + hi) / 2
+      if (meanEta(mid) < target) lo = mid else hi = mid
+    }
+    (lo + hi) / 2
+  }
+
+  private def lossPN(x: Array[Double], c: Array[Double], etaX: Double) =
+    loss(x, c, etaX)
+
+  /** [[train2]] with per-member eta: A += (eta_i−1)·x̂x̂ᵀ, b += eta_i·x. */
+  private def train2PerNorm(sub: Array[Array[Double]],
+      etas: Array[Double]): Array[Array[Double]] = {
+    var cents = sub.take(K).map(_.clone())
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to Iters) {
+      val assign = sub.indices.map { i =>
+        var best = 0; var bestL = Double.MaxValue
+        for (c <- 0 until cents.length) {
+          val l = lossPN(sub(i), cents(c), etas(i))
+          if (l < bestL) { bestL = l; best = c }
+        }
+        best
+      }
+      cents = (0 until K).map { c =>
+        val members = sub.indices.filter(assign(_) == c)
+        if (members.isEmpty) cents(c)
+        else {
+          val n = members.size
+          val a = Array.ofDim[Double](SubDim, SubDim)
+          val b = new Array[Double](SubDim)
+          members.foreach { i =>
+            val x = sub(i)
+            val xx = x.map(sq).sum
+            val inv = if (xx < 1e-12) 0.0 else 1.0 / xx
+            for (d <- 0 until SubDim) {
+              b(d) += etas(i) * x(d)
+              for (e <- 0 until SubDim)
+                a(d)(e) += (etas(i) - 1.0) * x(d) * x(e) * inv
+            }
+          }
+          for (d <- 0 until SubDim) {
+            a(d)(d) += n
+            b(d) = r6(b(d))
+            for (e <- 0 until SubDim) a(d)(e) = r6(a(d)(e))
+          }
+          solve4(a, b).map(r6)
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  private def encodePerNorm(sub: Array[Array[Double]],
+      cents: Array[Array[Double]], etas: Array[Double]): Array[Int] =
+    sub.indices.map { i =>
+      var best = 0; var bestL = Double.MaxValue
+      for (c <- 0 until cents.length) {
+        val l = lossPN(sub(i), cents(c), etas(i))
+        if (l < bestL) { bestL = l; best = c }
+      }
+      best
+    }.toArray
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
@@ -205,9 +292,37 @@ object AnisoProbe {
       val plain = recallFor(1.0)
       val results = Seq(2.0, 4.0, 8.0).map(e => e -> recallFor(e))
       val results2 = Seq(1.0, 2.0, 4.0, 8.0).map(e => e -> recallFor2(e))
+      // per-norm flavor at the same MEAN parallel budget as each
+      // constant eta (T calibrated by bisection on the corpus norms)
+      val norm2s = ids.map(id => vecs(id).map(sq).sum)
+      def recallPerNorm(meanEta: Double): Double = {
+        val t2 = calibrateT2(norm2s, meanEta)
+        val etas = norm2s.map(etaForNorm(_, t2))
+        val cents = (0 until M).map(m => train2PerNorm(subs(m), etas)).toArray
+        val codes = (0 until M).map(m =>
+          encodePerNorm(subs(m), cents(m), etas)).toArray
+        val rec = probes.map { q =>
+          val qv = vecs(q)
+          val luts = (0 until M).map { m =>
+            val qm = qv.slice(m * SubDim, m * SubDim + SubDim)
+            cents(m).map(c => c.zip(qm).map { case (a, b) => a * b }.sum)
+          }
+          val scored = ids.indices.flatMap { i =>
+            val id = ids(i)
+            if (id == q) None
+            else Some((id, (0 until M).map(m => luts(m)(codes(m)(i))).sum))
+          }
+          val got = scored.sortBy { case (id, s) => (-s, id) }
+            .take(5).map(_._1).toSet
+          got.intersect(truth(q)).size / 5.0
+        }
+        rec.sum / rec.length
+      }
+      val resultsPN = Seq(2.0, 4.0, 8.0).map(e => e -> recallPerNorm(e))
       println(f"[$tag] MIPS recall@5 — plain(L2) $plain%.3f, " +
         results.map { case (e, r) => f"assignOnly eta=$e%.0f $r%.3f" }.mkString(", ") + "; " +
-        results2.map { case (e, r) => f"full eta=$e%.0f $r%.3f" }.mkString(", "))
+        results2.map { case (e, r) => f"full eta=$e%.0f $r%.3f" }.mkString(", ") + "; " +
+        resultsPN.map { case (e, r) => f"perNorm mean-eta=$e%.0f $r%.3f" }.mkString(", "))
     }
 
     // uniform corpus (first 500 vectors of the sf dir)

@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.NnDescent
+import graft.queries.SimilarityOps
+
+/** Measurement probe for the SHARDED graph build (r14 verdict item 2 —
+  * q141's missing half): the global NN-Descent loop vs the
+  * DiskANN-recipe per-cell build ([[NnDescent.knnGraphSharded]]) on the
+  * ScaleStress synthetic corpus at 1×/10×/30×/100× (2k → 200k vectors).
+  *
+  * Quality metric that scales (no brute-force truth at 100×): the
+  * corpus PLANTS a near-duplicate for every vec_id ≡ 13 (mod 19) — its
+  * vector is vec_id−4's plus ±0.01/dim noise, so cosine(id, id−4) ≈
+  * 0.9999 while random pairs concentrate near 0 at d=64 — an
+  * unambiguous true nearest neighbor. Recall = fraction of planted ids
+  * whose adjacency contains its twin.
+  *
+  * Cells scale with the corpus (n/4000, min 8; the per-cell working-set
+  * bound is the point), trained by bounded-sample Lloyd — the training
+  * bill stays flat while the build parallelizes across cells.
+  *
+  * Usage: runMain graft.tools.GraphBuildProbe [mults] [globalMaxMult] [outRoot]
+  *   mults default 1,10,30 · global build skipped past globalMaxMult
+  *   (default 30 — the measured knee of the corpus-wide loop).
+  */
+object GraphBuildProbe {
+  private val K = 8
+  private val Iters = 3
+
+  private def plantedRecall(g: DataFrame, n: Long): Double = {
+    val hits = g.filter(pmod(col("vec_id"), lit(19)) === 13 &&
+        col("nid") === col("vec_id") - 4)
+      .select("vec_id").distinct().count()
+    val planted = (13L until n by 19L).count(_ >= 4)
+    hits.toDouble / planted
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption.getOrElse("1,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val globalMax = args.lift(1).map(_.toInt).getOrElse(30)
+    val outRoot = args.lift(2).getOrElse("/tmp/graft_gbuild")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-graph-build-probe"),
+        math.max(cpus, 4))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (m <- mults) {
+      val dir = s"$outRoot/x$m"
+      ScaleStress.synthesize(spark, dir, m)
+      val n = 2000L * m
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      // bounded-sample Lloyd for the cell quantizer: ~20k training
+      // vectors regardless of corpus size (the pqCodebooks discipline)
+      val cells = math.max(8, (n / 4000).toInt)
+      val stride = math.max(1L, n / 20000L)
+      val t0 = System.nanoTime()
+      val cents = SimilarityOps.lloydFromSeeds(
+        e.filter(pmod(col("vec_id"), lit(stride)) === 0), cells, Iters)
+      val centSec = (System.nanoTime() - t0) / 1e9
+      val tS = System.nanoTime()
+      val gS = NnDescent.knnGraphSharded(e, K, Iters, cents, spill = 2)
+      val rowsS = gS.count()
+      val secS = (System.nanoTime() - tS) / 1e9
+      val recS = plantedRecall(gS, n)
+      val (secG, recG, rowsG) =
+        if (m <= globalMax) {
+          val tG = System.nanoTime()
+          val gG = NnDescent.knnGraph(e, K, Iters, driverMax = 0)
+          val r = gG.count()
+          val s = (System.nanoTime() - tG) / 1e9
+          (s, plantedRecall(gG, n), r)
+        } else (-1.0, -1.0, -1L)
+      System.err.println(
+        f"[gbuild x$m] n=$n cells=$cells quantizer=$centSec%.1f s  " +
+          f"sharded=$secS%.1f s recall=$recS%.4f rows=$rowsS  " +
+          (if (secG >= 0) f"global=$secG%.1f s recall=$recG%.4f rows=$rowsG"
+           else "global=skipped"))
+      println(s"""{"scale":$m,"n":$n,"cells":$cells,""" +
+        s""""quantizer_sec":$centSec,"sharded_sec":$secS,""" +
+        s""""sharded_recall":$recS,"sharded_rows":$rowsS,""" +
+        s""""global_sec":$secG,"global_recall":$recG,""" +
+        s""""global_rows":$rowsG}""")
+    }
+    spark.stop()
+  }
+}

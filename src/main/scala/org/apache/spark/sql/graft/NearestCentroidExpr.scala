@@ -161,3 +161,108 @@ object MinCentroidDistExpr {
     ExpressionUtils.column(
       MinCentroidDistExpr(ExpressionUtils.expression(v), cents))
 }
+
+/** Sibling of [[NearestCentroidExpr]] returning the `nTop` NEAREST cell
+  * indices ascending by (squared-L2, cell) — the spill assignment of the
+  * sharded DiskANN-recipe graph build
+  * ([[graft.operators.NnDescent.knnGraphSharded]]) and any nprobe>1
+  * probe route over a LARGE quantizer. One fused codegen loop plus an
+  * nTop-slot insertion (nTop is 2–8, JIT-friendly), so a 50-cell
+  * quantizer stays inside whole-stage codegen where the
+  * array_sort-of-structs spelling would drop the row out of codegen
+  * into 50 interpreted HOF aggregates. Ascending cell scan + strict `<`
+  * insertion keeps ties on the LOWER cell index — the engine-wide rule. */
+case class NearestCellsExpr(child: Expression, cents: Seq[Seq[Double]],
+    nTop: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty, "at least one centroid")
+  require(nTop >= 1 && nTop <= cents.size, "1 <= nTop <= number of cells")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  private lazy val flat: Array[Double] = cents.flatten.toArray
+  private lazy val dim: Int = cents.head.size
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val bd = Array.fill(nTop)(Double.MaxValue)
+    val bc = new Array[Int](nTop)
+    var c = 0
+    while (c < cents.size) {
+      var d = 0.0
+      var j = 0
+      val off = c * dim
+      while (j < n) {
+        val x = v.getFloat(j).toDouble - flat(off + j)
+        d += x * x
+        j += 1
+      }
+      // ascending-c scan + strict <: an equal distance keeps the earlier
+      // (lower) cell ahead — (d, cell) ascending by construction
+      var i = 0
+      while (i < nTop && d >= bd(i)) i += 1
+      if (i < nTop) {
+        var t = nTop - 1
+        while (t > i) { bd(t) = bd(t - 1); bc(t) = bc(t - 1); t -= 1 }
+        bd(i) = d
+        bc(i) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centMat", flat, "double[]")
+    val k = cents.size
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val off = ctx.freshName("off")
+      val bd = ctx.freshName("bd")
+      val bc = ctx.freshName("bc")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |double[] $bd = new double[$nTop];
+         |int[] $bc = new int[$nTop];
+         |java.util.Arrays.fill($bd, Double.MAX_VALUE);
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $d = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $x = (double) $a.getFloat($j) - $matRef[$off + $j];
+         |    $d += $x * $x;
+         |  }
+         |  int $i = 0;
+         |  while ($i < $nTop && $d >= $bd[$i]) $i++;
+         |  if ($i < $nTop) {
+         |    for (int $t = $nTop - 1; $t > $i; $t--) {
+         |      $bd[$t] = $bd[$t - 1]; $bc[$t] = $bc[$t - 1];
+         |    }
+         |    $bd[$i] = $d; $bc[$i] = $c;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+}
+
+object NearestCellsExpr {
+  def columnFor(v: Column, cents: Seq[Seq[Double]], nTop: Int): Column =
+    ExpressionUtils.column(
+      NearestCellsExpr(ExpressionUtils.expression(v), cents, nTop))
+}

@@ -636,6 +636,53 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(graph.size === truth.size, "every node must have an adjacency")
   }
 
+  test("sharded DiskANN-recipe build: recall parity with the global NN-Descent build (uniform + clustered)") {
+    // the 100 TB build path (q141's missing half, r14 verdict item 2):
+    // spill-2 assignment to coarse cells, per-cell NN-Descent in ONE
+    // dataflow, merge = union + k-cut. Parity bar: the sharded graph's
+    // true-neighbor recall must hold within 0.05 of the global build's
+    // on BOTH fixtures — clustered (its home turf: true neighbors
+    // co-cluster, so the per-cell restriction loses nothing) and the
+    // near-uniform corpus (the hard case: neighbors can straddle
+    // arbitrary cell boundaries; spill-2 overlap is the stitch).
+    import org.apache.spark.sql.functions._
+    import graft.plans.CosineSimilarity.cosineSim
+    import graft.queries.SimilarityOps
+    import graft.operators.NnDescent
+    val k = 8
+    def graphRecallPair(d: String): (Double, Double) = {
+      val e = graft.sources.Tables(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      val truth = a.join(b, col("va") =!= col("vb"))
+        .select(col("va"), col("vb"), cosineSim(col("ea"), col("eb")).as("cos"))
+        .groupBy("va")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cos"), col("vb"), k).as("top"))
+        .select(col("va"), explode(col("top")).as("e"))
+        .collect().map(r => (r.getLong(0), r.getStruct(1).getLong(1)))
+        .groupBy(_._1).map { case (v, rs) => v -> rs.map(_._2).toSet }
+      def rec(g: org.apache.spark.sql.DataFrame): Double = {
+        val adj = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (v, rs) => v -> rs.map(_._2).toSet }
+        val rs = truth.map { case (v, t) =>
+          adj.getOrElse(v, Set.empty).intersect(t).size.toDouble / t.size }
+        rs.sum / rs.size
+      }
+      val cents = SimilarityOps.lloydFromSeeds(e, 8, 3)
+      (rec(NnDescent.knnGraph(e, k, 3)),
+        rec(NnDescent.knnGraphSharded(e, k, 3, cents, spill = 2)))
+    }
+    for ((name, d) <- Seq(("uniform", dir), ("clustered", clustered._1))) {
+      val (g, s) = graphRecallPair(d)
+      info(f"$name graph recall — global $g%.3f, sharded $s%.3f")
+      assert(s >= g - 0.05,
+        f"$name: sharded build recall $s%.3f fell >0.05 under global $g%.3f")
+      assert(s >= 0.8, f"$name: sharded build recall $s%.3f below floor")
+    }
+  }
+
   test("NN-Descent + beam search: driver-local tier == distributed loop, bit-exact") {
     // the size-gated driver tier (dispatch-floor fix) must be a pure
     // re-spelling: same LCG keys, same kernel arithmetic, same heap

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SimilarityOps
+
+/** Long-lived q141 serve session (r14 verdict nit 1): many probe waves
+  * through ONE [[graft.queries.SimilarityOps.GraphServeSession]] with an
+  * LRU shard-cache cap must (a) hold driver memory bounded — never more
+  * than `maxShards` shard blocks resident — and (b) return exactly what
+  * a fresh session returns for every wave: eviction is invisible to
+  * results by construction (blocks are immutable snapshots that re-load
+  * on demand). */
+class GraphServeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  test("LRU-capped serve session: waves under a 2-shard cap equal fresh-session serves; residency stays capped") {
+    val base = java.nio.file.Files.createTempDirectory("gserve_spec").toString
+    try {
+      SimilarityOps.buildGraphShardedStore(spark, dir,
+        SimilarityOps.GraphGateSlice, SimilarityOps.RpIngestSplit, base)
+      val probeVecs = graft.sources.Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      // three waves over disjoint-then-repeated probes: the repeat wave
+      // re-walks shards the tiny cap must already have evicted
+      val waves = Seq(probeVecs.slice(0, 10), probeVecs.slice(10, 20),
+        probeVecs.slice(20, 30), probeVecs.slice(0, 10))
+      val capped = new SimilarityOps.GraphServeSession(spark, base,
+        maxShards = 2)
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val got = rows(capped.serve(w))
+        assert(capped.loadedShards <= 2,
+          s"wave $i left ${capped.loadedShards} shard blocks resident (cap 2)")
+        val fresh = rows(new SimilarityOps.GraphServeSession(spark, base)
+          .serve(w))
+        assert(got === fresh,
+          s"wave $i under the 2-shard cap diverged from a fresh serve")
+        assert(got.nonEmpty)
+      }
+      // the store has more than 2 shards — otherwise the cap was never
+      // exercised and the test proves nothing
+      assert(capped.touched.size > 2,
+        s"walks touched only ${capped.touched.size} shards; cap untested")
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+}

@@ -31,7 +31,8 @@ for name, q in sorted(sql.items()):
                 "q104_stream_timer_sessionize_endstate",
                 "q121_index_ingest_endstate",
                 "q125_bm25_sharded_store",
-                "q144_vector_store_ingest_endstate"):
+                "q144_vector_store_ingest_endstate",
+                "q150_drift_retrain_endstate"):
         continue
     t0 = time.time()
     try:
