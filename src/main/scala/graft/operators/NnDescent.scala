@@ -309,31 +309,39 @@ object NnDescent {
       .filter(col("nid") =!= col("vec_id"))
       .distinct()
     var b = topK(score(init, e), k).localCheckpoint(eager = true)
-    for (it <- 1 to iters) {
-      val fwd = b.select(col("vec_id").as("src"), col("nid").as("dst"))
-      // reverse sample: ≤ k incoming edges per node, LCG-key order with
-      // ties to the lower source id (heap: score desc on −key, payload
-      // asc) — mirrored as row_number ORDER BY key, vec_id in the oracle
-      val rev = b.groupBy(col("nid").as("src"))
-        .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
-          -mixKey(col("vec_id"), it).cast("double"), col("vec_id"), k)
-          .as("top"))
-        .select(col("src"), explode(col("top")).as("e"))
-        .select(col("src"), col("e.payload").as("dst"))
-      val genl = fwd.unionByName(rev).distinct()
-      // local join emitting BOTH directions directly (`<>`, not `<` plus
-      // a swapped-column union: the swap select under a self-union trips
-      // Catalyst's Union constraint rewrite — AttributeMap key-not-found
-      // at planning; the symmetric join is also what the oracle spells)
-      val cand = genl.as("a")
-        .join(genl.as("b"), col("a.src") === col("b.src") &&
-          col("a.dst") =!= col("b.dst"))
-        .select(col("a.dst").as("vec_id"), col("b.dst").as("nid"))
-        .distinct()
-      b = topK(score(cand, e).unionByName(b), k)
-        .localCheckpoint(eager = true)
-    }
+    for (it <- 1 to iters)
+      b = refineOnce(b, e, k, it)
     b
+  }
+
+  /** One global NN-Descent refinement round over a standing graph:
+    * reverse sample, symmetric local join, score, k-cut. Factored so the
+    * sharded build's boundary STITCH ([[knnGraphSharded]]) runs the
+    * identical round over its merged graph. */
+  private def refineOnce(b: DataFrame, e: DataFrame, k: Int,
+      it: Int): DataFrame = {
+    val fwd = b.select(col("vec_id").as("src"), col("nid").as("dst"))
+    // reverse sample: ≤ k incoming edges per node, LCG-key order with
+    // ties to the lower source id (heap: score desc on −key, payload
+    // asc) — mirrored as row_number ORDER BY key, vec_id in the oracle
+    val rev = b.groupBy(col("nid").as("src"))
+      .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
+        -mixKey(col("vec_id"), it).cast("double"), col("vec_id"), k)
+        .as("top"))
+      .select(col("src"), explode(col("top")).as("e"))
+      .select(col("src"), col("e.payload").as("dst"))
+    val genl = fwd.unionByName(rev).distinct()
+    // local join emitting BOTH directions directly (`<>`, not `<` plus
+    // a swapped-column union: the swap select under a self-union trips
+    // Catalyst's Union constraint rewrite — AttributeMap key-not-found
+    // at planning; the symmetric join is also what the oracle spells)
+    val cand = genl.as("a")
+      .join(genl.as("b"), col("a.src") === col("b.src") &&
+        col("a.dst") =!= col("b.dst"))
+      .select(col("a.dst").as("vec_id"), col("b.dst").as("nid"))
+      .distinct()
+    topK(score(cand, e).unionByName(b), k)
+      .localCheckpoint(eager = true)
   }
 
   /** Greedy BEAM SEARCH over a built k-NN graph — the serving tier the
@@ -570,13 +578,13 @@ object NnDescent {
     * the build-time column at 10/30/100× is ScaleStress's
     * `graphBuildStage`. */
   def knnGraphSharded(emb: DataFrame, k: Int, iters: Int,
-      cents: Seq[Seq[Double]], spill: Int = 2): DataFrame =
+      cents: Seq[Seq[Double]], spill: Int = 2, stitch: Int = 1): DataFrame =
     withoutConstraintPropagation(emb.sparkSession) {
-      knnGraphShardedImpl(emb, k, iters, cents, spill)
+      knnGraphShardedImpl(emb, k, iters, cents, spill, stitch)
     }
 
   private def knnGraphShardedImpl(emb: DataFrame, k: Int, iters: Int,
-      cents: Seq[Seq[Double]], spill: Int): DataFrame = {
+      cents: Seq[Seq[Double]], spill: Int, stitch: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"), col("embedding"))
       .localCheckpoint(eager = false)
@@ -640,9 +648,20 @@ object NnDescent {
       b = topKC(scoreC(cand).unionByName(b))
         .localCheckpoint(eager = true)
     }
-    // merge: union every node's per-shard edges, global k-cut — the
-    // spill overlap makes this the paper's boundary stitching
-    topK(b.select(col("vec_id"), col("nid"), col("cos")), k)
+    // merge: union every node's per-shard edges, global k-cut …
+    var g = topK(b.select(col("vec_id"), col("nid"), col("cos")), k)
+      .localCheckpoint(eager = true)
+    // … then the CROSS-CELL STITCH: `stitch` global refinement rounds
+    // over the merged graph. The spill overlap seeds cross-boundary
+    // edges; the local join propagates them (a boundary node's two
+    // cells' neighborhoods meet in its adjacency), repairing the true
+    // neighbors the per-cell restriction missed. This is the only
+    // corpus-wide-keyed shuffle in the build, and it runs on an
+    // already-good graph for `stitch` rounds — not `iters` rounds from
+    // a random init like the global build.
+    for (it <- 1 to stitch)
+      g = refineOnce(g, e, k, iters + it)
+    g
   }
 
   /** Dedupe by (node, neighbor) — duplicate candidates carry identical

@@ -1273,6 +1273,25 @@ object SimilarityOps {
     // pinned on the clustered fixture.
     "q148_mmr_select" -> ((s, dir) => mmrSelect(s, dir)),
 
+    // FUNNEL-COMPOSED MMR (the serving shape): q147's truncated-dim
+    // first stage cuts the corpus to the query's top-R, q148's greedy
+    // reranks only the funnel — per-step cost O(R) driver flops, zero
+    // jobs; the sole corpus-sized pass is the 16-dim stage-1 scan. The
+    // corpus-wide q148 (curation shape) stays gated unchanged.
+    "q151_mmr_funnel" -> ((s, dir) => mmrFunnelSelect(s, dir)),
+
+    // INT8 (SQ8) storage tier in the cell-partitioned store: codes +
+    // per-vector scale under cell= dirs (4× fewer serve bytes/candidate),
+    // partition-pruned int8-cosine top-R, exact fp re-rank of the R
+    // survivors from the raw tier. Touched-vs-total bytes measured.
+    "q152_ann_sq8_store" -> ((s, dir) => sq8StoreServe(s, dir)),
+
+    // FILTERED serving through the store: label + cell as partition
+    // columns — the metadata predicate cuts at the FILE level before any
+    // distance math; filtered-search cost tracks the label's population,
+    // not the corpus. Exact cosine over the doubly-pruned candidates.
+    "q153_ann_filtered_store" -> ((s, dir) => filteredStoreServe(s, dir)),
+
     // DiskANN/Vamana-shape SHARDED GRAPH STORE (the r13 stretch item):
     // q131's incremental ingest composed with q137's partitioned
     // persistence — the END-STATE graph's adjacency AND vectors
@@ -1776,6 +1795,300 @@ object SimilarityOps {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("mmr",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** q151's funnel width: the q147 rerank budget — the serving
+    * convention (retrieve top-R cheaply, rerank R exactly). */
+  private[graft] val FunnelR = 64
+
+  private val sq8ServeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** (touched store bytes, total store bytes) of the last q152 serve —
+    * the int8 tier's bandwidth claim, measured. */
+  private[graft] val lastSq8ServeBytes =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+
+  /** q152's body: the INT8 (SQ8) STORAGE TIER composed into the
+    * cell-partitioned vector store (r14 verdict item 7 — FAISS's
+    * ScalarQuantizer tier in the q137 layout): store rows are
+    * (vec_id, scale, q8 tinyint[64]) under `cell=` dirs — codes + the
+    * per-vector symmetric scale ARE the full record (scale reconstructs
+    * dot products and L2; cosine is scale-free), 4× fewer bytes per
+    * scored candidate than float vectors, which is the knob that
+    * matters when candidate scanning is bandwidth-bound at 100 TB.
+    * Serve: partition-pruned nprobe cells (self-verified), int8 cosine
+    * (q105's exact-in-double kernel — products ≤ 127²·64 ≪ 2⁵³, so
+    * quantized scores are order-independent by construction) cuts to
+    * top-R, then the optional exact fp re-rank reads ONLY the R
+    * survivors from the raw tier (the q123 shape). Serve bytes touched
+    * vs store total land in [[lastSq8ServeBytes]]. */
+  private[graft] def sq8StoreServe(s: SparkSession, dir: String): DataFrame = {
+    if (sq8ServeCache.size > CacheMax) sq8ServeCache.clear()
+    sq8ServeCache.computeIfAbsent((sessionKey(s), dir),
+      _ => sq8StoreServeUncached(s, dir))
+  }
+
+  private def sq8StoreServeUncached(s: SparkSession,
+      dir: String): DataFrame = {
+    val (k, iters, nprobe, rerankR) = (8, 3, 2, 32)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = lloydCentroids(s, dir, k, iters)
+    def sqL2(a: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(a, array(c.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    def quantD(c: Column): Column = {
+      val xs = transform(c, x => x.cast("double"))
+      val scale = greatest(
+        array_max(transform(xs, x => abs(x))) / lit(127.0), lit(1e-12))
+      transform(xs, x =>
+        least(greatest(round(x / scale), lit(-127.0)), lit(127.0)))
+    }
+    val base = java.nio.file.Files.createTempDirectory("q152_store").toString
+    try {
+      val xs = transform(col("embedding"), x => x.cast("double"))
+      e.select(col("vec_id"),
+          NearestCentroid.cell(col("embedding"), cents).as("cell"),
+          greatest(array_max(transform(xs, x => abs(x))) / lit(127.0),
+            lit(1e-12)).as("scale"),
+          col("embedding"))
+        .select(col("vec_id"), col("cell"), col("scale"),
+          transform(col("embedding"), x =>
+            least(greatest(round(x.cast("double") / col("scale")),
+              lit(-127.0)), lit(127.0)).cast("tinyint")).as("q8"))
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/store")
+      val store = s.read.parquet(s"$base/store")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), quantD(col("embedding")).as("qq"),
+          col("embedding").as("qe"))
+        .select(col("qid"), col("qq"),
+          explode(slice(array_sort(array((0 until k).map(c =>
+            struct(sqL2(col("qe"), cents(c)).as("d"),
+              lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+        .select(col("qid"), col("qq"), col("cc.cell").as("cell"))
+        .localCheckpoint(eager = true)
+      val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+      val pruned = store.filter(col("cell").isin(cells.toSeq: _*))
+      val partFilters = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.partitionFilters
+      }.flatten
+      require(partFilters.exists(_.references.exists(_.name == "cell")),
+        "q152 serve scan lost its cell partition filter:\n" +
+          pruned.queryExecution.executedPlan.toString)
+      val stage1 = pruned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          cosineSim(col("qq"),
+            transform(col("q8"), x => x.cast("double"))).as("cosq"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cosq"), col("cid"), rerankR).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.payload").as("cid"))
+        .localCheckpoint(eager = true)
+      // bandwidth accounting: bytes under the probed cell dirs vs total
+      def dirBytes(p: java.nio.file.Path): Long = {
+        val st = java.nio.file.Files.walk(p)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st.close()
+      }
+      val storeP = java.nio.file.Paths.get(s"$base/store")
+      lastSq8ServeBytes.set((
+        cells.map(c => dirBytes(storeP.resolve(s"cell=$c"))).sum,
+        dirBytes(storeP)))
+      // exact fp re-rank of the R survivors from the raw tier
+      val qRaw = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .join(broadcast(stage1), "cid")
+        .join(broadcast(qRaw), "qid")
+        .select(col("qid"), col("cid"),
+          cosineSim(col("qe"), col("ce")).as("cos"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cos"), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(col("col.score"), 4).as("cosine"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .localCheckpoint(eager = true)
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
+  /** q151's body: FUNNEL-COMPOSED MMR — the serving shape the
+    * few-shot-selection literature actually runs (r14 verdict item 4):
+    * q147's cheap truncated-dim stage cuts the corpus to the top-R
+    * candidates of THE query, and the q148 greedy reranks ONLY the
+    * funnel. The only corpus-sized work is the 16-dim first-stage scan
+    * into a bounded top-R heap; the funnel (R rows) is bounded driver
+    * state by construction, so the greedy runs in driver arithmetic —
+    * per step O(R) kernel flops and ZERO jobs, vs q148's k corpus-wide
+    * aggregation passes. Bit-congruent with the oracle because the
+    * driver cosine ([[graft.operators.NnDescent.cosLocal]]) is the
+    * kernel's exact double chain (the AnnRecallSpec local≡distributed
+    * argument), λ/1−λ are exact binary quarters, ties scan ascending
+    * ids under strict >, and the output rounds through the same
+    * BigDecimal HALF_UP as q148. */
+  private[graft] def mmrFunnelSelect(s: SparkSession, dir: String,
+      lambda: Double = MmrLambda, k: Int = MmrK,
+      dPrime: Int = MrlDims, r: Int = FunnelR): DataFrame = {
+    val mu = 1.0 - lambda
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+    val qPrime = qv.take(dPrime).map(x => lit(x.toDouble))
+    val topR = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        cosineSim(slice(col("embedding"), 1, dPrime),
+          array(qPrime: _*)).as("cosd"))
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("cosd"), col("vec_id"), r).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.payload").as("vec_id"))
+    val cand = e.join(broadcast(topR), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      graft.operators.NnDescent.cosLocal(a, b)
+    val rels = cand.map { case (id, v) => (id, v, cos(v, qv)) }
+    var selected = Vector.empty[(Long, Array[Float], Double, Int)]
+    for (ord <- 1 to k) {
+      var bestId = -1L
+      var bestVec: Array[Float] = null
+      var bestMmr = Double.NegativeInfinity
+      rels.foreach { case (id, v, rel) =>
+        if (!selected.exists(_._1 == id)) {
+          // ms = max cosine to the selected set (CAN be negative — the
+          // q148 greatest() semantics); 0.0 only for the first pick
+          val ms = if (selected.isEmpty) 0.0
+                   else selected.iterator.map(sel => cos(v, sel._2)).max
+          val mmr = lambda * rel - mu * ms
+          // strict > over the ascending-id scan ≡ ORDER BY mmr DESC, id
+          if (mmr > bestMmr) { bestMmr = mmr; bestId = id; bestVec = v }
+        }
+      }
+      selected = selected :+ ((bestId, bestVec, bestMmr, ord))
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      selected.map { case (id, _, mmr, ord) =>
+        org.apache.spark.sql.Row(ord, id,
+          BigDecimal(mmr).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_ord",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("mmr",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  private val filteredStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** (touched store bytes, total store bytes) of the last q153 serve. */
+  private[graft] val lastFilteredServeBytes =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+
+  /** q153's body: FILTERED SERVING through the partitioned store (r14
+    * verdict item 8 — q134's metadata predicate composed into the q137
+    * persistence): vectors land under `label=<l>/cell=<c>/` directories,
+    * so a filtered probe's predicate cuts at the FILE level — directories
+    * whose label can't match are never opened, before any distance math —
+    * and the within-label nprobe cells prune a second time inside each
+    * label dir. That is the 100 TB property: filtered-search cost tracks
+    * the SELECTED label's population, not the corpus. Scoring is exact
+    * cosine over the pruned candidates (the store carries the raw
+    * vectors; q134's semantics round-trip unchanged, so the oracle IS
+    * q134's). Both partition columns are self-verified on the physical
+    * scan; touched vs total bytes land in [[lastFilteredServeBytes]]. */
+  private[graft] def filteredStoreServe(s: SparkSession,
+      dir: String): DataFrame = {
+    if (filteredStoreCache.size > CacheMax) filteredStoreCache.clear()
+    filteredStoreCache.computeIfAbsent((sessionKey(s), dir),
+      _ => filteredStoreServeUncached(s, dir))
+  }
+
+  private def filteredStoreServeUncached(s: SparkSession,
+      dir: String): DataFrame = {
+    val (k, iters, nprobe) = (8, 3, 3)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+    val cents = lloydCentroids(s, dir, k, iters)
+    def sqL2(a: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(a, array(c.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val base = java.nio.file.Files.createTempDirectory("q153_store").toString
+    try {
+      e.select(col("vec_id"), col("embedding"), col("label"),
+          NearestCentroid.cell(col("embedding"), cents).as("cell"))
+        .repartition(col("label"), col("cell"))
+        .sortWithinPartitions("label", "cell", "vec_id")
+        .write.mode("overwrite").partitionBy("label", "cell")
+        .parquet(s"$base/store")
+      val store = s.read.parquet(s"$base/store")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label"))
+        .select(col("qid"), col("qe"), col("label"),
+          explode(slice(array_sort(array((0 until k).map(c =>
+            struct(sqL2(col("qe"), cents(c)).as("d"),
+              lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+        .select(col("qid"), col("qe"), col("label"),
+          col("cc.cell").as("cell"))
+        .localCheckpoint(eager = true)
+      val pairs = probes.select("label", "cell").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      val labels = pairs.map(_._1).distinct.toSeq
+      val cellsL = pairs.map(_._2).distinct.toSeq
+      val pruned = store.filter(col("label").isin(labels: _*) &&
+        col("cell").isin(cellsL: _*))
+      val partFilters = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.partitionFilters
+      }.flatten
+      for (c <- Seq("label", "cell"))
+        require(partFilters.exists(_.references.exists(_.name == c)),
+          s"q153 serve scan lost its $c partition filter:\n" +
+            pruned.queryExecution.executedPlan.toString)
+      def dirBytes(p: java.nio.file.Path): Long = {
+        val st = java.nio.file.Files.walk(p)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st.close()
+      }
+      val storeP = java.nio.file.Paths.get(s"$base/store")
+      lastFilteredServeBytes.set((
+        pairs.map { case (l, c) =>
+          val d = storeP.resolve(s"label=$l").resolve(s"cell=$c")
+          if (java.nio.file.Files.exists(d)) dirBytes(d) else 0L
+        }.sum,
+        dirBytes(storeP)))
+      pruned.join(broadcast(probes), Seq("cell", "label"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          cosineSim(col("qe"), col("embedding")).as("cos"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKByScore
+          .columnFor(col("cos"), col("cid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.payload").as("cid"),
+          round(col("col.score"), 4).as("cosine"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .localCheckpoint(eager = true)
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
   }
 
   /** (vec_id, cell, cos) — every vector with its coarse cell and its
@@ -2752,24 +3065,33 @@ object SimilarityOps {
           q -> ps.map(p => (p._2, p._3)).toSet.toIndexedSeq
             .sortWith(heapOrder).take(w)
         }
-      def scoreQ(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] = {
-        val withSh = pairs.flatMap(p =>
-          shardDir.get(p._2).map(sh => (p._1, p._2, sh)))
-        ensure(withSh.map(_._3))
-        withSh.flatMap { case (q, nid, sh) =>
-          vecOf(nid, sh).map(v => (q, nid, cosLocal(qe(q), v))) }
+      // a hop whose frontier spans more shards than the cap streams over
+      // cap-sized shard batches (load → consume → advance): residency
+      // never exceeds maxShards no matter how wide the walk, and at the
+      // default cap every hop is still ONE batched multi-path read
+      def overShardBatches[A, B](items: Iterable[(Int, A)])(
+          f: (Int, A) => Iterator[B]): Seq[B] = {
+        val byShard = items.groupBy(_._1)
+        byShard.keySet.toSeq.sorted.grouped(maxShards).flatMap { grp =>
+          ensure(grp)
+          grp.iterator.flatMap(sh =>
+            byShard(sh).iterator.flatMap { case (_, a) => f(sh, a) })
+        }.toSeq
       }
+      def scoreQ(pairs: Iterable[(Long, Long)]): Iterable[(Long, Long, Double)] =
+        overShardBatches(pairs.flatMap(p =>
+          shardDir.get(p._2).map(sh => (sh, p)))) { case (sh, (q, nid)) =>
+          vecOf(nid, sh).map(v => (q, nid, cosLocal(qe(q), v))).iterator
+        }
       var bm = topW(scoreQ(for (q <- probes.toSeq; sd <- seedIds)
         yield (q._1, sd)), NnBeam)
       for (_ <- 1 to NnHops) {
-        ensure(bm.valuesIterator.flatMap(_.iterator.map(p => shardDir(p._1)))
-          .toSet)
-        val expand = bm.iterator.flatMap { case (q, ns) =>
-          ns.iterator.flatMap { p =>
-            adjOf(p._1, shardDir(p._1)).map { case (c, csh) =>
-              shardDir.update(c, csh)
-              (q, c)
-            }
+        val beamNodes = bm.iterator.flatMap { case (q, ns) =>
+          ns.iterator.map(p => (shardDir(p._1), (q, p._1))) }.toSeq
+        val expand = overShardBatches(beamNodes) { case (sh, (q, node)) =>
+          adjOf(node, sh).iterator.map { case (c, csh) =>
+            shardDir.update(c, csh)
+            (q, c)
           }
         }.toSet
         val standing = bm.iterator.flatMap { case (q, ns) =>
@@ -3241,7 +3563,11 @@ object SimilarityOps {
     * candidate's exact max-cosine to the selected set and picks argmax
     * (mmr DESC, vec_id). Cosines are the proven kernel pair and max is
     * exact, so the trajectories agree bit-for-bit. */
-  private def mmrOracleSql(lambda: Double, k: Int): String = {
+  /** `funnelR` = 0 emits the corpus-wide q148 text unchanged; > 0
+    * prepends q147's truncated-dim top-R funnel and the greedy runs
+    * over ONLY the funnel (the q151 serving composition). */
+  private def mmrOracleSql(lambda: Double, k: Int,
+      funnelR: Int = 0): String = {
     val mu = 1.0 - lambda
     // ms aggregates GROUP BY the bigint vec_id ONLY (grouping on the
     // 64-element list column measured 307 s at sf0.1 — the list hash
@@ -3259,11 +3585,25 @@ object SimilarityOps {
          |c$i AS MATERIALIZED (SELECT * FROM c${i - 1}
          |        UNION ALL SELECT vec_id, v, $i, mmr FROM p$i)""".stripMargin
     }.mkString(",\n")
+    val rCte = if (funnelR == 0)
+      """r AS MATERIALIZED (SELECT e.vec_id, e.v,
+        |        list_cosine_similarity(e.v, q.v) AS rel
+        |      FROM e, q WHERE e.vec_id != 0),""".stripMargin
+    else
+      s"""s1 AS MATERIALIZED (SELECT e.vec_id, e.v,
+         |        list_cosine_similarity(list_slice(e.v, 1, $MrlDims),
+         |                               list_slice(q.v, 1, $MrlDims)) AS cosd
+         |      FROM e, q WHERE e.vec_id != 0),
+         |sr AS (SELECT vec_id, v FROM (
+         |        SELECT vec_id, v,
+         |               row_number() OVER (ORDER BY cosd DESC, vec_id) AS rn
+         |        FROM s1) WHERE rn <= $funnelR),
+         |r AS MATERIALIZED (SELECT sr.vec_id, sr.v,
+         |        list_cosine_similarity(sr.v, q.v) AS rel
+         |      FROM sr, q),""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT v FROM e WHERE vec_id = 0),
-       |r AS MATERIALIZED (SELECT e.vec_id, e.v,
-       |        list_cosine_similarity(e.v, q.v) AS rel
-       |      FROM e, q WHERE e.vec_id != 0),
+       |$rCte
        |c1 AS MATERIALIZED (SELECT vec_id, v, 1 AS ord, $lambda*rel - $mu*0.0 AS mmr
        |       FROM r
        |       ORDER BY $lambda*rel - $mu*0.0 DESC, vec_id LIMIT 1),
@@ -3410,6 +3750,48 @@ object SimilarityOps {
        |                            ORDER BY adc, cid) AS rnk
        |  FROM sadc) CROSS JOIN summary WHERE rnk <= 5""".stripMargin
   }
+
+  /** q152 oracle: the IVF chain + q105's quantization CTEs + int8-cosine
+    * top-R per probe + exact fp re-rank top-5 — the store round-trip
+    * changes nothing (the q137 precedent), so this replays the SERVE
+    * semantics directly. */
+  private def sq8StoreOracleSql(k: Int, iters: Int, nprobe: Int,
+      rerankR: Int): String =
+    s"""${ivfPrefixSql(k, iters)},
+       |sc8 AS (SELECT vec_id, v,
+       |          greatest(list_max(list_transform(v, x -> abs(x)))
+       |                   / 127.0, 1e-12) AS scale
+       |        FROM e),
+       |qq AS MATERIALIZED (SELECT vec_id, list_transform(v,
+       |          x -> least(greatest(round(x / scale), -127.0), 127.0)) AS qv
+       |        FROM sc8),
+       |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
+       |pr AS MATERIALIZED (SELECT qid, cell FROM (
+       |  SELECT pr0.qid, c.cell,
+       |         row_number() OVER (PARTITION BY pr0.qid
+       |           ORDER BY list_sum([(pr0.v[i]-c.cent[i])*(pr0.v[i]-c.cent[i])
+       |                              FOR i IN range(1, ${Dim + 1})]),
+       |                    c.cell) AS rn
+       |  FROM pr0, c$iters c) WHERE rn <= $nprobe),
+       |s1 AS (SELECT pr.qid, a.vec_id AS cid,
+       |              list_cosine_similarity(qc.qv, cc.qv) AS cosq
+       |       FROM af a JOIN pr ON a.cell = pr.cell AND a.vec_id != pr.qid
+       |       JOIN qq qc ON qc.vec_id = pr.qid
+       |       JOIN qq cc ON cc.vec_id = a.vec_id),
+       |r1 AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cosq DESC, cid) AS rn
+       |  FROM s1) WHERE rn <= $rerankR),
+       |rr AS (SELECT r1.qid, r1.cid,
+       |              list_cosine_similarity(eq.v, ec.v) AS cos
+       |       FROM r1 JOIN e eq ON eq.vec_id = r1.qid
+       |       JOIN e ec ON ec.vec_id = r1.cid)
+       |SELECT qid, cid, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rnk
+       |  FROM rr) WHERE rnk <= 5""".stripMargin
 
   /** q123: the full PQ-chain replay ([[ivfPqSadcSql]] at nprobe=6), the
     * ADC top-`rerankR` cut per probe (adc asc, cid tiebreak ≡ the Spark
@@ -4109,6 +4491,14 @@ object SimilarityOps {
          |  FROM rex) WHERE rnk <= 5""".stripMargin,
     // q148: the greedy MMR trajectory, k unrolled argmax steps
     "q148_mmr_select" -> mmrOracleSql(MmrLambda, MmrK),
+    // q151: the q148 unrolled greedy over the q147 funnel — same steps,
+    // candidate CTE swapped for the truncated-dim top-R stage
+    "q151_mmr_funnel" -> mmrOracleSql(MmrLambda, MmrK, funnelR = FunnelR),
+    // q152: IVF chain + q105 quantization + int8 top-R + exact re-rank
+    "q152_ann_sq8_store" -> sq8StoreOracleSql(8, 3, nprobe = 2,
+      rerankR = 32),
+    // q153: the store round-trip changes nothing — q134's oracle
+    "q153_ann_filtered_store" -> filteredAnnOracleSql(8, 3, nprobe = 3),
     "q123_ann_ivfpq_rerank" ->
       ivfPqRerankOracleSql(8, 3, PqM, PqK, PqIters, nprobe = 6, rerankR = 64),
     "q126_knn_graph_nndescent" ->

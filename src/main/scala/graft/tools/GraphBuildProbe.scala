@@ -27,8 +27,11 @@ import graft.queries.SimilarityOps
   *   (default 30 — the measured knee of the corpus-wide loop).
   */
 object GraphBuildProbe {
-  private val K = 8
-  private val Iters = 3
+  // the q126 gate build geometry (over-build at 16, 4 rounds) + the
+  // spec-pinned stitch depth
+  private val K = 16
+  private val Iters = 4
+  private val Stitch = 2
 
   private def plantedRecall(g: DataFrame, n: Long): Double = {
     val hits = g.filter(pmod(col("vec_id"), lit(19)) === 13 &&
@@ -67,7 +70,7 @@ object GraphBuildProbe {
         e.filter(pmod(col("vec_id"), lit(stride)) === 0), cells, Iters)
       val centSec = (System.nanoTime() - t0) / 1e9
       val tS = System.nanoTime()
-      val gS = NnDescent.knnGraphSharded(e, K, Iters, cents, spill = 2)
+      val gS = NnDescent.knnGraphSharded(e, K, Iters, cents, spill = 2, stitch = Stitch)
       val rowsS = gS.count()
       val secS = (System.nanoTime() - tS) / 1e9
       val recS = plantedRecall(gS, n)
