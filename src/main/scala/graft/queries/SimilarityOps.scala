@@ -125,6 +125,9 @@ object SimilarityOps {
     endStateGraphCache.clear()
     anisoCache.clear()
     vecIngestServeCache.clear()
+    driftServeCache.clear()
+    sq8ServeCache.clear()
+    filteredStoreCache.clear()
   }
 
   /** Per-(session, dir) cache of the NN-Descent graph artifact — a
@@ -450,11 +453,16 @@ object SimilarityOps {
     * multiplier follows from a relative score threshold t via the
     * paper's closed form eta = (d−1)·t²/(1−t²)
     * ([[anisoEtaForThreshold]]; the paper's theory also derives
-    * PER-NORM weights — [[anisoCodebooksPerNorm]] implements that
-    * variant, the constant flavor stays the gate default). 4 is the
-    * measured clustered-fixture winner (tools/AnisoProbe) and
-    * corresponds to t ≈ 0.244 at d = 64 — "preserve scores above
-    * relative cosine ~0.24", a sensible MIPS relevance bar. */
+    * PER-DATAPOINT-NORM weights — tools/AnisoProbe implements and
+    * measures that flavor at equal mean parallel budget: bit-identical
+    * to constant eta on the uniform fixture (norms concentrate) and
+    * within one probe-hit on the clustered one (0.460 ≡ 0.460 at mean
+    * eta 4), so the constant flavor stays the gate — the win the
+    * per-norm form is about needs a norm-spread corpus neither fixture
+    * has). 4 is the measured clustered-fixture winner (tools/
+    * AnisoProbe) and corresponds to t ≈ 0.244 at d = 64 — "preserve
+    * scores above relative cosine ~0.24", a sensible MIPS relevance
+    * bar. */
   private[graft] val AnisoEta = 4.0
 
   /** The ICML'20 closed form (Guo et al., Theorem 3.3 as shipped in
