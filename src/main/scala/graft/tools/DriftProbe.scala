@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.SimilarityOps
+import graft.streaming.DriftingVectorStore
+
+/** Scale probe for the q150 drift-retrain lifecycle
+  * ([[DriftingVectorStore]]): the 100 TB claim is that per-batch ingest
+  * cost is proportional to the BATCH (the standing corpus is never
+  * re-read on an in-distribution batch), while the corpus-sized
+  * retrain + re-encode bill is paid only on the drift event. Measured
+  * shape expected: with a FIXED 2k-vector batch, `ingest_sec` stays
+  * flat as the standing corpus grows 1×→30×, while `retrain_sec`
+  * (train on store ∪ batch + one distributed re-encode pass into the
+  * new epoch) grows ~linearly — and is the cost that buys back the
+  * recall a frozen quantizer would silently lose.
+  *
+  * Usage: runMain graft.tools.DriftProbe [mults] [outRoot]
+  */
+object DriftProbe {
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption.getOrElse("1,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val outRoot = args.lift(1).getOrElse("/tmp/graft_drift")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-drift-probe"),
+        math.max(cpus, 4))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (m <- mults) {
+      val dir = s"$outRoot/x$m"
+      ScaleStress.synthesize(spark, dir, m)
+      val n = 2000L * m
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("driftprobe").toString
+      try {
+        val dvs = new DriftingVectorStore(s"$base/store", 8, 3,
+          SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters)
+        def timed[A](body: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = body
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, initSec) = timed(dvs.init(spark, e))
+        // fixed-size in-distribution batch: re-keyed corpus head
+        val batchA = e.filter(col("vec_id") < 2000)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        val (ra, ingestSec) = timed(dvs.ingest(batchA, 1L))
+        require(!ra.retrained,
+          f"in-distribution batch retrained at ${ra.driftRatio}%.3f (x$m)")
+        // fixed-size location-shifted batch: the drift event
+        val batchB = e.filter(col("vec_id") < 2000)
+          .select((col("vec_id") + 20000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(25.0f)).as("embedding"))
+        val (rb, retrainSec) = timed(dvs.ingest(batchB, 2L))
+        require(rb.retrained,
+          f"drift batch did not retrain at ${rb.driftRatio}%.3f (x$m)")
+        val stored = dvs.store.count()
+        require(stored == n + 4000,
+          s"post-retrain store has $stored rows, expected ${n + 4000}")
+        System.err.println(
+          f"[drift x$m] n=$n init=$initSec%.1f s  ingest(2k)=$ingestSec%.2f s " +
+            f"(ratio ${ra.driftRatio}%.2f)  retrain+reencode=$retrainSec%.1f s " +
+            f"(ratio ${rb.driftRatio}%.2f)  epoch=${dvs.epoch}")
+        println(s"""{"scale":$m,"n":$n,"init_sec":$initSec,""" +
+          s""""ingest_sec":$ingestSec,"ingest_ratio":${ra.driftRatio},""" +
+          s""""retrain_sec":$retrainSec,"retrain_ratio":${rb.driftRatio}}""")
+      } finally {
+        graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+      }
+    }
+    spark.stop()
+  }
+}
