@@ -598,6 +598,107 @@ object TextOps {
           md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
     }),
 
+    // Cross-document SEQUENCE PACKING with the full SPAN MAP — the
+    // missing third of the packing family: q76 chunks WITHIN docs, q70
+    // assigns each doc its START bin only (the pack-then-truncate
+    // contract — a straddling doc's overflow tokens are untracked).
+    // Here the concat-and-chunk layout is materialized exactly:
+    // documents concatenate in a deterministic order, the token stream
+    // splits into fixed L=64 training sequences, and every (chunk, doc)
+    // row says WHICH tokens of which doc land in which sequence — so a
+    // loader can reconstruct every training sequence, boundaries
+    // included, from the map alone. DISTRIBUTED
+    // CONTRACT: packing runs per SHARD (stableHash(doc_id) mod 8 — the
+    // q48 recomputation-stable rule), each shard's token stream
+    // independent — no global sequential dependency, so shards pack in
+    // parallel at any corpus size (the per-file packing real pipelines
+    // run); within a shard the ONE window (cumulative token offset in
+    // doc_id order) is the sort any packer pays. Output is the
+    // (chunk, doc) span map — exactly which tokens of which document
+    // land in which training sequence; all boundary arithmetic is pure
+    // integers, identical cross-engine.
+    "q154_sequence_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 64
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"),
+          pmod(stableHash(col("doc_id").cast("string")), lit(8L))
+            .as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("start_off",
+          coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("chunk_id", explode(sequence(
+          floor(col("start_off") / L).cast("long"),
+          floor((col("start_off") + col("n_tokens") - 1) / L)
+            .cast("long"))))
+        .select(col("shard"), col("chunk_id"), col("doc_id"),
+          col("n_tokens"),
+          (least(col("start_off") + col("n_tokens") - 1,
+            (col("chunk_id") + 1) * L - 1)
+            - greatest(col("start_off"), col("chunk_id") * L) + 1)
+            .as("tok_in_chunk"))
+    }),
+
+    // TEXT-DISTRIBUTION DRIFT detection — the token-stream twin of the
+    // q150 embedding drift gate, closing the drift family on both
+    // modalities: an arriving batch's unigram distribution is scored by
+    // smoothed KL(batch ∥ reference) over the union vocabulary
+    // (add-one smoothing keeps disjoint-vocabulary batches finite —
+    // exactly the case drift detection exists for). Reference = the en
+    // training split (q48's stable hash rule); batches = an en holdout
+    // (in-distribution: KL ≈ small) and the SAME holdout with every
+    // token string-reversed — a planted near-disjoint-vocabulary shift
+    // (the fixture's lang column is cosmetic: every lang draws the same
+    // token salad, so a real-language batch would NOT drift — the q103
+    // make-it-load-bearing injection precedent). Scale shape: token-count aggregations (map-side combined,
+    // linear), per-batch scalars broadcast — the same two-pass shape as
+    // q81/q109; ln-term sums round to 4dp so aggregation order (and the
+    // engines' 1-ulp libm differences) cannot surface.
+    "q155_text_drift" -> ((s, dir) => {
+      val klBar = 1.0
+      val bucket = pmod(stableHash(col("doc_id").cast("string")), lit(100))
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.as("b"),
+          explode(tokens(col("text"))).as("tok"))
+      val ref = toks.filter(col("lang") === "en" && col("b") < 80)
+        .groupBy("tok").agg(count(lit(1)).as("pc"))
+      val np = ref.agg(sum("pc").as("np"))
+      val qcnt = toks.filter(col("lang") === "en" && col("b") >= 90)
+        .select(lit("en_holdout").as("batch"), col("tok"))
+        .unionByName(toks.filter(col("lang") === "en" && col("b") >= 90)
+          .select(lit("shifted").as("batch"), reverse(col("tok")).as("tok")))
+        .groupBy("batch", "tok").agg(count(lit(1)).as("qc"))
+      // per-batch union vocabulary: every reference token appears for
+      // every batch (qc 0), every batch token appears (pc 0 if unseen)
+      val uni = qcnt.select("batch").distinct()
+        .crossJoin(ref.select("tok"))
+        .unionByName(qcnt.select("batch", "tok"))
+        .distinct()
+        .join(qcnt, Seq("batch", "tok"), "left")
+        .join(ref, Seq("tok"), "left")
+        .select(col("batch"), col("tok"),
+          coalesce(col("qc"), lit(0L)).as("qc"),
+          coalesce(col("pc"), lit(0L)).as("pc"))
+      val stats = uni.groupBy("batch")
+        .agg(sum("qc").as("nq"), count(lit(1)).as("v"))
+      uni.join(broadcast(stats), Seq("batch"))
+        .crossJoin(broadcast(np))
+        .select(col("batch"), col("nq"), col("v"), col("np"),
+          (((col("qc") + 1).cast("double") / (col("nq") + col("v"))) *
+            log(((col("qc") + 1).cast("double") / (col("nq") + col("v"))) /
+              ((col("pc") + 1).cast("double") / (col("np") + col("v")))))
+            .as("term"))
+        .groupBy("batch")
+        .agg(max(col("nq")).as("n_batch_tokens"),
+          max(col("np")).as("n_ref_tokens"),
+          max(col("v")).as("vocab"),
+          round(sum("term"), 4).as("kl"))
+        .select(col("batch"), col("n_batch_tokens"), col("n_ref_tokens"),
+          col("vocab"), col("kl"), (col("kl") > klBar).as("drifted"))
+    }),
+
     // Gopher quality rules (Rae et al. 2021 §A1.1): word-count bounds,
     // mean-word-length band, symbol-to-word ratio ('#' chars + '...'
     // runs), alphabetic-word fraction, minimum stopword hits — the
@@ -1285,6 +1386,74 @@ object TextOps {
                 md5(array_to_string(chunk, ' ')) AS chunk_md5
          FROM ch""",
     "q77_gopher_filter" -> oracle77ForReuse,
+    // q155: same smoothing, same division spellings, same ln-term —
+    // the 4dp round on the sum absorbs aggregation order and libm ulps
+    "q155_text_drift" ->
+      """WITH tk AS (SELECT doc_id, lang,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 100 AS b,
+           unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       ref AS (SELECT tok, count(*) AS pc FROM tk
+               WHERE lang = 'en' AND b < 80 GROUP BY tok),
+       np AS (SELECT sum(pc) AS np FROM ref),
+       qc AS (SELECT batch, tok, count(*) AS qc FROM (
+                SELECT 'en_holdout' AS batch, tok FROM tk
+                WHERE lang = 'en' AND b >= 90
+                UNION ALL
+                SELECT 'shifted' AS batch, reverse(tok) AS tok FROM tk
+                WHERE lang = 'en' AND b >= 90)
+              GROUP BY batch, tok),
+       uni AS (SELECT u.batch, u.tok,
+                 coalesce(q.qc, 0) AS qc, coalesce(r.pc, 0) AS pc
+               FROM (SELECT DISTINCT batch, tok FROM (
+                       SELECT b.batch, r.tok
+                       FROM (SELECT DISTINCT batch FROM qc) b, ref r
+                       UNION ALL SELECT batch, tok FROM qc)) u
+               LEFT JOIN qc q ON q.batch = u.batch AND q.tok = u.tok
+               LEFT JOIN ref r ON r.tok = u.tok),
+       st AS (SELECT batch, sum(qc) AS nq, count(*) AS v
+              FROM uni GROUP BY batch)
+       SELECT u.batch,
+              CAST(max(st.nq) AS BIGINT) AS n_batch_tokens,
+              CAST(max(np.np) AS BIGINT) AS n_ref_tokens,
+              max(st.v) AS vocab,
+              round(sum(((u.qc + 1)::DOUBLE / (st.nq + st.v)) *
+                    ln(((u.qc + 1)::DOUBLE / (st.nq + st.v)) /
+                       ((u.pc + 1)::DOUBLE / (np.np + st.v)))), 4) AS kl,
+              round(sum(((u.qc + 1)::DOUBLE / (st.nq + st.v)) *
+                    ln(((u.qc + 1)::DOUBLE / (st.nq + st.v)) /
+                       ((u.pc + 1)::DOUBLE / (np.np + st.v)))), 4) > 1.0
+                AS drifted
+       FROM uni u JOIN st USING (batch), np
+       GROUP BY u.batch""",
+    // q154: the same shard hash, the same 1-preceding cumulative window,
+    // the same integer boundary arithmetic; generate_series unrolls the
+    // chunk span exactly like Spark's sequence+explode
+    "q154_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 8 AS shard,
+           len(string_split(text, ' ')) AS n_tokens
+         FROM documents),
+       o AS (SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_off
+         FROM t),
+       sp AS (SELECT *, start_off // 64 AS c0,
+                     (start_off + n_tokens - 1) // 64 AS c1
+              FROM o),
+       ex AS (SELECT shard, doc_id, n_tokens, start_off,
+                     unnest(generate_series(c0, c1)) AS chunk_id
+              FROM sp)
+       SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+              n_tokens,
+              CAST(least(start_off + n_tokens - 1, (chunk_id + 1) * 64 - 1)
+                   - greatest(start_off, chunk_id * 64) + 1 AS BIGINT)
+                AS tok_in_chunk
+       FROM ex""",
 
     "q80_source_report" -> {
       val stop = markersSql(gopherStopwords)

@@ -281,4 +281,47 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(rows.sortBy(t => (t._1, t._2)).toSeq ===
       again.sortBy(t => (t._1, t._2)).toSeq)
   }
+  test("q154 packing: full chunks hold exactly 64 tokens, every doc's tokens are fully assigned, chunk ids are contiguous per shard") {
+    val rows = SparkEntry.queries("q154_sequence_pack")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // (b) conservation: per doc, the chunk spans sum to the doc's tokens
+    val perDoc = rows.groupBy(_._3)
+    perDoc.foreach { case (doc, rs) =>
+      assert(rs.map(_._5).sum === rs.head._4,
+        s"doc $doc: chunk spans ${rs.map(_._5).sum} != n_tokens ${rs.head._4}")
+    }
+    // (a) every chunk except each shard's LAST holds exactly 64 tokens
+    val perChunk = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(_._5).sum }
+    val lastChunk = perChunk.keys.groupBy(_._1)
+      .map { case (sh, ks) => sh -> ks.map(_._2).max }
+    perChunk.foreach { case ((sh, c), tot) =>
+      if (c != lastChunk(sh))
+        assert(tot === 64L, s"shard $sh chunk $c packs $tot tokens != 64")
+      else assert(tot >= 1L && tot <= 64L)
+    }
+    // (c) contiguity: chunk ids per shard are 0..max with no holes
+    perChunk.keys.groupBy(_._1).foreach { case (sh, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L to ids.max), s"shard $sh chunk ids have holes")
+    }
+    // packing actually packs: more than one doc in some chunk
+    assert(rows.groupBy(r => (r._1, r._2)).exists(_._2.map(_._3).distinct.size > 1))
+  }
+
+  test("q155 text drift: in-distribution holdout stays under the bar, the shifted batch lands far over it") {
+    val rows = SparkEntry.queries("q155_text_drift")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
+    val (klIn, drIn) = rows("en_holdout")
+    val (klSh, drSh) = rows("shifted")
+    info(f"KL holdout $klIn%.4f, shifted $klSh%.4f")
+    assert(!drIn && klIn >= 0.0 && klIn < 0.5,
+      f"in-distribution batch KL $klIn%.4f should sit well under the 1.0 bar")
+    assert(drSh && klSh > 2.0,
+      f"shifted batch KL $klSh%.4f should land far over the 1.0 bar")
+  }
+
 }
