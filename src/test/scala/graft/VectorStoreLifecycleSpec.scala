@@ -107,6 +107,33 @@ class VectorStoreLifecycleSpec extends AnyFunSuite {
         f"replayed batch re-retrained at ${r3replay.driftRatio}%.3f")
       assert(dvs.epoch === 1 && storeRows(dvs) === before,
         "replay of the triggering batch must be idempotent")
+
+      // a SECOND drift event (a different region: −25 shift) must ride
+      // the same machinery — epoch 2 re-encodes the already-re-encoded
+      // store, and the result still equals a from-scratch rebuild over
+      // all five slices (no epoch-to-epoch scar tissue)
+      val drifted2 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          transform(col("embedding"), x => x - lit(25.0f)).as("embedding"))
+      val r4 = dvs.ingest(drifted2, 4L)
+      assert(r4.retrained, f"second drift ${r4.driftRatio}%.3f did not retrain")
+      assert(dvs.epoch === 2 && dvs.retrains === 2)
+      val all2 = all.union(drifted2)
+      val coarse2 = SimilarityOps.lloydFromSeeds(all2, k, iters)
+      val pq2 = SimilarityOps.pqCodebooksFrom(all2, SimilarityOps.PqM,
+        SimilarityOps.PqK, SimilarityOps.PqIters)
+      assert(dvs.coarse === coarse2 && dvs.pq === pq2,
+        "second retrain != rebuild over all slices")
+      val rebuilt2 = all2.select(col("vec_id"),
+          graft.plans.NearestCentroid.cell(col("embedding"), coarse2)
+            .as("cell"),
+          org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pq2)
+            .as("codes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+        .toSet
+      assert(storeRows(dvs) === rebuilt2,
+        "epoch-2 store rows != from-scratch rebuild")
     } finally {
       graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     }
