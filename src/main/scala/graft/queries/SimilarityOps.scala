@@ -2057,10 +2057,14 @@ object SimilarityOps {
         .localCheckpoint(eager = true)
       val pairs = probes.select("label", "cell").distinct().collect()
         .map(r => (r.getInt(0), r.getInt(1)))
-      val labels = pairs.map(_._1).distinct.toSeq
-      val cellsL = pairs.map(_._2).distinct.toSeq
-      val pruned = store.filter(col("label").isin(labels: _*) &&
-        col("cell").isin(cellsL: _*))
+      // prune on the EXACT (label, cell) pair disjunction, not the
+      // labels × cells cross product: the join below only consumes the
+      // probed pairs anyway, and the pair filter makes the scan read
+      // precisely the directories [[lastFilteredServeBytes]] accounts —
+      // the cross-product spelling touched extra label×cell dirs the
+      // accounting never summed (r15 advice)
+      val pruned = store.filter(pairs.map { case (l, c) =>
+        col("label") === l && col("cell") === c }.reduce(_ || _))
       val partFilters = pruned.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.partitionFilters
@@ -3027,8 +3031,19 @@ object SimilarityOps {
     private def existing(sub: String, shs: Iterable[Int]): Seq[String] =
       shs.toSeq.sorted.map(sh => s"$base/$sub/shard=$sh")
         .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
-    private def ensure(shs: Iterable[Int]): Unit = {
-      val need = shs.toSet.filter(sh => !blocks.containsKey(sh))
+    private[graft] def cachedShardKeys: Set[Int] = {
+      import scala.jdk.CollectionConverters._
+      blocks.keySet().asScala.map(_.intValue()).toSet
+    }
+    private[graft] def ensure(shs: Iterable[Int]): Unit = {
+      val all = shs.toSet
+      val need = all.filter(sh => !blocks.containsKey(sh))
+      // refresh recency of the batch's ALREADY-CACHED shards before any
+      // put: containsKey does not update LinkedHashMap access order, so
+      // without the get() pass a new shard's put could evict a cached
+      // shard of the SAME batch before it is consumed — silently dropping
+      // its beam candidates under a small cap (r15 advice, medium)
+      (all -- need).foreach(sh => blocks.get(sh))
       if (need.isEmpty) return
       touched ++= need
       def readTier(sub: String): Map[Int, Array[org.apache.spark.sql.Row]] = {
@@ -3050,7 +3065,7 @@ object SimilarityOps {
               .toIndexedSeq }))
       }
     }
-    private def vecOf(id: Long, sh: Int): Option[Array[Float]] =
+    private[graft] def vecOf(id: Long, sh: Int): Option[Array[Float]] =
       Option(blocks.get(sh)).flatMap(_.vecs.get(id))
     private def adjOf(id: Long, sh: Int): IndexedSeq[(Long, Int)] =
       Option(blocks.get(sh)).map(_.adjs.getOrElse(id, IndexedSeq.empty))

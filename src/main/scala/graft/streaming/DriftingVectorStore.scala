@@ -44,9 +44,11 @@ final case class DriftIngestReport(batchId: Long, driftRatio: Double,
   * corpus, so a location-shift drift replays as non-drifted, and even a
   * batch whose intrinsic quantization error keeps the ratio high (a
   * scale drift) re-retrains DETERMINISTICALLY on the same corpus into
-  * identical artifacts and store content — the end state is idempotent
-  * either way (VectorStoreLifecycleSpec asserts the first path, row for
-  * row). */
+  * identical artifacts and store content: the retrain corpus excludes
+  * the batch's own `batch=<id>` partition before the union, so the
+  * replayed batch contributes its rows exactly once — the same corpus
+  * the first run trained on (VectorStoreLifecycleSpec asserts both the
+  * in-distribution replay and the scale-drift replay, row for row). */
 final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
     m: Int, kPq: Int, pqIters: Int, driftFactor: Double = 2.0) {
 
@@ -114,7 +116,15 @@ final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
     }
     val drifted = ratio > driftFactor
     if (drifted) {
-      val standing = store.select(col("vec_id"), col("embedding"))
+      // replay-safe retrain corpus: on an at-least-once redelivery the
+      // batch's rows are ALREADY in the store under `batch=<id>` from the
+      // first run, so store ∪ batch would double-count them (different
+      // count → different sample stride → different Lloyd means). Exclude
+      // the batch's own partition first: first-run semantics are unchanged
+      // (the batch isn't in the store yet) and a replay retrains on the
+      // exact corpus the first run saw (r15 advice).
+      val standing = store.filter(col("batch") =!= lit(batchId))
+        .select(col("vec_id"), col("embedding"))
       train(standing.union(batch))
       val prev = epochV
       epochV += 1

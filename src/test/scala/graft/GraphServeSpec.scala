@@ -55,4 +55,36 @@ class GraphServeSpec extends AnyFunSuite {
       graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     }
   }
+
+  test("ensure() refreshes recency of already-cached batch shards before putting new ones (r15 advice)") {
+    val base = java.nio.file.Files.createTempDirectory("gserve_lru").toString
+    try {
+      SimilarityOps.buildGraphShardedStore(spark, dir,
+        SimilarityOps.GraphGateSlice, SimilarityOps.RpIngestSplit, base)
+      val shards = spark.read.parquet(s"$base/vec")
+        .select("shard").distinct().collect().map(_.getInt(0)).sorted
+      assert(shards.length >= 3, s"store has only ${shards.length} shards")
+      val Seq(a, b, c) = shards.take(3).toSeq
+      val idInA = spark.read.option("basePath", s"$base/vec")
+        .parquet(s"$base/vec/shard=$a")
+        .select("vec_id").limit(1).collect()(0).getLong(0)
+      val sess = new SimilarityOps.GraphServeSession(spark, base,
+        maxShards = 2)
+      // prime the cache: a first (eldest by access), then b
+      sess.ensure(Seq(a)); sess.ensure(Seq(b))
+      assert(sess.cachedShardKeys === Set(a, b))
+      // a batch naming cached `a` and new `c`: pre-fix, put(c) evicted
+      // eldest `a` before the batch consumed it (containsKey does not
+      // refresh LinkedHashMap access order) and vecOf(idInA, a) silently
+      // returned None — dropping every beam candidate in `a`
+      sess.ensure(Seq(a, c))
+      assert(sess.cachedShardKeys === Set(a, c),
+        s"batch-cached shard $a was evicted by its OWN batch's put: " +
+          s"resident=${sess.cachedShardKeys}")
+      assert(sess.vecOf(idInA, a).nonEmpty,
+        s"vec $idInA of batch-cached shard $a unreadable after ensure")
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
 }

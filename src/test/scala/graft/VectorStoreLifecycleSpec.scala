@@ -138,4 +138,39 @@ class VectorStoreLifecycleSpec extends AnyFunSuite {
       graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     }
   }
+
+  test("scale-drift replay re-retrains on the EXACT first-run corpus: identical artifacts and store content (r15 advice)") {
+    val base = java.nio.file.Files.createTempDirectory("dvs_scale").toString
+    try {
+      val standing = emb.filter(col("vec_id") < 300)
+      // q150's ×3 SCALE drift: residual variance stays ~9× the corpus
+      // mean even after a retrain covers the region, so the replay
+      // scores drifted AGAIN — the deterministic-re-retrain path
+      val scaleDrift = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+      val dvs = new DriftingVectorStore(s"$base/store", k, iters,
+        SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters)
+      dvs.init(spark, standing)
+      val r1 = dvs.ingest(scaleDrift, 1L)
+      assert(r1.retrained, f"scale drift ${r1.driftRatio}%.3f did not retrain")
+      val (coarse1, pq1, rows1) = (dvs.coarse, dvs.pq, storeRows(dvs))
+      // at-least-once replay: the batch's rows are already in the store
+      // under batch=1; the retrain corpus excludes that partition before
+      // the union, so the replay trains on the exact corpus the first run
+      // saw. Pre-fix, store ∪ batch double-counted the 100 rows (count
+      // 500 not 400 → different sample stride → different Lloyd means).
+      val r1replay = dvs.ingest(scaleDrift, 1L)
+      assert(r1replay.retrained,
+        f"scale-drift replay scored ${r1replay.driftRatio}%.3f — expected drifted")
+      assert(dvs.coarse === coarse1,
+        "replayed scale-drift retrain produced a different coarse quantizer")
+      assert(dvs.pq === pq1,
+        "replayed scale-drift retrain produced different PQ codebooks")
+      assert(storeRows(dvs) === rows1,
+        "replayed scale-drift retrain changed store content")
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
 }
