@@ -75,7 +75,18 @@ object Bench {
       "q144_vector_store_ingest_endstate",
       // q150: the q144 lifecycle PLUS a drift-triggered retrain +
       // re-encode epoch — same streaming-vs-one-shot asymmetry
-      "q150_drift_retrain_endstate")
+      "q150_drift_retrain_endstate",
+      // the four PARTITIONED-STORE gates (r15 verdict item 1): each
+      // builds + writes + re-reads a partitioned temp-dir store every
+      // timed pass (caches are cleared per pass) while its oracle is a
+      // one-shot SELECT — the q125 asymmetry, ×4 in the r15 timed set
+      // and the dominant driver of the band widening to 1.71×. Store
+      // build/ingest/serve cost at scale is measured where it belongs:
+      // ScaleStress's indexStoreStage (q137 full path), --flat mode
+      // (q141 graph store), and the q151-153 suite curves; correctness
+      // stays gated every round via Verify.
+      "q137_ann_sharded_store", "q141_graph_sharded_store",
+      "q152_ann_sq8_store", "q153_ann_filtered_store")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -151,7 +162,17 @@ object Bench {
     }
     System.err.println(f"[bench] trend this-run: total=$total%.2f s (${names.size} queries, ${errors.size} errors)")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // persist the COMPLETE per-query map beside the driver's BENCH_r*.json
+    // (r15 verdict item 6): the driver's stdout tail truncates the long
+    // JSON line mid-map (r15 saw only 75 of 142 timed queries), so
+    // round-over-round diffs were partial. This file is the full record.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_FULL_LATEST.json: $e") }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED — failing the bench run")

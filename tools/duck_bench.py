@@ -32,7 +32,13 @@ for name, q in sorted(sql.items()):
                 "q121_index_ingest_endstate",
                 "q125_bm25_sharded_store",
                 "q144_vector_store_ingest_endstate",
-                "q150_drift_retrain_endstate"):
+                "q150_drift_retrain_endstate",
+                # r16: the four partitioned-store gates, skipped
+                # SYMMETRICALLY with graft.Bench (see the comment there) —
+                # their Spark side pays a full store build+write per pass
+                # while these oracles are one-shot SELECTs
+                "q137_ann_sharded_store", "q141_graph_sharded_store",
+                "q152_ann_sq8_store", "q153_ann_filtered_store"):
         continue
     t0 = time.time()
     try:
