@@ -76,6 +76,9 @@ object Bench {
       // q150: the q144 lifecycle PLUS a drift-triggered retrain +
       // re-encode epoch — same streaming-vs-one-shot asymmetry
       "q150_drift_retrain_endstate",
+      // q156: the q150 lifecycle on the tokenizer side (streaming ingest
+      // + vocab retrain + re-encode epoch) — same asymmetry
+      "q156_tokenizer_retrain_endstate",
       // the four PARTITIONED-STORE gates (r15 verdict item 1): each
       // builds + writes + re-reads a partitioned temp-dir store every
       // timed pass (caches are cleared per pass) while its oracle is a

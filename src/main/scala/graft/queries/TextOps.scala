@@ -699,6 +699,26 @@ object TextOps {
           col("vocab"), col("kl"), (col("kl") > klBar).as("drifted"))
     }),
 
+    // TOKENIZER RETRAIN LIFECYCLE (r15 verdict item 4 — q155's detection
+    // CONSUMED): the streaming [[graft.streaming.DriftingTokenizerStore]]
+    // driven end to end, the text twin of the q150 embedding lifecycle.
+    // Standing = the en training split (b < 80) — trains the initial
+    // top-V vocab and lands as epoch 0; micro-batch A (the en holdout,
+    // b >= 90 — in-distribution) scores KL ≈ 0.01 and encodes under the
+    // frozen vocab; micro-batch B (the SAME holdout with every token
+    // string-reversed, re-keyed — q155's planted near-disjoint-vocabulary
+    // shift) scores KL ≈ 5 over the 1.0 bar, triggering a vocab re-learn
+    // on store ∪ batch and a distributed re-encode into epoch 1. The
+    // gate serves per-batch token coverage (docs, tokens, in-vocab, OOV)
+    // under the FINAL epoch's ids tier — so the re-encode itself is
+    // load-bearing — and carries the lifecycle evidence (both KLs, both
+    // decisions, retrain count) as columns; the oracle replays all three
+    // candidate vocab chains, DERIVES both decisions from the same
+    // 4dp-rounded KLs, CASE-selects the surviving vocabulary and counts
+    // coverage over the same streams (the q150 3-chain recipe).
+    "q156_tokenizer_retrain_endstate" ->
+      ((s, dir) => tokenizerRetrainServe(s, dir)),
+
     // Gopher quality rules (Rae et al. 2021 §A1.1): word-count bounds,
     // mean-word-length band, symbol-to-word ratio ('#' chars + '...'
     // runs), alphabetic-word fraction, minimum stopword hits — the
@@ -1083,6 +1103,92 @@ object TextOps {
     })
   )
 
+  /** q156's vocab size: small enough that the final vocabulary (learned
+    * over standing ∪ holdout ∪ reversed-holdout, ~2× the 31-token fixture
+    * vocabulary) genuinely splits tokens into in-vocab and OOV — the
+    * coverage signal the gate serves. */
+  private[graft] val TokVocabSize = 16
+  /** q156's re-keying offset for the reversed-holdout batch (the same
+    * docs as batch A arrive again with shifted content — distinct ids
+    * keep store provenance and oracle doc-counts unambiguous). */
+  private[graft] val TokDriftIdOffset = 1000000L
+
+  private val tokenizerServeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  // identity hash, not the session reference (the SimilarityOps rule):
+  // the key must not keep a discarded session reachable
+  private def sessionKey(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}"
+
+  private[graft] def tokenizerRetrainServe(s: SparkSession,
+      dir: String): DataFrame = {
+    if (tokenizerServeCache.size > 64) tokenizerServeCache.clear()
+    tokenizerServeCache.computeIfAbsent((sessionKey(s), dir),
+      _ => tokenizerRetrainServeUncached(s, dir))
+  }
+
+  /** q156's body — see the `queries` entry for the lifecycle story. The
+    * micro-batch staging (one file per batch, pinned modification times
+    * so FileStreamSource's order is deterministic) is the q150 recipe. */
+  private def tokenizerRetrainServeUncached(s: SparkSession,
+      dir: String): DataFrame = {
+    val en = docs(s, dir).filter(col("lang") === "en")
+      .select(col("doc_id"),
+        pmod(stableHash(col("doc_id").cast("string")), lit(100)).as("b"),
+        tokens(col("text")).as("toks"))
+    val standing = en.filter(col("b") < 80).select("doc_id", "toks")
+    val batchA = en.filter(col("b") >= 90).select("doc_id", "toks")
+    val batchB = en.filter(col("b") >= 90)
+      .select((col("doc_id") + TokDriftIdOffset).as("doc_id"),
+        transform(col("toks"), t => reverse(t)).as("toks"))
+    val base = java.nio.file.Files.createTempDirectory("q156_store").toString
+    try {
+      val inDir = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      Seq(batchA, batchB).zipWithIndex.foreach { case (bdf, i) =>
+        val stage = s"$base/stage$i"
+        bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(inDir, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000L))
+      }
+      val dts = new graft.streaming.DriftingTokenizerStore(
+        s"$base/store", TokVocabSize)
+      dts.init(s, standing)
+      dts.start(inDir, standing.schema, s"$base/ckpt").awaitTermination()
+      val reps = dts.reports
+      require(reps.size == 2,
+        s"q156 lifecycle expected 2 micro-batches, saw ${reps.size}")
+      val summary = s.range(1).select(
+        round(lit(reps(0).kl), 4).as("kl_a"),
+        lit(reps(0).retrained).as("retrained_a"),
+        round(lit(reps(1).kl), 4).as("kl_b"),
+        lit(reps(1).retrained).as("retrained_b"),
+        lit(dts.retrains).as("n_retrains"))
+      // serve per-batch coverage from the FINAL epoch's ids tier — the
+      // re-encode is what the gate consumes, not a recomputed encode
+      val grp = when(col("batch") === 0, "standing")
+        .when(col("batch") === 1, "batch_a").otherwise("batch_b")
+      dts.store
+        .select(grp.as("batch"),
+          size(col("toks")).cast("long").as("nt"),
+          size(filter(col("ids"), i => i =!= -1L)).cast("long").as("iv"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum("iv").as("n_invocab"),
+          (sum("nt") - sum("iv")).as("n_oov"))
+        .crossJoin(broadcast(summary))
+        .localCheckpoint(eager = true)
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
   /** Winnowing fingerprint selection over a (doc_id, text) frame — the
     * q107 body, factored so specs can feed synthetic corpora. K/W fixed so
     * the oracle SQL stays a literal mirror. */
@@ -1427,6 +1533,92 @@ object TextOps {
                 AS drifted
        FROM uni u JOIN st USING (batch), np
        GROUP BY u.batch""",
+    // q156: the lifecycle replayed relationally (the q150 3-chain
+    // recipe) — all three candidate vocabularies (trained on standing /
+    // standing∪A / standing∪A∪B) instantiated, both KLs computed with
+    // q155's exact smoothing/rounding, both retrain decisions DERIVED
+    // via scalar subqueries (never hard-coded to the planted outcome),
+    // the surviving vocab CASE-selected, coverage counted over the same
+    // streams. Multi-referenced CTEs MATERIALIZED (the q148 rule).
+    "q156_tokenizer_retrain_endstate" -> {
+      val klTerm = (u: String, s: String) =>
+        s"""round(sum((($u.qc + 1)::DOUBLE / ($s.nq + $s.v)) *
+           |      ln((($u.qc + 1)::DOUBLE / ($s.nq + $s.v)) /
+           |         (($u.pc + 1)::DOUBLE / ($s.np + $s.v)))), 4)""".stripMargin
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |              AS BIGINT) % 100 AS b,
+         |         unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE lang = 'en'),
+         |std AS MATERIALIZED (SELECT doc_id, tok FROM tk WHERE b < 80),
+         |ba AS MATERIALIZED (SELECT doc_id, tok FROM tk WHERE b >= 90),
+         |bb AS MATERIALIZED (SELECT doc_id + $TokDriftIdOffset AS doc_id,
+         |       reverse(tok) AS tok FROM tk WHERE b >= 90),
+         |rc0 AS MATERIALIZED (SELECT tok, count(*) AS pc
+         |       FROM std GROUP BY tok),
+         |qa AS (SELECT tok, count(*) AS qc FROM ba GROUP BY tok),
+         |ua AS MATERIALIZED (
+         |  SELECT u.tok, coalesce(q.qc, 0) AS qc, coalesce(r.pc, 0) AS pc
+         |  FROM (SELECT tok FROM rc0 UNION SELECT tok FROM qa) u
+         |  LEFT JOIN qa q ON q.tok = u.tok
+         |  LEFT JOIN rc0 r ON r.tok = u.tok),
+         |sa AS (SELECT sum(qc) AS nq, count(*) AS v, sum(pc) AS np FROM ua),
+         |ka AS MATERIALIZED (SELECT ${klTerm("u", "s")} AS kl
+         |       FROM ua u, sa s),
+         |da AS MATERIALIZED (SELECT (SELECT kl FROM ka) > 1.0 AS d),
+         |rc1 AS MATERIALIZED (
+         |  SELECT tok, count(*) AS pc FROM (
+         |    SELECT tok FROM std UNION ALL SELECT tok FROM ba) t
+         |  WHERE (SELECT d FROM da) GROUP BY tok
+         |  UNION ALL
+         |  SELECT tok, pc FROM rc0 WHERE NOT (SELECT d FROM da)),
+         |qb AS (SELECT tok, count(*) AS qc FROM bb GROUP BY tok),
+         |ub AS MATERIALIZED (
+         |  SELECT u.tok, coalesce(q.qc, 0) AS qc, coalesce(r.pc, 0) AS pc
+         |  FROM (SELECT tok FROM rc1 UNION SELECT tok FROM qb) u
+         |  LEFT JOIN qb q ON q.tok = u.tok
+         |  LEFT JOIN rc1 r ON r.tok = u.tok),
+         |sb AS (SELECT sum(qc) AS nq, count(*) AS v, sum(pc) AS np FROM ub),
+         |kb AS MATERIALIZED (SELECT ${klTerm("u", "s")} AS kl
+         |       FROM ub u, sb s),
+         |db AS MATERIALIZED (SELECT (SELECT kl FROM kb) > 1.0 AS d),
+         |c1 AS (SELECT tok, count(*) AS pc FROM (
+         |    SELECT tok FROM std UNION ALL SELECT tok FROM ba) GROUP BY tok),
+         |c2 AS (SELECT tok, count(*) AS pc FROM (
+         |    SELECT tok FROM std UNION ALL SELECT tok FROM ba
+         |    UNION ALL SELECT tok FROM bb) GROUP BY tok),
+         |fc AS (
+         |  SELECT tok, pc FROM c2 WHERE (SELECT d FROM db)
+         |  UNION ALL
+         |  SELECT tok, pc FROM c1
+         |  WHERE NOT (SELECT d FROM db) AND (SELECT d FROM da)
+         |  UNION ALL
+         |  SELECT tok, pc FROM rc0
+         |  WHERE NOT (SELECT d FROM db) AND NOT (SELECT d FROM da)),
+         |fv AS MATERIALIZED (SELECT tok FROM (
+         |  SELECT tok, row_number() OVER (ORDER BY pc DESC, tok) AS rn
+         |  FROM fc) WHERE rn <= $TokVocabSize),
+         |g AS (SELECT 'standing' AS batch, doc_id, tok FROM std
+         |  UNION ALL SELECT 'batch_a' AS batch, doc_id, tok FROM ba
+         |  UNION ALL SELECT 'batch_b' AS batch, doc_id, tok FROM bb)
+         |SELECT g.batch,
+         |  count(DISTINCT g.doc_id) AS n_docs,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN fv.tok IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_invocab,
+         |  CAST(sum(CASE WHEN fv.tok IS NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_oov,
+         |  (SELECT kl FROM ka) AS kl_a,
+         |  (SELECT d FROM da) AS retrained_a,
+         |  (SELECT kl FROM kb) AS kl_b,
+         |  (SELECT d FROM db) AS retrained_b,
+         |  CAST((CASE WHEN (SELECT d FROM da) THEN 1 ELSE 0 END) +
+         |       (CASE WHEN (SELECT d FROM db) THEN 1 ELSE 0 END)
+         |       AS INTEGER) AS n_retrains
+         |FROM g LEFT JOIN fv ON fv.tok = g.tok
+         |GROUP BY g.batch""".stripMargin
+    },
     // q154: the same shard hash, the same 1-preceding cumulative window,
     // the same integer boundary arithmetic; generate_series unrolls the
     // chunk span exactly like Spark's sequence+explode

@@ -1,0 +1,183 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** One micro-batch's lifecycle outcome on the tokenizer side: the smoothed
+  * token-KL it scored against the reference distribution current at
+  * arrival, whether it triggered a tokenizer retrain, and the store epoch
+  * it landed in. */
+final case class TokenizerIngestReport(batchId: Long, kl: Double,
+    retrained: Boolean, epoch: Int)
+
+/** The TEXT twin of [[DriftingVectorStore]] — the q155→q150 closure the
+  * r15 verdict asked for: q155 detects token-distribution drift but
+  * nothing consumes it; here the detection drives a TOKENIZER RETRAIN
+  * lifecycle. The tokenizer artifact is the top-V vocabulary (token →
+  * dense id by descending corpus frequency, ties lexicographic — the q72
+  * rule); every arriving micro-batch of documents is scored by smoothed
+  * KL(batch ∥ reference) over the union vocabulary (q155's exact
+  * formula: add-one smoothing, 4dp-rounded ln-term sum), where the
+  * reference is the unigram distribution of the corpus the CURRENT vocab
+  * was trained on. In-distribution batches encode under the frozen vocab
+  * and append; a drifted batch triggers re-learning the vocab on
+  * store ∪ batch and a RE-ENCODE of everything already ingested into a
+  * new epoch — `epoch=<e>/batch=<b>/` layout, the old epoch fully
+  * serveable until the new one is complete (the non-blocking-reindex
+  * shape of [[DriftingVectorStore]], now for the tokenizer tier).
+  *
+  * Store rows are (doc_id, toks, ids): raw tokens ride along so
+  * re-encode is a self-contained store scan (no dependence on the ingest
+  * source), ids are the per-token vocab ids under the row's epoch
+  * (OOV → -1) — the consumable a training loader reads. Scale shape:
+  * drift scoring is two token-count aggregations (map-side combined,
+  * linear in the batch) joined on the vocab-bounded union vocabulary,
+  * reference counts persist as a distributed artifact tier
+  * (`refc_epoch=<e>/` — never driver-materialized), and only the top-V
+  * vocab (V entries) lands on the driver, as a codegen'd literal-map
+  * lookup for encode. Per-batch cost is proportional to the batch; the
+  * corpus-sized re-encode bill is paid only on drift.
+  *
+  * Replay: deterministic `batch=<id>` subdir + overwrite ⇒ at-least-once
+  * redelivery replaces its own rows, and a retrain excludes the batch's
+  * own partition from the standing slice before the union — the
+  * [[DriftingVectorStore]] replay-safe-corpus rule — so even a batch
+  * that still scores drifted on redelivery retrains on the exact corpus
+  * the first run saw. */
+final class DriftingTokenizerStore(storeDir: String, vocabSize: Int,
+    klBar: Double = 1.0) {
+
+  private var sparkV: SparkSession = _
+  private var epochV = 0
+  private var vocabV: Seq[String] = Seq.empty
+  private val reportsV =
+    scala.collection.mutable.ArrayBuffer.empty[TokenizerIngestReport]
+
+  def epoch: Int = epochV
+  /** Current vocabulary, ordered: ids are 1-based positions. */
+  def vocab: Seq[String] = vocabV
+  def reports: Seq[TokenizerIngestReport] = reportsV.toSeq
+  def retrains: Int = reportsV.count(_.retrained)
+
+  /** The current-epoch store (doc_id, toks, ids, batch) — serveable at
+    * any point in the lifecycle. */
+  def store: DataFrame = sparkV.read.parquet(s"$storeDir/epoch=$epochV")
+
+  /** Reference unigram counts (tok, pc) of the corpus the CURRENT vocab
+    * was trained on — the drift baseline, persisted as a distributed
+    * artifact tier (vocab-bounded rows, never collected). */
+  private def refCounts: DataFrame =
+    sparkV.read.parquet(s"$storeDir/refc_epoch=$epochV")
+
+  /** Train initial artifacts on `standing` (doc_id, toks) and publish it
+    * as epoch 0, batch 0. */
+  def init(s: SparkSession, standing: DataFrame): Unit = {
+    sparkV = s
+    trainInto(standing.select(col("doc_id"), col("toks")), 0)
+    writeBatch(standing, 0L)
+  }
+
+  /** Learn the epoch-`e` artifacts from `corpus`: write the reference
+    * count tier, then take the top-V vocabulary (freq desc, tok asc —
+    * deterministic: token is a unique tiebreak). Only V rows reach the
+    * driver. */
+  private def trainInto(corpus: DataFrame, e: Int): Unit = {
+    corpus.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("pc"))
+      .write.mode("overwrite").parquet(s"$storeDir/refc_epoch=$e")
+    epochV = e
+    vocabV = refCounts.orderBy(desc("pc"), asc("tok")).limit(vocabSize)
+      .select("tok").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Codegen'd vocab lookup: literal map over the V driver-held entries;
+    * OOV → -1. */
+  private def idOf(tok: Column): Column = {
+    val m = map(vocabV.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(t), lit((i + 1).toLong)) }: _*)
+    coalesce(element_at(m, tok), lit(-1L))
+  }
+
+  /** Encode one batch under the CURRENT vocab and publish it in the
+    * current epoch. */
+  private def writeBatch(batch: DataFrame, batchId: Long): Unit =
+    batch.select(col("doc_id"), col("toks"),
+        transform(col("toks"), t => idOf(t)).as("ids"))
+      .write.mode("overwrite")
+      .parquet(s"$storeDir/epoch=$epochV/batch=$batchId")
+
+  /** Smoothed KL(batch ∥ reference) over the union vocabulary — the q155
+    * spelling exactly (add-one smoothing; the 4dp round on the ln-term
+    * sum absorbs aggregation order and libm ulps), so the lifecycle's
+    * branch decisions are oracle-derivable. One scalar row reaches the
+    * driver. */
+  private def klOf(batch: DataFrame): Double = {
+    val ref = refCounts
+    val qc = batch.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("qc"))
+    val uni = ref.select("tok").unionByName(qc.select("tok")).distinct()
+      .join(qc, Seq("tok"), "left")
+      .join(ref, Seq("tok"), "left")
+      .select(coalesce(col("qc"), lit(0L)).as("qc"),
+        coalesce(col("pc"), lit(0L)).as("pc"))
+    val stats = uni.agg(sum("qc").as("nq"), count(lit(1)).as("v"),
+      sum("pc").as("np"))
+    uni.crossJoin(broadcast(stats))
+      .select((((col("qc") + 1).cast("double") / (col("nq") + col("v"))) *
+        log(((col("qc") + 1).cast("double") / (col("nq") + col("v"))) /
+          ((col("pc") + 1).cast("double") / (col("np") + col("v")))))
+        .as("term"))
+      .agg(round(sum("term"), 4).as("kl"))
+      .collect()(0).getDouble(0)
+  }
+
+  /** One lifecycle step: score the batch's KL against the current
+    * reference; in-distribution → encode + append under the frozen
+    * vocab; drifted → re-learn the vocab on store ∪ batch (the batch's
+    * own partition excluded first — replay-safe), re-encode the store
+    * into a new epoch, then append. */
+  def ingest(batch0: DataFrame, batchId: Long): TokenizerIngestReport = {
+    val batch = batch0.select(col("doc_id"), col("toks"))
+      .localCheckpoint(eager = true)
+    val kl = klOf(batch)
+    val drifted = kl > klBar
+    if (drifted) {
+      val standing = store.filter(col("batch") =!= lit(batchId))
+        .select(col("doc_id"), col("toks"))
+      val prev = epochV
+      trainInto(standing.union(batch), prev + 1)
+      // non-blocking reindex: one distributed pass over the old epoch,
+      // re-encoded under the NEW vocab, batch provenance preserved; the
+      // old epoch serves until this completes
+      sparkV.read.parquet(s"$storeDir/epoch=$prev")
+        .select(col("batch"), col("doc_id"), col("toks"),
+          transform(col("toks"), t => idOf(t)).as("ids"))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$storeDir/epoch=$epochV")
+    }
+    writeBatch(batch, batchId)
+    val rep = TokenizerIngestReport(batchId, kl, drifted, epochV)
+    reportsV += rep
+    rep
+  }
+
+  /** Streaming entry: AvailableNow over parquet (doc_id, toks) files, one
+    * [[ingest]] per micro-batch. Call [[init]] first. */
+  def start(inDir: String, schema: StructType, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val docsStream = sparkV.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch 0 is the standing corpus init() published; stream
+        // micro-batch ids shift up by one so replays stay aligned
+        if (!batch.isEmpty) { ingest(batch, batchId + 1); () }
+      }
+      .start()
+  }
+}

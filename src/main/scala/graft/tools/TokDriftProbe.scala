@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.DriftingTokenizerStore
+
+/** Scale probe for the q156 tokenizer drift-retrain lifecycle
+  * ([[DriftingTokenizerStore]]) — the text twin of [[DriftProbe]]: the
+  * 100 TB claim is that per-batch ingest cost is proportional to the
+  * BATCH (drift scoring joins the batch's vocab-bounded counts against
+  * the persisted reference-count tier; the standing corpus is never
+  * re-tokenized on an in-distribution batch), while the corpus-sized
+  * vocab re-learn + re-encode bill is paid only on the drift event.
+  * Measured shape expected: with a FIXED 1k-doc batch, `ingest_sec`
+  * stays flat as the standing corpus grows, while `retrain_sec` grows
+  * ~linearly (one count pass + one re-encode pass over the store).
+  *
+  * Usage: runMain graft.tools.TokDriftProbe [mults] [outRoot]
+  */
+object TokDriftProbe {
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption.getOrElse("1,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val outRoot = args.lift(1).getOrElse("/tmp/graft_tokdrift")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-tokdrift-probe"),
+        math.max(cpus, 4))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (m <- mults) {
+      val dir = s"$outRoot/x$m"
+      ScaleStress.synthesize(spark, dir, m)
+      val n = 5000L * m
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val base = java.nio.file.Files.createTempDirectory("tokdrift").toString
+      try {
+        val dts = new DriftingTokenizerStore(s"$base/store", 16)
+        def timed[A](body: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = body
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, initSec) = timed(dts.init(spark, d))
+        // fixed-size in-distribution batch: re-keyed corpus head (same
+        // token salad → KL ≈ 0)
+        val batchA = d.filter(col("doc_id") < 1000)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("toks"))
+        val (ra, ingestSec) = timed(dts.ingest(batchA, 1L))
+        require(!ra.retrained,
+          f"in-distribution batch retrained at KL ${ra.kl}%.4f (x$m)")
+        // fixed-size vocabulary-shifted batch: reversed tokens — the
+        // drift event (near-disjoint vocab, KL far over the bar)
+        val batchB = d.filter(col("doc_id") < 1000)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            transform(col("toks"), t => reverse(t)).as("toks"))
+        val (rb, retrainSec) = timed(dts.ingest(batchB, 2L))
+        require(rb.retrained,
+          f"drift batch did not retrain at KL ${rb.kl}%.4f (x$m)")
+        val stored = dts.store.count()
+        require(stored == n + 2000,
+          s"post-retrain store has $stored rows, expected ${n + 2000}")
+        System.err.println(
+          f"[tokdrift x$m] n=$n init=$initSec%.1f s  ingest(1k)=$ingestSec%.2f s " +
+            f"(kl ${ra.kl}%.4f)  retrain+reencode=$retrainSec%.1f s " +
+            f"(kl ${rb.kl}%.4f)  epoch=${dts.epoch}")
+        println(s"""{"scale":$m,"n":$n,"init_sec":$initSec,""" +
+          s""""ingest_sec":$ingestSec,"ingest_kl":${ra.kl},""" +
+          s""""retrain_sec":$retrainSec,"retrain_kl":${rb.kl}}""")
+      } finally {
+        graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.streaming.DriftingTokenizerStore
+
+/** The tokenizer drift-retrain lifecycle (q156) — the state-machine
+  * properties the oracle replay pins only for the gate's planted
+  * two-batch path: in-distribution batches NEVER retrain, a
+  * vocabulary-shifted batch always does, the post-retrain store equals a
+  * from-scratch rebuild over the same documents, and at-least-once
+  * replays are idempotent on BOTH branches (in-distribution replay skips
+  * the retrain; a still-drifted replay retrains on the exact first-run
+  * corpus into identical artifacts and store content — the
+  * DriftingVectorStore replay-safe-corpus rule). */
+class TokenizerLifecycleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val V = 16
+
+  private def en = graft.sources.Tables(spark, dir, "documents")
+    .filter(col("lang") === "en")
+    .select(col("doc_id"),
+      pmod(stableHash(col("doc_id").cast("string")), lit(100)).as("b"),
+      tokens(col("text")).as("toks"))
+
+  private def standing = en.filter(col("b") < 80).select("doc_id", "toks")
+  private def holdout = en.filter(col("b") >= 90).select("doc_id", "toks")
+  private def reversedHoldout = en.filter(col("b") >= 90)
+    .select((col("doc_id") + 1000000L).as("doc_id"),
+      transform(col("toks"), t => reverse(t)).as("toks"))
+
+  private def storeRows(dts: DriftingTokenizerStore): Set[(Long, Seq[Long])] =
+    dts.store.select(col("doc_id"), col("ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+
+  /** Reference vocab: top-V by (freq desc, tok asc) over a corpus. */
+  private def vocabOf(corpus: org.apache.spark.sql.DataFrame): Seq[String] =
+    corpus.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("pc"))
+      .orderBy(desc("pc"), asc("tok")).limit(V)
+      .select("tok").collect().map(_.getString(0)).toSeq
+
+  test("in-distribution batch keeps the vocab frozen; a shifted batch retrains; store equals a from-scratch rebuild; both replay branches idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("dts_spec").toString
+    try {
+      val dts = new DriftingTokenizerStore(s"$base/store", V)
+      dts.init(spark, standing)
+      val frozen = dts.vocab
+      assert(frozen.length === V)
+      assert(frozen === vocabOf(standing), "epoch-0 vocab != q72-rule top-V")
+
+      // in-distribution: the en holdout draws the same token salad
+      val r1 = dts.ingest(holdout, 1L)
+      assert(!r1.retrained, f"holdout retrained at KL ${r1.kl}%.4f")
+      assert(r1.kl < 1.0 && dts.epoch === 0 && dts.vocab === frozen)
+
+      // the reversed-token batch: near-disjoint vocabulary, KL >> 1
+      val r2 = dts.ingest(reversedHoldout, 2L)
+      assert(r2.retrained, f"shifted batch KL ${r2.kl}%.4f did not retrain")
+      assert(dts.epoch === 1 && dts.retrains === 1)
+      assert(dts.vocab !== frozen, "retrain must refresh the vocabulary")
+
+      // post-retrain store ≡ from-scratch rebuild over all three slices
+      val all = standing.union(holdout).union(reversedHoldout)
+      val vocabRef = vocabOf(all)
+      assert(dts.vocab === vocabRef, "retrained vocab != rebuild")
+      val idsRef = all.collect().map { r =>
+        val toks = r.getSeq[String](1)
+        (r.getLong(0), toks.map(t =>
+          vocabRef.indexOf(t) match { case -1 => -1L; case i => (i + 1).toLong }))
+      }.toSet
+      assert(storeRows(dts) === idsRef,
+        "post-retrain store ids != from-scratch encode")
+
+      // in-distribution replay: batch 1 re-scores against the
+      // post-retrain reference (which contains it) and replaces its rows
+      val before = storeRows(dts)
+      val r1r = dts.ingest(holdout, 1L)
+      assert(!r1r.retrained && dts.epoch === 1 && storeRows(dts) === before,
+        "in-distribution replay must be a no-op on the end state")
+
+      // still-drifted replay: the reversed batch is only ~10% of the
+      // union mass, so its KL against the retrained reference stays over
+      // the bar → deterministic re-retrain on the EXACT first-run corpus
+      // (its own batch partition excluded before the union) → identical
+      // vocab and store content, epoch advances
+      val (vocab1, rows1) = (dts.vocab, storeRows(dts))
+      val r2r = dts.ingest(reversedHoldout, 2L)
+      assert(r2r.retrained, f"shifted replay KL ${r2r.kl}%.4f — expected drifted")
+      assert(dts.vocab === vocab1,
+        "still-drifted replay produced a different vocabulary")
+      assert(storeRows(dts) === rows1,
+        "still-drifted replay changed store content")
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+}

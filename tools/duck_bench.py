@@ -33,6 +33,7 @@ for name, q in sorted(sql.items()):
                 "q125_bm25_sharded_store",
                 "q144_vector_store_ingest_endstate",
                 "q150_drift_retrain_endstate",
+                "q156_tokenizer_retrain_endstate",
                 # r16: the four partitioned-store gates, skipped
                 # SYMMETRICALLY with graft.Bench (see the comment there) —
                 # their Spark side pays a full store build+write per pass
