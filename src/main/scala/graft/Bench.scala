@@ -89,7 +89,10 @@ object Bench {
       // (q141 graph store), and the q151-153 suite curves; correctness
       // stays gated every round via Verify.
       "q137_ann_sharded_store", "q141_graph_sharded_store",
-      "q152_ann_sq8_store", "q153_ann_filtered_store")
+      "q152_ann_sq8_store", "q153_ann_filtered_store",
+      // q158: q141's store build per pass, serve wave 1024 probes —
+      // same build-vs-one-shot-SELECT asymmetry
+      "q158_graph_batch_serve")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

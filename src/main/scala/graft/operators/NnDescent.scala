@@ -664,6 +664,85 @@ object NnDescent {
     g
   }
 
+  /** DiskANN/Vamana ROBUST PRUNE (Subramanya et al. NeurIPS'19 §4,
+    * Algorithm 2 — the α-RNG edge selection): per node, greedily take
+    * the closest remaining candidate, then discard every remaining
+    * candidate the selection DOMINATES — c is dominated by selected s
+    * when α·d(s, c) ≤ d(u, c) (here d = 1 − cosine) — and repeat until
+    * `r` edges are chosen or candidates run out. α > 1 keeps the
+    * longer-range "diverse" edges a plain k-cut throws away; those
+    * shortcut edges are what hold beam-search recall at FIXED degree as
+    * n grows (the paper's §4 argument, measured here by
+    * GraphBuildProbe's alpha column). α defaults to 1.25 — the paper's
+    * ~1.2 regime, spelled as an exact binary quarter so both engines
+    * compare identical doubles (the MmrLambda rule).
+    *
+    * Execution shape: the candidate-pair cosines are ONE kernel pass
+    * over Σ_u deg(u)² pairs (deg ≤ the merged per-shard degree — the
+    * same Θ(n·k²) budget as one NN-Descent local join), then `r`
+    * unrolled selection rounds, each a per-node argmax (cos DESC, nid
+    * ASC — the heap order) plus two hash-partitioned anti-joins over a
+    * SHRINKING remainder. Everything keys on vec_id — no driver state,
+    * no corpus-wide sequential dependency, so the prune parallelizes
+    * per node at any corpus size. Deterministic by construction
+    * (kernel cosines ≡ list_cosine_similarity, strict tie rule, exact
+    * α), so the whole greedy unrolls into DuckDB CTEs — the q157 gate. */
+  def robustPrune(cand: DataFrame, e: DataFrame, r: Int,
+      alpha: Double = 1.25): DataFrame =
+    withoutConstraintPropagation(e.sparkSession) {
+      robustPruneImpl(cand, e, r, alpha)
+    }
+
+  private def robustPruneImpl(cand: DataFrame, e: DataFrame, r: Int,
+      alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // dedupe by (node, neighbor) first: merged per-shard candidate lists
+    // can repeat an edge; duplicate candidates carry identical cosines,
+    // so max() is exact (a no-op on an already-unique input like q157's)
+    val c = cand.select(col("vec_id"), col("nid"), col("cos"))
+      .groupBy("vec_id", "nid").agg(max(col("cos")).as("cos"))
+      .localCheckpoint(eager = true)
+    // candidate-pair cosines: cos(x, y) for every ordered pair of one
+    // node's candidates — one kernel pass (the only corpus-sized work)
+    val pc = c.as("a")
+      .join(c.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.vec_id").as("u"), col("a.nid").as("x"),
+        col("b.nid").as("y"))
+      .join(e.select(col("vec_id").as("x"), col("embedding").as("ex")), "x")
+      .join(e.select(col("vec_id").as("y"), col("embedding").as("ey")), "y")
+      .select(col("u"), col("x"), col("y"),
+        cosineSim(col("ex"), col("ey")).as("pcos"))
+      .localCheckpoint(eager = true)
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nid"))
+    var rem = c
+    var sel: DataFrame = null
+    for (round <- 1 to r) {
+      val s = rem.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nid"), col("cos"),
+          lit(round.toLong).as("rnk"))
+        .localCheckpoint(eager = true)
+      sel = if (sel == null) s else sel.unionByName(s)
+      if (round < r) {
+        // dominated: α·(1 − cos(sel, c)) ≤ (1 − cos(u, c))
+        val dom = rem
+          .join(s.select(col("vec_id"), col("nid").as("snid")), "vec_id")
+          .join(pc, col("u") === col("vec_id") &&
+            col("x") === col("snid") && col("y") === col("nid"))
+          .filter(lit(alpha) * (lit(1.0) - col("pcos")) <=
+            (lit(1.0) - col("cos")))
+          .select(col("vec_id"), col("nid"))
+        rem = rem
+          .join(s.select(col("vec_id"), col("nid")),
+            Seq("vec_id", "nid"), "left_anti")
+          .join(dom, Seq("vec_id", "nid"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+    }
+    sel
+  }
+
   /** Dedupe by (node, neighbor) — duplicate candidates carry identical
     * cosines, max() is exact — then the k-bounded heap per node. */
   private def topK(scored: DataFrame, k: Int): DataFrame =

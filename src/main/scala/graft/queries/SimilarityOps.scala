@@ -43,6 +43,29 @@ object SimilarityOps {
   private val NnK = 8
   private val NnBuildK = 16
   private val NnIters = 4
+  /** q157's robust-prune slack: DiskANN's ~1.2 regime spelled as an
+    * exact binary quarter (5/4) so both engines compare identical
+    * doubles in the domination test. */
+  private[graft] val PruneAlpha = 1.25
+  /** q157's planted twins: ids < TwinCount duplicated (identical float
+    * vector) past [[GraphGateSlice]] — the structure that makes the
+    * domination branch load-bearing at gate scale. */
+  private[graft] val TwinCount = 100L
+
+  /** The q157 gate corpus: the gate slice ∪ exact twins. The twin id
+    * range starts at GraphGateSlice, so ids stay collision-free at every
+    * SF the gate runs at; the id gap (lake rows stop at 500 at gate SF)
+    * only thins the id-modulus init deterministically on BOTH engines
+    * (nonexistent neighbors drop in the same join). */
+  private[graft] def pruneGateCorpus(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = emb(s, dir).filter(col("vec_id") < GraphGateSlice)
+      .select(col("vec_id"), col("embedding"))
+    val twins = emb(s, dir).filter(col("vec_id") < TwinCount)
+      .select((col("vec_id") + lit(GraphGateSlice)).as("vec_id"),
+        col("embedding"))
+    base.unionByName(twins)
+  }
   /** The graph-family gate slice (q126/q127/q130/q131): every consumer of
     * [[cachedNnGraph]] must slice the corpus to exactly this bound, or the
     * cached layer-0 graph would silently describe a different corpus than
@@ -1300,6 +1323,35 @@ object SimilarityOps {
     // not the corpus. Exact cosine over the doubly-pruned candidates.
     "q153_ann_filtered_store" -> ((s, dir) => filteredStoreServe(s, dir)),
 
+    // DiskANN/Vamana ROBUST PRUNE (r15 verdict item 2 — §4 Algorithm 2,
+    // the α-RNG edge selection): candidate lists (top-NnBuildK of the
+    // q126 build recipe) pruned to NnK edges per node by the greedy
+    // take-closest-then-discard-dominated rule (c dominated by selected
+    // s when α·(1−cos(s,c)) ≤ (1−cos(u,c)), α = 1.25 exact-binary). At
+    // EQUAL degree the α-diverse edges hold beam recall where the plain
+    // k-cut's redundant short edges decay it as n grows —
+    // GraphBuildProbe measures exactly that (0.400 vs 0.345 at 100×).
+    // The gate corpus PLANTS exact twins (ids < TwinCount re-keyed past
+    // GraphGateSlice, identical float vectors — the q103
+    // make-it-load-bearing rule): the lake's near-uniform 64-dim salad
+    // never fires the domination test (every inter-candidate distance ≈
+    // every query distance), so without the twins the oracle would only
+    // pin the degenerate top-R path; with them, a node whose list holds
+    // both members of a twin pair MUST drop the second (d(s, twin) = 0),
+    // and the output degree distribution proves domination ran. rnk is
+    // the greedy selection order. The prune is one candidate-pair kernel
+    // pass + NnK unrolled argmax/anti-join rounds, all keyed on vec_id —
+    // no driver state. Oracle: the same planted chain + the same greedy,
+    // unrolled in CTEs.
+    "q157_graph_alpha_prune" -> ((s, dir) => {
+      val eP = pruneGateCorpus(s, dir)
+      val cand = graft.operators.NnDescent.knnGraph(eP, NnBuildK, NnIters)
+      graft.operators.NnDescent
+        .robustPrune(cand, eP, NnK, PruneAlpha)
+        .select(col("vec_id"), col("nid"),
+          round(col("cos"), 4).as("cosine"), col("rnk"))
+    }),
+
     // DiskANN/Vamana-shape SHARDED GRAPH STORE (the r13 stretch item):
     // q131's incremental ingest composed with q137's partitioned
     // persistence — the END-STATE graph's adjacency AND vectors
@@ -1314,6 +1366,18 @@ object SimilarityOps {
     // recorded per serve in [[lastGraphServeBytes]].
     "q141_graph_sharded_store" -> ((s, dir) =>
       graphShardedStoreServe(s, dir)),
+
+    // DISTRIBUTED BATCH SERVE over the q141 graph store (r15 verdict
+    // item 3 — the driver-tier GraphServeSession is the interactive
+    // frontend; a 10³-probe batch belongs on executors): the same
+    // store, the same navigation, but the probe wave is 1024 queries
+    // through the forced-distributed loop — one probe broadcast,
+    // Θ(probes·hops·beam·degree) kernel work on executors, every hop's
+    // reads partition-pruned to the frontier's shards (self-verified).
+    // At the gate SF the wave is corpus-bounded (500 probes — 50× the
+    // q141 wave); GraphServeProbe runs the full 10³+ waves at scale and
+    // pins wall ∝ probes, flat in corpus size.
+    "q158_graph_batch_serve" -> ((s, dir) => graphBatchServe(s, dir)),
 
     // IVF-PQ with an exact RE-RANK tail (r9 verdict item 8 — the
     // standard production shape: ADC is a cheap, lossy filter whose
@@ -2833,20 +2897,29 @@ object SimilarityOps {
     * LONG-LIVED [[GraphServeSession]] over a persistent store. */
   private[graft] def buildGraphShardedStore(s: SparkSession, dir: String,
       slice: Long, split: Long, base: String): Unit = {
-      val e = emb(s, dir).filter(col("vec_id") < slice)
-        .select(col("vec_id"), col("embedding"))
-      val endState = cachedEndStateGraph(s, dir, slice, split)
-      // CELL-CLUSTERED layout (the graph-reordering technique of the
-      // DiskANN/Starling disk-layout literature): nodes shard by their
-      // COARSE CELL (the shared IVF artifact), sub-sharded by id hash to
-      // ~GraphShardW rows per shard. Beam neighbors are cosine-similar →
-      // same few cells → the walk's reads CLUSTER, where the previous
-      // id-range layout scattered the frontier across every shard
-      // (measured 93.6% of the store read at 30×). Routing needs no
-      // global id→shard directory: every adjacency row CARRIES its
-      // target's shard (nid_shard — DiskANN's neighbor-offset-in-record
-      // trick), and the entry seeds ship as store metadata.
-      val coarse = lloydCentroids(s, dir, 8, 3, maxVec = slice)
+    val e = emb(s, dir).filter(col("vec_id") < slice)
+      .select(col("vec_id"), col("embedding"))
+    val endState = cachedEndStateGraph(s, dir, slice, split)
+    val coarse = lloydCentroids(s, dir, 8, 3, maxVec = slice)
+    writeGraphStore(s, e, endState, coarse, base)
+  }
+
+  /** Persist a graph + vectors as the q141 sharded store at `base` —
+    * factored from [[buildGraphShardedStore]] so probes can lay out a
+    * store over ANY (vectors, adjacency, quantizer) triple.
+    *
+    * CELL-CLUSTERED layout (the graph-reordering technique of the
+    * DiskANN/Starling disk-layout literature): nodes shard by their
+    * COARSE CELL (the shared IVF artifact), sub-sharded by id hash to
+    * ~GraphShardW rows per shard. Beam neighbors are cosine-similar →
+    * same few cells → the walk's reads CLUSTER, where the previous
+    * id-range layout scattered the frontier across every shard
+    * (measured 93.6% of the store read at 30×). Routing needs no
+    * global id→shard directory: every adjacency row CARRIES its
+    * target's shard (nid_shard — DiskANN's neighbor-offset-in-record
+    * trick), and the entry seeds ship as store metadata. */
+  private[graft] def writeGraphStore(s: SparkSession, e: DataFrame,
+      endState: DataFrame, coarse: Seq[Seq[Double]], base: String): Unit = {
       val nVecs = e.count()
       val subShards = math.max(1L,
         (nVecs + 8 * GraphShardW - 1) / (8 * GraphShardW))
@@ -2870,6 +2943,48 @@ object SimilarityOps {
         .select(col("vec_id").as("nid"), col("shard"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$base/seeds")
+  }
+
+  /** q158's probe-wave size: 10³+ probes — the batch scale at which the
+    * driver-tier frontend would funnel, and the forced-distributed loop
+    * is the right tier (r15 verdict item 3). Probes are query vectors
+    * only — they need not live in the store, so the wave spans the full
+    * embeddings id range. */
+  private[graft] val BatchProbeMax = 1024L
+
+  private val graphBatchServeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), DataFrame]()
+
+  /** q158's body: DISTRIBUTED BATCH SERVE through the q141 sharded
+    * store — the same store build, the same navigation arithmetic, but
+    * the probe wave is [[BatchProbeMax]] queries pushed through the
+    * executor-tier loop ([[distributedStoreServe]]): probes ride ONE
+    * broadcast, each hop's kernel work is Θ(|probes|·beam·degree) on
+    * executors, and each hop's reads are partition-pruned to the
+    * frontier's shards (self-verified). Serve-bytes fraction lands in
+    * [[lastGraphServeBytes]]; GraphServeProbe pins wall ∝ probes and
+    * flat in corpus size. */
+  private[graft] def graphBatchServe(s: SparkSession, dir: String,
+      probeMax: Long = BatchProbeMax): DataFrame = {
+    if (graphBatchServeCache.size > CacheMax) graphBatchServeCache.clear()
+    graphBatchServeCache.computeIfAbsent((sessionKey(s), dir, probeMax),
+      _ => graphBatchServeUncached(s, dir, probeMax))
+  }
+
+  private def graphBatchServeUncached(s: SparkSession, dir: String,
+      probeMax: Long): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("q158_store").toString
+    try {
+      buildGraphShardedStore(s, dir, GraphGateSlice, RpIngestSplit, base)
+      val probes = emb(s, dir).filter(col("vec_id") < probeMax)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val touched = scala.collection.mutable.Set[Int]()
+      val out = distributedStoreServe(s, base, probes, touched)
+      recordServeBytes(base, touched)
+      out
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
   }
 
   private def graphShardedStoreServeUncached(s: SparkSession,
@@ -2903,6 +3018,29 @@ object SimilarityOps {
           return out
         }
       }
+      val out = distributedStoreServe(s, base, probes, touched)
+      recordServeBytes(base, touched)
+      out
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
+  /** The FORCED-DISTRIBUTED beam serve over a sharded graph store at
+    * `base` — the executor-tier navigation loop (the driver-tier
+    * [[GraphServeSession]] is bit-identical for frontend-sized batches;
+    * THIS is the path a batch of 10³+ probes takes, r15 verdict item 3):
+    * every hop reads ONLY the shards the frontier names (partition
+    * filters self-verified on both tiers), probes ride ONE broadcast,
+    * and per-hop cost is Θ(|probes|·beam·degree) kernel evaluations on
+    * executors — ∝ probes, flat in corpus size (GraphServeProbe
+    * measures exactly that). Visited-shard routing state is bounded by
+    * the walk (seeds ∪ carried nid_shard), never corpus-sized. */
+  private[graft] def distributedStoreServe(s: SparkSession, base: String,
+      probes: DataFrame,
+      touched: scala.collection.mutable.Set[Int]): DataFrame = {
+      val adjStore = s.read.parquet(s"$base/adj")
+      val vecStore = s.read.parquet(s"$base/vec")
       // ---- serve: everything below reads ONLY the sharded store ----
       def topW(scored: DataFrame, w: Int): DataFrame =
         scored.groupBy("qid", "nid").agg(max(col("cos")).as("cos"))
@@ -2955,7 +3093,7 @@ object SimilarityOps {
         bm = topW(scoreQ(expand.select("qid", "nid")).unionByName(bm), NnBeam)
           .localCheckpoint(eager = true)
       }
-      val out = bm.filter(col("nid") =!= col("qid"))
+      bm.filter(col("nid") =!= col("qid"))
         .groupBy("qid")
         .agg(org.apache.spark.sql.graft.TopKByScore.columnFor(
           col("cos"), col("nid"), 5).as("top"))
@@ -2964,11 +3102,6 @@ object SimilarityOps {
           round(col("col.score"), 4).as("cosine"),
           (col("pos") + 1).cast("long").as("rnk"))
         .localCheckpoint(eager = true)
-      recordServeBytes(base, touched)
-      out
-    } finally {
-      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
-    }
   }
 
   /** Serve-bytes fraction: touched shard directories vs the whole store. */
@@ -3852,8 +3985,11 @@ object SimilarityOps {
     * through `{p}b{iters}` — shared by the q126 (graph) and q127
     * (search) oracles at prefix "", and instantiated once per layer
     * (prefixes "l1"/"l2", level-gated `where`) by the q130 hierarchy. */
+  /** `src` defaults to the lake table; q157 passes a planted-twin
+    * subquery (the default text is byte-identical to the historical
+    * chain — the pfx rule). */
   private def nnDescentChainSql(buildK: Int, iters: Int,
-      where: String, p: String = ""): String = {
+      where: String, p: String = "", src: String = "embeddings"): String = {
     val A = 1103515245L; val C = 12345L; val M = 2147483647L
     val iterCtes = (1 to iters).map { it =>
       val prev = s"${p}b${it - 1}"
@@ -3882,7 +4018,7 @@ object SimilarityOps {
          |          GROUP BY 1, 2)) WHERE rn <= $buildK)""".stripMargin
     }.mkString(",\n")
     s"""${p}e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-       |           FROM embeddings WHERE $where),
+       |           FROM $src WHERE $where),
        |${p}n AS (SELECT max(vec_id) + 1 AS n FROM ${p}e),
        |${p}js AS (SELECT unnest(generate_series(0, ${buildK - 1})) AS j),
        |${p}init AS (SELECT DISTINCT v.vec_id,
@@ -3910,6 +4046,54 @@ object SimilarityOps {
        |         row_number() OVER (PARTITION BY vec_id
        |           ORDER BY cos DESC, nid) AS rnk
        |  FROM b$iters) WHERE rnk <= $k""".stripMargin
+
+  /** q157 oracle: the q126 chain, then the robust-prune greedy unrolled —
+    * candidate-pair cosines once (the kernel pair), then `r` rounds of
+    * (argmax by cos DESC nid ASC) + domination anti-join with the exact
+    * α = 1.25 comparison. Multi-referenced CTEs MATERIALIZED. */
+  private def alphaPruneOracleSql(buildK: Int, iters: Int, slice: Long,
+      r: Int, alpha: String): String = {
+    val rounds = (1 to r).map { rd =>
+      val prev = if (rd == 1) "rem0" else s"rem${rd - 1}"
+      val sel =
+        s"""sel$rd AS MATERIALIZED (SELECT vec_id, nid, cos FROM (
+           |   SELECT vec_id, nid, cos,
+           |          row_number() OVER (PARTITION BY vec_id
+           |            ORDER BY cos DESC, nid) AS rn
+           |   FROM $prev) WHERE rn = 1)""".stripMargin
+      val rem = if (rd < r) Seq(
+        s"""rem$rd AS MATERIALIZED (
+           |   SELECT t.vec_id, t.nid, t.cos FROM $prev t
+           |   LEFT JOIN sel$rd sl
+           |     ON sl.vec_id = t.vec_id AND sl.nid = t.nid
+           |   WHERE sl.nid IS NULL AND NOT EXISTS (
+           |     SELECT 1 FROM sel$rd s2 JOIN pc
+           |       ON pc.u = t.vec_id AND pc.x = s2.nid AND pc.y = t.nid
+           |     WHERE s2.vec_id = t.vec_id
+           |       AND $alpha * (1.0 - pc.pcos) <= (1.0 - t.cos)))""".stripMargin)
+      else Nil
+      (Seq(sel) ++ rem).mkString(",\n")
+    }.mkString(",\n")
+    val out = (1 to r).map(rd =>
+      s"SELECT vec_id, nid, cos, CAST($rd AS BIGINT) AS rnk FROM sel$rd")
+      .mkString("\nUNION ALL\n")
+    val twinSrc =
+      s"""(SELECT vec_id, embedding FROM embeddings WHERE vec_id < $slice
+         | UNION ALL
+         | SELECT vec_id + $slice AS vec_id, embedding FROM embeddings
+         | WHERE vec_id < ${TwinCount}) t""".stripMargin
+    s"""WITH ${nnDescentChainSql(buildK, iters, "TRUE", src = twinSrc)},
+       |pc AS MATERIALIZED (SELECT a.vec_id AS u, a.nid AS x, b.nid AS y,
+       |       list_cosine_similarity(ea.emb, eb.emb) AS pcos
+       |     FROM b$iters a JOIN b$iters b
+       |       ON b.vec_id = a.vec_id AND b.nid <> a.nid
+       |     JOIN e ea ON ea.vec_id = a.nid
+       |     JOIN e eb ON eb.vec_id = b.nid),
+       |rem0 AS MATERIALIZED (SELECT vec_id, nid, cos FROM b$iters),
+       |$rounds
+       |SELECT vec_id, nid, round(cos, 4) AS cosine, rnk FROM (
+       |$out)""".stripMargin
+  }
 
   /** q127: greedy beam search over the q126 graph, unrolled — seeds are
     * the lowest vector ids, every hop mirrors the Spark loop exactly
@@ -4075,8 +4259,12 @@ object SimilarityOps {
     * over `adjg` scoring against the FULL sliced vector set `se` — the
     * file-store round-trip on the Spark side changes nothing the SQL
     * can see (the q137 argument). */
+  /** `probeMax` widens the serve wave (q158's 1024-probe batch); the
+    * default 10 is q141's gate wave. The chain is byte-identical for the
+    * default (diff oracle_sql.json before/after — the pfx rule). */
   private def graphShardedOracleSql(storeMax: Long, slice: Long,
-      k: Int, iters: Int, beam: Int, hops: Int, seeds: Int): String = {
+      k: Int, iters: Int, beam: Int, hops: Int, seeds: Int,
+      probeMax: Long = 10L): String = {
     s"""WITH ${nnDescentChainSql(k, iters, s"vec_id < $storeMax")},
        |se AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |       WHERE vec_id < $slice),
@@ -4107,7 +4295,7 @@ object SimilarityOps {
        |adjg AS (SELECT * FROM cut UNION ALL
        |         SELECT qid AS vec_id, nid, cos FROM fs),
        |pqs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-       |        FROM embeddings WHERE vec_id < 10),
+       |        FROM embeddings WHERE vec_id < $probeMax),
        |zsd AS (SELECT p.qid, s.nid FROM pqs p CROSS JOIN
        |        (SELECT vec_id AS nid FROM se ORDER BY vec_id
        |         LIMIT $seeds) s),
@@ -4369,6 +4557,15 @@ object SimilarityOps {
     "q141_graph_sharded_store" ->
       graphShardedOracleSql(RpIngestSplit, GraphGateSlice,
         NnBuildK, NnIters, NnBeam, NnHops, NnSeeds),
+    "q157_graph_alpha_prune" ->
+      alphaPruneOracleSql(NnBuildK, NnIters, GraphGateSlice, NnK, "1.25"),
+    // q158: q141's chain with the serve wave widened to the 1024-probe
+    // batch — the store round-trip and the executor-tier loop are both
+    // semantically invisible (the q137/q141 argument)
+    "q158_graph_batch_serve" ->
+      graphShardedOracleSql(RpIngestSplit, GraphGateSlice,
+        NnBuildK, NnIters, NnBeam, NnHops, NnSeeds,
+        probeMax = BatchProbeMax),
     "q35_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

@@ -41,6 +41,28 @@ object GraphBuildProbe {
     hits.toDouble / planted
   }
 
+  /** BEAM-SEARCH recall at fixed degree (the r15 verdict's α-prune
+    * metric): navigate the graph from the fixed seeds for 200 planted
+    * queries and count how often the twin lands in the top-5. Adjacency
+    * recall can't separate edge-selection policies (the twin is the
+    * closest candidate, so every policy keeps it); NAVIGABILITY can —
+    * reaching the twin needs the long-range edges a plain k-cut throws
+    * away and α-prune keeps. */
+  private def searchRecall(g: DataFrame, e: DataFrame,
+      hops: Int): Double = {
+    val qids = e.filter(pmod(col("vec_id"), lit(19)) === 13 &&
+        col("vec_id") >= 4)
+      .select("vec_id").orderBy("vec_id").limit(200)
+    val qs = e.join(qids, "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val nq = qs.count()
+    val res = NnDescent.graphSearch(g.select("vec_id", "nid"), e, qs,
+      beam = 16, hops = hops, seeds = 4, topk = 5)
+    val hits = res.filter(col("nid") === col("qid") - 4)
+      .select("qid").distinct().count()
+    hits.toDouble / nq
+  }
+
   def main(args: Array[String]): Unit = {
     val mults = args.headOption.getOrElse("1,10,30")
       .split(",").map(_.trim.toInt).toSeq
@@ -74,6 +96,21 @@ object GraphBuildProbe {
       val rowsS = gS.count()
       val secS = (System.nanoTime() - tS) / 1e9
       val recS = plantedRecall(gS, n)
+      // EQUAL-DEGREE edge-selection comparison over the SAME sharded
+      // candidates: plain k-cut to 8 vs DiskANN α-robust-prune to 8
+      // (α=1.25) — then beam-search recall at identical budget
+      val dedup = gS.groupBy("vec_id", "nid").agg(max("cos").as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("cos"), asc("nid"))
+      val cut8 = dedup.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K / 2).drop("rn")
+        .localCheckpoint(eager = true)
+      val tP = System.nanoTime()
+      val alpha8 = NnDescent.robustPrune(dedup, e, K / 2, alpha = 1.25)
+        .localCheckpoint(eager = true)
+      val pruneSec = (System.nanoTime() - tP) / 1e9
+      val srCut = searchRecall(cut8, e, hops = 6)
+      val srAlpha = searchRecall(alpha8, e, hops = 6)
       val (secG, recG, rowsG) =
         if (m <= globalMax) {
           val tG = System.nanoTime()
@@ -85,11 +122,15 @@ object GraphBuildProbe {
       System.err.println(
         f"[gbuild x$m] n=$n cells=$cells quantizer=$centSec%.1f s  " +
           f"sharded=$secS%.1f s recall=$recS%.4f rows=$rowsS  " +
+          f"prune=$pruneSec%.1f s searchRecall@deg8 cut=$srCut%.4f " +
+          f"alpha=$srAlpha%.4f  " +
           (if (secG >= 0) f"global=$secG%.1f s recall=$recG%.4f rows=$rowsG"
            else "global=skipped"))
       println(s"""{"scale":$m,"n":$n,"cells":$cells,""" +
         s""""quantizer_sec":$centSec,"sharded_sec":$secS,""" +
         s""""sharded_recall":$recS,"sharded_rows":$rowsS,""" +
+        s""""prune_sec":$pruneSec,"search_recall_cut8":$srCut,""" +
+        s""""search_recall_alpha8":$srAlpha,""" +
         s""""global_sec":$secG,"global_recall":$recG,""" +
         s""""global_rows":$rowsG}""")
     }

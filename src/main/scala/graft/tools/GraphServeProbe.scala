@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.NnDescent
+import graft.queries.SimilarityOps
+
+/** Scale probe for the q158 DISTRIBUTED BATCH SERVE (r15 verdict item 3):
+  * the claim is that serve wall is ∝ the PROBE count and FLAT in corpus
+  * size — per hop the kernel work is Θ(|probes|·beam·degree) on
+  * executors and the reads are partition-pruned to the frontier's
+  * shards, so a 30× corpus costs the same wave as a 1× corpus (modulo
+  * slightly deeper stores). Per corpus scale the store is built ONCE
+  * (untimed — ScaleStress/GraphBuildProbe own the build curves), then
+  * probe waves of 128 / 512 / 1024 run through the forced-distributed
+  * loop, min-of-2 each; the touched-shard byte fraction rides along.
+  *
+  * Usage: runMain graft.tools.GraphServeProbe [mults] [outRoot]
+  */
+object GraphServeProbe {
+  private val K = 16
+  private val Iters = 4
+
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption.getOrElse("1,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val outRoot = args.lift(1).getOrElse("/tmp/graft_gserve")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-graph-serve-probe"),
+        math.max(cpus, 4))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+    for (m <- mults) {
+      val dir = s"$outRoot/x$m"
+      ScaleStress.synthesize(spark, dir, m)
+      val n = 2000L * m
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val cells = math.max(8, (n / 4000).toInt)
+      val stride = math.max(1L, n / 20000L)
+      val cents = SimilarityOps.lloydFromSeeds(
+        e.filter(pmod(col("vec_id"), lit(stride)) === 0), cells, Iters)
+      val base = java.nio.file.Files.createTempDirectory("gserve").toString
+      try {
+        // build ONCE per corpus scale (untimed here): sharded build,
+        // persisted in the q141 cell-clustered store layout
+        val g = NnDescent.knnGraphSharded(e, K, Iters, cents,
+          spill = 2, stitch = 2)
+        val coarse8 = SimilarityOps.lloydFromSeeds(
+          e.filter(pmod(col("vec_id"), lit(stride)) === 0), 8, 3)
+        SimilarityOps.writeGraphStore(spark, e, g, coarse8, base)
+        val storeBytes = dirBytes(java.nio.file.Paths.get(base))
+        // warm-up wave (untimed): JIT + parquet footer cache
+        val warm = scala.collection.mutable.Set[Int]()
+        SimilarityOps.distributedStoreServe(spark, base,
+          e.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          warm).count()
+        val waves = Seq(128L, 512L, 1024L).map { np =>
+          val probes = e.filter(col("vec_id") < np)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          val runs = (1 to 2).map { _ =>
+            val touched = scala.collection.mutable.Set[Int]()
+            val t0 = System.nanoTime()
+            val rows = SimilarityOps.distributedStoreServe(spark, base,
+              probes, touched).count()
+            ((System.nanoTime() - t0) / 1e9, rows, touched.toSet)
+          }
+          val (sec, rows, touched) = runs.minBy(_._1)
+          val touchedBytes = touched.toSeq.map { sh =>
+            Seq("adj", "vec").map { sub =>
+              val d = java.nio.file.Paths.get(base, sub, s"shard=$sh")
+              if (java.nio.file.Files.exists(d)) dirBytes(d) else 0L
+            }.sum
+          }.sum
+          System.err.println(f"[gserve x$m] probes=$np%4d wall=$sec%6.2f s " +
+            f"rows=$rows touched=${touchedBytes / 1024.0 / 1024.0}%.2f of " +
+            f"${storeBytes / 1024.0 / 1024.0}%.2f MB " +
+            f"(${100.0 * touchedBytes / math.max(storeBytes, 1L)}%.1f%%)")
+          (np, sec, touchedBytes)
+        }
+        val wj = waves.map { case (np, sec, tb) =>
+          s""""p$np":{"sec":$sec,"touched_bytes":$tb}""" }.mkString(",")
+        println(s"""{"scale":$m,"n":$n,"store_bytes":$storeBytes,$wj}""")
+      } finally {
+        graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+      }
+    }
+    spark.stop()
+  }
+}

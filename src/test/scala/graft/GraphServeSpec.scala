@@ -56,6 +56,28 @@ class GraphServeSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed batch serve (q158 tier) == driver-tier session, probe for probe") {
+    val base = java.nio.file.Files.createTempDirectory("gserve_dist").toString
+    try {
+      SimilarityOps.buildGraphShardedStore(spark, dir,
+        SimilarityOps.GraphGateSlice, SimilarityOps.RpIngestSplit, base)
+      val probes = graft.sources.Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") < 64)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val touched = scala.collection.mutable.Set[Int]()
+      val dist = rows(SimilarityOps.distributedStoreServe(spark, base,
+        probes, touched))
+      val sess = new SimilarityOps.GraphServeSession(spark, base)
+      val local = rows(sess.serve(probes.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))))
+      assert(dist === local,
+        "executor-tier batch serve diverged from the driver-tier session")
+      assert(dist.nonEmpty && touched.nonEmpty)
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
   test("ensure() refreshes recency of already-cached batch shards before putting new ones (r15 advice)") {
     val base = java.nio.file.Files.createTempDirectory("gserve_lru").toString
     try {

@@ -39,7 +39,8 @@ for name, q in sorted(sql.items()):
                 # their Spark side pays a full store build+write per pass
                 # while these oracles are one-shot SELECTs
                 "q137_ann_sharded_store", "q141_graph_sharded_store",
-                "q152_ann_sq8_store", "q153_ann_filtered_store"):
+                "q152_ann_sq8_store", "q153_ann_filtered_store",
+                "q158_graph_batch_serve"):
         continue
     t0 = time.time()
     try:
