@@ -1285,6 +1285,16 @@ object SimilarityOps {
     // aniso chain + restricted ADC + rerank in CTEs.
     "q146_ann_scann_stack" -> ((s, dir) => scannStackTop5(s, dir)),
 
+    // SOAR spill-2 indexing (Sun et al. NeurIPS'23 — ScaNN's follow-up;
+    // r15 verdict item 7): the q146 stack with every vector ALSO
+    // assigned to the spill cell minimizing the orthogonality-amplified
+    // loss ‖r'‖² + λ·(r'·r̂₁)², so a query aligned with the first
+    // residual (the worst case for the first copy's quantized score)
+    // finds the point through the decorrelated second copy. Probe cost
+    // unchanged (same nprobe cells); AnnRecallSpec measures the recall
+    // delta vs single assignment at equal probe cost.
+    "q159_ann_soar" -> ((s, dir) => soarStackTop5(s, dir)),
+
     // MATRYOSHKA adaptive retrieval (Kusupati et al. NeurIPS'22): score
     // on the first 16 dims (25% of the bandwidth — what truncatable
     // embeddings are FOR), exact-rerank the top-R funnel at full dimension.
@@ -2374,6 +2384,133 @@ object SimilarityOps {
       .select(col("qid"), col("cid"),
         org.apache.spark.sql.graft.PqExpr
           .adc(col("codes"), col("lut")).as("ip"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("ip") + lit(0.0), col("cid"), rerankR).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.payload").as("cid"))
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), _ + _)
+    val probeVecs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.join(broadcast(cand), e("vec_id") === cand("cid"))
+      .join(broadcast(probeVecs), "qid")
+      .select(col("qid"), col("cid"), dotC(col("qe"), col("embedding")).as("ip"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("ip") + lit(0.0), col("cid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("cid"),
+        round(col("col.score") + lit(0.0), 4).as("ip_score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** q159's SOAR spill penalty λ (Sun et al., "SOAR: Improved Indexing
+    * for Approximate Nearest Neighbor Search", NeurIPS 2023): exact
+    * integer so both engines score identical doubles. */
+  private[graft] val SoarLambda = 1.0
+
+  /** q159's body: the q146 ScaNN stack with SOAR SPILL-2 ASSIGNMENT at
+    * index time (Sun et al. NeurIPS'23 — ScaNN's follow-up): every
+    * vector lands in its nearest cell AND in one spill cell chosen to
+    * minimize ‖r'‖² + λ·(r'·r̂₁)² — the orthogonality-amplified loss:
+    * when the query aligns with the FIRST residual (exactly the case
+    * where the first copy's quantized score errs worst), the second
+    * copy's residual is near-orthogonal to it, so its error is
+    * decorrelated and the probe recovers the point. Index doubles; the
+    * PROBE cost stays nprobe cells (the equal-probe-cost framing the
+    * paper measures; AnnRecallSpec measures the recall delta here).
+    * Candidates reached through both copies dedupe exactly (identical
+    * codes ⇒ identical ADC — max() is exact). Everything is composed
+    * codegen'd expressions over the k-cell literal (per-row work Θ(k·d),
+    * one narrow pass — the assignment parallelizes per row at any
+    * corpus size); the oracle replays the same spill rule in CTEs. */
+  private[graft] def soarStackTop5(s: SparkSession, dir: String,
+      eta: Double = AnisoEta, maxVec: Long = IvfPqGateSlice,
+      nprobe: Int = 2, rerankR: Int = 32): DataFrame = {
+    val (k, iters) = (8, 3)
+    val coarse = lloydCentroids(s, dir, k, iters, maxVec)
+    val books = anisoCodebooks(s, dir, PqM, PqK, PqIters, eta, maxVec = maxVec)
+    val e0 = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val e = if (maxVec == Long.MaxValue) e0
+            else e0.filter(col("vec_id") < maxVec)
+    def sqL2(a: Column, cent: Seq[Double]): Column =
+      aggregate(zip_with(a, array(cent.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    // primary assignment + its squared distance, via the sorted
+    // (d, cell) struct array — the proven probe spelling (ties to the
+    // lower cell, ≡ the oracle's row_number ORDER BY d, cell).
+    // STAGED projections: sortedC / rx1 / per-cell dotr land as real
+    // columns between selects so the SOAR score tree references them
+    // instead of re-inlining the 64-element loops per cell (the
+    // unstaged spelling re-evaluated the sort ~20× per row — measured
+    // 14.6 s vs q146's 3.1 s at 30×; HOFs are non-cheap, so
+    // CollapseProject keeps the stages apart)
+    val sortedC = array_sort(array((0 until k).map(c =>
+      struct(sqL2(col("embedding"), coarse(c)).as("d"),
+        lit(c).as("cell"))): _*))
+    val cents2d = array(coarse.map(cc => array(cc.map(lit): _*)): _*)
+    val a1 = e.select(col("vec_id"), col("embedding"),
+      element_at(sortedC, 1).as("first"))
+    val a2 = a1.select(col("vec_id"), col("embedding"),
+      col("first.cell").as("cell1"), col("first.d").as("d1"))
+    // SOAR loss per candidate spill cell: ‖x−c‖² + λ·((x−c)·(x−c₁))²/‖x−c₁‖²
+    // (the r̂₁ normalization folded into the division by d1); a vector
+    // sitting exactly on its centroid (d1 = 0) has no residual direction
+    // to decorrelate — plain second-nearest then
+    val a3 = a2.select(col("vec_id"), col("embedding"), col("cell1"),
+      col("d1"),
+      zip_with(col("embedding"), element_at(cents2d, col("cell1") + 1),
+        (a, b) => a - b).as("rx1"))
+    def dotr(cent: Seq[Double]): Column =
+      aggregate(zip_with(
+        zip_with(col("embedding"), array(cent.map(lit): _*),
+          (a, b) => a - b),
+        col("rx1"), (p, q) => p * q), lit(0.0), _ + _)
+    val a4 = a3.select(Seq(col("vec_id"), col("embedding"), col("cell1"),
+      col("d1")) ++
+      (0 until k).map(c => sqL2(col("embedding"), coarse(c)).as(s"dc$c")) ++
+      (0 until k).map(c => dotr(coarse(c)).as(s"dr$c")): _*)
+    val scored2 = array((0 until k).map { c =>
+      struct(when(col("d1") === lit(0.0), col(s"dc$c"))
+        .otherwise(col(s"dc$c") +
+          lit(SoarLambda) * col(s"dr$c") * col(s"dr$c") / col("d1"))
+        .as("d"),
+        lit(c).as("cell"))
+    }: _*)
+    val a5 = a4.select(col("vec_id"), col("embedding"), col("cell1"),
+      element_at(array_sort(
+        filter(scored2, st => st.getField("cell") =!= col("cell1"))), 1)
+        .getField("cell").as("cell2"))
+    val enc = a5.select(col("vec_id").as("cid"),
+      explode(array(col("cell1"), col("cell2"))).as("cell"),
+      org.apache.spark.sql.graft.PqExpr
+        .encodeAniso(col("embedding"), books, eta).as("codes"))
+    def dotLit(a: Column, cent: Seq[Double]): Column =
+      aggregate(zip_with(a, array(cent.map(lit): _*),
+        (x, y) => x.cast("double") * y), lit(0.0), _ + _)
+    val lut = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        array((0 until PqM).map { mm =>
+          array(books(mm).indices.map { c =>
+            dotLit(slice(col("qe"), mm * PqSub + 1, PqSub), books(mm)(c))
+          }: _*)
+        }: _*).as("lut"))
+      .select(col("qid"), col("lut"),
+        explode(slice(array_sort(array((0 until k).map(c =>
+          struct(sqL2(col("qe"), coarse(c)).as("d"),
+            lit(c).as("cell"))): _*)), 1, nprobe)).as("cc"))
+      .select(col("qid"), col("cc.cell").as("cell"), col("lut"))
+    val cand = enc.join(broadcast(lut), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        org.apache.spark.sql.graft.PqExpr
+          .adc(col("codes"), col("lut")).as("ip"))
+      // a candidate probed through BOTH copies carries identical codes →
+      // identical ip; max() is the exact dedupe
+      .groupBy("qid", "cid").agg(max(col("ip")).as("ip"))
       .groupBy("qid")
       .agg(org.apache.spark.sql.graft.TopKByScore
         .columnFor(col("ip") + lit(0.0), col("cid"), rerankR).as("top"))
@@ -3672,17 +3809,42 @@ object SimilarityOps {
     * q97 spelling) + the anisotropic chain + nprobe cell probing + the
     * cell-restricted IP-ADC + the top-R cut + exact inner-product
     * re-rank over the raw vectors. */
+  /** `soar = true` adds the q159 spill-2 index CTEs (SOAR loss, exact
+    * λ) and probes through the widened index with an exact dedupe; the
+    * default emits the q146 text byte-identically (the pfx rule). */
   private def scannStackOracleSql(k: Int, iters: Int, m: Int, pk: Int,
       pqIters: Int, eta: Double, nprobe: Int, rerankR: Int,
-      where: String = s"vec_id < $IvfPqGateSlice"): String = {
+      where: String = s"vec_id < $IvfPqGateSlice",
+      soar: Boolean = false, soarLambda: String = "1.0"): String = {
     val lutJoins = (0 until m).map(i =>
       s"JOIN lut l$i ON l$i.qid = sc.qid AND l$i.sub = $i AND l$i.cell = sc.c$i")
       .mkString("\n         ")
     val adcSum = (0 until m).map(i => s"l$i.d").mkString(" + ")
     val scCodes = (0 until m).map(i => s"cd.c$i").mkString(", ")
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c.cent[i])*($v[i]-$c.cent[i]) FOR i IN range(1, ${Dim + 1})])"
+    val dr =
+      s"list_sum([(p.v[i]-c.cent[i])*(p.v[i]-p.cent1[i]) FOR i IN range(1, ${Dim + 1})])"
+    val soarCtes = if (!soar) "" else
+      s"""sp1 AS MATERIALIZED (SELECT a.vec_id, a.v, a.cell AS cell1,
+         |       c.cent AS cent1, ${sq("a.v", "c")} AS d1
+         |     FROM af a JOIN c$iters c ON c.cell = a.cell),
+         |soar AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |  SELECT p.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |           CASE WHEN p.d1 = 0.0 THEN ${sq("p.v", "c")}
+         |                ELSE ${sq("p.v", "c")}
+         |                     + $soarLambda * $dr * $dr / p.d1 END,
+         |           c.cell) AS rn
+         |  FROM sp1 p, c$iters c WHERE c.cell <> p.cell1) WHERE rn = 1),
+         |afx AS (SELECT vec_id, cell FROM af
+         |        UNION ALL SELECT vec_id, cell FROM soar),
+         |""".stripMargin
+    val idxSrc = if (soar) "afx" else "af"
+    val scSel = if (soar) "SELECT DISTINCT" else "SELECT"
     s"""${ivfPrefixSql(k, iters, where)},
        |${anisoPqChainSql(m, pk, pqIters, eta)},
-       |pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
+       |${soarCtes}pr0 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 10),
        |pr AS MATERIALIZED (SELECT qid, cell FROM (
        |  SELECT pr0.qid, c.cell,
        |         row_number() OVER (PARTITION BY pr0.qid
@@ -3691,8 +3853,8 @@ object SimilarityOps {
        |                    c.cell) AS rn
        |  FROM pr0, c$iters c) WHERE rn <= $nprobe),
        |${anisoLutSql(m, pqIters)},
-       |sc AS (SELECT pr.qid, a.vec_id AS cid, $scCodes
-       |       FROM af a JOIN pr ON a.cell = pr.cell AND a.vec_id != pr.qid
+       |sc AS ($scSel pr.qid, a.vec_id AS cid, $scCodes
+       |       FROM $idxSrc a JOIN pr ON a.cell = pr.cell AND a.vec_id != pr.qid
        |       JOIN codes cd ON cd.cid = a.vec_id),
        |sadc AS (SELECT sc.qid, sc.cid, $adcSum AS ip
        |         FROM sc
@@ -4682,6 +4844,12 @@ object SimilarityOps {
       anisoPqOracleSql(PqM, PqK, PqIters, AnisoEta),
     // q146: coarse chain + aniso chain + cell-restricted IP-ADC + exact
     // inner-product rerank — the stack end to end
+    // q159: the q146 chain + the SOAR spill-2 index CTEs (same loss,
+    // same λ, same tie rule); probes through the widened index dedupe
+    // exactly (identical codes ⇒ identical ADC)
+    "q159_ann_soar" -> scannStackOracleSql(8, 3, PqM, PqK, PqIters,
+      AnisoEta, nprobe = 2, rerankR = 32, soar = true,
+      soarLambda = "1.0"),
     "q146_ann_scann_stack" -> scannStackOracleSql(8, 3, PqM, PqK, PqIters,
       AnisoEta, nprobe = 2, rerankR = 32),
     // q147: truncated-cosine first stage (list_slice on the DOUBLE-cast

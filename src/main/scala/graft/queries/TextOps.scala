@@ -699,6 +699,58 @@ object TextOps {
           col("vocab"), col("kl"), (col("kl") > klBar).as("drifted"))
     }),
 
+    // BEST-FIT-DECREASING WHOLE-DOC PACKING (r15 verdict item 8 — the
+    // non-sequential packer real loaders run beside q154's
+    // concat-and-chunk): docs stay WHOLE (no cross-doc attention
+    // contamination, the trade q154's span map makes the other way) and
+    // pay padding instead; BFD is the classic ~11/9·OPT bin-packing
+    // greedy — sort docs by token count desc, place each into the
+    // fullest bin that still fits (min remaining, tie = earliest bin),
+    // open a new bin otherwise. DISTRIBUTED CONTRACT: packing runs per
+    // SHARD (stableHash mod 8 — the q48/q154 rule), each shard's greedy
+    // independent, so shards pack in parallel at any corpus size; the
+    // within-shard greedy is genuinely sequential state (bins' remaining
+    // capacities), which is the documented mapPartitions case — shards
+    // are contiguous after the one repartition+sort any packer pays, and
+    // the state is O(bins per shard). All arithmetic is integers, so
+    // cross-engine congruence is structural; the oracle replays the
+    // greedy as a per-shard recursive CTE (one doc per step, the bin
+    // list carried as state). Output: the (shard, bin, doc) assignment
+    // map — docs over L truncate to L (the loader contract).
+    // TrainingPrepSpec measures the padding-waste comparison vs q154.
+    "q160_pack_bfd" -> ((s, dir) => {
+      import s.implicits._
+      val L = 64L
+      val prepared = docs(s, dir)
+        .select(
+          pmod(stableHash(col("doc_id").cast("string")), lit(8L))
+            .as("shard"),
+          col("doc_id"),
+          least(size(tokens(col("text"))).cast("long"), lit(L))
+            .as("n_eff"))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("n_eff").desc,
+          col("doc_id"))
+        .as[(Long, Long, Long)]
+      prepared.mapPartitions { it =>
+        var curShard = Long.MinValue
+        val rem = scala.collection.mutable.ArrayBuffer[Long]()
+        it.map { case (shard, docId, n) =>
+          if (shard != curShard) { curShard = shard; rem.clear() }
+          var bi = -1
+          var best = Long.MaxValue
+          var i = 0
+          while (i < rem.length) {
+            if (rem(i) >= n && rem(i) < best) { best = rem(i); bi = i }
+            i += 1
+          }
+          if (bi < 0) { rem += (L - n); bi = rem.length - 1 }
+          else rem(bi) -= n
+          (shard, bi.toLong, docId, n)
+        }
+      }.toDF("shard", "bin_id", "doc_id", "n_eff")
+    }),
+
     // TOKENIZER RETRAIN LIFECYCLE (r15 verdict item 4 — q155's detection
     // CONSUMED): the streaming [[graft.streaming.DriftingTokenizerStore]]
     // driven end to end, the text twin of the q150 embedding lifecycle.
@@ -1533,6 +1585,53 @@ object TextOps {
                 AS drifted
        FROM uni u JOIN st USING (batch), np
        GROUP BY u.batch""",
+    // q160: the BFD greedy replayed as a per-shard RECURSIVE CTE — one
+    // doc per recursion step in the same (n DESC, doc_id) order, the bin
+    // remainders carried as a BIGINT list, best-fit = min remaining
+    // among fitting bins with the earliest-bin tie (the [..][1] pick of
+    // the filtered comprehension), all integer arithmetic — congruence
+    // is structural, no fp anywhere.
+    "q160_pack_bfd" -> {
+      // the fitting-bins comprehension, inlined twice (min + first-index)
+      val fits = "[s.rem[i] FOR i IN range(1, len(s.rem)+1) IF s.rem[i] >= o.n]"
+      val bi = s"""(CASE WHEN len($fits) = 0 THEN NULL
+                   ELSE [i FOR i IN range(1, len(s.rem)+1)
+                         IF s.rem[i] >= o.n
+                         AND s.rem[i] = list_min($fits)][1] END)"""
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |              AS BIGINT) % 8 AS shard,
+         |         least(len(string_split(text, ' ')), 64) AS n
+         |  FROM documents),
+         |o AS (SELECT shard, doc_id, CAST(n AS BIGINT) AS n,
+         |        row_number() OVER (PARTITION BY shard
+         |          ORDER BY n DESC, doc_id) AS pos
+         |      FROM d),
+         |m AS (SELECT shard, max(pos) AS mx FROM o GROUP BY shard),
+         |st AS (
+         |  SELECT shard, CAST(0 AS BIGINT) AS pos,
+         |         CAST([] AS BIGINT[]) AS rem,
+         |         CAST([] AS BIGINT[]) AS assign
+         |  FROM m
+         |  UNION ALL
+         |  SELECT s.shard, s.pos + 1,
+         |         CASE WHEN $bi IS NULL THEN list_append(s.rem, 64 - o.n)
+         |              ELSE [CASE WHEN i = $bi THEN s.rem[i] - o.n
+         |                         ELSE s.rem[i] END
+         |                    FOR i IN range(1, len(s.rem)+1)] END,
+         |         list_append(s.assign,
+         |           CASE WHEN $bi IS NULL THEN len(s.rem)
+         |                ELSE $bi - 1 END)
+         |  FROM st s JOIN o ON o.shard = s.shard AND o.pos = s.pos + 1),
+         |fin AS (SELECT st.shard, st.assign FROM st
+         |        JOIN m ON m.shard = st.shard AND st.pos = m.mx)
+         |SELECT o.shard, CAST(fin.assign[CAST(o.pos AS INTEGER)] AS BIGINT)
+         |         AS bin_id,
+         |       o.doc_id, o.n AS n_eff
+         |FROM o JOIN fin ON fin.shard = o.shard""".stripMargin
+    },
+
     // q156: the lifecycle replayed relationally (the q150 3-chain
     // recipe) — all three candidate vocabularies (trained on standing /
     // standing∪A / standing∪A∪B) instantiated, both KLs computed with

@@ -242,7 +242,10 @@ object ScaleStress {
         ((s, d) => graft.queries.SimilarityOps.ivfPqResidualTop5(s, d)),
       "q137_ann_sharded_store" ->
         ((s, d) => graft.queries.SimilarityOps
-          .annShardedStoreServe(s, d, maxVec = Long.MaxValue)))
+          .annShardedStoreServe(s, d, maxVec = Long.MaxValue)),
+      "q159_ann_soar" ->
+        ((s, d) => graft.queries.SimilarityOps
+          .soarStackTop5(s, d, maxVec = Long.MaxValue)))
 
   private def queryFn(name: String) =
     FullPathOverrides.getOrElse(name, graft.SparkEntry.queries(name))

@@ -1234,6 +1234,53 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(stack >= 0.9, f"stack recall $stack%.3f below the near-exact floor")
   }
 
+  test("SOAR spill-2 (q159) lifts MIPS recall over single assignment at equal probe cost") {
+    import graft.queries.SimilarityOps
+    // the regime spill-2 exists for is assignment AMBIGUITY: a true
+    // neighbor whose primary cell differs from the query's probed cells
+    // is unreachable no matter how good the rerank. On the
+    // WELL-SEPARATED clustered fixture the quantizer is perfect (purity
+    // 1.0 above) and there is nothing to recover — the near-uniform
+    // LAKE is the ambiguous case, every cell boundary soft (measured on
+    // sf0.01: 0.82 → 0.92 at the gate's nprobe=2).
+    val vecs: Map[Long, Array[Double]] =
+      graft.sources.Tables(spark, dir, "embeddings")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val truth = (0L until 10L).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, qv.indices.map(i => qv(i) * v(i)).sum) }
+        .sortBy { case (id, ip) => (-ip, id) }.take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      meanRecall(got, truth)
+    }
+    val single = recallOf(SimilarityOps.scannStackTop5(spark, dir))
+    val spill = recallOf(SimilarityOps.soarStackTop5(spark, dir))
+    info(f"lake MIPS recall@5 at nprobe=2 — single $single%.3f, SOAR spill-2 $spill%.3f")
+    assert(spill > single,
+      f"SOAR spill-2 ($spill%.3f) must lift recall over single assignment ($single%.3f) at equal probe cost")
+    // and on the clustered fixture (nothing to recover) it must not hurt
+    val (dirC, vecsC) = clustered
+    val truthC = truthTop5(
+      (a, b) => a.indices.map(i => a(i) * b(i)).sum, largerIsCloser = true)
+    def recallC(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      meanRecall(got, truthC)
+    }
+    val singleC = recallC(SimilarityOps.scannStackTop5(spark, dirC))
+    val spillC = recallC(SimilarityOps.soarStackTop5(spark, dirC))
+    info(f"clustered MIPS recall@5 at nprobe=2 — single $singleC%.3f, SOAR spill-2 $spillC%.3f")
+    assert(spillC >= singleC,
+      f"SOAR on clustered ($spillC%.3f) lost recall vs single ($singleC%.3f)")
+  }
+
   test("clustered fixture: IVF single-cell probe is near-exact (cells = planted clusters)") {
     val (dirC, _) = clustered
     val truth = truthTop5(cosine, largerIsCloser = true)

@@ -311,6 +311,64 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(rows.groupBy(r => (r._1, r._2)).exists(_._2.map(_._3).distinct.size > 1))
   }
 
+  test("q160 BFD packing: bins never overflow, greedy is best-fit, and the padding-waste comparison vs q154 holds") {
+    val L = 64L
+    val rows = SparkEntry.queries("q160_pack_bfd")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (a) capacity: per (shard, bin), Σ n_eff ≤ L, and every doc appears once
+    val perBin = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(_._4).sum }
+    perBin.foreach { case ((sh, b), tot) =>
+      assert(tot <= L, s"shard $sh bin $b overflows: $tot > $L") }
+    assert(rows.map(_._3).distinct.length === rows.length,
+      "a doc was packed twice")
+    // (b) replay the greedy locally and require the identical assignment
+    // (pins both the BFD rule and the (n DESC, doc_id) order)
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (sh, rs) =>
+      val rem = scala.collection.mutable.ArrayBuffer[Long]()
+      rs.sortBy(r => (-r._4, r._3)).map { case (_, _, doc, n) =>
+        var bi = -1; var best = Long.MaxValue
+        for (i <- rem.indices)
+          if (rem(i) >= n && rem(i) < best) { best = rem(i); bi = i }
+        if (bi < 0) { rem += (L - n); bi = rem.length - 1 }
+        else rem(bi) -= n
+        (sh, doc) -> bi.toLong
+      }.toSeq
+    }.toMap
+    rows.foreach { case (sh, b, doc, _) =>
+      assert(expected((sh, doc)) === b,
+        s"shard $sh doc $doc: engine bin $b != reference BFD ${expected((sh, doc))}")
+    }
+    // (c) the padding-waste comparison (the r15 verdict's column): BFD
+    // keeps docs whole and pays padding; q154's concat-and-chunk pays
+    // ZERO padding but splits docs across sequences. Both sides of the
+    // trade, measured on the same corpus:
+    val nTok = rows.map(_._4).sum.toDouble
+    val bfdSlots = perBin.size * L
+    val bfdWaste = (bfdSlots - nTok) / bfdSlots
+    val q154 = SparkEntry.queries("q154_sequence_pack")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val splitDocs = q154.groupBy(_._3).count(_._2.length > 1)
+    info(f"padding waste — BFD ${bfdWaste * 100}%.1f%% of slots " +
+      f"(${perBin.size} bins), q154 0%% but $splitDocs of " +
+      f"${q154.map(_._3).distinct.length} docs split across sequences; " +
+      f"BFD splits 0")
+    // BFD must beat the naive arrival-order next-fit packer it exists
+    // to improve on (same whole-doc contract, no sort, no best-fit)
+    val nextFitBins = rows.groupBy(_._1).map { case (_, rs) =>
+      var bins = 0L; var room = 0L
+      rs.sortBy(_._3).foreach { case (_, _, _, n) =>
+        if (n > room) { bins += 1; room = L }
+        room -= n
+      }
+      bins
+    }.sum
+    assert(perBin.size <= nextFitBins,
+      s"BFD used ${perBin.size} bins, naive next-fit $nextFitBins")
+    info(s"bins — BFD ${perBin.size} vs arrival-order next-fit $nextFitBins")
+  }
+
   test("q155 text drift: in-distribution holdout stays under the bar, the shifted batch lands far over it") {
     val rows = SparkEntry.queries("q155_text_drift")(spark, dir)
       .collect()
