@@ -2839,7 +2839,7 @@ object SimilarityOps {
     * fixed-order ADC sum against the per-query LUT, top-5 by (adc, cid).
     * Factored from the q144 body so the drift-lifecycle gate (q150)
     * serves its final-epoch store through the IDENTICAL plan. */
-  private def adcProbeServe(e: DataFrame, store: DataFrame,
+  private[graft] def adcProbeServe(e: DataFrame, store: DataFrame,
       coarse: Seq[Seq[Double]], pq: Seq[Seq[Seq[Double]]],
       k: Int, nprobe: Int, gateName: String): DataFrame = {
       def sqL2(a: Column, b: Column): Column =

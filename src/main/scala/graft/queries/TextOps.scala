@@ -1592,38 +1592,46 @@ object TextOps {
     // the filtered comprehension), all integer arithmetic — congruence
     // is structural, no fp anywhere.
     "q160_pack_bfd" -> {
-      // the fitting-bins comprehension, inlined twice (min + first-index)
-      val fits = "[s.rem[i] FOR i IN range(1, len(s.rem)+1) IF s.rem[i] >= o.n]"
-      val bi = s"""(CASE WHEN len($fits) = 0 THEN NULL
-                   ELSE [i FOR i IN range(1, len(s.rem)+1)
-                         IF s.rem[i] >= o.n
-                         AND s.rem[i] = list_min($fits)][1] END)"""
-      s"""WITH RECURSIVE d AS (
+      // d/o/m MATERIALIZED: they are referenced INSIDE the recursion,
+      // and an inlined o (md5 + tokenize + window over every document)
+      // re-evaluates once per recursion step — measured 535 s at sf0.1
+      // before materialization, the q148 CTE-re-inlining lesson again
+      s"""WITH RECURSIVE d AS MATERIALIZED (
          |  SELECT doc_id,
          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
          |              AS BIGINT) % 8 AS shard,
          |         least(len(string_split(text, ' ')), 64) AS n
          |  FROM documents),
-         |o AS (SELECT shard, doc_id, CAST(n AS BIGINT) AS n,
+         |o AS MATERIALIZED (SELECT shard, doc_id, CAST(n AS BIGINT) AS n,
          |        row_number() OVER (PARTITION BY shard
          |          ORDER BY n DESC, doc_id) AS pos
          |      FROM d),
-         |m AS (SELECT shard, max(pos) AS mx FROM o GROUP BY shard),
+         |m AS MATERIALIZED (SELECT shard, max(pos) AS mx FROM o GROUP BY shard),
          |st AS (
          |  SELECT shard, CAST(0 AS BIGINT) AS pos,
          |         CAST([] AS BIGINT[]) AS rem,
          |         CAST([] AS BIGINT[]) AS assign
          |  FROM m
          |  UNION ALL
-         |  SELECT s.shard, s.pos + 1,
-         |         CASE WHEN $bi IS NULL THEN list_append(s.rem, 64 - o.n)
-         |              ELSE [CASE WHEN i = $bi THEN s.rem[i] - o.n
-         |                         ELSE s.rem[i] END
-         |                    FOR i IN range(1, len(s.rem)+1)] END,
-         |         list_append(s.assign,
-         |           CASE WHEN $bi IS NULL THEN len(s.rem)
-         |                ELSE $bi - 1 END)
-         |  FROM st s JOIN o ON o.shard = s.shard AND o.pos = s.pos + 1),
+         |  SELECT shard, pos + 1,
+         |         CASE WHEN bi IS NULL THEN list_append(rem, 64 - n)
+         |              ELSE [CASE WHEN i = bi THEN rem[i] - n
+         |                         ELSE rem[i] END
+         |                    FOR i IN range(1, len(rem)+1)] END,
+         |         list_append(assign,
+         |           CASE WHEN bi IS NULL THEN len(rem)
+         |                ELSE bi - 1 END)
+         |  FROM (
+         |    -- best fit in O(bins): the min remaining among fitting
+         |    -- bins (any bin HOLDING that value fits, min >= n), then
+         |    -- its first position = the earliest such bin — the
+         |    -- comprehension-with-embedded-min spelling was
+         |    -- O(bins^2) per step and read minutes at sf0.1
+         |    SELECT s.shard, s.pos, s.rem, s.assign, o.n,
+         |           list_position(s.rem,
+         |             list_min(list_filter(s.rem, r -> r >= o.n))) AS bi
+         |    FROM st s JOIN o ON o.shard = s.shard
+         |     AND o.pos = s.pos + 1) t),
          |fin AS (SELECT st.shard, st.assign FROM st
          |        JOIN m ON m.shard = st.shard AND st.pos = m.mx)
          |SELECT o.shard, CAST(fin.assign[CAST(o.pos AS INTEGER)] AS BIGINT)

@@ -75,38 +75,41 @@ final class DriftingTokenizerStore(storeDir: String, vocabSize: Int,
     * as epoch 0, batch 0. */
   def init(s: SparkSession, standing: DataFrame): Unit = {
     sparkV = s
-    trainInto(standing.select(col("doc_id"), col("toks")), 0)
-    writeBatch(standing, 0L)
+    val st = standing.select(col("doc_id"), col("toks"))
+    val v0 = trainFor(st, 0)
+    writeBatch(st, 0L, 0, v0)
+    vocabV = v0
   }
 
-  /** Learn the epoch-`e` artifacts from `corpus`: write the reference
-    * count tier, then take the top-V vocabulary (freq desc, tok asc —
-    * deterministic: token is a unique tiebreak). Only V rows reach the
-    * driver. */
-  private def trainInto(corpus: DataFrame, e: Int): Unit = {
+  /** Learn the epoch-`e` artifacts from `corpus` WITHOUT publishing:
+    * write the reference count tier (nothing reads `refc_epoch=<e>`
+    * until the epoch publishes), then take the top-V vocabulary (freq
+    * desc, tok asc — deterministic: token is a unique tiebreak). Only V
+    * rows reach the driver. */
+  private def trainFor(corpus: DataFrame, e: Int): Seq[String] = {
     corpus.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("pc"))
       .write.mode("overwrite").parquet(s"$storeDir/refc_epoch=$e")
-    epochV = e
-    vocabV = refCounts.orderBy(desc("pc"), asc("tok")).limit(vocabSize)
+    sparkV.read.parquet(s"$storeDir/refc_epoch=$e")
+      .orderBy(desc("pc"), asc("tok")).limit(vocabSize)
       .select("tok").collect().map(_.getString(0)).toSeq
   }
 
   /** Codegen'd vocab lookup: literal map over the V driver-held entries;
     * OOV → -1. */
-  private def idOf(tok: Column): Column = {
-    val m = map(vocabV.zipWithIndex.flatMap { case (t, i) =>
+  private def idOf(tok: Column, vocab: Seq[String]): Column = {
+    val m = map(vocab.zipWithIndex.flatMap { case (t, i) =>
       Seq(lit(t), lit((i + 1).toLong)) }: _*)
     coalesce(element_at(m, tok), lit(-1L))
   }
 
-  /** Encode one batch under the CURRENT vocab and publish it in the
-    * current epoch. */
-  private def writeBatch(batch: DataFrame, batchId: Long): Unit =
+  /** Encode one batch under `vocab` and land it in epoch `e`. */
+  private def writeBatch(batch: DataFrame, batchId: Long, e: Int,
+      vocab: Seq[String]): Unit =
     batch.select(col("doc_id"), col("toks"),
-        transform(col("toks"), t => idOf(t)).as("ids"))
+        transform(col("toks"), t => idOf(t, vocab)).as("ids"))
       .write.mode("overwrite")
-      .parquet(s"$storeDir/epoch=$epochV/batch=$batchId")
+      .parquet(s"$storeDir/epoch=$e/batch=$batchId")
 
   /** Smoothed KL(batch ∥ reference) over the union vocabulary — the q155
     * spelling exactly (add-one smoothing; the 4dp round on the ln-term
@@ -147,17 +150,25 @@ final class DriftingTokenizerStore(storeDir: String, vocabSize: Int,
       val standing = store.filter(col("batch") =!= lit(batchId))
         .select(col("doc_id"), col("toks"))
       val prev = epochV
-      trainInto(standing.union(batch), prev + 1)
+      val next = prev + 1
+      val newVocab = trainFor(standing.union(batch), next)
       // non-blocking reindex: one distributed pass over the old epoch,
-      // re-encoded under the NEW vocab, batch provenance preserved; the
-      // old epoch serves until this completes
+      // re-encoded under the NEW vocab, batch provenance preserved —
+      // then the triggering batch lands in the new epoch too, and only
+      // THEN does the publish swap (epoch, vocab) together. The old
+      // epoch's ids tier answers every serve until that point (the
+      // DriftingVectorStore `.done` semantics).
       sparkV.read.parquet(s"$storeDir/epoch=$prev")
         .select(col("batch"), col("doc_id"), col("toks"),
-          transform(col("toks"), t => idOf(t)).as("ids"))
+          transform(col("toks"), t => idOf(t, newVocab)).as("ids"))
         .write.mode("overwrite").partitionBy("batch")
-        .parquet(s"$storeDir/epoch=$epochV")
+        .parquet(s"$storeDir/epoch=$next")
+      writeBatch(batch, batchId, next, newVocab)
+      vocabV = newVocab
+      epochV = next
+    } else {
+      writeBatch(batch, batchId, epochV, vocabV)
     }
-    writeBatch(batch, batchId)
     val rep = TokenizerIngestReport(batchId, kl, drifted, epochV)
     reportsV += rep
     rep

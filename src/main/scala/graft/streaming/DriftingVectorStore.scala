@@ -52,54 +52,77 @@ final case class DriftIngestReport(batchId: Long, driftRatio: Double,
 final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
     m: Int, kPq: Int, pqIters: Int, driftFactor: Double = 2.0) {
 
+  /** The PUBLISHED serving state: the epoch and the exact artifacts that
+    * encoded it, swapped in ONE volatile write only after the new
+    * epoch's store (re-encode AND the triggering batch) is fully on
+    * disk — the `.done`-marker semantics. A concurrent frontend reading
+    * through [[serveSnapshot]] therefore always sees a complete epoch
+    * with matching artifacts: the old epoch keeps answering until the
+    * swap (SwapServeProbe drives exactly that and asserts zero failed
+    * serves). */
+  private final case class Published(epoch: Int, coarse: Seq[Seq[Double]],
+      pq: Seq[Seq[Seq[Double]]], baseline: Double)
+
   private var sparkV: SparkSession = _
-  private var epochV = 0
-  private var coarseV: Seq[Seq[Double]] = Seq.empty
-  private var pqV: Seq[Seq[Seq[Double]]] = Seq.empty
-  private var baselineV = 0.0
+  @volatile private var pubV: Published = _
   private val reportsV =
     scala.collection.mutable.ArrayBuffer.empty[DriftIngestReport]
 
-  def epoch: Int = epochV
-  def coarse: Seq[Seq[Double]] = coarseV
-  def pq: Seq[Seq[Seq[Double]]] = pqV
+  def epoch: Int = pubV.epoch
+  def coarse: Seq[Seq[Double]] = pubV.coarse
+  def pq: Seq[Seq[Seq[Double]]] = pubV.pq
   def reports: Seq[DriftIngestReport] = reportsV.toSeq
   def retrains: Int = reportsV.count(_.retrained)
 
   /** The current-epoch store (vec_id, embedding, codes, batch, cell) —
     * serveable at any point in the lifecycle. */
-  def store: DataFrame = sparkV.read.parquet(s"$storeDir/epoch=$epochV")
+  def store: DataFrame = sparkV.read.parquet(s"$storeDir/epoch=${pubV.epoch}")
+
+  /** Atomic serving snapshot for a concurrent frontend: (epoch, store,
+    * coarse, pq) all from ONE published state — never a new epoch with
+    * old artifacts or vice versa. The parquet file index snapshots at
+    * read time, so a swap mid-serve cannot change the files a running
+    * query reads. */
+  def serveSnapshot(): (Int, DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val p = pubV
+    (p.epoch, sparkV.read.parquet(s"$storeDir/epoch=${p.epoch}"),
+      p.coarse, p.pq)
+  }
 
   /** Train initial artifacts on `standing` and publish it as epoch 0,
     * batch 0 — the artifact a deployment ships with the index. */
   def init(s: SparkSession, standing: DataFrame): Unit = {
     sparkV = s
-    train(standing.select(col("vec_id"), col("embedding")))
-    writeBatch(standing, 0L)
+    val st = standing.select(col("vec_id"), col("embedding"))
+    val p = trainArtifacts(st, 0)
+    writeBatch(st, 0L, p)
+    pubV = p
   }
 
-  private def train(trainDf: DataFrame): Unit = {
-    coarseV = SimilarityOps.lloydFromSeeds(trainDf, k, iters)
-    pqV = SimilarityOps.pqCodebooksFrom(trainDf, m, kPq, pqIters)
-    // the drift baseline is measured against the artifacts just trained,
-    // over the corpus they were trained on — a batch drawn from that
-    // distribution then scores ≈ 1
-    baselineV = SimilarityOps.meanCellDist(trainDf, coarseV)
+  /** Pure artifact training for epoch `e` — nothing published. The drift
+    * baseline is measured against the artifacts just trained, over the
+    * corpus they were trained on — a batch drawn from that distribution
+    * then scores ≈ 1. */
+  private def trainArtifacts(trainDf: DataFrame, e: Int): Published = {
+    val c = SimilarityOps.lloydFromSeeds(trainDf, k, iters)
+    val p = SimilarityOps.pqCodebooksFrom(trainDf, m, kPq, pqIters)
+    Published(e, c, p, SimilarityOps.meanCellDist(trainDf, c))
   }
 
-  /** Assign + encode one batch under the CURRENT artifacts and publish it
-    * in the current epoch — the [[VectorStoreIngest.ingestBatch]] plan
-    * with the raw-vector tier carried alongside the codes. */
-  private def writeBatch(batch: DataFrame, batchId: Long): Unit =
+  /** Assign + encode one batch under epoch `p`'s artifacts and land it in
+    * epoch `p` — the [[VectorStoreIngest.ingestBatch]] plan with the
+    * raw-vector tier carried alongside the codes. */
+  private def writeBatch(batch: DataFrame, batchId: Long,
+      p: Published): Unit =
     batch.select(col("vec_id"), col("embedding"),
-        graft.plans.NearestCentroid.cell(col("embedding"), coarseV)
+        graft.plans.NearestCentroid.cell(col("embedding"), p.coarse)
           .as("cell"),
-        org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pqV)
+        org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), p.pq)
           .as("codes"))
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$storeDir/epoch=$epochV/batch=$batchId")
+      .parquet(s"$storeDir/epoch=${p.epoch}/batch=$batchId")
 
   /** One lifecycle step: score the batch's drift ratio; in-distribution →
     * append under the current artifacts; drifted → retrain on store ∪
@@ -110,9 +133,10 @@ final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
     // multi-pass train/encode pipeline below
     val batch = batch0.select(col("vec_id"), col("embedding"))
       .localCheckpoint(eager = true)
+    val cur = pubV
     val ratio = {
-      val d = SimilarityOps.meanCellDist(batch, coarseV)
-      if (baselineV > 0.0) d / baselineV else 1.0
+      val d = SimilarityOps.meanCellDist(batch, cur.coarse)
+      if (cur.baseline > 0.0) d / cur.baseline else 1.0
     }
     val drifted = ratio > driftFactor
     if (drifted) {
@@ -125,25 +149,29 @@ final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
       // exact corpus the first run saw (r15 advice).
       val standing = store.filter(col("batch") =!= lit(batchId))
         .select(col("vec_id"), col("embedding"))
-      train(standing.union(batch))
-      val prev = epochV
-      epochV += 1
+      val next = trainArtifacts(standing.union(batch), cur.epoch + 1)
       // non-blocking reindex: one distributed pass over the old epoch,
       // re-assigned + re-encoded under the NEW artifacts, batch
-      // provenance preserved; the old epoch serves until this completes
-      sparkV.read.parquet(s"$storeDir/epoch=$prev")
+      // provenance preserved — then the triggering batch lands in the
+      // new epoch too, and only THEN does the volatile publish swap the
+      // serving state. The old epoch answers every serve until that
+      // point (SwapServeProbe's zero-failed-serves claim).
+      sparkV.read.parquet(s"$storeDir/epoch=${cur.epoch}")
         .select(col("batch"), col("vec_id"), col("embedding"),
-          graft.plans.NearestCentroid.cell(col("embedding"), coarseV)
+          graft.plans.NearestCentroid.cell(col("embedding"), next.coarse)
             .as("cell"),
-          org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pqV)
+          org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), next.pq)
             .as("codes"))
         .repartition(col("batch"), col("cell"))
         .sortWithinPartitions("batch", "cell", "vec_id")
         .write.mode("overwrite").partitionBy("batch", "cell")
-        .parquet(s"$storeDir/epoch=$epochV")
+        .parquet(s"$storeDir/epoch=${next.epoch}")
+      writeBatch(batch, batchId, next)
+      pubV = next
+    } else {
+      writeBatch(batch, batchId, cur)
     }
-    writeBatch(batch, batchId)
-    val rep = DriftIngestReport(batchId, ratio, drifted, epochV)
+    val rep = DriftIngestReport(batchId, ratio, drifted, pubV.epoch)
     reportsV += rep
     rep
   }
