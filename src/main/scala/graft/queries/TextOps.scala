@@ -699,6 +699,61 @@ object TextOps {
           col("vocab"), col("kl"), (col("kl") > klBar).as("drifted"))
     }),
 
+    // CCNet PERPLEXITY FILTERING (Wenzek et al. LREC 2020 §4.3 — the
+    // head/middle/tail partition every CommonCrawl-derived pretraining
+    // corpus ships through): every en doc is scored by its per-token
+    // log-perplexity under the reference unigram LM (the en training
+    // split, b < 80 — the q155/q156 reference rule; add-one smoothing so
+    // OOV stays finite), and the corpus splits at the exact 1/3 and 2/3
+    // perplexity quantiles — head = cleanest third, tail = dropped.
+    // Congruence is the q87 micro-unit recipe: per-token ln p is rounded
+    // to 6dp and scaled to an exact BIGINT, so per-doc sums are
+    // order-independent integers; the division back to logppl and the
+    // 4dp round are identical double chains. Scale shape: token-count
+    // aggregation (map-side combined) + ONE vocab-bounded broadcast join
+    // for the per-token table; the tercile cutoffs come from the q49
+    // two-level-bucket exact-percentile operator (never a corpus-wide
+    // single-task sort) and fold back as two broadcast literals — the
+    // per-doc bucket assignment is then a narrow codegen'd comparison.
+    "q161_ppl_filter" -> ((s, dir) => {
+      val en = docs(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id"),
+          pmod(stableHash(col("doc_id").cast("string")), lit(100)).as("b"),
+          tokens(col("text")).as("toks"))
+      val tox = en.select(col("doc_id"), col("b"),
+        explode(col("toks")).as("tok"))
+      val ref = tox.filter(col("b") < 80)
+        .groupBy("tok").agg(count(lit(1)).as("pc"))
+      val st = ref.agg(sum("pc").as("np"), count(lit(1)).as("v"))
+      val mu = ref.crossJoin(broadcast(st))
+        .select(col("tok"),
+          round(round(log((col("pc") + 1).cast("double") /
+            (col("np") + col("v"))), 6) * 1000000).cast("long").as("mu"))
+      val oovMu = st.select(
+          round(round(log(lit(1.0) / (col("np") + col("v"))), 6) * 1000000)
+            .cast("long").as("mu"))
+        .collect()(0).getLong(0)
+      val lp = tox.join(broadcast(mu), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("mu"), lit(oovMu))).as("sm"))
+        .select(col("doc_id"), col("n_tokens"),
+          round((lit(0.0) - col("sm")) / lit(1000000.0) / col("n_tokens"),
+            4).as("logppl"))
+        .localCheckpoint(eager = true)
+      val cutRow = graft.operators.Percentiles.exactByGroup(
+        lp.select(lit("g").as("g"), col("logppl")), "g", "logppl",
+        Seq("c1" -> 1.0 / 3, "c2" -> 2.0 / 3)).collect()(0)
+      val (c1, c2) = (cutRow.getAs[Double]("pc1"), cutRow.getAs[Double]("pc2"))
+      lp.select(col("doc_id"), col("n_tokens"), col("logppl"),
+        when(col("logppl") <= c1, "head")
+          .when(col("logppl") <= c2, "middle")
+          .otherwise("tail").as("bucket"),
+        (when(col("logppl") <= c1, "head")
+          .when(col("logppl") <= c2, "middle")
+          .otherwise("tail") =!= "tail").as("keep"))
+    }),
+
     // BEST-FIT-DECREASING WHOLE-DOC PACKING (r15 verdict item 8 — the
     // non-sequential packer real loaders run beside q154's
     // concat-and-chunk): docs stay WHOLE (no cross-doc attention
@@ -1585,6 +1640,43 @@ object TextOps {
                 AS drifted
        FROM uni u JOIN st USING (batch), np
        GROUP BY u.batch""",
+    // q161: the same micro-unit log-prob table, the same exact integer
+    // per-doc sums, the same division/round chain; cutoffs via
+    // quantile_cont (≡ the q49 exact-percentile operator, rounded 4dp)
+    "q161_ppl_filter" ->
+      """WITH tk AS MATERIALIZED (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 AS b,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE lang = 'en'),
+         ref AS MATERIALIZED (SELECT tok, count(*) AS pc FROM tk
+                WHERE b < 80 GROUP BY tok),
+         st AS (SELECT sum(pc) AS np, count(*) AS v FROM ref),
+         mu AS MATERIALIZED (SELECT tok,
+                  CAST(round(round(ln((pc + 1)::DOUBLE / (np + v)), 6)
+                       * 1000000) AS BIGINT) AS mu
+                FROM ref, st),
+         oov AS (SELECT CAST(round(round(ln(1.0 / (np + v)), 6)
+                       * 1000000) AS BIGINT) AS mu FROM st),
+         lp AS MATERIALIZED (
+           SELECT tk.doc_id, count(*) AS n_tokens,
+                  round((0.0 - sum(coalesce(mu.mu, (SELECT mu FROM oov))))
+                        / 1000000.0 / count(*), 4) AS logppl
+           FROM tk LEFT JOIN mu ON mu.tok = tk.tok
+           GROUP BY tk.doc_id),
+         c AS (SELECT round(quantile_cont(logppl, 1.0 / 3), 4) AS c1,
+                      round(quantile_cont(logppl, 2.0 / 3), 4) AS c2
+               FROM lp)
+         SELECT doc_id, n_tokens, logppl,
+                CASE WHEN logppl <= c1 THEN 'head'
+                     WHEN logppl <= c2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+                (CASE WHEN logppl <= c1 THEN 'head'
+                      WHEN logppl <= c2 THEN 'middle'
+                      ELSE 'tail' END) != 'tail' AS keep
+         FROM lp, c""",
+
     // q160: the BFD greedy replayed as a per-shard RECURSIVE CTE — one
     // doc per recursion step in the same (n DESC, doc_id) order, the bin
     // remainders carried as a BIGINT list, best-fit = min remaining

@@ -369,6 +369,56 @@ class TrainingPrepSpec extends AnyFunSuite {
     info(s"bins — BFD ${perBin.size} vs arrival-order next-fit $nextFitBins")
   }
 
+  test("q161 perplexity filter: monotone near-third terciles, keep == not-tail, OOV pushes a doc to the tail") {
+    val rows = SparkEntry.queries("q161_ppl_filter")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getBoolean(4)))
+    val byBucket = rows.groupBy(_._4)
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    rows.foreach { case (doc, _, _, b, keep) =>
+      assert(keep === (b != "tail"), s"doc $doc: keep flag != bucket rule") }
+    // monotone: every head ppl <= every middle ppl <= every tail ppl
+    assert(byBucket("head").map(_._3).max <= byBucket("middle").map(_._3).min)
+    assert(byBucket("middle").map(_._3).max <= byBucket("tail").map(_._3).min)
+    // near-thirds (exact-percentile cutoffs; 4dp ties can shift a few docs)
+    val n = rows.length.toDouble
+    byBucket.foreach { case (b, rs) =>
+      assert(math.abs(rs.length - n / 3) <= 0.15 * n,
+        s"bucket $b holds ${rs.length} of ${rows.length} docs — not a tercile") }
+
+    // OOV is load-bearing (the lake's 31-token salad never leaves the
+    // reference vocab — measured 0 OOV at sf0.01): craft a corpus =
+    // the lake's en docs + one holdout-bucket doc of UNSEEN tokens;
+    // the add-one OOV penalty ln(1/(np+v)) must rank it worst → tail
+    val en = graft.sources.Tables(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val oovId = spark.range(1000000, 1100000).toDF("doc_id")
+      .filter(pmod(graft.functions.TextFunctions
+        .stableHash(col("doc_id").cast("string")), lit(100)) >= 90)
+      .orderBy("doc_id").limit(1).collect()(0).getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("pplspec").toString
+    try {
+      import spark.implicits._
+      val oovDoc = Seq((oovId, "qqxz1 qqxz2 qqxz3 qqxz4 qqxz5 qqxz6",
+        "en", "synthetic", 35L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      en.unionByName(oovDoc).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val crafted = SparkEntry.queries("q161_ppl_filter")(spark, tmp)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+      val (_, oovPpl, oovBucket) = crafted.find(_._1 == oovId).get
+      assert(oovBucket === "tail",
+        s"all-OOV doc landed in $oovBucket (logppl $oovPpl)")
+      assert(oovPpl > crafted.filter(_._1 != oovId).map(_._2).max,
+        "all-OOV doc must carry the worst perplexity in the corpus")
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("q155 text drift: in-distribution holdout stays under the bar, the shifted batch lands far over it") {
     val rows = SparkEntry.queries("q155_text_drift")(spark, dir)
       .collect()
