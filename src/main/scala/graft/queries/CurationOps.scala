@@ -109,6 +109,47 @@ object CurationOps {
     out
   }
 
+  /** The q149 UniMax waterfill (Chung et al. 2023's epoch-capped budget
+    * allocation in one closed relational form) over an arbitrary
+    * (source, text) frame — factored so q162 can re-budget over the
+    * KEPT corpus; q149 passes the whole lake. Output: per source
+    * (n_tokens, cap_epochs, capped, alloc_tokens 4dp, epochs 4dp). */
+  private[graft] def unimaxAlloc(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tier = expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS INT) div 5")
+    val cap = when(tier === 0, 4.0).when(tier === 1, 2.0)
+      .when(tier === 2, 1.0).otherwise(0.5)
+    val base = docsDf
+      .groupBy("source")
+      .agg(sum(size(graft.functions.TextFunctions.tokens(col("text"))))
+        .cast("double").as("n_tokens"),
+        max(cap).as("cap_epochs"))
+      .withColumn("capacity", col("n_tokens") * col("cap_epochs"))
+    val ord = Window.orderBy(col("capacity"), col("source"))
+    val whole = Window.partitionBy()
+    val f = base
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("pfx", coalesce(sum(col("capacity")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("tot_n", sum(col("n_tokens")).over(whole))
+      .withColumn("kk", count(lit(1)).over(whole))
+      .withColumn("capped",
+        col("capacity") * (col("kk") - col("rk") + 1) <=
+          col("tot_n") - col("pfx"))
+    val g = f
+      .withColumn("cap_sum", sum(when(col("capped"), col("capacity"))
+        .otherwise(lit(0.0))).over(whole))
+      .withColumn("n_cap", sum(when(col("capped"), 1L).otherwise(0L))
+        .over(whole))
+    val alloc = when(col("capped"), col("capacity"))
+      .otherwise((col("tot_n") - col("cap_sum")) /
+        (col("kk") - col("n_cap")))
+    g.select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+      col("cap_epochs"), col("capped"),
+      r4(alloc).as("alloc_tokens"),
+      r4(alloc / col("n_tokens")).as("epochs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Dedup CLUSTERS: near-dup pairs (the q33 MinHash-LSH generator at
@@ -267,42 +308,46 @@ object CurationOps {
     // sums, the cap predicate and the residual division are
     // bit-identical cross-engine with no rounding tricks needed before
     // the 4dp output.
-    "q149_unimax_budget" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tier = expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS INT) div 5")
-      val cap = when(tier === 0, 4.0).when(tier === 1, 2.0)
-        .when(tier === 2, 1.0).otherwise(0.5)
-      val base = Tables(s, dir, "documents")
-        .groupBy("source")
-        .agg(sum(size(graft.functions.TextFunctions.tokens(col("text"))))
-          .cast("double").as("n_tokens"),
-          max(cap).as("cap_epochs"))
-        .withColumn("capacity", col("n_tokens") * col("cap_epochs"))
-      val ord = Window.orderBy(col("capacity"), col("source"))
-      val whole = Window.partitionBy()
-      val f = base
-        .withColumn("rk", row_number().over(ord))
-        .withColumn("pfx", coalesce(sum(col("capacity")).over(
-          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
-        .withColumn("tot_n", sum(col("n_tokens")).over(whole))
-        .withColumn("kk", count(lit(1)).over(whole))
-        .withColumn("capped",
-          col("capacity") * (col("kk") - col("rk") + 1) <=
-            col("tot_n") - col("pfx"))
-      val g = f
-        .withColumn("cap_sum", sum(when(col("capped"), col("capacity"))
-          .otherwise(lit(0.0))).over(whole))
-        .withColumn("n_cap", sum(when(col("capped"), 1L).otherwise(0L))
-          .over(whole))
-      val alloc = when(col("capped"), col("capacity"))
-        .otherwise((col("tot_n") - col("cap_sum")) /
-          (col("kk") - col("n_cap")))
-      g.select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
-        col("cap_epochs"), col("capped"),
-        r4(alloc).as("alloc_tokens"),
-        r4(alloc / col("n_tokens")).as("epochs"))
-    }),
+    "q149_unimax_budget" -> ((s, dir) =>
+      unimaxAlloc(Tables(s, dir, "documents"))),
 
+    // TRAINING-MIX MANIFEST (the recipe compiler — the step that turns
+    // this catalog's signals into the file a loader actually consumes):
+    // the Gopher keep gate (q77) filters the corpus, the UniMax
+    // waterfill (q149) re-budgets token allocations over the KEPT
+    // corpus, and every kept doc gets its integer repeat count —
+    // floor(epochs_source) copies for everyone plus one extra copy for
+    // a deterministic hash-Bernoulli fraction of docs sized so the
+    // realized token count meets the source's allocation in
+    // expectation. NO rand(): the draw is stableHash(doc_id ∥ "#rep")
+    // mod (source_tokens·10⁶) < alloc_micro mod (source_tokens·10⁶) —
+    // pure integers after the one 4dp-rounded alloc is scaled to exact
+    // micro-units, so both engines agree bit for bit and a re-run (or a
+    // resumed loader) regenerates the identical manifest. Scale shape:
+    // one doc-keyed equi-join against the keep gate, the q149
+    // source-level chain (|sources| rows), one broadcast join back —
+    // the per-doc work is a narrow codegen'd expression.
+    "q162_training_manifest" -> ((s, dir) => {
+      val keep = TextOps.queries("q77_gopher_filter")(s, dir)
+        .filter(col("keep")).select("doc_id")
+      val kept = Tables(s, dir, "documents")
+        .join(keep, "doc_id")
+        .select(col("doc_id"), col("source"), col("text"))
+      val a = unimaxAlloc(kept).select(col("source"),
+        col("n_tokens").as("t_src"),
+        round(col("alloc_tokens") * 1000000).cast("long").as("alloc_micro"))
+      kept.select(col("doc_id"), col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        .join(broadcast(a), "source")
+        .withColumn("t_micro", col("t_src") * lit(1000000L))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (expr("alloc_micro div t_micro") +
+            when(pmod(graft.functions.TextFunctions.stableHash(
+                concat(col("doc_id").cast("string"), lit("#rep"))),
+              col("t_micro")) < col("alloc_micro") % col("t_micro"), 1L)
+              .otherwise(0L)).as("n_copies"))
+    }),
     // Quality-ranked canonical selection: within each dup cluster keep the
     // HIGHEST-quality document (q24's scorer), not the lowest id — what a
     // curation pipeline actually ships. One window over the cluster id.
@@ -542,6 +587,62 @@ object CurationOps {
     // and caps exact binary halves, so the prefix sums, the capped
     // predicate and the residual split agree bit-for-bit; the capped set
     // is a prefix of the (capacity, source) sort in both engines
+    // q162: the q77 keep predicate filters, the q149 waterfill chain
+    // re-budgets over the kept corpus, and the repeat counts are pure
+    // integer arithmetic after the one 4dp alloc is scaled to exact
+    // micro-units — floor division for the whole epochs, a stable-hash
+    // Bernoulli (mod source_tokens·10⁶) for the fractional copy
+    "q162_training_manifest" -> {
+      val k77 = graft.queries.TextOps.oracle77ForReuse
+      s"""WITH kept AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN ($k77) k ON k.doc_id = d.doc_id
+         |  WHERE k.keep),
+         |ud AS (
+         |  SELECT source,
+         |         TRY_CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) // 5
+         |           AS tier,
+         |         len(string_split(text, ' ')) AS toks
+         |  FROM kept),
+         |ub AS (SELECT source,
+         |             CAST(sum(toks) AS DOUBLE) AS n_tokens,
+         |             CAST(max(CASE tier WHEN 0 THEN 4.0 WHEN 1 THEN 2.0
+         |                                WHEN 2 THEN 1.0 ELSE 0.5 END)
+         |                  AS DOUBLE) AS cap_epochs
+         |      FROM ud GROUP BY source),
+         |uc AS (SELECT *, n_tokens * cap_epochs AS capacity FROM ub),
+         |uw AS (SELECT *,
+         |        row_number() OVER (ORDER BY capacity, source) AS rk,
+         |        coalesce(sum(capacity) OVER (ORDER BY capacity, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0.0) AS pfx,
+         |        sum(n_tokens) OVER () AS tot_n,
+         |        count(*) OVER () AS kk
+         |      FROM uc),
+         |uf AS (SELECT *,
+         |        (capacity * (kk - rk + 1) <= tot_n - pfx) AS capped
+         |      FROM uw),
+         |ug AS (SELECT *,
+         |        sum(CASE WHEN capped THEN capacity ELSE 0.0 END)
+         |          OVER () AS cap_sum,
+         |        sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_cap
+         |      FROM uf),
+         |ua AS MATERIALIZED (SELECT source,
+         |        CAST(n_tokens AS BIGINT) AS t_src,
+         |        CAST(round(round(CASE WHEN capped THEN capacity
+         |              ELSE (tot_n - cap_sum) / (kk - n_cap) END, 4)
+         |             * 1000000) AS BIGINT) AS alloc_micro
+         |      FROM ug)
+         |SELECT k.doc_id, k.source,
+         |       CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(ua.alloc_micro // (ua.t_src * 1000000)
+         |            + CASE WHEN CAST('0x' || substr(md5(
+         |                     CAST(k.doc_id AS VARCHAR) || '#rep'), 1, 15)
+         |                     AS BIGINT) % (ua.t_src * 1000000)
+         |                   < ua.alloc_micro % (ua.t_src * 1000000)
+         |                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |FROM kept k JOIN ua ON ua.source = k.source""".stripMargin
+    },
     "q149_unimax_budget" ->
       """WITH d AS (
            SELECT source,

@@ -1354,7 +1354,7 @@ object TextOps {
 
   /** q77 oracle SQL, extracted so q88 can embed the identical keep
     * predicate as a subquery. */
-  private lazy val oracle77ForReuse: String = {
+  private[graft] lazy val oracle77ForReuse: String = {
       val stop = markersSql(gopherStopwords)
       s"""WITH m AS (SELECT doc_id,
             len(string_split(text, ' ')) AS nw,

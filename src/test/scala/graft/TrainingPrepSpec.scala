@@ -369,6 +369,48 @@ class TrainingPrepSpec extends AnyFunSuite {
     info(s"bins — BFD ${perBin.size} vs arrival-order next-fit $nextFitBins")
   }
 
+  test("q162 training manifest: kept docs only, copies in {floor(epochs), +1}, realized tokens bracket the allocation, deterministic") {
+    val rows = SparkEntry.queries("q162_training_manifest")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // (a) exactly the q77-kept docs, each once
+    val keepSet = SparkEntry.queries("q77_gopher_filter")(spark, dir)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === keepSet,
+      "manifest doc set != the Gopher keep set")
+    assert(rows.length === keepSet.size, "a doc appears twice")
+    // (b) per source: n_copies ∈ {whole, whole+1} where whole =
+    // alloc_micro div (t_src·1e6), recomputed from the same chain; and
+    // the realized token count is BRACKETED by [whole·T, (whole+1)·T]
+    // (every doc gets whole copies; the extras' tokens are ≤ T)
+    val kept = graft.sources.Tables(spark, dir, "documents")
+      .join(SparkEntry.queries("q77_gopher_filter")(spark, dir)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("source"), col("text"))
+    val alloc = graft.queries.CurationOps.unimaxAlloc(kept)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), math.round(r.getDouble(4) * 1000000))).toMap
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val (tSrc, allocMicro) = alloc(src)
+      val whole = allocMicro / (tSrc * 1000000L)
+      rs.foreach { case (doc, _, _, c) =>
+        assert(c == whole || c == whole + 1,
+          s"$src doc $doc: $c copies, expected $whole or ${whole + 1}") }
+      val realized = rs.map(r => r._3 * r._4).sum
+      assert(realized >= whole * tSrc && realized <= (whole + 1) * tSrc,
+        s"$src realized $realized outside [${whole * tSrc}, ${(whole + 1) * tSrc}]")
+    }
+    // (c) a re-run regenerates the identical manifest (no rand())
+    val again = SparkEntry.queries("q162_training_manifest")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === rows.toSet, "manifest is not deterministic")
+    // the fractional Bernoulli is live: some source mixes copy counts
+    assert(rows.groupBy(_._2).exists(_._2.map(_._4).distinct.size > 1),
+      "no source has mixed copy counts — the fractional path never fired")
+  }
+
   test("q161 perplexity filter: monotone near-third terciles, keep == not-tail, OOV pushes a doc to the tail") {
     val rows = SparkEntry.queries("q161_ppl_filter")(spark, dir)
       .collect()
