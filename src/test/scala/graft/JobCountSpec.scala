@@ -58,8 +58,11 @@ class JobCountSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  // q162 joins the list (r16): the manifest composes the keep gate, the
+  // waterfill and the repeat arithmetic as pure plans — broadcast joins,
+  // no collected literals — so building it must stay job-free too
   for (q <- Seq("q81_unigram_lm", "q87_bigram_lm", "q88_dsir_weight",
-      "q101_nb_quality_classifier"))
+      "q101_nb_quality_classifier", "q162_training_manifest"))
     test(s"$q builder is side-effect-free (zero build-time jobs)") {
       // warm the Tables schema cache: the one 1-task footer-inference job
       // per cold table path is scan setup, not builder eagerness
