@@ -47,7 +47,7 @@ for name, q in sorted(sql.items()):
         con.execute(q).fetchall()
         times[name] = time.time() - t0
     except Exception as e:
-        print(f"{name:28s}ERR {str(e)[:90]}")
+        print(f"{name:36s}ERR {str(e)[:90]}")
 for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
-    print(f"{k:28s}{v:.3f}")
+    print(f"{k:36s}{v:.3f}")
 print(f"TOTAL {sum(times.values()):.2f}s over {len(times)} queries")
