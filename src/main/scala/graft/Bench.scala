@@ -128,20 +128,56 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
-    // min-of-3: this host shows ±30% multi-minute noise windows that can
-    // span an entire 2-pass run; a third pass makes the min robust to one
-    // bad window (measured pairs ranged 1.55-2.06x from noise alone)
-    val passes = Seq(timedPass(), timedPass(), timedPass())
-    def best(n: String): Double = passes.map(_(n)).min
-    // failed queries report null and are EXCLUDED from total: a
-    // time-to-throw must never enter the trend line as if it were work done
-    val results = names.filterNot(errors.contains).map(n => n -> best(n))
+    // INTERLEAVED A/B mode (r16 verdict item 2): when
+    // SPARK_GRAFT_PAIRED_DIR is set, each timed pass is published as
+    // <dir>/spark_pass_<k>.json and the run BLOCKS until the orchestrator
+    // (tools/paired_bench.py) acks with <dir>/duck_pass_<k>.done — i.e. a
+    // full DuckDB oracle pass runs in the gap, so every quoted
+    // Spark/DuckDB pairing is same-minute, not cross-day (the band quote
+    // was dominated by host-noise windows where DuckDB's own totals
+    // spread 2.15× on identical SQL). Normal runs leave the env unset and
+    // are untouched.
     // 3dp per query: full Double.toString pushed the 90+-query JSON line
     // past the driver's stdout tail capture (BENCH_r4..r8 all recorded
     // "parsed": null because the line's head was truncated away). 1 ms
     // resolution is below host noise; the full-precision map stays on
     // stderr via the trend lines.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val pairedDir = sys.env.get("SPARK_GRAFT_PAIRED_DIR")
+    def publishPass(k: Int, pass: Map[String, Double]): Unit =
+      pairedDir.foreach { d =>
+        val qs = names.filterNot(errors.contains).map(n =>
+          "\"" + n + "\":" + fmt(pass(n))).mkString("{", ",", "}")
+        val tot = names.filterNot(errors.contains).map(pass).sum
+        val body = s"""{"pass":$k,"total":${fmt(tot)},"queries":$qs}"""
+        val tmp = java.nio.file.Paths.get(d, s".spark_pass_$k.tmp")
+        java.nio.file.Files.write(tmp,
+          (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // atomic move: the orchestrator never reads a half-written file
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(d, s"spark_pass_$k.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val ack = java.nio.file.Paths.get(d, s"duck_pass_$k.done")
+        val deadline = System.nanoTime() + 15L * 60 * 1000000000L
+        while (!java.nio.file.Files.exists(ack) &&
+            System.nanoTime() < deadline)
+          Thread.sleep(200)
+        if (!java.nio.file.Files.exists(ack))
+          System.err.println(
+            s"[bench] paired mode: no duck ack for pass $k after 15 min — continuing")
+      }
+    // min-of-3: this host shows ±30% multi-minute noise windows that can
+    // span an entire 2-pass run; a third pass makes the min robust to one
+    // bad window (measured pairs ranged 1.55-2.06x from noise alone)
+    val passes = (1 to 3).map { k =>
+      val p = timedPass()
+      publishPass(k, p)
+      p
+    }
+    def best(n: String): Double = passes.map(_(n)).min
+    // failed queries report null and are EXCLUDED from total: a
+    // time-to-throw must never enter the trend line as if it were work done
+    val results = names.filterNot(errors.contains).map(n => n -> best(n))
     val qs = names.map { n =>
       "\"" + n + "\":" + (if (errors.contains(n)) "null" else fmt(best(n)))
     }.mkString("{", ",", "}")
@@ -174,11 +210,29 @@ object Bench {
     // (r15 verdict item 6): the driver's stdout tail truncates the long
     // JSON line mid-map (r15 saw only 75 of 142 timed queries), so
     // round-over-round diffs were partial. This file is the full record.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_FULL_LATEST.json: $e") }
+    // Path resolves against the repo root (nearest ancestor of cwd holding
+    // build.sbt), overridable via SPARK_GRAFT_BENCH_OUT — a bench launched
+    // from another cwd must not silently drop the record elsewhere
+    // (r16 ADVICE item 2).
+    val fullOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(
+        java.nio.file.Paths.get(_)).getOrElse {
+      var d = java.nio.file.Paths.get("").toAbsolutePath
+      while (d.getParent != null &&
+          !java.nio.file.Files.exists(d.resolve("build.sbt")))
+        d = d.getParent
+      (if (java.nio.file.Files.exists(d.resolve("build.sbt"))) d
+       else java.nio.file.Paths.get("").toAbsolutePath)
+        .resolve("BENCH_FULL_LATEST.json")
+    }
+    // only a FULL run may replace the record: a SPARK_GRAFT_ONLY triage
+    // run must not clobber the round's complete per-query map
+    if (only.isEmpty)
+      try {
+        java.nio.file.Files.write(fullOut,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] full per-query record: $fullOut")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $fullOut: $e") }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED — failing the bench run")

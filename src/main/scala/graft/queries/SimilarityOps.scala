@@ -1295,6 +1295,26 @@ object SimilarityOps {
     // delta vs single assignment at equal probe cost.
     "q159_ann_soar" -> ((s, dir) => soarStackTop5(s, dir)),
 
+    // RaBitQ-style BINARY quantization with an exact re-rank tail (Gao
+    // & Long, SIGMOD'24 — r16 verdict item 8: the 1-bit/dim quantization
+    // tier production serving stacks are moving to, beside SQ8 (8
+    // bit/dim, q105/q152) and PQ (2 bit/dim here, q97)). Vectors are
+    // CENTERED on the corpus centroid and the residual's SIGN BITS are
+    // the whole code — 64 bits/vector, 32× less than raw float — plus
+    // two scalars (residual norm, ⟨ō, x̄⟩ = Σ|ō_i|/√D). The paper's
+    // UNBIASED estimator ⟨ō, q̄⟩ ≈ ⟨x̄, q̄⟩ / ⟨ō, x̄⟩ ranks the corpus
+    // per probe (this is the deterministic rotation-free variant: the
+    // paper's random rotation sharpens worst-case bounds but the
+    // estimator algebra is unchanged, and determinism is what makes the
+    // gate oracle-replayable); the top-R survivors re-rank on raw
+    // cosine (the q123 discipline). AnnRecallSpec measures recall per
+    // code byte against SQ8 — the recall-vs-bytes trade this tier
+    // exists for. Scale shape: the estimator pass is one broadcast
+    // probe join over sign arrays (bit-parallel on a real serving tier;
+    // bounded candidate heap per probe), the re-rank touches R·|probes|
+    // raw rows — never n² and never a second corpus shuffle.
+    "q163_ann_rabitq" -> ((s, dir) => rabitqRerank(s, dir)),
+
     // MATRYOSHKA adaptive retrieval (Kusupati et al. NeurIPS'22): score
     // on the first 16 dims (25% of the bandwidth — what truncatable
     // embeddings are FOR), exact-rerank the top-R funnel at full dimension.
@@ -1882,6 +1902,74 @@ object SimilarityOps {
   /** q151's funnel width: the q147 rerank budget — the serving
     * convention (retrieve top-R cheaply, rerank R exactly). */
   private[graft] val FunnelR = 64
+
+  /** q163's estimator-stage candidate cut — the survivors re-ranked on
+    * raw cosine. 32 = the q123/q152 rerank budget, for a like-for-like
+    * recall-vs-bytes comparison across the quantization tiers. */
+  private[graft] val RabitqRerankR = 32
+
+  /** q163's body — RaBitQ-style binary quantization + exact re-rank
+    * (see the `queries` entry for the story). Everything is
+    * oracle-congruent by construction: the centroid is the k=1 Lloyd
+    * mean (round(avg,6) both engines), the fold sums run in ascending
+    * index order (aggregate(zip_with) ≡ list_sum of a comprehension —
+    * the proven recipe), √D is spelled as the exact binary 8.0, sqrt is
+    * IEEE-correctly-rounded in both engines, and every cut ties
+    * (score desc, id asc). Stages are SEPARATE selects so the sign/norm
+    * arrays materialize once per row (the q159 staged-projection
+    * lesson: inlined HOF trees re-evaluate ~20× per row). */
+  private[graft] def rabitqRerank(s: SparkSession, dir: String,
+      rerankR: Int = RabitqRerankR): DataFrame = {
+    val cent = lloydCentroids(s, dir, 1, 1).head
+    val cLit = array(cent.map(lit): _*)
+    val e = emb(s, dir)
+    def resid(c: Column): Column =
+      zip_with(transform(c, x => x.cast("double")), cLit, (x, m) => x - m)
+    val enc = e
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        resid(col("embedding")).as("r"))
+      .select(col("cid"), col("ce"),
+        transform(col("r"),
+          x => when(x >= 0, lit(1.0)).otherwise(lit(-1.0))).as("sgn"),
+        sqrt(greatest(aggregate(col("r"), lit(0.0),
+          (a, x) => a + x * x), lit(1e-24))).as("norm_o"),
+        aggregate(col("r"), lit(0.0), (a, x) => a + abs(x)).as("abs_sum"))
+      // ⟨ō, x̄⟩ = Σ|ō_i|/√D — √64 = 8.0, exact in binary
+      .select(col("cid"), col("ce"), col("sgn"),
+        (col("abs_sum") / (lit(8.0) * col("norm_o"))).as("sdot"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        resid(col("embedding")).as("qr"))
+      .select(col("qid"), col("qe"), col("qr"),
+        sqrt(greatest(aggregate(col("qr"), lit(0.0),
+          (a, x) => a + x * x), lit(1e-24))).as("norm_q"))
+    // the unbiased estimator: ⟨ō, q̄⟩ ≈ ⟨x̄, q̄⟩ / ⟨ō, x̄⟩ with
+    // ⟨x̄, q̄⟩ = (1/√D)·Σ sgn_i·qr_i / ‖qr‖ — one broadcast probe join,
+    // candidate heap bounded at R per probe
+    val est = enc.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (aggregate(zip_with(col("sgn"), col("qr"), (g, y) => g * y),
+          lit(0.0), (a, x) => a + x)
+          / lit(8.0) / col("norm_q") / greatest(col("sdot"), lit(1e-12)))
+          .as("est"))
+    val cand = est.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("est"), col("cid"), rerankR).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.payload").as("cid"))
+    cand.join(broadcast(q.select(col("qid"), col("qe"))), "qid")
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        "cid")
+      .select(col("qid"), col("cid"),
+        cosineSim(col("qe"), col("ce")).as("cos"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("cos"), col("cid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("cid"),
+        round(col("col.score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
 
   private val sq8ServeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
@@ -3116,7 +3204,13 @@ object SimilarityOps {
       val probes = emb(s, dir).filter(col("vec_id") < probeMax)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val touched = scala.collection.mutable.Set[Int]()
-      val out = distributedStoreServe(s, base, probes, touched)
+      // SHARD-LOCAL waves (r16 verdict item 3): the wave groups by each
+      // probe's nearest coarse cell — the store's own clustering key —
+      // so each group's hops read only its shard locality. Row-for-row
+      // identical to the flat wave (see distributedStoreServeGrouped);
+      // the oracle replay is unchanged.
+      val out = distributedStoreServeGrouped(s, base, probes,
+        lloydCentroids(s, dir, 8, 3, maxVec = GraphGateSlice), touched)
       recordServeBytes(base, touched)
       out
     } finally {
@@ -3239,6 +3333,82 @@ object SimilarityOps {
           round(col("col.score"), 4).as("cosine"),
           (col("pos") + 1).cast("long").as("rnk"))
         .localCheckpoint(eager = true)
+  }
+
+  /** One group's locality record from the last GROUPED batch serve. */
+  private[graft] final case class GroupedServeStat(cell: Int,
+      probes: Long, touchedShards: Int, totalShards: Int) {
+    def frac: Double = touchedShards.toDouble / math.max(totalShards, 1)
+  }
+
+  /** Per-group stats of the last [[distributedStoreServeGrouped]] call —
+    * GraphServeProbe reads these for its touched-shard-fraction column. */
+  private[graft] val lastGroupedServeStats =
+    new java.util.concurrent.atomic.AtomicReference[Seq[GroupedServeStat]](
+      Seq.empty)
+
+  /** SHARD-LOCAL batch serve waves (r16 verdict item 3): the flat 10³
+    * wave's hops name every probe's frontier at once, so a
+    * corpus-spanning batch touches ~100% of the store per hop — pure
+    * amortization, no pruning (SCALE.md's honest caveat). The store's
+    * layout is CELL-CLUSTERED (shard = coarse cell × sub-shard), so the
+    * fix is to group the wave by each probe's NEAREST COARSE CELL — the
+    * same shared IVF artifact the shards cluster by — and serve each
+    * group as its own wave: a group's walks start and stay in the
+    * group's cell neighborhood, so each group's hop reads only ITS
+    * shard locality, not the union of everyone's.
+    *
+    * Results are IDENTICAL to the flat wave by construction: every join
+    * in [[distributedStoreServe]] keys on (qid, nid) and the per-hop
+    * shard filter only widens the candidate side, so a probe's walk is
+    * a pure function of the probe alone — wave composition cannot
+    * change it (GraphServeProbe asserts flat ≡ grouped row-for-row;
+    * GraphServeSpec extends the driver-tier equality to this path).
+    *
+    * Groups run as CONCURRENT driver threads (bounded pool): each group
+    * is an independent job DAG, which is exactly how a cluster
+    * scheduler overlaps them — the local wall is not G sequential
+    * serves. Per-group touched-shard fractions land in
+    * [[lastGroupedServeStats]]; `touched` gets the union (the flat
+    * wave's measure, for the same recordServeBytes bookkeeping). */
+  private[graft] def distributedStoreServeGrouped(s: SparkSession,
+      base: String, probes: DataFrame, coarse: Seq[Seq[Double]],
+      touched: scala.collection.mutable.Set[Int]): DataFrame = {
+    val byCell = probes
+      .select(col("qid"), col("qe"),
+        NearestCentroid.cell(col("qe"), coarse).as("pcell"))
+      .localCheckpoint(eager = true)
+    val cells = byCell.select("pcell").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val totalShards = {
+      val d = java.nio.file.Paths.get(base, "vec")
+      val st = java.nio.file.Files.list(d)
+      try st.filter(p => p.getFileName.toString.startsWith("shard="))
+        .count().toInt
+      finally st.close()
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cells.length, 4)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = cells.toSeq.map { c =>
+        Future {
+          val gp = byCell.filter(col("pcell") === c).select("qid", "qe")
+            .localCheckpoint(eager = true)
+          val t = scala.collection.mutable.Set[Int]()
+          val out = distributedStoreServe(s, base, gp, t)
+          (c, gp.count(), t.toSet, out)
+        }
+      }
+      val res = futs.map(Await.result(_, Duration.Inf))
+      res.foreach { case (_, _, t, _) => touched ++= t }
+      lastGroupedServeStats.set(res.map { case (c, np, t, _) =>
+        GroupedServeStat(c, np, t.size, totalShards)
+      })
+      res.map(_._4).reduce(_ unionByName _)
+    } finally pool.shutdown()
   }
 
   /** Serve-bytes fraction: touched shard directories vs the whole store. */
@@ -4069,6 +4239,56 @@ object SimilarityOps {
        |  FROM sadc) CROSS JOIN summary WHERE rnk <= 5""".stripMargin
   }
 
+  /** q163 oracle: the rotation-free RaBitQ chain replayed — k=1 Lloyd
+    * centroid ([[ivfPrefixSql]] — c1's cell-0 centroid IS the
+    * round(avg,6) corpus mean), per-vector sign codes + the (norm,
+    * ⟨ō,x̄⟩) scalars, the unbiased estimator as index-ordered list_sum
+    * comprehensions (≡ Spark's aggregate(zip_with) fold — the proven
+    * sum-order recipe), est-desc/cid top-R, exact-cosine rerank top-5.
+    * Multi-referenced derived CTEs are MATERIALIZED (the q148 lesson:
+    * DuckDB re-inlines them exponentially otherwise). */
+  private def rabitqOracleSql(rerankR: Int): String = {
+    val D1 = Dim + 1
+    s"""${ivfPrefixSql(1, 1)},
+       |cc AS MATERIALIZED (SELECT cent FROM c1),
+       |enc0 AS (
+       |  SELECT e.vec_id AS cid, e.v AS ce,
+       |         [CASE WHEN e.v[i] - cc.cent[i] >= 0 THEN 1.0 ELSE -1.0 END
+       |          FOR i IN range(1, $D1)] AS sgn,
+       |         sqrt(greatest(list_sum(
+       |           [(e.v[i]-cc.cent[i])*(e.v[i]-cc.cent[i])
+       |            FOR i IN range(1, $D1)]), 1e-24)) AS norm_o,
+       |         list_sum([abs(e.v[i]-cc.cent[i])
+       |                   FOR i IN range(1, $D1)]) AS abs_sum
+       |  FROM e, cc),
+       |enc AS MATERIALIZED (
+       |  SELECT cid, ce, sgn, abs_sum / (8.0 * norm_o) AS sdot FROM enc0),
+       |q AS MATERIALIZED (
+       |  SELECT e.vec_id AS qid, e.v AS qe,
+       |         [e.v[i]-cc.cent[i] FOR i IN range(1, $D1)] AS qr,
+       |         sqrt(greatest(list_sum(
+       |           [(e.v[i]-cc.cent[i])*(e.v[i]-cc.cent[i])
+       |            FOR i IN range(1, $D1)]), 1e-24)) AS norm_q
+       |  FROM e, cc WHERE e.vec_id < 10),
+       |s1 AS (SELECT q.qid, enc.cid,
+       |              list_sum([enc.sgn[i]*q.qr[i] FOR i IN range(1, $D1)])
+       |                / 8.0 / q.norm_q / greatest(enc.sdot, 1e-12) AS est
+       |       FROM enc, q WHERE enc.cid != q.qid),
+       |r1 AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY est DESC, cid) AS rn
+       |  FROM s1) WHERE rn <= $rerankR),
+       |rr AS (SELECT r1.qid, r1.cid, list_cosine_similarity(q.qe, e.v) AS cos
+       |       FROM r1 JOIN q ON q.qid = r1.qid
+       |       JOIN e ON e.vec_id = r1.cid)
+       |SELECT qid, cid, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT qid, cid, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, cid) AS rnk
+       |  FROM rr) WHERE rnk <= 5""".stripMargin
+  }
+
   /** q152 oracle: the IVF chain + q105's quantization CTEs + int8-cosine
     * top-R per probe + exact fp re-rank top-5 — the store round-trip
     * changes nothing (the q137 precedent), so this replays the SERVE
@@ -4850,6 +5070,12 @@ object SimilarityOps {
     "q159_ann_soar" -> scannStackOracleSql(8, 3, PqM, PqK, PqIters,
       AnisoEta, nprobe = 2, rerankR = 32, soar = true,
       soarLambda = "1.0"),
+    // q163: the k=1 Lloyd centroid chain (c1 = round(avg,6) per dim),
+    // sign codes + (norm, ⟨ō,x̄⟩) scalars, the unbiased estimator as
+    // index-ordered list_sum comprehensions (≡ aggregate(zip_with)),
+    // est-desc/cid top-R cut, exact-cosine rerank top-5 — the whole
+    // rotation-free RaBitQ chain replayed
+    "q163_ann_rabitq" -> rabitqOracleSql(RabitqRerankR),
     "q146_ann_scann_stack" -> scannStackOracleSql(8, 3, PqM, PqK, PqIters,
       AnisoEta, nprobe = 2, rerankR = 32),
     // q147: truncated-cosine first stage (list_slice on the DOUBLE-cast

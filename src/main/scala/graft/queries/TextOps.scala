@@ -773,38 +773,7 @@ object TextOps {
     // list carried as state). Output: the (shard, bin, doc) assignment
     // map — docs over L truncate to L (the loader contract).
     // TrainingPrepSpec measures the padding-waste comparison vs q154.
-    "q160_pack_bfd" -> ((s, dir) => {
-      import s.implicits._
-      val L = 64L
-      val prepared = docs(s, dir)
-        .select(
-          pmod(stableHash(col("doc_id").cast("string")), lit(8L))
-            .as("shard"),
-          col("doc_id"),
-          least(size(tokens(col("text"))).cast("long"), lit(L))
-            .as("n_eff"))
-        .repartition(col("shard"))
-        .sortWithinPartitions(col("shard"), col("n_eff").desc,
-          col("doc_id"))
-        .as[(Long, Long, Long)]
-      prepared.mapPartitions { it =>
-        var curShard = Long.MinValue
-        val rem = scala.collection.mutable.ArrayBuffer[Long]()
-        it.map { case (shard, docId, n) =>
-          if (shard != curShard) { curShard = shard; rem.clear() }
-          var bi = -1
-          var best = Long.MaxValue
-          var i = 0
-          while (i < rem.length) {
-            if (rem(i) >= n && rem(i) < best) { best = rem(i); bi = i }
-            i += 1
-          }
-          if (bi < 0) { rem += (L - n); bi = rem.length - 1 }
-          else rem(bi) -= n
-          (shard, bi.toLong, docId, n)
-        }
-      }.toDF("shard", "bin_id", "doc_id", "n_eff")
-    }),
+    "q160_pack_bfd" -> ((s, dir) => bfdPack(s, dir)),
 
     // TOKENIZER RETRAIN LIFECYCLE (r15 verdict item 4 — q155's detection
     // CONSUMED): the streaming [[graft.streaming.DriftingTokenizerStore]]
@@ -1299,6 +1268,46 @@ object TextOps {
   /** Winnowing fingerprint selection over a (doc_id, text) frame — the
     * q107 body, factored so specs can feed synthetic corpora. K/W fixed so
     * the oracle SQL stays a literal mirror. */
+  /** q160's body — BFD whole-doc packing, factored so the SHARD COUNT is
+    * a knob: packing runs per shard (stableHash mod `shards`), each
+    * shard's greedy independent, so shards pack in parallel at any
+    * corpus size — `shards` is the parallelism lever a production loader
+    * raises with the corpus (ScaleStress's pack stage measures exactly
+    * that; the gate pins shards = 8, the q48/q154 rule, so the oracle's
+    * per-shard recursive CTE replays verbatim). */
+  private[graft] def bfdPack(s: SparkSession, dir: String,
+      shards: Long = 8L, L: Long = 64L): DataFrame = {
+    import s.implicits._
+    val prepared = docs(s, dir)
+      .select(
+        pmod(stableHash(col("doc_id").cast("string")), lit(shards))
+          .as("shard"),
+        col("doc_id"),
+        least(size(tokens(col("text"))).cast("long"), lit(L))
+          .as("n_eff"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_eff").desc,
+        col("doc_id"))
+      .as[(Long, Long, Long)]
+    prepared.mapPartitions { it =>
+      var curShard = Long.MinValue
+      val rem = scala.collection.mutable.ArrayBuffer[Long]()
+      it.map { case (shard, docId, n) =>
+        if (shard != curShard) { curShard = shard; rem.clear() }
+        var bi = -1
+        var best = Long.MaxValue
+        var i = 0
+        while (i < rem.length) {
+          if (rem(i) >= n && rem(i) < best) { best = rem(i); bi = i }
+          i += 1
+        }
+        if (bi < 0) { rem += (L - n); bi = rem.length - 1 }
+        else rem(bi) -= n
+        (shard, bi.toLong, docId, n)
+      }
+    }.toDF("shard", "bin_id", "doc_id", "n_eff")
+  }
+
   private[graft] def winnow(docsDf: DataFrame, K: Int = 3, W: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")

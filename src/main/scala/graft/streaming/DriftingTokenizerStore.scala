@@ -2,8 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
 
 /** One micro-batch's lifecycle outcome on the tokenizer side: the smoothed
   * token-KL it scored against the reference distribution current at
@@ -11,6 +9,15 @@ import org.apache.spark.sql.types.StructType
   * it landed in. */
 final case class TokenizerIngestReport(batchId: Long, kl: Double,
     retrained: Boolean, epoch: Int)
+
+/** The PUBLISHED serving state of [[DriftingTokenizerStore]]: the epoch
+  * and the exact vocabulary that encoded it, swapped in ONE volatile
+  * write only after the new epoch is fully on disk — a concurrent reader
+  * can never observe the new vocabulary paired with the old epoch's
+  * store or vice versa (r16 ADVICE item 1: these were two plain vars
+  * updated separately). */
+final case class TokenizerPublished(epoch: Int, vocab: Seq[String])
+    extends EpochPublished
 
 /** The TEXT twin of [[DriftingVectorStore]] — the q155→q150 closure the
   * r15 verdict asked for: q155 detects token-distribution drift but
@@ -45,31 +52,30 @@ final case class TokenizerIngestReport(batchId: Long, kl: Double,
   * own partition from the standing slice before the union — the
   * [[DriftingVectorStore]] replay-safe-corpus rule — so even a batch
   * that still scores drifted on redelivery retrains on the exact corpus
-  * the first run saw. */
-final class DriftingTokenizerStore(storeDir: String, vocabSize: Int,
-    klBar: Double = 1.0) {
+  * the first run saw.
+  *
+  * Epoch/publish/replay/report machinery lives in [[DriftingStoreBase]]
+  * — shared with [[DriftingVectorStore]]. */
+final class DriftingTokenizerStore(storeDir0: String, vocabSize: Int,
+    klBar: Double = 1.0)
+    extends DriftingStoreBase[TokenizerPublished, TokenizerIngestReport](
+      storeDir0) {
 
-  private var sparkV: SparkSession = _
-  private var epochV = 0
-  private var vocabV: Seq[String] = Seq.empty
-  private val reportsV =
-    scala.collection.mutable.ArrayBuffer.empty[TokenizerIngestReport]
-
-  def epoch: Int = epochV
   /** Current vocabulary, ordered: ids are 1-based positions. */
-  def vocab: Seq[String] = vocabV
-  def reports: Seq[TokenizerIngestReport] = reportsV.toSeq
-  def retrains: Int = reportsV.count(_.retrained)
+  def vocab: Seq[String] = published.vocab
 
-  /** The current-epoch store (doc_id, toks, ids, batch) — serveable at
-    * any point in the lifecycle. */
-  def store: DataFrame = sparkV.read.parquet(s"$storeDir/epoch=$epochV")
+  /** Atomic serving snapshot for a concurrent frontend: (epoch, store,
+    * vocab) all from ONE published state. */
+  def serveSnapshot(): (Int, DataFrame, Seq[String]) = {
+    val p = published
+    (p.epoch, sparkV.read.parquet(s"$storeDir/epoch=${p.epoch}"), p.vocab)
+  }
 
   /** Reference unigram counts (tok, pc) of the corpus the CURRENT vocab
     * was trained on — the drift baseline, persisted as a distributed
     * artifact tier (vocab-bounded rows, never collected). */
   private def refCounts: DataFrame =
-    sparkV.read.parquet(s"$storeDir/refc_epoch=$epochV")
+    sparkV.read.parquet(s"$storeDir/refc_epoch=${published.epoch}")
 
   /** Train initial artifacts on `standing` (doc_id, toks) and publish it
     * as epoch 0, batch 0. */
@@ -78,7 +84,7 @@ final class DriftingTokenizerStore(storeDir: String, vocabSize: Int,
     val st = standing.select(col("doc_id"), col("toks"))
     val v0 = trainFor(st, 0)
     writeBatch(st, 0L, 0, v0)
-    vocabV = v0
+    publishInit(TokenizerPublished(0, v0))
   }
 
   /** Learn the epoch-`e` artifacts from `corpus` WITHOUT publishing:
@@ -147,48 +153,32 @@ final class DriftingTokenizerStore(storeDir: String, vocabSize: Int,
     val kl = klOf(batch)
     val drifted = kl > klBar
     if (drifted) {
+      val cur = published
       val standing = store.filter(col("batch") =!= lit(batchId))
         .select(col("doc_id"), col("toks"))
-      val prev = epochV
-      val next = prev + 1
+      val next = cur.epoch + 1
       val newVocab = trainFor(standing.union(batch), next)
       // non-blocking reindex: one distributed pass over the old epoch,
       // re-encoded under the NEW vocab, batch provenance preserved —
       // then the triggering batch lands in the new epoch too, and only
-      // THEN does the publish swap (epoch, vocab) together. The old
-      // epoch's ids tier answers every serve until that point (the
-      // DriftingVectorStore `.done` semantics).
-      sparkV.read.parquet(s"$storeDir/epoch=$prev")
+      // THEN does the publish swap (epoch, vocab) together in ONE
+      // volatile write. The old epoch's ids tier answers every serve
+      // until that point. The mode(overwrite) on the whole epoch
+      // directory is ALSO the orphan repair: a crash after this write
+      // but before publish leaves an unreachable epoch dir the next
+      // drifted ingest replaces wholesale (TokenizerLifecycleSpec's
+      // torn-publish case).
+      sparkV.read.parquet(s"$storeDir/epoch=${cur.epoch}")
         .select(col("batch"), col("doc_id"), col("toks"),
           transform(col("toks"), t => idOf(t, newVocab)).as("ids"))
         .write.mode("overwrite").partitionBy("batch")
         .parquet(s"$storeDir/epoch=$next")
       writeBatch(batch, batchId, next, newVocab)
-      vocabV = newVocab
-      epochV = next
+      publish(TokenizerPublished(next, newVocab))
     } else {
-      writeBatch(batch, batchId, epochV, vocabV)
+      val cur = published
+      writeBatch(batch, batchId, cur.epoch, cur.vocab)
     }
-    val rep = TokenizerIngestReport(batchId, kl, drifted, epochV)
-    reportsV += rep
-    rep
-  }
-
-  /** Streaming entry: AvailableNow over parquet (doc_id, toks) files, one
-    * [[ingest]] per micro-batch. Call [[init]] first. */
-  def start(inDir: String, schema: StructType, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val docsStream = sparkV.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(inDir)
-    docsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch 0 is the standing corpus init() published; stream
-        // micro-batch ids shift up by one so replays stay aligned
-        if (!batch.isEmpty) { ingest(batch, batchId + 1); () }
-      }
-      .start()
+    record(batchId, TokenizerIngestReport(batchId, kl, drifted, epoch))
   }
 }

@@ -2,8 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
 
 import graft.queries.SimilarityOps
 
@@ -12,6 +10,17 @@ import graft.queries.SimilarityOps
   * the store epoch it landed in. */
 final case class DriftIngestReport(batchId: Long, driftRatio: Double,
     retrained: Boolean, epoch: Int)
+
+/** The PUBLISHED serving state of [[DriftingVectorStore]]: the epoch and
+  * the exact artifacts that encoded it, swapped in ONE volatile write
+  * only after the new epoch's store (re-encode AND the triggering batch)
+  * is fully on disk — the `.done`-marker semantics. A concurrent
+  * frontend reading through `serveSnapshot` therefore always sees a
+  * complete epoch with matching artifacts: the old epoch keeps answering
+  * until the swap (SwapServeProbe drives exactly that and asserts zero
+  * failed serves). */
+final case class VectorStorePublished(epoch: Int, coarse: Seq[Seq[Double]],
+    pq: Seq[Seq[Seq[Double]]], baseline: Double) extends EpochPublished
 
 /** The DRIFT-AWARE flavor of [[VectorStoreIngest]] — the deployment story
   * the frozen-artifact q144 gate deliberately excludes: artifacts start
@@ -48,35 +57,17 @@ final case class DriftIngestReport(batchId: Long, driftRatio: Double,
   * the batch's own `batch=<id>` partition before the union, so the
   * replayed batch contributes its rows exactly once — the same corpus
   * the first run trained on (VectorStoreLifecycleSpec asserts both the
-  * in-distribution replay and the scale-drift replay, row for row). */
-final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
-    m: Int, kPq: Int, pqIters: Int, driftFactor: Double = 2.0) {
+  * in-distribution replay and the scale-drift replay, row for row).
+  *
+  * Epoch/publish/replay/report machinery lives in [[DriftingStoreBase]]
+  * — shared with [[DriftingTokenizerStore]]. */
+final class DriftingVectorStore(storeDir0: String, k: Int, iters: Int,
+    m: Int, kPq: Int, pqIters: Int, driftFactor: Double = 2.0)
+    extends DriftingStoreBase[VectorStorePublished, DriftIngestReport](
+      storeDir0) {
 
-  /** The PUBLISHED serving state: the epoch and the exact artifacts that
-    * encoded it, swapped in ONE volatile write only after the new
-    * epoch's store (re-encode AND the triggering batch) is fully on
-    * disk — the `.done`-marker semantics. A concurrent frontend reading
-    * through [[serveSnapshot]] therefore always sees a complete epoch
-    * with matching artifacts: the old epoch keeps answering until the
-    * swap (SwapServeProbe drives exactly that and asserts zero failed
-    * serves). */
-  private final case class Published(epoch: Int, coarse: Seq[Seq[Double]],
-      pq: Seq[Seq[Seq[Double]]], baseline: Double)
-
-  private var sparkV: SparkSession = _
-  @volatile private var pubV: Published = _
-  private val reportsV =
-    scala.collection.mutable.ArrayBuffer.empty[DriftIngestReport]
-
-  def epoch: Int = pubV.epoch
-  def coarse: Seq[Seq[Double]] = pubV.coarse
-  def pq: Seq[Seq[Seq[Double]]] = pubV.pq
-  def reports: Seq[DriftIngestReport] = reportsV.toSeq
-  def retrains: Int = reportsV.count(_.retrained)
-
-  /** The current-epoch store (vec_id, embedding, codes, batch, cell) —
-    * serveable at any point in the lifecycle. */
-  def store: DataFrame = sparkV.read.parquet(s"$storeDir/epoch=${pubV.epoch}")
+  def coarse: Seq[Seq[Double]] = published.coarse
+  def pq: Seq[Seq[Seq[Double]]] = published.pq
 
   /** Atomic serving snapshot for a concurrent frontend: (epoch, store,
     * coarse, pq) all from ONE published state — never a new epoch with
@@ -84,7 +75,7 @@ final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
     * read time, so a swap mid-serve cannot change the files a running
     * query reads. */
   def serveSnapshot(): (Int, DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
-    val p = pubV
+    val p = published
     (p.epoch, sparkV.read.parquet(s"$storeDir/epoch=${p.epoch}"),
       p.coarse, p.pq)
   }
@@ -96,24 +87,25 @@ final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
     val st = standing.select(col("vec_id"), col("embedding"))
     val p = trainArtifacts(st, 0)
     writeBatch(st, 0L, p)
-    pubV = p
+    publishInit(p)
   }
 
   /** Pure artifact training for epoch `e` — nothing published. The drift
     * baseline is measured against the artifacts just trained, over the
     * corpus they were trained on — a batch drawn from that distribution
     * then scores ≈ 1. */
-  private def trainArtifacts(trainDf: DataFrame, e: Int): Published = {
+  private def trainArtifacts(trainDf: DataFrame,
+      e: Int): VectorStorePublished = {
     val c = SimilarityOps.lloydFromSeeds(trainDf, k, iters)
     val p = SimilarityOps.pqCodebooksFrom(trainDf, m, kPq, pqIters)
-    Published(e, c, p, SimilarityOps.meanCellDist(trainDf, c))
+    VectorStorePublished(e, c, p, SimilarityOps.meanCellDist(trainDf, c))
   }
 
   /** Assign + encode one batch under epoch `p`'s artifacts and land it in
     * epoch `p` — the [[VectorStoreIngest.ingestBatch]] plan with the
     * raw-vector tier carried alongside the codes. */
   private def writeBatch(batch: DataFrame, batchId: Long,
-      p: Published): Unit =
+      p: VectorStorePublished): Unit =
     batch.select(col("vec_id"), col("embedding"),
         graft.plans.NearestCentroid.cell(col("embedding"), p.coarse)
           .as("cell"),
@@ -133,7 +125,7 @@ final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
     // multi-pass train/encode pipeline below
     val batch = batch0.select(col("vec_id"), col("embedding"))
       .localCheckpoint(eager = true)
-    val cur = pubV
+    val cur = published
     val ratio = {
       val d = SimilarityOps.meanCellDist(batch, cur.coarse)
       if (cur.baseline > 0.0) d / cur.baseline else 1.0
@@ -155,7 +147,11 @@ final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
       // provenance preserved — then the triggering batch lands in the
       // new epoch too, and only THEN does the volatile publish swap the
       // serving state. The old epoch answers every serve until that
-      // point (SwapServeProbe's zero-failed-serves claim).
+      // point (SwapServeProbe's zero-failed-serves claim). The
+      // mode(overwrite) on the whole epoch directory is ALSO the orphan
+      // repair: a crash after this write but before publish leaves an
+      // unreachable epoch dir that the next drifted ingest replaces
+      // wholesale (VectorStoreLifecycleSpec's torn-publish case).
       sparkV.read.parquet(s"$storeDir/epoch=${cur.epoch}")
         .select(col("batch"), col("vec_id"), col("embedding"),
           graft.plans.NearestCentroid.cell(col("embedding"), next.coarse)
@@ -167,32 +163,10 @@ final class DriftingVectorStore(storeDir: String, k: Int, iters: Int,
         .write.mode("overwrite").partitionBy("batch", "cell")
         .parquet(s"$storeDir/epoch=${next.epoch}")
       writeBatch(batch, batchId, next)
-      pubV = next
+      publish(next)
     } else {
       writeBatch(batch, batchId, cur)
     }
-    val rep = DriftIngestReport(batchId, ratio, drifted, pubV.epoch)
-    reportsV += rep
-    rep
-  }
-
-  /** Streaming entry: AvailableNow over parquet vector files, one
-    * [[ingest]] per micro-batch — [[VectorStoreIngest.start]] with the
-    * drift lifecycle in the loop. Call [[init]] first. */
-  def start(inDir: String, schema: StructType, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val vecs = sparkV.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(inDir)
-    vecs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch 0 is the standing corpus init() published; stream
-        // micro-batch ids shift up by one so replays stay aligned to
-        // their own deterministic subdirs
-        if (!batch.isEmpty) { ingest(batch, batchId + 1); () }
-      }
-      .start()
+    record(batchId, DriftIngestReport(batchId, ratio, drifted, epoch))
   }
 }

@@ -90,9 +90,38 @@ object GraphServeProbe {
             f"(${100.0 * touchedBytes / math.max(storeBytes, 1L)}%.1f%%)")
           (np, sec, touchedBytes)
         }
+        // SHARD-LOCAL grouped wave (r16 verdict item 3): the same 1024
+        // probes, grouped by nearest coarse cell (the store's own
+        // clustering key) — per-GROUP touched-shard fraction is the
+        // locality the flat wave can't have (its hops name every
+        // probe's frontier at once → ~100% of shards per hop), and
+        // results must be row-for-row identical to the flat wave.
+        val gProbes = e.filter(col("vec_id") < 1024L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val flatRows = SimilarityOps.distributedStoreServe(spark, base,
+            gProbes, scala.collection.mutable.Set[Int]())
+          .collect().map(_.toSeq).toSet
+        val gTouched = scala.collection.mutable.Set[Int]()
+        val tg0 = System.nanoTime()
+        val groupedRows = SimilarityOps.distributedStoreServeGrouped(spark,
+            base, gProbes, coarse8, gTouched)
+          .collect().map(_.toSeq).toSet
+        val gSec = (System.nanoTime() - tg0) / 1e9
+        require(groupedRows == flatRows,
+          "grouped serve diverged from the flat wave")
+        val stats = SimilarityOps.lastGroupedServeStats.get()
+        val fracs = stats.map(_.frac)
+        val meanF = fracs.sum / math.max(fracs.size, 1)
+        System.err.println(f"[gserve x$m] grouped 1024: wall=$gSec%6.2f s " +
+          f"groups=${stats.size} per-group touched " +
+          f"mean=${100 * meanF}%.1f%% max=${100 * fracs.max}%.1f%% " +
+          f"(flat wave: 100%% by hop) — rows identical to flat")
+        val gj = s""""grouped_p1024":{"sec":$gSec,"groups":${stats.size},""" +
+          s""""mean_group_frac":$meanF,"max_group_frac":${fracs.max},""" +
+          s""""identical_to_flat":true}"""
         val wj = waves.map { case (np, sec, tb) =>
           s""""p$np":{"sec":$sec,"touched_bytes":$tb}""" }.mkString(",")
-        println(s"""{"scale":$m,"n":$n,"store_bytes":$storeBytes,$wj}""")
+        println(s"""{"scale":$m,"n":$n,"store_bytes":$storeBytes,$wj,$gj}""")
       } finally {
         graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
       }

@@ -708,9 +708,63 @@ object ScaleStress {
     spark.stop()
   }
 
+  /** `--pack m1,m2,…` (r16 verdict item 6): q160's BFD packing with the
+    * shard count RAISED with scale (shards = 8·m — the parallelism knob a
+    * production loader turns as the corpus grows) next to the fixed-8
+    * gate geometry. The greedy is per-shard sequential by contract, so
+    * fixed shards ⇒ per-shard work grows with m (the O(bins) scan is the
+    * growth term); scaling shards with the corpus holds per-shard work
+    * ~constant — wall should go ~flat where fixed-8 climbs. */
+  private def packMain(args: Array[String]): Unit = {
+    val mults = args.headOption.getOrElse("1,10,30,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val outRoot = args.lift(1).getOrElse("/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]")
+          .appName("graft-scale-pack"),
+        math.max(cpus, 4))
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val warmDir = s"$outRoot/x${mults.min}"
+    synthesize(spark, warmDir, mults.min)
+    graft.queries.TextOps.bfdPack(spark, warmDir)
+      .write.format("noop").mode("overwrite").save()
+    mults.foreach { m =>
+      val dir = s"$outRoot/x$m"
+      if (m != mults.min) synthesize(spark, dir, m)
+      val shapes = Seq(("fixed8", 8L), ("scaled", 8L * m))
+      val line = shapes.map { case (label, sh) =>
+        val runs = (1 to 2).map { _ =>
+          clearCaches()
+          meter.settle()
+          val (_, w0, _, _) = meter.snapshot()
+          val t0 = System.nanoTime()
+          graft.queries.TextOps.bfdPack(spark, dir, shards = sh)
+            .write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          meter.settle()
+          val (_, w1, _, _) = meter.snapshot()
+          (sec, w1 - w0)
+        }
+        val (sec, shufW) = runs.minBy(_._1)
+        System.err.println(f"[pack x$m] $label%-7s shards=$sh%4d " +
+          f"wall=$sec%6.2f s  shufW=${shufW / 1024.0 / 1024.0}%7.2f MB")
+        f""""$label":{"shards":$sh,"sec":$sec%.3f,"shuffle_write":$shufW}"""
+      }.mkString(",")
+      println(s"""{"metric":"pack_scale","mult":$m,$line}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--flat")) { flatMain(args.drop(1)); return }
     if (args.headOption.contains("--suite")) { suiteMain(args.drop(1)); return }
+    if (args.headOption.contains("--pack")) { packMain(args.drop(1)); return }
     val mults = args.headOption.getOrElse("1,10")
       .split(",").map(_.trim.toInt).toSeq
     val outRoot = args.lift(1).getOrElse("/tmp/graft_scale")

@@ -73,6 +73,21 @@ class GraphServeSpec extends AnyFunSuite {
       assert(dist === local,
         "executor-tier batch serve diverged from the driver-tier session")
       assert(dist.nonEmpty && touched.nonEmpty)
+      // SHARD-LOCAL grouped waves (r16 verdict item 3): grouping the
+      // wave by nearest coarse cell must not change a single row —
+      // a probe's walk is a pure function of the probe alone
+      val gTouched = scala.collection.mutable.Set[Int]()
+      val grouped = rows(SimilarityOps.distributedStoreServeGrouped(spark,
+        base, probes,
+        SimilarityOps.lloydCentroids(spark, dir, 8, 3,
+          maxVec = SimilarityOps.GraphGateSlice), gTouched))
+      assert(grouped === dist,
+        "cell-grouped batch serve diverged from the flat wave")
+      assert(grouped === local,
+        "cell-grouped batch serve diverged from the driver-tier session")
+      val stats = SimilarityOps.lastGroupedServeStats.get()
+      assert(stats.nonEmpty && stats.map(_.probes).sum === 64L,
+        "grouped serve must account for every probe exactly once")
     } finally {
       graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     }

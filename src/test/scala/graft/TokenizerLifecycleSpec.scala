@@ -94,6 +94,53 @@ class TokenizerLifecycleSpec extends AnyFunSuite {
         "still-drifted replay produced a different vocabulary")
       assert(storeRows(dts) === rows1,
         "still-drifted replay changed store content")
+      // reports key by batchId (r16 ADVICE 3): both replays UPSERTED
+      // their slots — two distinct batches, two reports, not four
+      assert(dts.reports.map(_.batchId) === Seq(1L, 2L),
+        "replayed batches must not append duplicate reports")
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
+  test("torn publish (r16 verdict item 4): a crash between the new epoch's write and the volatile publish keeps the old epoch + vocab serving; redelivery repairs the orphan into the exact no-crash end state") {
+    val base = java.nio.file.Files.createTempDirectory("dts_torn").toString
+    try {
+      val dts = new DriftingTokenizerStore(s"$base/store", V)
+      dts.init(spark, standing)
+      val (vocab0, rows0) = (dts.vocab, storeRows(dts))
+      // arm the crash in the ONLY window where disk and serving state
+      // disagree: the new epoch fully written, the publish not yet done
+      dts.failBeforePublish =
+        () => throw new RuntimeException("torn-publish injection")
+      val ex = intercept[RuntimeException] { dts.ingest(reversedHoldout, 1L) }
+      assert(ex.getMessage === "torn-publish injection")
+      assert(new java.io.File(s"$base/store/epoch=1").isDirectory,
+        "expected the unpublished epoch-1 directory on disk")
+      // the (epoch, vocab) bundle is one volatile publish (r16 ADVICE 1):
+      // a torn retrain can't leave the new vocab paired with the old
+      // epoch — both still read epoch 0
+      val (se, _, sv) = dts.serveSnapshot()
+      assert(se === 0 && sv === vocab0,
+        "a torn publish must leave the (epoch, vocab) snapshot untouched")
+      assert(storeRows(dts) === rows0, "old epoch must keep serving intact")
+      assert(dts.reports.isEmpty, "a crashed ingest must not record a report")
+      // redelivery: the deterministic decision fires again, the
+      // re-encode's mode(overwrite) replaces the orphan wholesale, and
+      // the publish lands — end state ≡ a run that never crashed
+      dts.failBeforePublish = () => ()
+      val r = dts.ingest(reversedHoldout, 1L)
+      assert(r.retrained && dts.epoch === 1 && dts.retrains === 1)
+      val all = standing.union(reversedHoldout)
+      val vocabRef = vocabOf(all)
+      assert(dts.vocab === vocabRef, "post-repair vocab != no-crash retrain")
+      val idsRef = all.collect().map { row =>
+        val toks = row.getSeq[String](1)
+        (row.getLong(0), toks.map(t =>
+          vocabRef.indexOf(t) match { case -1 => -1L; case i => (i + 1).toLong }))
+      }.toSet
+      assert(storeRows(dts) === idsRef,
+        "post-repair store != no-crash end state")
     } finally {
       graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     }

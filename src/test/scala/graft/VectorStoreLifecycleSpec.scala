@@ -107,6 +107,10 @@ class VectorStoreLifecycleSpec extends AnyFunSuite {
         f"replayed batch re-retrained at ${r3replay.driftRatio}%.3f")
       assert(dvs.epoch === 1 && storeRows(dvs) === before,
         "replay of the triggering batch must be idempotent")
+      // reports key by batchId (r16 ADVICE 3): the redelivery UPSERTED
+      // its slot — three distinct batches, three reports, not four
+      assert(dvs.reports.map(_.batchId) === Seq(1L, 2L, 3L),
+        "a replayed batch must not append a duplicate report")
 
       // a SECOND drift event (a different region: −25 shift) must ride
       // the same machinery — epoch 2 re-encodes the already-re-encoded
@@ -134,6 +138,57 @@ class VectorStoreLifecycleSpec extends AnyFunSuite {
         .toSet
       assert(storeRows(dvs) === rebuilt2,
         "epoch-2 store rows != from-scratch rebuild")
+    } finally {
+      graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+    }
+  }
+
+  test("torn publish (r16 verdict item 4): a crash between the new epoch's write and the volatile publish keeps the old epoch serving; redelivery repairs the orphan into the exact no-crash end state") {
+    val base = java.nio.file.Files.createTempDirectory("dvs_torn").toString
+    try {
+      val standing = emb.filter(col("vec_id") < 300)
+      val dvs = new DriftingVectorStore(s"$base/store", k, iters,
+        SimilarityOps.PqM, SimilarityOps.PqK, SimilarityOps.PqIters)
+      dvs.init(spark, standing)
+      val (coarse0, pq0, rows0) = (dvs.coarse, dvs.pq, storeRows(dvs))
+      // arm the crash in the ONLY window where disk and serving state
+      // disagree: the new epoch fully written, the publish not yet done
+      dvs.failBeforePublish =
+        () => throw new RuntimeException("torn-publish injection")
+      val ex = intercept[RuntimeException] { dvs.ingest(drifted, 1L) }
+      assert(ex.getMessage === "torn-publish injection")
+      // the orphan epoch is on disk …
+      assert(new java.io.File(s"$base/store/epoch=1").isDirectory,
+        "expected the unpublished epoch-1 directory on disk")
+      // … but unreachable: the store serves the COMPLETE old epoch with
+      // the OLD artifacts, and the crashed ingest recorded no report
+      assert(dvs.epoch === 0 && dvs.coarse === coarse0 && dvs.pq === pq0,
+        "a torn publish must leave the serving state untouched")
+      assert(storeRows(dvs) === rows0, "old epoch must keep serving intact")
+      assert(dvs.reports.isEmpty, "a crashed ingest must not record a report")
+      // redelivery (at-least-once): the same deterministic decision
+      // fires, the re-encode's mode(overwrite) replaces the orphan
+      // wholesale, and the publish lands — end state ≡ a run that never
+      // crashed (artifacts AND rows equal the from-scratch rebuild)
+      dvs.failBeforePublish = () => ()
+      val r = dvs.ingest(drifted, 1L)
+      assert(r.retrained && dvs.epoch === 1 && dvs.retrains === 1)
+      val all = standing.union(drifted)
+      val coarseRef = SimilarityOps.lloydFromSeeds(all, k, iters)
+      val pqRef = SimilarityOps.pqCodebooksFrom(all, SimilarityOps.PqM,
+        SimilarityOps.PqK, SimilarityOps.PqIters)
+      assert(dvs.coarse === coarseRef && dvs.pq === pqRef,
+        "post-repair artifacts != the no-crash retrain")
+      val rebuilt = all.select(col("vec_id"),
+          graft.plans.NearestCentroid.cell(col("embedding"), coarseRef)
+            .as("cell"),
+          org.apache.spark.sql.graft.PqExpr.encode(col("embedding"), pqRef)
+            .as("codes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+        .toSet
+      assert(storeRows(dvs) === rebuilt,
+        "post-repair store != no-crash end state")
     } finally {
       graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     }

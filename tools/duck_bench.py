@@ -9,45 +9,73 @@ oracle hardcodes the sf0.01 path — it's a catalog operator, not a bench
 query). q86 is skipped SYMMETRICALLY with graft.Bench (see the comment
 there): its Spark side runs a streaming-ingest lifecycle, not a query,
 so neither side times it; the correctness gate still covers it.
+
+Also importable (tools/paired_bench.py): `connect(sf)` builds the view'd
+connection, `run_pass(con, sql)` times one full pass and returns the
+per-query dict.
 """
 import duckdb, json, sys, time
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-sql = json.load(open(f"{out}/oracle_sql.json"))
-con = duckdb.connect()
-con.execute("SET threads=32")
-for t in ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+# skipped SYMMETRICALLY with graft.Bench's nonQueryEntries (see the
+# comments there): lifecycle/store-build gates whose Spark side pays an
+# ingest or store build+write per pass while these oracles are one-shot
+# SELECTs — neither side would be timing query execution. q40's oracle
+# hardcodes the sf0.01 path (catalog operator). Correctness stays gated
+# every round via Verify.
+SKIP = frozenset((
+    "q40_parquet_meta", "q86_ingest_endstate",
+    "q90_image_ingest_endstate", "q91_audio_ingest_endstate",
+    "q92_video_ingest_endstate", "q95_stream_sessionize_endstate",
+    "q96_stream_window_endstate", "q98_stream_join_endstate",
+    "q100_stream_dedup_endstate",
+    "q104_stream_timer_sessionize_endstate",
+    "q121_index_ingest_endstate",
+    "q125_bm25_sharded_store",
+    "q144_vector_store_ingest_endstate",
+    "q150_drift_retrain_endstate",
+    "q156_tokenizer_retrain_endstate",
+    # r16: the four partitioned-store gates, skipped SYMMETRICALLY with
+    # graft.Bench (see the comment there) — their Spark side pays a full
+    # store build+write per pass while these oracles are one-shot SELECTs
+    "q137_ann_sharded_store", "q141_graph_sharded_store",
+    "q152_ann_sq8_store", "q153_ann_filtered_store",
+    "q158_graph_batch_serve"))
 
-times = {}
-for name, q in sorted(sql.items()):
-    if name in ("q40_parquet_meta", "q86_ingest_endstate",
-                "q90_image_ingest_endstate", "q91_audio_ingest_endstate",
-                "q92_video_ingest_endstate", "q95_stream_sessionize_endstate",
-                "q96_stream_window_endstate", "q98_stream_join_endstate",
-                "q100_stream_dedup_endstate",
-                "q104_stream_timer_sessionize_endstate",
-                "q121_index_ingest_endstate",
-                "q125_bm25_sharded_store",
-                "q144_vector_store_ingest_endstate",
-                "q150_drift_retrain_endstate",
-                "q156_tokenizer_retrain_endstate",
-                # r16: the four partitioned-store gates, skipped
-                # SYMMETRICALLY with graft.Bench (see the comment there) —
-                # their Spark side pays a full store build+write per pass
-                # while these oracles are one-shot SELECTs
-                "q137_ann_sharded_store", "q141_graph_sharded_store",
-                "q152_ann_sq8_store", "q153_ann_filtered_store",
-                "q158_graph_batch_serve"):
-        continue
-    t0 = time.time()
-    try:
-        con.execute(q).fetchall()
-        times[name] = time.time() - t0
-    except Exception as e:
-        print(f"{name:36s}ERR {str(e)[:90]}")
-for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
-    print(f"{k:36s}{v:.3f}")
-print(f"TOTAL {sum(times.values()):.2f}s over {len(times)} queries")
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def connect(sf):
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def run_pass(con, sql, on_error=None):
+    """One timed pass over every non-skipped oracle; returns {name: sec}."""
+    times = {}
+    for name, q in sorted(sql.items()):
+        if name in SKIP:
+            continue
+        t0 = time.time()
+        try:
+            con.execute(q).fetchall()
+            times[name] = time.time() - t0
+        except Exception as e:
+            if on_error:
+                on_error(name, e)
+            else:
+                print(f"{name:36s}ERR {str(e)[:90]}")
+    return times
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    sql = json.load(open(f"{out}/oracle_sql.json"))
+    times = run_pass(connect(sf), sql)
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+        print(f"{k:36s}{v:.3f}")
+    print(f"TOTAL {sum(times.values()):.2f}s over {len(times)} queries")

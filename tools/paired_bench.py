@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""INTERLEAVED Spark↔DuckDB bench pairing (r16 verdict item 2).
+
+The cross-day band quotes were dominated by host noise — one evening
+DuckDB's own totals spread 2.15× on identical SQL — so a worst pairing
+taken across sessions says nothing about the engines. This runner
+alternates the two engines WITHIN one session:
+
+    spark warmup ∥ duck warmup → spark pass 1 → duck pass 1
+                               → spark pass 2 → duck pass 2
+                               → spark pass 3 → duck pass 3
+
+so every quoted pair is same-minute. Protocol: graft.Bench (one warm
+JVM for all passes — JIT/codegen amortized exactly like the normal
+bench) publishes <dir>/spark_pass_<k>.json after each timed pass and
+blocks until this script writes <dir>/duck_pass_<k>.done; the gap is
+where the DuckDB pass runs.
+
+Usage: python3 tools/paired_bench.py [sfDir] [verifyOutDir-with-oracle_sql.json]
+
+Prints per-pass pairs + the per-pass ratio band over the COMMON query
+set (Bench's nonQueryEntries ≡ duck_bench.SKIP, so the sets match by
+construction; any residual asymmetry is intersected away and reported).
+Writes PAIRED_BENCH_LATEST.json to the repo root.
+"""
+import json, os, subprocess, sys, tempfile, time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import duck_bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PASSES = 3
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    sql = json.load(open(f"{out}/oracle_sql.json"))
+    pairdir = tempfile.mkdtemp(prefix="paired_bench_")
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf,
+               SPARK_GRAFT_PAIRED_DIR=pairdir)
+    log = open(os.path.join(pairdir, "bench.log"), "w")
+    proc = subprocess.Popen(
+        ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
+        stdout=log, stderr=subprocess.STDOUT)
+    print(f"[paired] spark bench launched (log: {pairdir}/bench.log)")
+
+    # duck warmup overlaps spark's untimed warmup pass: OS page cache +
+    # duckdb's own buffers end up warm on both sides before pass 1
+    con = duck_bench.connect(sf)
+    t0 = time.time()
+    duck_bench.run_pass(con, sql, on_error=lambda n, e: None)
+    print(f"[paired] duck warmup {time.time() - t0:.1f}s")
+
+    pairs = []
+    for k in range(1, PASSES + 1):
+        spark_file = os.path.join(pairdir, f"spark_pass_{k}.json")
+        while not os.path.exists(spark_file):
+            if proc.poll() is not None:
+                print(f"[paired] bench exited rc={proc.returncode} before "
+                      f"pass {k} — see {pairdir}/bench.log")
+                sys.exit(1)
+            time.sleep(0.5)
+        spark = json.load(open(spark_file))
+        t0 = time.time()
+        errs = []
+        duck = duck_bench.run_pass(con, sql,
+                                   on_error=lambda n, e: errs.append(n))
+        # ack AFTER the duck pass: the next spark pass starts only once
+        # this pass's pair is complete — strict alternation
+        with open(os.path.join(pairdir, f"duck_pass_{k}.done"), "w") as f:
+            f.write("ok\n")
+        common = sorted(set(spark["queries"]) & set(duck))
+        s_tot = sum(spark["queries"][q] for q in common)
+        d_tot = sum(duck[q] for q in common)
+        asym = (set(spark["queries"]) ^ set(duck)) - set(errs)
+        pairs.append({"pass": k, "spark": round(s_tot, 2),
+                      "duck": round(d_tot, 2),
+                      "ratio": round(s_tot / d_tot, 3),
+                      "n_common": len(common), "duck_errors": errs,
+                      "asymmetric": sorted(asym)})
+        print(f"[paired] pass {k}: spark {s_tot:.2f}s  duck {d_tot:.2f}s  "
+              f"ratio {s_tot / d_tot:.3f}x  ({len(common)} common queries)")
+        if asym:
+            print(f"[paired]   WARNING asymmetric timed sets: {sorted(asym)}")
+
+    proc.wait()
+    ratios = [p["ratio"] for p in pairs]
+    summary = {"sf": sf, "pairs": pairs,
+               "band": [min(ratios), max(ratios)],
+               "median_ratio": sorted(ratios)[len(ratios) // 2]}
+    dest = os.path.join(REPO, "PAIRED_BENCH_LATEST.json")
+    with open(dest, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[paired] band {min(ratios):.3f}–{max(ratios):.3f}x over "
+          f"{len(ratios)} same-minute pairs → {dest}")
+
+
+if __name__ == "__main__":
+    main()
