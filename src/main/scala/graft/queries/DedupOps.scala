@@ -441,6 +441,60 @@ object DedupOps {
        WHERE i * 1.0 / (ca.n + cb.n - i) >= $minJaccard"""
   }
 
+  /** q164 Bloom geometry: m = 2¹⁴ bits (256 64-bit words), k = 4 seeded
+    * hashes — sized so the false-positive path provably FIRES at the
+    * gate SF (load factor k·n/m ≈ 1 at sf0.01 ⇒ fp ≈ 15%; a production
+    * deployment sizes m up, the artifact stays one bounded broadcast). */
+  private[graft] val BloomBits = 16384L
+  private[graft] val BloomWords = (BloomBits / 64).toInt
+  private[graft] val BloomK = 4
+
+  /** q164's body — see the `queries` entry for the story. The gate
+    * ground-truths EVERY probe (exact join over the full probe side) so
+    * the confusion surface is complete; the scale deployment joins only
+    * the might-contain survivors — the whole point of the filter. */
+  private[graft] def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      pmod(stableHash(col("doc_id").cast("string")), lit(100)).as("b"))
+    val train = d.filter(col("b") < 80).select("text")
+    // k bit positions per key: seeded md5-prefix hashes — the
+    // cross-engine stableHash family, no engine-private hash function
+    def posCol(j: Int): Column =
+      pmod(stableHash(concat(col("text"), lit(s"#bloom$j"))), lit(BloomBits))
+    // build: ONE map-side-combined bit_or aggregation into m/64 words;
+    // only BloomWords rows ever reach the driver
+    val words = train
+      .select(explode(array((0 until BloomK).map(posCol): _*)).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).as("w"))
+      .agg(expr(
+        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+        .as("word"))
+    val wmap = words.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    val wordArr = array(
+      (0 until BloomWords).map(i => lit(wmap.getOrElse(i, 0L))): _*)
+    // probe: k literal-array lookups per row, staged so each position
+    // computes once (the q159 staged-projection rule)
+    val staged = d.filter(col("b") >= 90)
+      .select(col("doc_id") +: col("text") +:
+        (0 until BloomK).map(j => posCol(j).as(s"p$j")): _*)
+    val hits = staged.select(col("doc_id") +: col("text") +:
+      (0 until BloomK).map { j =>
+        (element_at(wordArr, (shiftright(col(s"p$j"), 6) + 1).cast("int"))
+          .bitwiseAND(expr(
+            s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 64 AS INT))"))
+          =!= lit(0L)).as(s"h$j")
+      }: _*)
+    val might = (0 until BloomK).map(j => col(s"h$j")).reduce(_ && _)
+    val seen = train.distinct().withColumn("seen", lit(true))
+    hits.select(col("doc_id"), col("text"), might.as("might_contain"))
+      .join(seen, Seq("text"), "left")
+      .select(col("doc_id"), col("might_contain"),
+        coalesce(col("seen"), lit(false)).as("in_train"))
+      .withColumn("false_positive",
+        col("might_contain") && !col("in_train"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content digest, keep lowest doc_id
     // (hash-groupBy; at 100 TB group on the digest, never the text).
@@ -449,6 +503,28 @@ object DedupOps {
         .groupBy(md5(col("text").cast("binary")).as("text_md5"))
         .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("dup_count"))
     }),
+
+    // BLOOM-FILTER PRE-JOIN MEMBERSHIP (Bloom CACM'70 — the seen-set
+    // pre-filter every streaming dedup/decontamination tier runs before
+    // its exact join: a fixed-m-bit artifact answers "definitely new"
+    // scan-locally, so the expensive exact equi-join touches only the
+    // might-contain survivors + a bounded false-positive tax). Fully
+    // DETERMINISTIC and cross-engine: the k bit positions are seeded
+    // md5-prefix hashes (the stableHash family — no engine-private
+    // hash), the filter is ONE map-side-combined bit_or aggregation
+    // into m/64 words (bounded artifact: 2 KiB here; a production m of
+    // 2³³ bits is a 1 GiB broadcast — still executor-local probing),
+    // and probes test k literal-array word lookups per row, codegen'd.
+    // The gate emits the full confusion surface per probe doc —
+    // might_contain, exact membership, and the false-positive flag —
+    // and the oracle replays positions, words and bit tests with
+    // identical integer arithmetic. Geometry is sized so the FP path
+    // provably FIRES at the bench SF (sf0.1's 5000 docs ⇒ load ≈ 1 ⇒
+    // fp ≈ 15%, asserted against the analytic bound in SketchSpec; the
+    // 500-doc gate corpus sits in the near-zero-fp regime). A Bloom MISS is PROOF of absence
+    // (no false negatives) — that direction is what lets the exact join
+    // skip ~(1−fp)·|new| of its probe side at scale.
+    "q164_bloom_prefilter" -> ((s, dir) => bloomPrefilter(s, dir)),
 
     // Exact duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better" — the fixed-width
@@ -1053,6 +1129,44 @@ object DedupOps {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
          count(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
+    // q164: positions, words and bit tests replayed with identical
+    // integer arithmetic (seeded md5-prefix hashes, nonneg % ≡ pmod,
+    // 64-bit shifts — bit 63 spelled as the Long.MinValue literal
+    // because DuckDB range-checks 1<<63 where Spark's shiftleft wraps);
+    // a probe position whose word row is absent is a definite miss
+    // (coalesce FALSE ≡ the Spark side's getOrElse(0))
+    "q164_bloom_prefilter" -> {
+      def bit1(b: String) =
+        s"""(CASE WHEN $b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+           |      ELSE CAST(1 AS BIGINT) << CAST($b AS INT) END)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text,
+         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) % 100 AS b FROM documents),
+         |tr AS MATERIALIZED (SELECT text FROM d WHERE b < 80),
+         |pos AS (SELECT CAST('0x' || substr(md5(text || '#bloom' ||
+         |            CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % $BloomBits
+         |          AS pos
+         |        FROM tr, range(0, $BloomK) t(j)),
+         |words AS MATERIALIZED (
+         |  SELECT pos >> 6 AS w, bit_or(${bit1("pos % 64")}) AS word
+         |  FROM pos GROUP BY pos >> 6),
+         |ph AS (SELECT doc_id, text, j,
+         |         CAST('0x' || substr(md5(text || '#bloom' ||
+         |           CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % $BloomBits
+         |         AS pos
+         |       FROM d, range(0, $BloomK) t(j) WHERE b >= 90),
+         |hit AS (SELECT ph.doc_id, ph.text,
+         |          bool_and(coalesce(
+         |            (w.word & ${bit1("ph.pos % 64")}) != 0,
+         |            FALSE)) AS might_contain
+         |        FROM ph LEFT JOIN words w ON w.w = ph.pos >> 6
+         |        GROUP BY ph.doc_id, ph.text)
+         |SELECT h.doc_id, h.might_contain,
+         |       (t.text IS NOT NULL) AS in_train,
+         |       (h.might_contain AND t.text IS NULL) AS false_positive
+         |FROM hit h LEFT JOIN (SELECT DISTINCT text FROM tr) t
+         |  ON t.text = h.text""".stripMargin
+    },
     // string_agg skips the NULLed-out (removed) spans and orders by
     // span_idx — the SQL mirror of collect_list(when(kept, struct)) →
     // array_sort → concat_ws on the Spark side

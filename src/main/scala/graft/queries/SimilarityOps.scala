@@ -3204,13 +3204,20 @@ object SimilarityOps {
       val probes = emb(s, dir).filter(col("vec_id") < probeMax)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val touched = scala.collection.mutable.Set[Int]()
-      // SHARD-LOCAL waves (r16 verdict item 3): the wave groups by each
-      // probe's nearest coarse cell — the store's own clustering key —
-      // so each group's hops read only its shard locality. Row-for-row
-      // identical to the flat wave (see distributedStoreServeGrouped);
-      // the oracle replay is unchanged.
-      val out = distributedStoreServeGrouped(s, base, probes,
-        lloydCentroids(s, dir, 8, 3, maxVec = GraphGateSlice), touched)
+      // FLAT wave, deliberately: r16 verdict item 3 proposed grouping
+      // the wave by seed shard to restore locality; the grouped serve
+      // was BUILT ([[distributedStoreServeGrouped]] — row-identical by
+      // construction) and MEASURED (GraphServeProbe): per-group
+      // touched-shard fraction stays 100% at every scale, because hop 1
+      // expands the GLOBAL entry seeds' neighborhoods (which span every
+      // cell) for every probe, and hash sub-sharding sprays each cell's
+      // nodes across its sub-shards. Wave composition is not the
+      // locality lever on this store geometry — the entry discipline
+      // is (per-probe single-seed descent would change navigation
+      // semantics and every congruent replica of it). The flat wave is
+      // therefore strictly better: same reads, one job chain instead of
+      // G. SCALE.md quotes the negative result.
+      val out = distributedStoreServe(s, base, probes, touched)
       recordServeBytes(base, touched)
       out
     } finally {
@@ -3347,30 +3354,34 @@ object SimilarityOps {
     new java.util.concurrent.atomic.AtomicReference[Seq[GroupedServeStat]](
       Seq.empty)
 
-  /** SHARD-LOCAL batch serve waves (r16 verdict item 3): the flat 10³
-    * wave's hops name every probe's frontier at once, so a
-    * corpus-spanning batch touches ~100% of the store per hop — pure
-    * amortization, no pruning (SCALE.md's honest caveat). The store's
-    * layout is CELL-CLUSTERED (shard = coarse cell × sub-shard), so the
-    * fix is to group the wave by each probe's NEAREST COARSE CELL — the
-    * same shared IVF artifact the shards cluster by — and serve each
-    * group as its own wave: a group's walks start and stay in the
-    * group's cell neighborhood, so each group's hop reads only ITS
-    * shard locality, not the union of everyone's.
+  /** CELL-GROUPED batch serve waves — BUILT for r16 verdict item 3 and
+    * MEASURED AS A NEGATIVE RESULT (kept as the measurement apparatus;
+    * the q158 gate serves the flat wave). The hypothesis: the flat 10³
+    * wave touches ~100% of the store per hop only because its hops name
+    * every probe's frontier at once, so grouping the wave by each
+    * probe's NEAREST COARSE CELL (the store's own clustering key) should
+    * restore per-group shard locality. The measurement (GraphServeProbe,
+    * 1×/10×/30×): per-group touched fraction stays 100.0% at every
+    * scale — because (i) hop 1 expands the GLOBAL entry seeds'
+    * neighborhoods, which span every cell, for every probe in every
+    * group, and (ii) the hash sub-shard component sprays a single
+    * cell's nodes across its ~n/(8·W) sub-shards, so even a perfectly
+    * cell-local walk touches them all once its candidate count passes
+    * the sub-shard count. Wave composition is NOT the locality lever on
+    * this geometry; the lever is the ENTRY discipline (per-probe
+    * single-seed descent), which would change navigation semantics and
+    * every congruent replica of it (driver tier, oracle CTEs) — future
+    * work, documented in SCALE.md.
     *
-    * Results are IDENTICAL to the flat wave by construction: every join
-    * in [[distributedStoreServe]] keys on (qid, nid) and the per-hop
-    * shard filter only widens the candidate side, so a probe's walk is
-    * a pure function of the probe alone — wave composition cannot
-    * change it (GraphServeProbe asserts flat ≡ grouped row-for-row;
+    * What the apparatus still proves: results are IDENTICAL to the flat
+    * wave by construction — every join in [[distributedStoreServe]]
+    * keys on (qid, nid) and the per-hop shard filter only widens the
+    * candidate side, so a probe's walk is a pure function of the probe
+    * alone (GraphServeProbe asserts flat ≡ grouped row-for-row;
     * GraphServeSpec extends the driver-tier equality to this path).
-    *
-    * Groups run as CONCURRENT driver threads (bounded pool): each group
-    * is an independent job DAG, which is exactly how a cluster
-    * scheduler overlaps them — the local wall is not G sequential
-    * serves. Per-group touched-shard fractions land in
-    * [[lastGroupedServeStats]]; `touched` gets the union (the flat
-    * wave's measure, for the same recordServeBytes bookkeeping). */
+    * Groups run as CONCURRENT driver threads (bounded pool) — each an
+    * independent job DAG, as a cluster would overlap them. Per-group
+    * touched-shard fractions land in [[lastGroupedServeStats]]. */
   private[graft] def distributedStoreServeGrouped(s: SparkSession,
       base: String, probes: DataFrame, coarse: Seq[Seq[Double]],
       touched: scala.collection.mutable.Set[Int]): DataFrame = {

@@ -90,12 +90,13 @@ object GraphServeProbe {
             f"(${100.0 * touchedBytes / math.max(storeBytes, 1L)}%.1f%%)")
           (np, sec, touchedBytes)
         }
-        // SHARD-LOCAL grouped wave (r16 verdict item 3): the same 1024
-        // probes, grouped by nearest coarse cell (the store's own
-        // clustering key) — per-GROUP touched-shard fraction is the
-        // locality the flat wave can't have (its hops name every
-        // probe's frontier at once → ~100% of shards per hop), and
-        // results must be row-for-row identical to the flat wave.
+        // CELL-GROUPED wave (r16 verdict item 3 — measured NEGATIVE,
+        // see SCALE.md): the same 1024 probes grouped by nearest coarse
+        // cell. Measured per-group touched fraction is 100% at every
+        // scale (global seed expansion spans every cell on hop 1; hash
+        // sub-sharding sprays each cell over its sub-shards), so the
+        // q158 gate keeps the flat wave; this measurement documents the
+        // result and asserts flat ≡ grouped row-for-row every run.
         val gProbes = e.filter(col("vec_id") < 1024L)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val flatRows = SimilarityOps.distributedStoreServe(spark, base,

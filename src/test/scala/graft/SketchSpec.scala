@@ -93,4 +93,67 @@ class SketchSpec extends AnyFunSuite {
     assert(perLang === direct)
     lh.unpersist()
   }
+
+  test("q164 Bloom prefilter: zero false negatives, filter words match a local reference bloom, FP rate within the analytic bound") {
+    import graft.queries.DedupOps
+    // sf0.001/sf0.01 share the 500-doc documents table (load ≈ 0.1 —
+    // the no-FP regime); sf0.1's 5000 docs put the load at ≈ 1, where
+    // the analytic fp ≈ 15% MUST show up — both regimes asserted
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val rows = DedupOps.queries("q164_bloom_prefilter")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3)))
+      assert(rows.nonEmpty)
+      // THE Bloom guarantee: a member is NEVER missed — every in-train
+      // probe must test might_contain (a false negative means a broken
+      // filter, not an unlucky geometry)
+      rows.filter(_._3).foreach { case (id, might, _, _) =>
+        assert(might, s"$dir: false NEGATIVE for in-train probe $id")
+      }
+      // fp flag is definitionally might && !in
+      rows.foreach { case (id, might, in, fp) =>
+        assert(fp === (might && !in), s"$dir: inconsistent fp flag on $id")
+      }
+      // local reference bloom over the collected train slice (bounded at
+      // these SFs): identical words bit-for-bit ⇒ identical decisions
+      val d = docs(dir).select(col("doc_id"), col("text"),
+        pmod(stableHash(col("doc_id").cast("string")), lit(100)).as("b"))
+      val train = d.filter(col("b") < 80).select("text")
+        .collect().map(_.getString(0))
+      def positions(text: String): Seq[Long] =
+        (0 until DedupOps.BloomK).map { j =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest((text + s"#bloom$j").getBytes("UTF-8"))
+          val hex = md.map("%02x".format(_)).mkString.take(15)
+          java.lang.Long.parseLong(hex, 16) % DedupOps.BloomBits
+        }
+      val ref = new Array[Long](DedupOps.BloomWords)
+      train.foreach(t => positions(t).foreach { p =>
+        ref((p >> 6).toInt) |= (1L << (p % 64).toInt)
+      })
+      val probes = d.filter(col("b") >= 90)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      rows.foreach { case (id, might, _, _) =>
+        val expect = positions(probes(id)).forall(p =>
+          (ref((p >> 6).toInt) & (1L << (p % 64).toInt)) != 0L)
+        assert(might === expect, s"$dir: engine bloom != reference on $id")
+      }
+      // FP rate vs the analytic (1 − e^{−kn/m})^k with slack: geometry
+      // is sized so this FIRES at sf0.01 (load ≈ 1 ⇒ ~15%) and stays
+      // near zero at sf0.001 — both regimes inside the bound
+      val negatives = rows.filterNot(_._3)
+      if (negatives.nonEmpty) {
+        val fpRate = negatives.count(_._4).toDouble / negatives.size
+        val load = DedupOps.BloomK.toDouble * train.distinct.length /
+          DedupOps.BloomBits
+        val bound = math.pow(1 - math.exp(-load), DedupOps.BloomK)
+        info(f"$dir: fp rate $fpRate%.4f (analytic $bound%.4f, " +
+          f"${negatives.size} negatives)")
+        assert(fpRate <= bound * 3 + 0.02,
+          f"$dir: fp rate $fpRate%.4f far over analytic $bound%.4f")
+      }
+    }
+  }
 }

@@ -73,7 +73,11 @@ def main():
         common = sorted(set(spark["queries"]) & set(duck))
         s_tot = sum(spark["queries"][q] for q in common)
         d_tot = sum(duck[q] for q in common)
-        asym = (set(spark["queries"]) ^ set(duck)) - set(errs)
+        # q40 is the one DOCUMENTED asymmetry: Spark times it, the duck
+        # side skips it (its oracle hardcodes the sf0.01 path) — the
+        # common-set intersection already handles it
+        asym = (set(spark["queries"]) ^ set(duck)) - set(errs) \
+            - {"q40_parquet_meta"}
         pairs.append({"pass": k, "spark": round(s_tot, 2),
                       "duck": round(d_tot, 2),
                       "ratio": round(s_tot / d_tot, 3),
