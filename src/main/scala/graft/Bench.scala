@@ -91,8 +91,9 @@ object Bench {
       "q137_ann_sharded_store", "q141_graph_sharded_store",
       "q152_ann_sq8_store", "q153_ann_filtered_store",
       // q158: q141's store build per pass, serve wave 1024 probes —
-      // same build-vs-one-shot-SELECT asymmetry
-      "q158_graph_batch_serve")
+      // same build-vs-one-shot-SELECT asymmetry; q165 is the same store
+      // build with the single-entry descent
+      "q158_graph_batch_serve", "q165_graph_entry_serve")
     // SPARK_GRAFT_ONLY=q44,q31 runs a comma-separated subset (local triage)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.stableHash
 import graft.operators.ConnectedComponents
@@ -266,6 +267,52 @@ object CurationOps {
         .agg(count(lit(1)).as("n_sampled"),
           min("event_id").as("min_event_id"),
           r4(sum("value")).as("sum_value"))
+    }),
+
+    // PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 54(6) 2007 — the
+    // weighted fixed-size sample with UNBIASED subset-sum estimates that
+    // q50's unweighted hash threshold can't give): each doc draws
+    // priority p_i = w_i / u_i with w_i its char weight and u_i ∈ (0,1]
+    // a uniform; the sample is the top-k priorities and the threshold
+    // τ = (k+1)-th priority makes ŵ_i = max(w_i, τ) unbiased for every
+    // subset sum (E[Σ_S ŵ] = Σ_S w, the paper's Thm 1). NO rand(): u_i
+    // is the q48/q50 hash discipline ((h mod 2^30)+1)/2^30, so the draw
+    // is recomputation-stable and engine-portable, and both the numerator
+    // and the 2^30 denominator are double-exact — one IEEE division each
+    // for u and p, correctly rounded on any engine, so selection and τ
+    // are bitwise cross-engine. Scale: the top-(k+1) is
+    // TakeOrderedAndProject (per-partition heaps, one k-row reduce — no
+    // global sort, no shuffle of the corpus); the window ranks only the
+    // k+1 survivors; Σw is one map-side-combined integer aggregation.
+    // est_milli is the micro-unit integer spelling of Σ_sample max(w,τ)
+    // (fp-order-free) — at sf0.01 it reconstructs Σw within the
+    // estimator's own variance, the property the gate exists to pin.
+    "q166_priority_sample" -> ((s, dir) => {
+      val k = 64
+      val m = 1073741824L // 2^30
+      val d = Tables(s, dir, "documents").select(col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        (pmod(stableHash(col("doc_id").cast("string")), lit(m)) + 1L)
+          .as("hu"))
+      val pri = d.select(col("doc_id"), col("w"),
+        (col("w").cast("double") / (col("hu").cast("double") / m.toDouble))
+          .as("pri"))
+      val top = pri.orderBy(col("pri").desc, col("doc_id")).limit(k + 1)
+      val w = Window.orderBy(col("pri").desc, col("doc_id"))
+      val ranked = top.withColumn("rnk", row_number().over(w))
+      val tau = ranked.agg(
+        max(when(col("rnk") === k + 1, col("pri"))).as("tau"))
+      val tot = pri.agg(sum("w").as("w_total"))
+      val sample = ranked.filter(col("rnk") <= k)
+        .crossJoin(broadcast(tau)).crossJoin(broadcast(tot))
+      val estW = greatest(col("w").cast("double"), col("tau"))
+      sample.select(col("rnk").cast("long").as("rnk"), col("doc_id"),
+          col("w"), r4(col("pri")).as("priority"),
+          r4(estW).as("est_w"), r4(col("tau")).as("tau"),
+          col("w_total"),
+          sum(round(estW * 1000, 0).cast("long"))
+            .over(Window.partitionBy(lit(1))).as("est_milli"))
+        .orderBy("rnk")
     }),
 
     // Domain mixing: deterministic per-source sampling rates reweight the
@@ -706,6 +753,32 @@ object CurationOps {
          WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
                     AS BIGINT) % 10 = 0
          GROUP BY event_type""",
+    // the same one-division-each u and p spellings as the Spark side —
+    // IEEE division is correctly rounded, so priorities, the top-(k+1)
+    // cut and τ are bitwise identical; est_milli is an integer sum
+    // (order-free)
+    "q166_priority_sample" ->
+      """WITH d AS (SELECT doc_id, GREATEST(n_chars, 1) AS w,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 1073741824 + 1 AS hu
+              FROM documents),
+         p AS (SELECT doc_id, w,
+                CAST(w AS DOUBLE) / (CAST(hu AS DOUBLE) / 1073741824.0)
+                  AS pri FROM d),
+         t AS (SELECT doc_id, w, pri,
+                row_number() OVER (ORDER BY pri DESC, doc_id) AS rnk
+               FROM p QUALIFY rnk <= 65),
+         tau AS (SELECT max(CASE WHEN rnk = 65 THEN pri END) AS tau FROM t),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM d),
+         s AS (SELECT t.rnk, t.doc_id, t.w, t.pri, tau.tau, tot.w_total
+               FROM t, tau, tot WHERE t.rnk <= 64)
+         SELECT rnk, doc_id, w, round(pri, 4) AS priority,
+                round(GREATEST(CAST(w AS DOUBLE), tau), 4) AS est_w,
+                round(tau, 4) AS tau, w_total,
+                CAST((SELECT sum(CAST(round(GREATEST(CAST(w AS DOUBLE), tau)
+                                            * 1000, 0) AS BIGINT)) FROM s)
+                     AS BIGINT) AS est_milli
+         FROM s ORDER BY rnk""",
     // literal mirror of the exact-integer pipeline: sqrt is correctly
     // rounded on both engines, everything after the micro-unit snap is
     // integer arithmetic (HUGEINT here, DECIMAL on the Spark side)

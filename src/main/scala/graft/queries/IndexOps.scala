@@ -167,6 +167,22 @@ object IndexOps {
     *             access derive it as a narrow scan (q119: no shuffle);
     *             index-only callers recover it from the postings' forward
     *             info (`groupBy(doc_id).max(dl)` — q122). */
+  /** q119's whole body — the one-shot corpus BM25 build + probe retrieval
+    * — factored so the q167 hybrid's lexical arm IS the gated q119
+    * ranking, not a re-spelling. Output: (probe_doc, rnk, doc_id,
+    * bm25_micro), top [[TopK]] per probe. */
+  private[graft] def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val post = corpusPostings(s, dir)
+    val lens = docs(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    bm25ThroughIndex(post.groupBy("tok").agg(count(lit(1)).as("df")), post,
+      lens, maxDfFrac = MaxDfFrac)
+  }
+
+  /** RRF geometry shared with the q167 hybrid (SimilarityOps): both arms
+    * serve [[TopK]]-deep lists from [[Probes]] probes. */
+  private[graft] def rrfTopK: Int = TopK
+
   def bm25ThroughIndex(index: DataFrame, postings: DataFrame,
       lens: DataFrame, maxDfFrac: Double = 1.0): DataFrame = {
     val stats = lens.agg(count(lit(1)).as("n_docs"),
@@ -401,13 +417,7 @@ object IndexOps {
     // separate tokenize subtrees and paid three corpus passes, and
     // relying on exchange reuse instead re-pays the pass per consumer
     // (measured 4 scans, no ReusedExchange — AQE does not fuse them).
-    "q119_bm25_topk" -> ((s, dir) => {
-      val post = corpusPostings(s, dir)
-      val lens = docs(s, dir)
-        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
-      bm25ThroughIndex(post.groupBy("tok").agg(count(lit(1)).as("df")), post,
-        lens, maxDfFrac = MaxDfFrac)
-    }),
+    "q119_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
 
     // INCREMENTAL index ingest end-state, oracle-gated: three disjoint
     // doc batches each fold into a persisted parquet store
@@ -477,7 +487,7 @@ object IndexOps {
   /** One-shot BM25 SQL — shared verbatim by q119 (full corpus) and q122
     * (sliced, answered on the Spark side through the incrementally
     * composed index: equality proves the composition changes nothing). */
-  private def bm25OracleSql(where: String): String =
+  private[graft] def bm25OracleSql(where: String): String =
       s"""WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                      FROM documents $where),
          tf AS (SELECT doc_id, tok, count(*) AS tf FROM d GROUP BY 1, 2),

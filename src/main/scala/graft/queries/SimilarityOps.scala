@@ -1409,6 +1409,36 @@ object SimilarityOps {
     // pins wall ∝ probes, flat in corpus size.
     "q158_graph_batch_serve" -> ((s, dir) => graphBatchServe(s, dir)),
 
+    // ENTRY-DISCIPLINED batch graph serve (the r16 item-3 arc, closed
+    // with measurements): q158's store and per-hop navigation, but
+    // each probe's descent starts from its SINGLE best entry seed
+    // (DiskANN's shape, bm0 cut = 1) and the wave serves as
+    // cell-grouped concurrent sub-waves. GraphServeProbe measures the
+    // trade: per-group touched-shard fraction STAYS ~100% even
+    // entry-disciplined (degree-8 × NnHops fan-out covers every cell
+    // of these stores within two hops — locality needs graph-aware
+    // sharding, not entry discipline), while top-5 agreement with the
+    // all-seed navigation reads 0.88/0.70/0.61 at 1×/10×/30× — the
+    // recall cost of the cheaper descent, which is why this ships as
+    // its own gate beside q158 rather than replacing it. Oracle:
+    // q158's chain with the descent's bm0 cut at 1.
+    "q165_graph_entry_serve" -> ((s, dir) => graphEntryServe(s, dir)),
+
+    // RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack, Clarke &
+    // Büttcher SIGIR'09 — the fusion production RAG/retrieval stacks
+    // run between a lexical and a vector index; rank-only, so no score
+    // calibration between BM25 micro-units and cosines is needed):
+    // lexical arm = the gated q119 BM25 ranking itself
+    // (IndexOps.bm25TopK — same probes, same top-10), semantic arm =
+    // the q39 IVF cell search restricted to the SAME probe set, fused
+    // as rrf = 1/(60+r_lex) + 1/(60+r_sem) with an absent arm
+    // contributing 0 (the paper's k=60). Cross-engine exact: ranks are
+    // integers, each term is one correctly-rounded IEEE division, the
+    // sum is two terms in fixed lex+sem order. Scale: both arms are
+    // already-gated scale paths; fusion itself joins two
+    // ≤ probes·10-row relations — bounded at any corpus size.
+    "q167_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
+
     // IVF-PQ with an exact RE-RANK tail (r9 verdict item 8 — the
     // standard production shape: ADC is a cheap, lossy filter whose
     // top-R survivors are re-scored against the RAW vectors, recovering
@@ -3196,6 +3226,95 @@ object SimilarityOps {
       _ => graphBatchServeUncached(s, dir, probeMax))
   }
 
+  private val graphEntryServeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** q165's body — the ENTRY-DISCIPLINED batch serve: the same q141
+    * store and the same per-hop navigation as q158, but each probe's
+    * descent STARTS from its single best entry seed (bm0 cut = 1 —
+    * DiskANN's actual shape) instead of carrying every seed into hop 1,
+    * and the wave is served as cell-grouped concurrent sub-waves. This
+    * was the lever the r16 grouped-wave negative pointed at; the probe
+    * MEASURED it and the locality claim does NOT hold here either:
+    * per-group touched-shard fraction stays ~100% (degree-8 × NnHops
+    * fan-out reaches every cell of these stores within two hops —
+    * shard locality needs graph-aware sharding of the adjacency, not
+    * entry discipline; SCALE.md records both negatives). What the
+    * entry cut DOES measurably change is the navigation itself: top-5
+    * agreement with the all-seed walk is 0.88/0.70/0.61 at 1×/10×/30×
+    * (GraphServeProbe's `overlap_vs_flat`) — the recall a production
+    * single-entry stack pays for its cheaper hop-1 — which is why this
+    * ships as its OWN gate beside q158 rather than replacing it. */
+  private[graft] def graphEntryServe(s: SparkSession, dir: String,
+      probeMax: Long = BatchProbeMax): DataFrame = {
+    if (graphEntryServeCache.size > CacheMax) graphEntryServeCache.clear()
+    graphEntryServeCache.computeIfAbsent((sessionKey(s), dir), _ => {
+      val base = java.nio.file.Files.createTempDirectory("q165_store").toString
+      try {
+        buildGraphShardedStore(s, dir, GraphGateSlice, RpIngestSplit, base)
+        val probes = emb(s, dir).filter(col("vec_id") < probeMax)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val touched = scala.collection.mutable.Set[Int]()
+        val out = distributedStoreServeGrouped(s, base, probes,
+          lloydCentroids(s, dir, 8, 3, maxVec = GraphGateSlice), touched,
+          entryCut = 1)
+        recordServeBytes(base, touched)
+        out
+      } finally {
+        graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
+      }
+    })
+  }
+
+  /** q167's body — RRF hybrid retrieval. The lexical list is q119's
+    * gated output verbatim (probe selection included: lowest-id docs of
+    * ≥ 40 tokens with a usable term); the semantic list is the q39 IVF
+    * cell search for exactly those probe ids (shared quantizer artifact
+    * — [[lloydCentroids]] trains once per (session, dir)); fusion is a
+    * full outer join of two bounded ranked lists. Every hot-path piece
+    * (postings build, heap top-k, cell-pruned candidate join) is the
+    * already-audited plan of its home gate. */
+  private[graft] def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val topK = IndexOps.rrfTopK
+    val lex = IndexOps.bm25TopK(s, dir)
+      .select(col("probe_doc").as("qid"), col("doc_id").as("cid"),
+        col("rnk").as("lex_rnk"))
+      .localCheckpoint(eager = true) // both the fuse and the probe set read it
+    val probeIds = lex.select(col("qid")).distinct()
+    val cents = lloydCentroids(s, dir, 8, 3)
+    val assigned = emb(s, dir).select(col("vec_id"), col("embedding"),
+      NearestCentroid.cell(col("embedding"), cents).as("cell"))
+    val probes = assigned.join(broadcast(probeIds),
+        assigned("vec_id") === probeIds("qid"))
+      .select(col("qid"), col("embedding").as("qe"), col("cell"))
+    val sem = assigned
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosineSim(col("qe"), col("ce")).as("cos"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .columnFor(col("cos"), col("cid"), topK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.payload").as("cid"),
+        (col("pos") + 1).cast("long").as("sem_rnk"))
+    val fused = lex.join(sem, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rnk").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("sem_rnk").cast("double")),
+          lit(0.0)))
+    // ≤ 2·topK fused rows per probe — the window sorts a bounded list
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf").desc, col("cid"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
+        round(col("rrf"), 6).as("rrf"),
+        coalesce(col("lex_rnk"), lit(0L)).as("lex_rnk"),
+        coalesce(col("sem_rnk"), lit(0L)).as("sem_rnk"))
+  }
+
   private def graphBatchServeUncached(s: SparkSession, dir: String,
       probeMax: Long): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("q158_store").toString
@@ -3274,9 +3393,16 @@ object SimilarityOps {
     * executors — ∝ probes, flat in corpus size (GraphServeProbe
     * measures exactly that). Visited-shard routing state is bounded by
     * the walk (seeds ∪ carried nid_shard), never corpus-sized. */
+  /** `entryCut` — how many seed-scored entries the descent STARTS from
+    * (the bm0 cut): 0 ⇒ the full beam (the historical q141/q158
+    * navigation — all seeds survive into hop 1); 1 ⇒ DiskANN's actual
+    * single-entry discipline (q165), the locality lever the grouped-wave
+    * measurement identified (each probe's walk grows from ITS entry's
+    * neighborhood instead of every seed's). */
   private[graft] def distributedStoreServe(s: SparkSession, base: String,
       probes: DataFrame,
-      touched: scala.collection.mutable.Set[Int]): DataFrame = {
+      touched: scala.collection.mutable.Set[Int],
+      entryCut: Int = 0): DataFrame = {
       val adjStore = s.read.parquet(s"$base/adj")
       val vecStore = s.read.parquet(s"$base/vec")
       // ---- serve: everything below reads ONLY the sharded store ----
@@ -3312,7 +3438,8 @@ object SimilarityOps {
             cosineSim(col("qe"), col("ne")).as("cos"))
       }
       var bm = topW(scoreQ(probes.select(col("qid"))
-          .crossJoin(broadcast(known.select(col("nid"))))), NnBeam)
+          .crossJoin(broadcast(known.select(col("nid"))))),
+          if (entryCut > 0) entryCut else NnBeam)
         .localCheckpoint(eager = true)
       for (_ <- 1 to NnHops) {
         val adjP = adjStore.filter(col("shard")
@@ -3384,7 +3511,8 @@ object SimilarityOps {
     * touched-shard fractions land in [[lastGroupedServeStats]]. */
   private[graft] def distributedStoreServeGrouped(s: SparkSession,
       base: String, probes: DataFrame, coarse: Seq[Seq[Double]],
-      touched: scala.collection.mutable.Set[Int]): DataFrame = {
+      touched: scala.collection.mutable.Set[Int],
+      entryCut: Int = 0): DataFrame = {
     val byCell = probes
       .select(col("qid"), col("qe"),
         NearestCentroid.cell(col("qe"), coarse).as("pcell"))
@@ -3409,7 +3537,7 @@ object SimilarityOps {
           val gp = byCell.filter(col("pcell") === c).select("qid", "qe")
             .localCheckpoint(eager = true)
           val t = scala.collection.mutable.Set[Int]()
-          val out = distributedStoreServe(s, base, gp, t)
+          val out = distributedStoreServe(s, base, gp, t, entryCut)
           (c, gp.count(), t.toSet, out)
         }
       }
@@ -4531,9 +4659,12 @@ object SimilarityOps {
     * `$seedCte`, `hops` expand/score/cut rounds against graph
     * `$graphCte` and vectors `$eCte`; emits `${q}bm$hops`. Factored so
     * the q130 hierarchy instantiates it once per layer. */
+  /** `entryBeam` — the bm0 cut (how many seed-scored entries survive
+    * into hop 1): 0 ⇒ `beam` (every historical caller, byte-identical
+    * text); 1 ⇒ the q165 single-entry descent. */
   private def beamCtesSql(q: String, graphCte: String, eCte: String,
       seedCte: String, beam: Int, hops: Int,
-      qsCte: String = "qs"): String = {
+      qsCte: String = "qs", entryBeam: Int = 0): String = {
     def topW(src: String, w: Int): String =
       s"""(SELECT qid, nid, cos FROM (
          |   SELECT qid, nid, cos,
@@ -4556,7 +4687,8 @@ object SimilarityOps {
        |          list_cosine_similarity(qq.qe, v.emb) AS cos
        |        FROM $seedCte s JOIN $qsCte qq ON qq.qid = s.qid
        |        JOIN $eCte v ON v.vec_id = s.nid),
-       |${q}bm0 AS MATERIALIZED ${topW(s"${q}s0", beam)},
+       |${q}bm0 AS MATERIALIZED ${topW(s"${q}s0",
+        if (entryBeam > 0) entryBeam else beam)},
        |$hopCtes""".stripMargin
   }
 
@@ -4657,7 +4789,7 @@ object SimilarityOps {
     * default (diff oracle_sql.json before/after — the pfx rule). */
   private def graphShardedOracleSql(storeMax: Long, slice: Long,
       k: Int, iters: Int, beam: Int, hops: Int, seeds: Int,
-      probeMax: Long = 10L): String = {
+      probeMax: Long = 10L, entryBeam: Int = 0): String = {
     s"""WITH ${nnDescentChainSql(k, iters, s"vec_id < $storeMax")},
        |se AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |       WHERE vec_id < $slice),
@@ -4692,7 +4824,8 @@ object SimilarityOps {
        |zsd AS (SELECT p.qid, s.nid FROM pqs p CROSS JOIN
        |        (SELECT vec_id AS nid FROM se ORDER BY vec_id
        |         LIMIT $seeds) s),
-       |${beamCtesSql("z", "adjg", "se", "zsd", beam, hops, qsCte = "pqs")}
+       |${beamCtesSql("z", "adjg", "se", "zsd", beam, hops, qsCte = "pqs",
+        entryBeam = entryBeam)}
        |SELECT qid, nid, round(cos, 4) AS cosine,
        |       CAST(rnk AS BIGINT) AS rnk FROM (
        |  SELECT qid, nid, cos,
@@ -4959,6 +5092,52 @@ object SimilarityOps {
       graphShardedOracleSql(RpIngestSplit, GraphGateSlice,
         NnBuildK, NnIters, NnBeam, NnHops, NnSeeds,
         probeMax = BatchProbeMax),
+    // q165: q158's chain with the descent's bm0 cut at 1 — the
+    // single-entry discipline is the ONLY difference
+    "q165_graph_entry_serve" ->
+      graphShardedOracleSql(RpIngestSplit, GraphGateSlice,
+        NnBuildK, NnIters, NnBeam, NnHops, NnSeeds,
+        probeMax = BatchProbeMax, entryBeam = 1),
+    // q167: lex = q119's oracle verbatim as a nested-WITH CTE, sem = the
+    // q39 chain restricted to lex's probe ids; rrf terms are integer
+    // ranks through one correctly-rounded division each, summed in the
+    // same fixed lex+sem order as the Spark column
+    "q167_hybrid_rrf" -> {
+      val topK = IndexOps.rrfTopK
+      s"""WITH lex AS (${IndexOps.bm25OracleSql("")}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |      WHERE TRUE),
+         |${ivfChainSql(8, 3)},
+         |hp AS (SELECT DISTINCT probe_doc FROM lex),
+         |hpr AS (SELECT a.vec_id AS qid, a.v AS qe, a.cell
+         |        FROM af a JOIN hp ON hp.probe_doc = a.vec_id),
+         |hs AS (SELECT p.qid, a.vec_id AS cid,
+         |              list_cosine_similarity(p.qe, a.v) AS cos
+         |       FROM af a JOIN hpr p ON a.cell = p.cell
+         |                           AND a.vec_id != p.qid),
+         |sem AS (SELECT qid, cid,
+         |               row_number() OVER (PARTITION BY qid
+         |                 ORDER BY cos DESC, cid) AS sem_rnk
+         |        FROM hs QUALIFY sem_rnk <= $topK),
+         |fused AS (SELECT coalesce(l.probe_doc, s.qid) AS qid,
+         |                 coalesce(l.doc_id, s.cid) AS cid,
+         |                 coalesce(CAST(1 AS DOUBLE) /
+         |                          CAST(60 + l.rnk AS DOUBLE), 0.0)
+         |                   + coalesce(CAST(1 AS DOUBLE) /
+         |                              CAST(60 + s.sem_rnk AS DOUBLE), 0.0)
+         |                   AS rrf,
+         |                 coalesce(l.rnk, 0) AS lex_rnk,
+         |                 coalesce(s.sem_rnk, 0) AS sem_rnk
+         |          FROM lex l FULL OUTER JOIN sem s
+         |            ON s.qid = l.probe_doc AND s.cid = l.doc_id)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid,
+         |       round(rrf, 6) AS rrf, CAST(lex_rnk AS BIGINT) AS lex_rnk,
+         |       CAST(sem_rnk AS BIGINT) AS sem_rnk FROM (
+         |  SELECT qid, cid, rrf, lex_rnk, sem_rnk,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY rrf DESC, cid) AS rnk
+         |  FROM fused) WHERE rnk <= $topK""".stripMargin
+    },
     "q35_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                     FROM embeddings WHERE vec_id < 10),

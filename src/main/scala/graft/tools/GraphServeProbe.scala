@@ -120,9 +120,43 @@ object GraphServeProbe {
         val gj = s""""grouped_p1024":{"sec":$gSec,"groups":${stats.size},""" +
           s""""mean_group_frac":$meanF,"max_group_frac":${fracs.max},""" +
           s""""identical_to_flat":true}"""
+        // ENTRY-DISCIPLINED serve (q165 — the lever the grouped-wave
+        // negative pointed at): same store, same hops, bm0 cut = 1 per
+        // probe, cell-grouped wave. Measures (a) per-group touched
+        // fraction — which STAYS ~100% (the degree-8 fan-out covers
+        // every cell within two hops; locality needs graph-aware
+        // sharding, not entry discipline) — and (b) the real trade:
+        // mean top-5 overlap vs the all-seed navigation on the same
+        // probes (0.88 → 0.61 from 1× to 30×).
+        val eTouched = scala.collection.mutable.Set[Int]()
+        val te0 = System.nanoTime()
+        val entryRows = SimilarityOps.distributedStoreServeGrouped(spark,
+            base, gProbes, coarse8, eTouched, entryCut = 1)
+          .collect()
+        val eSec = (System.nanoTime() - te0) / 1e9
+        val eStats = SimilarityOps.lastGroupedServeStats.get()
+        val eFracs = eStats.map(_.frac)
+        val eMean = eFracs.sum / math.max(eFracs.size, 1)
+        def top5(pairs: Iterable[(Long, Long)]) =
+          pairs.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        val flatTop = top5(flatRows.toSeq.map(s =>
+          (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])))
+        val entryTop = top5(entryRows.toSeq.map(r =>
+          (r.getLong(0), r.getLong(1))))
+        val overlap = flatTop.map { case (q, t) =>
+          entryTop.getOrElse(q, Set.empty).intersect(t).size.toDouble /
+            math.max(t.size, 1) }
+        val meanOv = overlap.sum / math.max(overlap.size, 1)
+        System.err.println(f"[gserve x$m] entry-1 grouped 1024: " +
+          f"wall=$eSec%6.2f s per-group touched mean=${100 * eMean}%.1f%% " +
+          f"max=${100 * eFracs.max}%.1f%% — top-5 overlap vs all-seed " +
+          f"nav $meanOv%.3f")
+        val ej = s""""entry1_p1024":{"sec":$eSec,"groups":${eStats.size},""" +
+          s""""mean_group_frac":$eMean,"max_group_frac":${eFracs.max},""" +
+          s""""overlap_vs_flat":$meanOv}"""
         val wj = waves.map { case (np, sec, tb) =>
           s""""p$np":{"sec":$sec,"touched_bytes":$tb}""" }.mkString(",")
-        println(s"""{"scale":$m,"n":$n,"store_bytes":$storeBytes,$wj,$gj}""")
+        println(s"""{"scale":$m,"n":$n,"store_bytes":$storeBytes,$wj,$gj,$ej}""")
       } finally {
         graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
       }

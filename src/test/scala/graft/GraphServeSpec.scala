@@ -88,6 +88,24 @@ class GraphServeSpec extends AnyFunSuite {
       val stats = SimilarityOps.lastGroupedServeStats.get()
       assert(stats.nonEmpty && stats.map(_.probes).sum === 64L,
         "grouped serve must account for every probe exactly once")
+      // ENTRY-DISCIPLINED serve (q165): grouping must stay semantically
+      // invisible at entryCut = 1 too (flat ≡ grouped row-for-row), the
+      // entry cut must actually bite (different navigation ⇒ the result
+      // sets may differ from the all-seed walk, but every probe still
+      // answers with exactly 5 ranked rows), and per-probe results stay
+      // a function of the probe alone
+      val e1flat = rows(SimilarityOps.distributedStoreServe(spark, base,
+        probes, scala.collection.mutable.Set[Int](), entryCut = 1))
+      val e1grouped = rows(SimilarityOps.distributedStoreServeGrouped(spark,
+        base, probes,
+        SimilarityOps.lloydCentroids(spark, dir, 8, 3,
+          maxVec = SimilarityOps.GraphGateSlice),
+        scala.collection.mutable.Set[Int](), entryCut = 1))
+      assert(e1grouped === e1flat,
+        "entry-1 grouped serve diverged from the entry-1 flat wave")
+      val perProbe = e1flat.groupBy(_._1)
+      assert(perProbe.size === 64 && perProbe.values.forall(_.size === 5),
+        "entry-1 serve must answer every probe with exactly 5 rows")
     } finally {
       graft.export.Exporter.deleteRecursively(java.nio.file.Paths.get(base))
     }

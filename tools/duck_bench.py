@@ -39,7 +39,7 @@ SKIP = frozenset((
     # store build+write per pass while these oracles are one-shot SELECTs
     "q137_ann_sharded_store", "q141_graph_sharded_store",
     "q152_ann_sq8_store", "q153_ann_filtered_store",
-    "q158_graph_batch_serve"))
+    "q158_graph_batch_serve", "q165_graph_entry_serve"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
