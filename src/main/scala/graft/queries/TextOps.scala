@@ -20,6 +20,15 @@ object TextOps {
 
   private def r4(c: Column): Column = round(c, 4)
 
+  /** q168's blocklist — ONE list feeding both the Aho–Corasick automaton
+    * and the generated oracle SQL (change it in one place or the gate
+    * hash-fails). Chosen to exercise the automaton: "an"⊂"can"⊂"scan",
+    * "able"⊂"table", "ash"⊂"hash", "in"⊂"window"/"join"/"line" — every
+    * suffix relation is a failure-link/output-fold case. */
+  private[graft] val AcBlocklist: Seq[String] =
+    Seq("scan", "can", "an", "table", "able", "join", "in", "window",
+      "row", "hash", "ash")
+
   /** Exact, order-independent 4dp mean of a 6dp-rounded double column.
     *
     * `round(avg(x6), 4)` is nondeterministic when `x6` is itself rounded:
@@ -573,6 +582,32 @@ object TextOps {
           md5(regexp_replace(
             regexp_replace(col("txt"), emailPat, "<EMAIL>"),
             phonePat, "<PHONE>").cast("binary")).as("redacted_md5"))
+    }),
+
+    // AHO–CORASICK BLOCKLIST SCAN (Aho & Corasick CACM 18(6) 1975 — the
+    // C4-style "bad words" filter at its real multi-pattern scale): ONE
+    // codegen'd linear pass per doc ([[org.apache.spark.sql.graft
+    // .AhoCorasickStatsExpr]] — goto trie + BFS failure links built once
+    // on the driver, shipped as an expression reference object) emits
+    // every-occurrence counts, the distinct-pattern hit count and the
+    // leftmost match start. The blocklist here deliberately shares
+    // prefixes/suffixes ("scan"⊃"can"⊃"an", "table"⊃"able",
+    // "hash"⊃"ash") so the failure chain and output-set folding do real
+    // work — exactly what the regex-alternation alternative cannot do in
+    // linear time. Narrow projection + filter, zero shuffles at any
+    // corpus size; the automaton is driver-built constant state
+    // (a production blocklist of thousands of patterns is a few hundred
+    // KB — broadcast-class, not join-class). Oracle: per-pattern
+    // substring-position comprehensions generated from the SAME pattern
+    // list (single source of truth, the Perm4 discipline).
+    "q168_blocklist_ac" -> ((s, dir) => {
+      val st = org.apache.spark.sql.graft.AhoCorasickStatsExpr
+        .columnFor(col("text"), AcBlocklist)
+      docs(s, dir)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"), col("st.n_matches").as("n_matches"),
+          col("st.n_hit").as("n_hit"), col("st.first_pos").as("first_pos"))
+        .filter(col("n_matches") > 0)
     }),
 
     // Training-chunk split: fixed-size token windows with overlap (size 32,
@@ -1595,6 +1630,32 @@ object TextOps {
                     '<EMAIL>', 'g'),
                   '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          FROM inj""",
+    // generated from AcBlocklist — every-occurrence position lists per
+    // pattern (range is empty when the doc is shorter than the pattern,
+    // list_min of an empty list is NULL, LEAST skips NULLs like
+    // Postgres), so n_matches/n_hit/first_pos are the automaton's exact
+    // semantics spelled as substring comprehensions
+    "q168_blocklist_ac" -> {
+      val pos = AcBlocklist.zipWithIndex.map { case (p, i) =>
+        s"""[i FOR i IN range(1, len(text) - ${p.length} + 2)
+           | IF substr(text, i, ${p.length}) = '$p'] AS l$i""".stripMargin
+      }.mkString(",\n                ")
+      val is = AcBlocklist.indices
+      s"""WITH pl AS (SELECT doc_id,
+                $pos
+              FROM documents),
+         st AS (SELECT doc_id,
+                  ${is.map(i => s"len(l$i)").mkString(" + ")} AS n_matches,
+                  ${is.map(i => s"CASE WHEN len(l$i) > 0 THEN 1 ELSE 0 END")
+                     .mkString(" + ")} AS n_hit,
+                  LEAST(${is.map(i => s"list_min(l$i)").mkString(", ")})
+                    AS fp
+                FROM pl)
+         SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches,
+                CAST(n_hit AS BIGINT) AS n_hit,
+                CAST(coalesce(fp, 0) AS BIGINT) AS first_pos
+         FROM st WHERE n_matches > 0"""
+    },
     "q76_chunk_overlap" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),

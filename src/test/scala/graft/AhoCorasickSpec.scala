@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{AcAutomaton, AhoCorasickStatsExpr}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick blocklist scan (q168): the automaton against a
+  * brute-force every-occurrence reference on adversarial cases (shared
+  * prefixes/suffixes, self-overlap, failure-chain output folding), on
+  * random texts, and through the codegen'd DataFrame path. */
+class AhoCorasickSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Every-occurrence reference: (n_matches, n_hit, first_pos). */
+  private def brute(t: String, pats: Seq[String]): (Long, Long, Long) = {
+    val occ = pats.map(p =>
+      (0 to t.length - p.length).filter(i => t.regionMatches(i, p, 0, p.length))
+        .map(_ + 1L))
+    val nm = occ.map(_.size.toLong).sum
+    val nh = occ.count(_.nonEmpty).toLong
+    val fp = occ.filter(_.nonEmpty).map(_.head).minOption.getOrElse(0L)
+    (nm, nh, fp)
+  }
+
+  private def ac(t: String, pats: Seq[String]): (Long, Long, Long) = {
+    val r = new AcAutomaton(pats).stats(UTF8String.fromString(t))
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("classic he/she/his/hers plus overlap and fold cases match brute force") {
+    val cases = Seq(
+      ("ushers", Seq("he", "she", "his", "hers")), // she@2, he@3, hers@3
+      ("aaaa", Seq("aa")),                         // self-overlap: 3 matches
+      ("scan the table", Seq("scan", "can", "an", "table", "able")),
+      ("abcde", Seq("abcde", "c")),                // longest-at-later-end: fp=1 via maxLen
+      ("windowwindow", Seq("window", "in")),
+      ("", Seq("x")),                              // empty text: all zeros
+      ("zzz", Seq("scan", "can", "an")))           // no match at all
+    cases.foreach { case (t, p) =>
+      assert(ac(t, p) === brute(t, p), s"text='$t' patterns=$p")
+    }
+  }
+
+  test("random texts over a small alphabet agree with brute force") {
+    val pats = Seq("ab", "ba", "aab", "abab", "b", "aaab")
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val t = (1 to rnd.nextInt(40)).map(_ =>
+        if (rnd.nextBoolean()) 'a' else 'b').mkString
+      assert(ac(t, pats) === brute(t, pats), s"text='$t'")
+    }
+  }
+
+  test("the q168 blocklist agrees with brute force on real corpus docs and the codegen path matches interpreted eval") {
+    val pats = graft.queries.TextOps.AcBlocklist
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        AhoCorasickStatsExpr.columnFor(col("text"), pats).as("st"))
+      .select(col("doc_id"), col("text"), col("st.n_matches"),
+        col("st.n_hit"), col("st.first_pos"))
+      .collect()
+    assert(rows.nonEmpty)
+    var hits = 0
+    rows.foreach { r =>
+      val expect = brute(r.getString(1), pats)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === expect,
+        s"doc ${r.getLong(0)}")
+      if (r.getLong(2) > 0) hits += 1
+    }
+    assert(hits > 0, "blocklist must actually fire on the corpus")
+  }
+
+  test("automaton rejects geometries the mask/count semantics can't carry") {
+    intercept[IllegalArgumentException](new AcAutomaton(Seq.empty))
+    intercept[IllegalArgumentException](new AcAutomaton(Seq("a", "a")))
+    intercept[IllegalArgumentException](new AcAutomaton(Seq("a", "")))
+    intercept[IllegalArgumentException](
+      new AcAutomaton((1 to 65).map(i => s"p$i")))
+  }
+}
