@@ -315,6 +315,36 @@ object CurationOps {
         .orderBy("rnk")
     }),
 
+    // DETERMINISTIC EPOCH SHUFFLE (the data-ordering step every
+    // multi-epoch training run needs reproducible: GPT-NeoX/Megatron
+    // loaders consume a seeded per-epoch permutation, sharded so each
+    // data-parallel worker reads its shard sequentially and the global
+    // order is the round-robin interleave). NO rand(): the epoch-e key
+    // of doc d is stableHash(e ∥ '#' ∥ d) — same hash discipline as
+    // q48/q50/q162, so the permutation is recomputation-stable,
+    // engine-portable, and epochs decorrelate by construction (a new e
+    // re-keys every doc). shard = key mod S; pos = rank within
+    // (epoch, shard) by (key, doc_id). Scale: one narrow hash
+    // projection, one shuffle on (epoch, shard), one per-shard sort —
+    // exactly the bill a shuffled-order manifest costs; S is the
+    // parallelism knob (the sort is n/S per shard), and a loader that
+    // sort-merges on read can skip the rank entirely and consume the
+    // key order lazily.
+    "q169_epoch_shuffle" -> ((s, dir) => {
+      val shards = 8
+      val w = Window.partitionBy("epoch", "shard")
+        .orderBy(col("h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array(lit(0L), lit(1L))).as("epoch"))
+        .withColumn("h", stableHash(
+          concat(col("epoch").cast("string"), lit("#"),
+            col("doc_id").cast("string"))))
+        .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+        .select(col("epoch"), col("doc_id"), col("shard"),
+          row_number().over(w).cast("long").as("pos"))
+    }),
+
     // Domain mixing: deterministic per-source sampling rates reweight the
     // corpus toward a target mixture (the data-mixture step before
     // training; sources tiered by suffix → rates 1.0/0.5/0.25/0.1). Keep
@@ -753,6 +783,19 @@ object CurationOps {
          WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
                     AS BIGINT) % 10 = 0
          GROUP BY event_type""",
+    "q169_epoch_shuffle" ->
+      """WITH ed AS (SELECT d.doc_id, e.epoch
+              FROM documents d CROSS JOIN
+                   (SELECT unnest([0, 1]) AS epoch) e),
+         k AS (SELECT epoch, doc_id,
+                CAST('0x' || substr(md5(CAST(epoch AS VARCHAR) || '#' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h
+               FROM ed)
+         SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, h % 8 AS shard,
+                CAST(row_number() OVER (PARTITION BY epoch, h % 8
+                       ORDER BY h, doc_id) AS BIGINT) AS pos
+         FROM k""",
     // the same one-division-each u and p spellings as the Spark side —
     // IEEE division is correctly rounded, so priorities, the top-(k+1)
     // cut and τ are bitwise identical; est_milli is an integer sum
