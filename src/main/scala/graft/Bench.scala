@@ -172,6 +172,12 @@ object Bench {
     // bad window (measured pairs ranged 1.55-2.06x from noise alone)
     val passes = (1 to 3).map { k =>
       val p = timedPass()
+      // codegen-cache health (stderr): if this count grows pass over pass,
+      // the Janino cache is evicting and the pass is paying recompiles
+      // (the r17 late-suite finding — tools/SuiteDrift measures it)
+      System.err.println(s"[bench] pass $k janinoCompiles=" +
+        org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount)
       publishPass(k, p)
       p
     }

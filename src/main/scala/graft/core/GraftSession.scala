@@ -20,9 +20,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
-      // 38+ distinct query shapes per session: default 100-entry codegen
-      // cache evicts mid-suite and triggers Janino recompile storms
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // 169 distinct query shapes compile ~1900 whole-stage-codegen units
+      // per suite pass (measured by tools/SuiteDrift r17) — above the 1000
+      // entries r4 set, so min-of-k passes re-running in sorted order hit
+      // worst-case LRU thrash: ~every unit recompiles every pass at
+      // ~11-45 ms each (~20 s/pass of pure Janino). 8000 holds the whole
+      // working set; cost is driver/executor metaspace for generated
+      // classes (~130 MB code-heap measured at 1900 units), independent
+      // of data scale, so the same value ships to the cluster.
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
 
