@@ -1,0 +1,290 @@
+package graft.operators
+
+/** Driver-local quantizer training over a BOUNDED sample (r17 optimization).
+  *
+  * Why: every Lloyd-family trainer (coarse IVF, PQ, anisotropic PQ) is
+  * sample-bounded by contract — `PqTrainTarget` caps PQ/aniso training at
+  * ~20k vectors via the deterministic stride, and the coarse trainer's gate
+  * inputs are a few hundred rows — yet the r16 spelling ran `1 + iters`
+  * DISTRIBUTED barrier jobs per artifact (seed collect + one scan-aggregate
+  * job per Lloyd iteration). At sf0.1 each job is ~100-200 ms of pure
+  * dispatch for sub-millisecond compute; on a cluster each is a scheduler
+  * barrier. Production ANN stacks (FAISS et al.) train exactly such bounded
+  * samples in-process and only ENCODE distributed. This tier does the same:
+  * ONE job collects the bounded sample, the iterations run here.
+  *
+  * Determinism: every loop mirrors the distributed arithmetic exactly —
+  *  - assignment mirrors `NearestCentroidExpr` / `PqEncodeExpr` eval
+  *    (float→double per element, ascending-index accumulation, strict `<`
+  *    ties-to-lowest);
+  *  - means are `round(avg, 6)` with Spark's `Round` semantics
+  *    (`BigDecimal(x).setScale(6, HALF_UP)`), the cross-engine discipline
+  *    whose whole point is that 6dp rounding absorbs summation-order ulp —
+  *    the same premise that already makes the DuckDB oracle (its own
+  *    summation order) bit-match the distributed Spark aggregation;
+  *  - empty cells keep their previous centroid.
+  * The distributed spellings remain in SimilarityOps for inputs above the
+  * driver-tier bound (the DriverTier probe idiom) and are byte-equivalent.
+  */
+object LocalQuant {
+
+  /** Bound on rows a trainer may collect — aligned with the PQ/aniso
+    * sample contract (PqTrainTarget = 20000; ~5 MB of floats at Dim=64).
+    * Inputs above it take the distributed path unchanged. */
+  val DriverMax = 20000L
+
+  /** Spark `round(x, 6)` (HALF_UP over the shortest-decimal BigDecimal). */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Mirror of `NearestCentroidExpr.nullSafeEval`: index of the nearest
+    * centroid by squared L2, ascending-dim accumulation, strict `<`. */
+  def nearestCell(v: Array[Float], cents: IndexedSeq[Seq[Double]],
+      dim: Int): Int = {
+    val n = math.min(dim, v.length)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v(j).toDouble - cent(j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Mirror of `PqEncodeExpr.nullSafeEval` (eta = 1 ⇒ plain L2): all M
+    * codes of one vector under the (optionally anisotropic) loss. */
+  def pqEncode(v: Array[Float], books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      eta: Double): Array[Int] = {
+    val m = books.length
+    val k = books.head.length
+    val sub = books.head.head.length
+    val w = eta - 1.0
+    val n = v.length
+    val codes = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      val voff = mm * sub
+      var xx = 0.0
+      if (w != 0.0) {
+        var j = 0
+        while (j < sub && voff + j < n) {
+          val x = v(voff + j).toDouble
+          xx += x * x
+          j += 1
+        }
+      }
+      var c = 0
+      while (c < k) {
+        val cent = books(mm)(c)
+        var d = 0.0
+        var rx = 0.0
+        var j = 0
+        while (j < sub && voff + j < n) {
+          val xv = v(voff + j).toDouble
+          val x = xv - cent(j)
+          d += x * x
+          if (w != 0.0) rx += x * xv
+          j += 1
+        }
+        if (w != 0.0 && xx >= 1e-12) d = d + w * rx * rx / xx
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(mm) = best
+      mm += 1
+    }
+    codes
+  }
+
+  /** Deterministic Lloyd over a collected sample — the driver tier of
+    * `SimilarityOps.lloydFromSeeds`. Seeds = the k lowest-vec_id vectors;
+    * update = per-(cell, dim) `round6(mean)`; empty cells keep their
+    * previous centroid. */
+  def lloyd(rows: Array[(Long, Array[Float])], k: Int, iters: Int,
+      dim: Int): Seq[Seq[Double]] = {
+    val sorted = rows.sortBy(_._1)
+    var cents: IndexedSeq[Seq[Double]] = sorted.take(k)
+      .map(_._2.map(_.toDouble).toSeq).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val kEff = cents.length
+      val sums = Array.ofDim[Double](kEff, dim)
+      val counts = new Array[Long](kEff)
+      sorted.foreach { case (_, v) =>
+        val c = nearestCell(v, cents, dim)
+        counts(c) += 1
+        val n = math.min(dim, v.length)
+        var j = 0
+        while (j < n) { sums(c)(j) += v(j).toDouble; j += 1 }
+      }
+      cents = (0 until kEff).map { c =>
+        if (counts(c) == 0L) cents(c)
+        else (0 until dim).map(j => round6(sums(c)(j) / counts(c))): Seq[Double]
+      }.toIndexedSeq
+    }
+    cents
+  }
+
+  /** Fused per-subspace PQ Lloyd over a collected sample — the driver tier
+    * of `SimilarityOps.pqCodebooksFrom`. Mirrors the distributed loop:
+    * assignment via [[pqEncode]] (eta = 1), update = per-(sub, cell, dim)
+    * `round6(mean)` of the FLOAT subvector elements, empty (sub, cell)
+    * groups keep the previous centroid. Seeds = the k lowest-vec_id
+    * sample vectors' subvectors. */
+  def pqCodebooks(rows: Array[(Long, Array[Float])], m: Int, k: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    val sorted = rows.sortBy(_._1)
+    val sub = sorted.head._2.length / m
+    val seedRows = sorted.take(k).map(_._2.map(_.toDouble).toIndexedSeq)
+    val kEff = math.min(k, seedRows.length)
+    var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until m).map(i => seedRows
+        .map(v => v.slice(i * sub, i * sub + sub): Seq[Double])
+        .toIndexedSeq).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val sums = Array.ofDim[Double](m, kEff, sub)
+      val counts = Array.ofDim[Long](m, kEff)
+      sorted.foreach { case (_, v) =>
+        val codes = pqEncode(v, cents, 1.0)
+        var mm = 0
+        while (mm < m) {
+          val c = codes(mm)
+          counts(mm)(c) += 1
+          val voff = mm * sub
+          var j = 0
+          // mirror: slice(embedding, off, sub) yields only in-range
+          // elements; avg sees floats cast to double
+          while (j < sub && voff + j < v.length) {
+            sums(mm)(c)(j) += v(voff + j).toDouble
+            j += 1
+          }
+          mm += 1
+        }
+      }
+      cents = (0 until m).map { i =>
+        (0 until kEff).map { c =>
+          if (counts(i)(c) == 0L) cents(i)(c)
+          else (0 until sub).map(j =>
+            round6(sums(i)(c)(j) / counts(i)(c))): Seq[Double]
+        }.toIndexedSeq
+      }.toIndexedSeq
+    }
+    cents.map(_.toSeq)
+  }
+
+  /** Anisotropic PQ training over a collected sample — the driver tier of
+    * `SimilarityOps.anisoCodebooks` (sub = 4 Cramer solve). Mirrors the
+    * distributed stats pass exactly: per (sub, cell),
+    * b_d = round6(avg(sv_d)), a_{d,e} = round6(avg(((w·sv_d)·sv_e)·inv))
+    * with inv = 0 when xx < 1e-12 else 1/xx, xx = Σ sv_i² ascending; the
+    * per-(sub, cell) solve is the shared canonical-Leibniz [[det4]]. */
+  def anisoCodebooks(rows: Array[(Long, Array[Float])], m: Int, k: Int,
+      iters: Int, eta: Double): Seq[Seq[Seq[Double]]] = {
+    val sorted = rows.sortBy(_._1)
+    val sub = sorted.head._2.length / m
+    require(sub == 4, "anisoCodebooks driver tier: Cramer solve is sub=4")
+    val w = eta - 1.0
+    val seedRows = sorted.take(k).map(_._2.map(_.toDouble).toIndexedSeq)
+    val kEff = math.min(k, seedRows.length)
+    var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until m).map(i => seedRows
+        .map(v => v.slice(i * sub, i * sub + sub): Seq[Double])
+        .toIndexedSeq).toIndexedSeq
+    val nUp = sub * (sub + 1) / 2
+    for (_ <- 1 to iters) {
+      val bSums = Array.ofDim[Double](m, kEff, sub)
+      val aSums = Array.ofDim[Double](m, kEff, nUp)
+      val counts = Array.ofDim[Long](m, kEff)
+      sorted.foreach { case (_, v) =>
+        val codes = pqEncode(v, cents, eta)
+        var mm = 0
+        while (mm < m) {
+          val c = codes(mm)
+          counts(mm)(c) += 1
+          val voff = mm * sub
+          // subvector as floats (mirror: slice yields in-range elements)
+          val sv = new Array[Float](math.max(0,
+            math.min(sub, v.length - voff)))
+          var j = 0
+          while (j < sv.length) { sv(j) = v(voff + j); j += 1 }
+          // xx: ascending-index Σ (double)sv_i · (double)sv_i
+          var xx = 0.0
+          j = 0
+          while (j < sv.length) {
+            xx += sv(j).toDouble * sv(j).toDouble; j += 1
+          }
+          val inv = if (xx < 1e-12) 0.0 else 1.0 / xx
+          var d = 0
+          while (d < sub) {
+            if (d < sv.length) bSums(mm)(c)(d) += sv(d).toDouble
+            d += 1
+          }
+          var idx = 0
+          d = 0
+          while (d < sub) {
+            var e2 = d
+            while (e2 < sub) {
+              // mirror: ((w * sv_d) * sv_e) * inv, left-associated
+              val vd = if (d < sv.length) sv(d).toDouble else 0.0
+              val ve = if (e2 < sv.length) sv(e2).toDouble else 0.0
+              aSums(mm)(c)(idx) += ((w * vd) * ve) * inv
+              idx += 1
+              e2 += 1
+            }
+            d += 1
+          }
+          mm += 1
+        }
+      }
+      cents = (0 until m).map { i =>
+        (0 until kEff).map { c =>
+          if (counts(i)(c) == 0L) cents(i)(c)
+          else {
+            val cnt = counts(i)(c)
+            val b = (0 until sub).map(d => round6(bSums(i)(c)(d) / cnt))
+            val upIdx = (for (d <- 0 until sub; e2 <- d until sub)
+              yield (d, e2)).zipWithIndex.toMap
+            val up = upIdx.map { case ((d, e2), ix) =>
+              (d, e2) -> round6(aSums(i)(c)(ix) / cnt) }
+            def aEnt(d: Int, e2: Int): Double = {
+              val v0 = up(if (d <= e2) (d, e2) else (e2, d))
+              if (d == e2) 1 + v0 else v0
+            }
+            val rhs = (0 until sub).map(d => eta * b(d))
+            val dA = det4(aEnt)
+            (0 until sub).map { d =>
+              val dd = det4((i2, j2) => if (j2 == d) rhs(i2) else aEnt(i2, j2))
+              round6(dd / dA)
+            }: Seq[Double]
+          }
+        }.toIndexedSeq
+      }.toIndexedSeq
+    }
+    cents.map(_.toSeq)
+  }
+
+  /** Lexicographic permutations of 0..3 with parity — the canonical
+    * Leibniz term order shared with `SimilarityOps` (duplicated constant:
+    * both fold the identical 24 terms left-associated). */
+  private val Perm4: Seq[(IndexedSeq[Int], Int)] =
+    (0 to 3).permutations.map { p =>
+      val inv = (for (i <- 0 to 3; j <- i + 1 to 3 if p(i) > p(j)) yield 1).sum
+      (p, if (inv % 2 == 0) 1 else -1)
+    }.toSeq
+
+  private def det4(a: (Int, Int) => Double): Double =
+    Perm4.foldLeft(0.0) { case (acc, (p, s)) =>
+      val t = a(0, p(0)) * a(1, p(1)) * a(2, p(2)) * a(3, p(3))
+      if (s > 0) acc + t else acc - t
+    }
+}

@@ -324,9 +324,27 @@ object SimilarityOps {
 
   /** The Lloyd loop over an explicit (vec_id, embedding) frame — the
     * uncached training engine behind [[lloydCentroids]] and the
-    * drift-triggered retrain of [[assignIncremental]]. */
+    * drift-triggered retrain of [[assignIncremental]].
+    *
+    * SIZE-GATED driver tier (r17, guide §1.2.1 "remove unnecessary
+    * passes"): one `take` probe collects up to DriverMax+1 rows; when the
+    * frame fits (every gate corpus, and any bounded training sample), the
+    * `iters` Lloyd rounds run on the driver over the collected rows —
+    * ONE job instead of `1 + iters` distributed barriers, arithmetic
+    * mirrored bit-for-bit in [[graft.operators.LocalQuant.lloyd]] (same
+    * assignment eval, same `round(avg, 6)` discipline that already makes
+    * the DuckDB oracle's own summation order agree). Larger frames (the
+    * ScaleStress unsliced path, big drift-retrain corpora) take the
+    * distributed spelling below, unchanged. */
   private[graft] def lloydFromSeeds(
       e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    import graft.operators.{DriverTier, LocalQuant}
+    val probe = e.take(DriverTier.probeLimit(LocalQuant.DriverMax))
+    if (probe.length <= LocalQuant.DriverMax) {
+      val rows = probe.map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray))
+      return LocalQuant.lloyd(rows, k, iters, Dim)
+    }
     var cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(r => r.getSeq[Float](1).map(_.toDouble))
       .toSeq
@@ -418,6 +436,28 @@ object SimilarityOps {
       iters: Int, trainTarget: Long = PqTrainTarget): Seq[Seq[Seq[Double]]] = {
     {
       val sub = Dim / m
+      // DRIVER TIER (r17): the stride bounds the sample at ~trainTarget
+      // rows BY CONSTRUCTION, so when that bound fits the LocalQuant
+      // contract the whole fused Lloyd runs on the driver over ONE
+      // collected sample — 1-2 jobs instead of 2 + iters; arithmetic
+      // mirrored bit-for-bit ([[graft.operators.LocalQuant.pqCodebooks]]).
+      // Probe-first: when the whole corpus fits trainTarget rows the
+      // stride is 1 by definition (mod = ceil(n/T) = 1 for n ≤ T), so the
+      // probe IS the sample and the count job is skipped entirely.
+      if (trainTarget <= graft.operators.LocalQuant.DriverMax) {
+        val probe = all.take(graft.operators.DriverTier.probeLimit(trainTarget))
+        val rows =
+          if (probe.length <= trainTarget) probe.map(r =>
+            (r.getLong(0), r.getSeq[Float](1).toArray))
+          else {
+            val n = all.count()
+            val mod = math.max(1L, (n + trainTarget - 1) / trainTarget)
+            all.filter(pmod(col("vec_id"), lit(mod)) === 0).collect()
+              .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          }
+        require(rows.nonEmpty, "pqCodebooks: no training vectors")
+        return graft.operators.LocalQuant.pqCodebooks(rows, m, k, iters)
+      }
       // k=1 driver scalar (the q39-centroid precedent): the sample stride
       val n = all.count()
       val mod = math.max(1L, (n + trainTarget - 1) / trainTarget)
@@ -564,6 +604,28 @@ object SimilarityOps {
       val all0 = emb(s, dir).select(col("vec_id"), col("embedding"))
       val all = if (maxVec == Long.MaxValue) all0
                 else all0.filter(col("vec_id") < maxVec)
+      // DRIVER TIER (r17, the pqCodebooksFrom rule): the stride bounds
+      // the sample, so the stats+Cramer iterations run on the driver over
+      // ONE collected sample — 1-2 jobs instead of 2 + iters; arithmetic
+      // mirrored bit-for-bit (LocalQuant.anisoCodebooks — same encodeAniso
+      // eval, same 6dp-rounded means, same canonical-Leibniz solve).
+      // Probe-first (the pqCodebooksFrom rule): n ≤ trainTarget ⇒ stride 1
+      // ⇒ the probe IS the sample, no count job.
+      if (trainTarget <= graft.operators.LocalQuant.DriverMax) {
+        val probe = all.take(graft.operators.DriverTier.probeLimit(trainTarget))
+        val rows =
+          if (probe.length <= trainTarget) probe.map(r =>
+            (r.getLong(0), r.getSeq[Float](1).toArray))
+          else {
+            val n = all.count()
+            val mod = math.max(1L, (n + trainTarget - 1) / trainTarget)
+            all.filter(pmod(col("vec_id"), lit(mod)) === 0).collect()
+              .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          }
+        require(rows.nonEmpty,
+          s"anisoCodebooks: no training vectors in $dir")
+        graft.operators.LocalQuant.anisoCodebooks(rows, m, k, iters, eta)
+      } else {
       val n = all.count()
       val mod = math.max(1L, (n + trainTarget - 1) / trainTarget)
       val e = all.filter(pmod(col("vec_id"), lit(mod)) === 0)
@@ -627,6 +689,7 @@ object SimilarityOps {
         }.toIndexedSeq
       }
       cents.map(_.toSeq)
+      }
     })
   }
 

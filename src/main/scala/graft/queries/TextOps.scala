@@ -218,41 +218,51 @@ object TextOps {
     val vocab = featRows.map(_.getString(0)).sorted
     var wmap = vocab.map(_ -> 0L).toMap
     var bias = 0L
+    // r17 single-pass epoch (guide §2.4 "two operations keyed the same way
+    // share one exchange"): the design matrix gains ONE synthetic row per
+    // doc with feat = NULL, tf = 1 — the BIAS feature (NULL is unreachable
+    // from real tokens, so a doc literally containing any marker string
+    // cannot corrupt the model; the r15 `kind`-column concern, solved
+    // structurally). Each epoch is then ONE query: broadcast-join the
+    // weights (bias rides as the NULL-key weight, so the windowed
+    // Σ tf·w over the doc IS margin + bias), filter misclassified rows
+    // with a WINDOW over the already-doc_id-partitioned matrix (no
+    // exchange, no checkpoint, no join-back), and aggregate per-feat
+    // updates + bias delta + miss count in the SAME groupBy — the NULL
+    // group's sum(y·tf) = Σ_miss y (bias delta) and its count = miss
+    // docs. All integer arithmetic: margins, filters and updates are
+    // bit-identical to the r16 three-consumer spelling (asserted by the
+    // oracle's unrolled epoch CTEs and PerceptronSpec), but each epoch is
+    // ~2 jobs instead of ~7 (JobsProbe: q129 29 → 11 jobs).
+    val aug = dtf.unionByName(
+        dtf.groupBy("doc_id", "y").agg(count(lit(1)).as("tf"))
+          .select(col("doc_id"), col("y"),
+            lit(null).cast("string").as("feat"), lit(1L).as("tf")))
+      .repartition(col("doc_id"))
+      .localCheckpoint(eager = false)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val traj = Seq.newBuilder[(Long, String, Long)]
     (1 to PerceptronEpochs).foreach { e =>
-      val wdf = broadcast(wmap.toSeq.toDF("feat", "w"))
-      val miss = dtf.join(wdf, Seq("feat"))
-        .groupBy("doc_id", "y")
-        .agg((sum(col("tf") * col("w")) + lit(bias)).as("margin"))
+      val wdf = broadcast(
+        (wmap.toSeq.map { case (f, w) => (Option(f), w) } :+
+          ((Option.empty[String], bias)))
+          .toDF("wfeat", "w"))
+      var nmiss = 0L
+      aug.join(wdf, col("feat") <=> col("wfeat"))
+        .withColumn("margin", sum(col("tf") * col("w")).over(W))
         .filter(col("y") * col("margin") <= 0)
-        .select(col("doc_id"), col("y").as("my"))
-        .localCheckpoint() // eager: 1 compute, 3 consumers below
-      // ONE collect per epoch: feature updates ⊎ bias delta ⊎ miss count,
-      // routed by an explicit `kind` column — never by matching the feat
-      // value itself (a doc literally containing "__bias__" must not be
-      // able to corrupt the model). All three branches read the tiny
-      // CHECKPOINTED miss set, so nothing recomputes.
-      val bn = miss.agg(coalesce(sum(col("my")), lit(0L)).as("bd"),
-        count(lit(1)).cast("long").as("nm"))
-      val nullFeat = lit(null).cast("string").as("feat")
-      dtf.join(miss, Seq("doc_id"))
-        .groupBy("feat").agg(sum(col("my") * col("tf")).as("v"))
-        .select(lit("w").as("kind"), col("feat"), col("v"))
-        .unionByName(bn.select(lit("b").as("kind"), nullFeat,
-          col("bd").as("v")))
-        .unionByName(bn.select(lit("n").as("kind"), nullFeat,
-          col("nm").as("v")))
+        .groupBy("feat")
+        .agg(sum(col("y") * col("tf")).as("v"),
+          count(lit(1)).cast("long").as("cnt"))
         .collect()
         .foreach { r =>
-          val v = r.getLong(2)
-          r.getString(0) match {
-            case "b" => bias += v
-            case "n" => traj += ((e.toLong, "__nmiss__", v))
-            case _ =>
-              val t = r.getString(1)
-              wmap = wmap.updated(t, wmap(t) + v)
+          if (r.isNullAt(0)) { bias += r.getLong(1); nmiss = r.getLong(2) }
+          else {
+            val t = r.getString(0)
+            wmap = wmap.updated(t, wmap(t) + r.getLong(1))
           }
         }
+      traj += ((e.toLong, "__nmiss__", nmiss))
       wmap.foreach { case (t, w) => traj += ((e.toLong, t, w)) }
       traj += ((e.toLong, "__bias__", bias))
     }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dumps `.explain("formatted")` for the named queries to
+  * plans/<roundDir>/<query>_<tag>.txt — the committed evidence files the
+  * optimization rounds' plan claims are checked against.
+  *
+  * Usage: runMain graft.tools.PlanDump r17 before q128 q132 ...
+  * (query names may be prefixes; matches every declared query that starts
+  * with one of them)
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val roundDir = args(0)
+    val tag = args(1)
+    val prefixes = args.drop(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.local(8)
+    val out = Paths.get("plans", roundDir)
+    Files.createDirectories(out)
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.exists(n.startsWith))
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      // queryExecution.explainString — same text explain("formatted") prints
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.write(out.resolve(s"${n}_$tag.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] wrote ${out.resolve(s"${n}_$tag.txt")}")
+    }
+    spark.stop()
+  }
+}
