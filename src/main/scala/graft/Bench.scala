@@ -105,6 +105,7 @@ object Bench {
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
     graft.queries.IndexOps.clearCache()
+    graft.queries.TextOps.clearCache()
     names.foreach(exec)
     // settle the JVM between warm-up and the timed passes so GC debt from
     // warm-up isn't billed to the first timed queries
@@ -123,6 +124,7 @@ object Bench {
       graft.queries.DedupOps.clearCache()
       graft.queries.SimilarityOps.clearCache()
     graft.queries.IndexOps.clearCache()
+    graft.queries.TextOps.clearCache()
       names.map { name =>
         val t0 = System.nanoTime()
         exec(name)

@@ -168,6 +168,41 @@ object TextOps {
     * then two tiny collects (the bounded feature updates and the 1-row
     * bias/nmiss aggregate). E is a fixed hyperparameter: cost = E·2
     * passes over the checkpointed design matrix, independent of n². */
+  /** The RAW (feat = token) perceptron design matrix — a SHARED
+    * per-(session, dir) artifact (r17, guide §1.2.1 "don't compute things
+    * twice"): q129 consumes it directly and q138 re-aggregates it into the
+    * hashed feature space (Σ raw tf per bucket ≡ token count per bucket,
+    * exactly the fallback path's fold), so the corpus
+    * scan→tokenize→explode→groupBy runs ONCE per bench pass for both
+    * perceptron gates instead of twice. Same cache discipline as
+    * DedupOps.cachedStage: cleared per bench pass, first consumer pays. */
+  private val perceptronCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clearCache(): Unit = {
+    perceptronCache.values().forEach(StageCacheSupport.unpersistCheckpoint)
+    perceptronCache.clear()
+  }
+
+  private def perceptronDesignMatrixCached(s: SparkSession,
+      dir: String): DataFrame = {
+    if (perceptronCache.size > 64) perceptronCache.clear()
+    perceptronCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      docs(sess, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        // y is computed in its own projection BELOW the explode: the
+        // Gopher label runs its regexps once per DOC. Fused into the
+        // explode's projection it would re-evaluate per TOKEN — measured
+        // 3× the whole query's wall at sf0.1 (PerceptronProbe).
+        .select(col("doc_id"),
+          when(gopherKeep, 1L).otherwise(-1L).as("y"), col("toks"))
+        .select(col("doc_id"), col("y"), explode(col("toks")).as("feat"))
+        .groupBy("doc_id", "y", "feat").agg(count(lit(1)).as("tf"))
+        .repartition(col("doc_id"))
+        .localCheckpoint(eager = false)
+    })
+  }
+
   private[graft] def perceptronTrajectory(s: SparkSession, dir: String,
       hashBuckets: Option[Int],
       vocabMax: Long = PerceptronVocabMax): DataFrame = {
@@ -175,23 +210,20 @@ object TextOps {
     def hashed(b: Int): Column => Column = tok =>
       pmod(graft.functions.TextFunctions.stableHash(tok), lit(b))
         .cast("string")
-    val feat: Column => Column = hashBuckets match {
-      case Some(b) => hashed(b)
-      case None => identity
+    val raw = perceptronDesignMatrixCached(s, dir)
+    val dtf0 = hashBuckets match {
+      case Some(b) =>
+        // hashed-feature matrix DERIVED from the shared raw artifact — a
+        // doc_id-co-partitioned fold (the raw checkpoint's HashPartitioning
+        // (doc_id) satisfies the groupBy's clustering, so NO exchange),
+        // never a second corpus scan/explode. tf sums are exact: the
+        // bucket's token count is the sum of its member tokens' counts.
+        raw.select(col("doc_id"), col("y"),
+            hashed(b)(col("feat")).as("feat"), col("tf"))
+          .groupBy("doc_id", "y", "feat").agg(sum(col("tf")).as("tf"))
+          .localCheckpoint(eager = false)
+      case None => raw
     }
-    val dtf0 = docs(s, dir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      // y is computed in its own projection BELOW the explode: the
-      // Gopher label runs its regexps once per DOC. Fused into the
-      // explode's projection it would re-evaluate per TOKEN — measured
-      // 3× the whole query's wall at sf0.1 (PerceptronProbe).
-      .select(col("doc_id"),
-        when(gopherKeep, 1L).otherwise(-1L).as("y"), col("toks"))
-      .select(col("doc_id"), col("y"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("y"), feat(col("tok")).as("feat"))
-      .groupBy("doc_id", "y", "feat").agg(count(lit(1)).as("tf"))
-      .repartition(col("doc_id"))
-      .localCheckpoint(eager = false)
     // model state: feature-keyed integer weights on the driver — the
     // SIZE-GATED probe, not an unbounded collect
     val bound = hashBuckets.map(_.toLong).getOrElse(vocabMax)

@@ -42,6 +42,7 @@ object JobsProbe {
       graft.queries.DedupOps.clearCache()
       graft.queries.SimilarityOps.clearCache()
       graft.queries.IndexOps.clearCache()
+      graft.queries.TextOps.clearCache()
     }
     def exec(n: String): Unit =
       graft.SparkEntry.queries(n)(spark, sfDir)

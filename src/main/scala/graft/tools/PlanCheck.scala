@@ -118,6 +118,7 @@ object PlanCheck {
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
     graft.queries.IndexOps.clearCache()
+    graft.queries.TextOps.clearCache()
     withStaticPlans(spark) {
       names.foreach { name =>
         try {

@@ -216,6 +216,7 @@ object ScaleStress {
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
     graft.queries.IndexOps.clearCache()
+    graft.queries.TextOps.clearCache()
   }
 
   final case class QStat(name: String, sec: Double, shufReadB: Long,

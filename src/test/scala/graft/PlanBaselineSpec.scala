@@ -35,6 +35,7 @@ class PlanBaselineSpec extends AnyFunSuite {
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
     graft.queries.IndexOps.clearCache()
+    graft.queries.TextOps.clearCache()
     val diffs = PlanCheck.withStaticPlans(spark) {
       baseline.toSeq.sortBy(_._1).flatMap { case (name, want) =>
         val got = PlanCheck.signature(spark, dir, name)
@@ -55,6 +56,7 @@ class PlanBaselineSpec extends AnyFunSuite {
     graft.queries.DedupOps.clearCache()
     graft.queries.SimilarityOps.clearCache()
     graft.queries.IndexOps.clearCache()
+    graft.queries.TextOps.clearCache()
     val findings = PlanCheck.withStaticPlans(spark) {
       SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         PlanCheck.postGenerateRecomputes(
