@@ -29,6 +29,8 @@ object GraftSession {
       // classes (~130 MB code-heap measured at 1900 units), independent
       // of data scale, so the same value ships to the cluster.
       .config("spark.sql.codegen.cache.maxEntries", "8000")
+      // EXPERIMENT r17: AQE SMJ->SHJ rewrite when per-partition maps fit
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
 
